@@ -1,0 +1,96 @@
+"""Content-hashing kernels: exact fingerprints, MinHash, SimHash.
+
+Reference parity:
+
+- D1 content-hash dedup (``utils/common_functions_raw.py:198-219``) hashes
+  ``sha2(to_json(struct(*cols)), 256)``. That spec is ambiguous (``to_json``
+  drops null fields, so null-vs-absent collide — SURVEY §2.8). Here the
+  canonical hash pins column order and null handling explicitly via
+  ``concat_ws`` over null-coalesced string casts, which is deterministic and
+  replay-stable. ``content_hash_sha256`` keeps the exact reference recipe for
+  parity; ``content_fingerprint`` is the fixed spec.
+
+MinHash / SimHash extend the same dedup surface to near-duplicates for
+training-data curation (SURVEY §7.2 phase 9). Everything is built from
+``xxhash64`` (JVM-side, codegen'd) over array columns — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_NULL_SENTINEL = " <NULL> "
+
+
+def content_hash_sha256(cols: list[str]) -> Column:
+    """The reference's exact D1 recipe: sha2(to_json(struct(cols)), 256).
+
+    Kept for parity; prefer :func:`content_fingerprint` for new tables
+    (to_json silently drops null fields, so {"a":null} and {} collide).
+    """
+    return F.sha2(F.to_json(F.struct(*[F.col(c) for c in cols])), 256)
+
+
+def content_fingerprint(cols: list[str]) -> Column:
+    """Deterministic row fingerprint with pinned column order + null spec.
+
+    ``md5(concat_ws(sep, coalesce(cast(c as string), sentinel)...))`` —
+    null and empty-string hash differently, column order is the caller's
+    list order, and the recipe is reproducible in any engine (the duckdb
+    oracle uses the identical expression).
+    """
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols
+    ]
+    return F.md5(F.concat_ws("", *parts))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<long>) of a set-valued (array<string>) column.
+
+    Hash family: ``xxhash64(shingle, i)`` for i in 0..num_hashes-1 — seeding
+    xxhash64 with a per-function literal is the standard cheap way to get an
+    indexed family without affine (a*x+b) % p arithmetic. All JVM-side:
+    ``transform`` + ``array_min`` per hash function.
+
+    Empty shingle sets get a signature of nulls (array_min of empty array),
+    which never collides into a band bucket.
+    """
+    sigs = [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of an array<string> token column, as a long.
+
+    For each of the 64 bit positions, sum +1/-1 votes of each token's
+    ``xxhash64`` bit, then take the sign. Expressed with ``aggregate`` over
+    the token array per bit — JVM-side, no UDF. O(64·n_tokens) per row.
+    """
+    bits = []
+    for b in range(64):
+        # vote_b = sum over tokens of (bit b set ? 1 : -1)
+        vote = F.aggregate(
+            tokens,
+            F.lit(0).cast("long"),
+            lambda acc, t, b=b: acc
+            + F.when(
+                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for p in bits[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit longs via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,110 @@
+"""Spatial scalar kernels.
+
+Reference parity (all citations into /root/reference):
+
+- haversine: ``utils/common_functions_curated.py:113-138`` — great-circle km,
+  R=6371, computed with Spark column trig. Same formula here.
+- spatial grid: ``utils/common_functions_curated.py:62-88`` — floor-quantize
+  lat/lon to bucket ids.
+- geohash: ``utils/common_functions_curated.py:164-185`` wraps a pure-Python
+  base-32 encoder (``:283-317``) in a row-at-a-time ``F.udf`` — the single
+  biggest physical-execution defect of the reference (SURVEY §4). Here the
+  encoder is a **native column expression**: quantize lat/lon to 15-bit grid
+  ordinates, interleave the bits, slice 5-bit groups into base-32 characters.
+  Stays inside whole-stage codegen; no Python worker hop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km between two points (R=6371).
+
+    Pure column expression — codegen'd, no UDF. Matches the reference
+    formula at ``utils/common_functions_curated.py:113-138``.
+    """
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    # clamp the asin argument against FP drift just past 1.0
+    return 2 * EARTH_RADIUS_KM * F.asin(F.least(F.sqrt(a), F.lit(1.0)))
+
+
+def grid_cell(coord: Column, precision_deg: float) -> Column:
+    """Floor-quantize a coordinate into a grid bucket id (long).
+
+    Reference: ``utils/common_functions_curated.py:62-88``.
+    """
+    return F.floor(coord / F.lit(precision_deg)).cast("long")
+
+
+def _interleave_bits(lon_q: Column, lat_q: Column, bits_per_axis: int) -> Column:
+    """Interleave two bits_per_axis-bit integers, lon bit first (geohash order)."""
+    total = 2 * bits_per_axis
+    parts = []
+    for i in range(bits_per_axis):
+        # bit (bits_per_axis-1-i) of lon goes to output bit (total-1-2i)
+        parts.append(
+            F.shiftleft(
+                F.shiftright(lon_q, bits_per_axis - 1 - i).bitwiseAND(F.lit(1)),
+                total - 1 - 2 * i,
+            )
+        )
+        parts.append(
+            F.shiftleft(
+                F.shiftright(lat_q, bits_per_axis - 1 - i).bitwiseAND(F.lit(1)),
+                total - 2 - 2 * i,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def geohash_expr(lat: Column, lon: Column, precision: int = 6) -> Column:
+    """Base-32 geohash of (lat, lon) as a native column expression.
+
+    Equivalent to the standard bisection encoder the reference wraps in a
+    Python UDF (``utils/common_functions_curated.py:283-317``): for an
+    even-length geohash of ``precision`` chars, the lon axis gets
+    ``precision*5/2`` bits and quantization ``floor((x-min)/range * 2^bits)``
+    reproduces the bisection bit pattern exactly.
+    """
+    if precision % 2 != 0:
+        raise ValueError("geohash_expr supports even precision (lon/lat bit split)")
+    bits_per_axis = precision * 5 // 2
+    scale = 1 << bits_per_axis
+    max_q = scale - 1
+
+    lon_q = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(scale))).cast("long"),
+        F.lit(max_q),
+    )
+    lat_q = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(scale))).cast("long"),
+        F.lit(max_q),
+    )
+    inter = _interleave_bits(lon_q, lat_q, bits_per_axis)
+
+    chars = []
+    for k in range(precision):
+        idx = F.shiftright(inter, 5 * (precision - 1 - k)).bitwiseAND(F.lit(31))
+        chars.append(_b32_char(idx))
+    return F.concat(*chars)
+
+
+def _b32_char(idx: Column) -> Column:
+    """Map a 0..31 column to its base-32 geohash character (JVM-side)."""
+    arr = F.array(*[F.lit(c) for c in _GEOHASH_B32])
+    return F.element_at(arr, idx + 1)

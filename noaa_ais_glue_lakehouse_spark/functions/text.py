@@ -1,0 +1,116 @@
+"""Text-analysis kernels for corpus curation at scale.
+
+These extend the reference's string handling (trim/empty-to-null,
+``utils/common_functions_raw.py:117-127``) into the operations a
+training-data pipeline needs: tokenization, n-gram shingling, quality
+features, and a stopword-profile language heuristic. All native column
+expressions — the hot path never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately simple and engine-portable: the duckdb oracle
+# reimplements the identical counting rule.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text → array<string>.
+
+    ``split`` on ``\\s+`` after trim; empty string yields an empty array
+    (filtered of empty tokens).
+    """
+    arr = F.split(F.trim(F.lower(text)), r"\s+")
+    return F.filter(arr, lambda t: t != "")
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-gram shingles (distinct) of lowercased text.
+
+    Built with ``sequence`` + ``transform`` + ``substring`` — JVM-side.
+    Strings shorter than n yield an empty array.
+    """
+    s = F.lower(text)
+    length = F.length(s)
+    idx = F.when(length >= n, F.sequence(F.lit(1), length - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace tokens (long)."""
+    return F.size(tokenize(text)).cast("long")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic quality features for corpus filtering.
+
+    Returns named columns: n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio (English markers), upper_ratio. All deterministic,
+    SQL-reproducible expressions.
+    """
+    toks = tokenize(text)
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", "")).cast("long")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in LANG_MARKERS["en"]]))
+    ).cast("long")
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", "")).cast("long")
+    safe_tokens = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(None))
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(None))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast(
+                "double"
+            )
+            / safe_tokens,
+            6,
+        ),
+        "punct_ratio": F.round(n_punct.cast("double") / safe_chars, 6),
+        "stopword_ratio": F.round(stop.cast("double") / safe_tokens, 6),
+        "upper_ratio": F.round(n_upper.cast("double") / safe_chars, 6),
+    }
+
+
+def lang_marker_counts(text: Column) -> dict[str, Column]:
+    """Per-language marker-token counts over the token set."""
+    toks = tokenize(text)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        out[lang] = F.size(
+            F.filter(toks, lambda t, ws=tuple(words): t.isin(*[F.lit(w) for w in ws]))
+        ).cast("long")
+    return out
+
+
+def langid_guess(text: Column) -> Column:
+    """Language guess = argmax of marker counts, fixed precedence en>es>fr>de>zh
+    on ties, 'und' when all counts are zero. Mirrors the duckdb oracle rule.
+    """
+    counts = lang_marker_counts(text)
+    order = list(LANG_MARKERS.keys())
+    best = counts[order[0]]
+    for lang in order[1:]:
+        best = F.greatest(best, counts[lang])
+    guess = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(order):
+        guess = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(
+            guess
+        )
+    return guess

@@ -1,0 +1,249 @@
+"""Deduplication operators: exact, key-based, MinHash-LSH, SimHash,
+n-gram Jaccard (SURVEY §2.8 + training-data extensions).
+
+Design for 100 TB: near-dup detection never does an O(n²) cross join.
+MinHash-LSH shuffles once on band buckets (candidate generation is a
+self-join restricted to equal band hashes); SimHash joins on rotated
+prefix blocks; exact Jaccard verification runs only on LSH candidates.
+The brute-force pairwise variant exists solely as a small-data oracle
+baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.functions.hashing import (
+    content_fingerprint,
+    hamming64,
+    minhash_signature,
+    simhash64,
+)
+from noaa_ais_glue_lakehouse_spark.functions.text import char_ngrams, tokenize
+
+
+def dedup_exact(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact content dedup keeping the minimum-id row per fingerprint.
+
+    Deterministic survivor choice (min id) — unlike the reference's
+    ``dropDuplicates`` which keeps an arbitrary first row (D1), this is
+    reproducible and therefore oracle-checkable. Single hash-shuffle on the
+    fingerprint; at scale the fingerprint groupBy is a map-side-combinable
+    aggregation.
+    """
+    fp = content_fingerprint(content_cols)
+    keyed = df.withColumn("_fp", fp)
+    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["_fp", id_col], "inner").drop("_fp")
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    use_char_ngrams: bool = False,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Brute-force pairwise token/shingle Jaccard ≥ threshold (id_a < id_b).
+
+    O(n²) cross join — the correctness baseline for the LSH path below and
+    the duckdb-oracle query. A length-ratio prefilter bounds the candidate
+    set: |A∩B|/|A∪B| ≥ t implies t ≤ |A|/|B| ≤ 1/t for |A|≤|B|.
+    """
+    shingle = (
+        char_ngrams(F.col(text_col), ngram_n)
+        if use_char_ngrams
+        else F.array_distinct(tokenize(F.col(text_col)))
+    )
+    sets = df.select(
+        F.col(id_col), shingle.alias("_sh"), F.size(shingle).alias("_n")
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.least("a._n", "b._n") >= F.greatest("a._n", "b._n") * F.lit(threshold)),
+    )
+    inter = F.size(F.array_intersect("a._sh", "b._sh"))
+    union = F.col("a._n") + F.col("b._n") - inter
+    jacc = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    use_char_ngrams: bool = True,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (id_a < id_b, distinct).
+
+    shingle → minhash signature (num_hashes) → split into ``bands`` bands of
+    r = num_hashes/bands rows → hash each band → self-join on (band_idx,
+    band_hash). Probability a pair with Jaccard s collides:
+    1-(1-s^r)^bands. The join is an equi-join on the band key — one shuffle,
+    no cross product; bucket skew (giant clusters) is bounded by AQE skew
+    handling plus the downstream distinct.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    shingle = (
+        char_ngrams(F.col(text_col), ngram_n)
+        if use_char_ngrams
+        else F.array_distinct(tokenize(F.col(text_col)))
+    )
+    sig = minhash_signature(shingle, num_hashes)
+    sigs = df.select(F.col(id_col), sig.alias("_sig")).filter(
+        F.size("_sig") > 0
+    )
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("_sig", i * r + j + 1).cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    use_char_ngrams: bool = True,
+    ngram_n: int = 5,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    The verify join re-attaches shingle sets only for candidate ids —
+    at scale this is |candidates| work, not |corpus|².
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, use_char_ngrams, ngram_n
+    )
+    shingle = (
+        char_ngrams(F.col(text_col), ngram_n)
+        if use_char_ngrams
+        else F.array_distinct(tokenize(F.col(text_col)))
+    )
+    sets = df.select(F.col(id_col), shingle.alias("_sh"))
+    out = (
+        cands.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    jacc = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return out.select(
+        "id_a", "id_b", F.round(jacc, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Block-permutation LSH: split the 64-bit simhash into ``n_blocks``
+    16-bit blocks; any pair within Hamming d < n_blocks shares at least one
+    identical block (pigeonhole), so candidates come from equi-joins on
+    (block_idx, block_value) — no cross join. Verify with bit_count(xor).
+    """
+    sh = simhash64(tokenize(F.col(text_col)))
+    sigs = df.select(F.col(id_col), sh.alias("_simhash"))
+    block_bits = 64 // n_blocks
+    mask = (1 << block_bits) - 1
+    blocked = sigs.select(
+        id_col,
+        "_simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright("_simhash", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "_simhash", "blk.block_idx", "blk.block_val")
+
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._simhash").alias("_ha"),
+            F.col("b._simhash").alias("_hb"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "id_a", "id_b", hamming64(F.col("_ha"), F.col("_hb")).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,1149 @@
+"""Query catalog: every SURVEY.md §2 operator expressed over the driver's
+testdata tables, each paired with a DuckDB oracle.
+
+Cross-engine determinism conventions (so the order-insensitive value-hash
+matches):
+
+- all output column names lowercase snake_case, aliased identically on both
+  sides;
+- sums over double columns go through integer cents: ``sum(cast(round(x*100)
+  as bigint))`` — exact integer arithmetic is order-independent, unlike
+  float summation;
+- averages/derived ratios are computed as exact-int-sum / count and
+  ``round(..., 6)``;
+- time arithmetic uses microseconds (``unix_micros`` ⟷ ``epoch_us``), never
+  DuckDB's fractional ``epoch()``;
+- every window/top-k order has an id tiebreak so ranks are total.
+
+The mapping reference-operator → query is noted on each entry (SURVEY §2
+codes: S=sources, P=projections, J=joins, A=aggregations, W=windows,
+O=sorts, U=set-ops, D=dedup, T=stateful, Q=SQL corpus).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.functions.spatial import grid_cell, haversine_km
+from noaa_ais_glue_lakehouse_spark.functions.text import (
+    LANG_MARKERS,
+    langid_guess,
+    quality_features,
+    tokenize,
+)
+from noaa_ais_glue_lakehouse_spark.operators import cleaning
+from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs_exact,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from noaa_ais_glue_lakehouse_spark.operators.sampling import sample_trajectory
+from noaa_ais_glue_lakehouse_spark.operators.sessionize import (
+    latest_per_entity,
+    sessionize,
+)
+from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+from noaa_ais_glue_lakehouse_spark.operators.state import merge_state_full_outer
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from noaa_ais_glue_lakehouse_spark.sources.readers import read_parquet_table
+
+    return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def cents(col) -> F.Column:
+    """Exact integer-cents of a double column (order-independent sums)."""
+    return F.round(col * 100).cast("long")
+
+
+SESSION_GAP_SECONDS = 1800.0
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core (S2/S3 scans, A1-A4 aggregations, J1-J5 joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_charge,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0, 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/CAST(COUNT(*) AS DOUBLE)/100.0, 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_discount*10000) AS BIGINT)) AS DOUBLE)/COUNT(*)/10000.0, 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the A1/A2 groupBy-agg core with derived metrics (A4).
+
+    Filter + projection push down to the parquet scan; the aggregate is a
+    single hash-agg with map-side partials.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    disc_price_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    charge_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+    ).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+        (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(disc_price_c).cast("double") / 100.0).alias("sum_disc_price"),
+        (F.sum(charge_c).cast("double") / 100.0).alias("sum_charge"),
+        F.round(F.sum(qty_c).cast("double") / n / 100.0, 6).alias("avg_qty"),
+        F.round(F.sum(price_c) / n.cast("double") / 100.0, 6).alias("avg_price"),
+        F.round(F.sum(disc_bp).cast("double") / n / 10000.0, 6).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "q02_rows_per_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1
+    """,
+)
+def q02_rows_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 corpus shape — rows per day (partition-grain count)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
+@register(
+    "q03_distinct_users_per_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q03_distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 corpus shape — COUNT(DISTINCT entity) per day."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+
+
+@register(
+    "q04_entity_timeline",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events WHERE user_id = 7 AND CAST(ts AS DATE) = DATE '2024-01-05'
+    """,
+)
+def q04_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 corpus shape — point timeline for one entity/day."""
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("user_id") == 7) & (F.to_date("ts") == F.lit("2024-01-05").cast("date"))
+    ).select("event_id", "ts", "event_type", "value")
+
+
+@register(
+    "q05_type_distribution",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q05_type_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 corpus shape — categorical distribution per entity/day."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q06_minmax_ts_per_day",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY 1
+    """,
+)
+def q06_minmax_ts_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 corpus shape — MIN/MAX timestamp per day."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+
+
+@register(
+    "q07_conditional_sums",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q07_conditional_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7/Q8 corpus shape — CASE WHEN conditional aggregation (A5)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+        (F.sum(cents(F.col("value"))).cast("double") / 100.0).alias("sum_value"),
+    )
+
+
+@register(
+    "q08_topk_entities",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id ASC LIMIT 10
+    """,
+)
+def q08_topk_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9/O4 — top-k by count (TakeOrderedAndProject, no full sort)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q09_pct_active",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           ROUND(100.0 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 / COUNT(*), 4) AS pct_purchase
+    FROM events GROUP BY 1
+    """,
+)
+def q09_pct_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 corpus shape — ROUND + conditional agg ratio."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pct_purchase")
+    )
+
+
+@register(
+    "q10_gap_stats",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE)/COUNT(gap_us)/1000000.0, 6) AS avg_gap_s,
+           ROUND(MIN(gap_us)/1000000.0, 6) AS min_gap_s,
+           ROUND(MAX(gap_us)/1000000.0, 6) AS max_gap_s
+    FROM lagged GROUP BY user_id
+    """,
+)
+def q10_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 corpus shape — LAG window + gap statistics (W1/W2)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    lagged = ev.withColumn("gap_us", gap)
+    return lagged.groupBy("user_id").agg(
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.round(F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6, 6).alias(
+            "avg_gap_s"
+        ),
+        F.round(F.min("gap_us") / F.lit(1e6), 6).alias("min_gap_s"),
+        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization core (W1-W4) and the voyage-summary rollup (A1/A2/A4, T5)
+# ---------------------------------------------------------------------------
+
+_SESSIONIZED_CTE = """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, value,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, value,
+             SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM lagged
+    )
+"""
+
+
+@register(
+    "q11_sessionize",
+    oracle=_SESSIONIZED_CTE
+    + """
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — the voyage-segmentation conditional prefix sum (the reference's
+    computational heart) on (user_id, ts) with a 30-minute gap rule.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(
+        ev, "user_id", "ts", SESSION_GAP_SECONDS, tiebreak_cols=["event_id"]
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "q12_session_rollup",
+    oracle=_SESSIONIZED_CTE
+    + """
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))/3600000000.0, 6) AS duration_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+           ROUND(CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0, 6) AS avg_value
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q12_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — daily partials (A1) re-aggregated to per-session finals (A2) with
+    derived metrics (A4): the reference's voyage_summary two-level rollup.
+    The two-level decomposition must equal the single-level oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(
+        ev, "user_id", "ts", SESSION_GAP_SECONDS, tiebreak_cols=["event_id"]
+    ).withColumn("day", F.to_date("ts"))
+    partials = s.groupBy("user_id", "session_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("day_n"),
+        F.sum(cents(F.col("value"))).alias("day_cents"),
+        F.min("ts").alias("day_first"),
+        F.max("ts").alias("day_last"),
+    )
+    final = partials.groupBy("user_id", "session_id").agg(
+        F.sum("day_n").cast("long").alias("n_events"),
+        F.sum("day_cents").alias("sum_cents"),
+        F.min("day_first").alias("session_start"),
+        F.max("day_last").alias("session_end"),
+    )
+    return final.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        F.round(
+            (F.unix_micros("session_end") - F.unix_micros("session_start")) / 3.6e9, 6
+        ).alias("duration_hours"),
+        "n_events",
+        (F.col("sum_cents").cast("double") / 100.0).alias("sum_value"),
+        F.round(F.col("sum_cents").cast("double") / F.col("n_events") / 100.0, 6).alias(
+            "avg_value"
+        ),
+    )
+
+
+@register(
+    "q13_latest_per_entity",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q13_latest_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — top-1 most-recent row per entity (the state-snapshot seed)."""
+    ev = load(spark, sf_dir, "events")
+    return latest_per_entity(ev, "user_id", "ts", tiebreak_cols=["event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+@register(
+    "q14_state_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q14_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/T4 — full-outer state merge: running aggregates over the first half
+    of the month merged with second-half deltas must equal a full recompute
+    (the oracle). This is the reference's incremental voyage-summary merge.
+    """
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def agg_half(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = agg_half(ev.filter(F.col("ts") < cut))
+    delta = agg_half(ev.filter(F.col("ts") >= cut))
+    merged = merge_state_full_outer(
+        state,
+        delta,
+        keys=["user_id"],
+        sum_cols=["n_events", "sum_cents"],
+        min_cols=["first_ts"],
+        max_cols=["last_ts"],
+    )
+    return merged.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("sum_cents").cast("double") / 100.0).alias("sum_value"),
+        "first_ts",
+        "last_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_revenue_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q15_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4 — fact-to-dim equi-join chain with explicit broadcast of the
+    small dimensions (nation: 25 rows; customer at sf — AQE decides).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev_c).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q16_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q16_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — anti-join (the QA 'missing voyages' check)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q17_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q17_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — semi-join restriction (voyage-key filtering idiom)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+@register(
+    "q18_supplier_lookup",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q18_supplier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — generic left lookup-join chain against broadcast dims (the
+    reference's join_lookup, ``utils/common_functions_raw.py:163-175``).
+    """
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial kernels over synthetic deterministic coordinates (P5, P9, P10, Q16)
+# ---------------------------------------------------------------------------
+
+_COORDS_CTE = """
+    WITH coords AS (
+      SELECT user_id, event_id, ts,
+             CAST(event_id % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+             CAST((event_id * 7) % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
+      FROM events
+    )
+"""
+
+
+def _with_coords(ev: DataFrame) -> DataFrame:
+    lat = (F.col("event_id") % 1800).cast("double") / 10.0 - 90.0
+    lon = ((F.col("event_id") * 7) % 3600).cast("double") / 10.0 - 180.0
+    return ev.select(
+        "user_id", "event_id", "ts", lat.alias("lat"), lon.alias("lon")
+    )
+
+
+@register(
+    "q19_haversine_jumps",
+    oracle=_COORDS_CTE
+    + """
+    , lagged AS (
+      SELECT user_id, event_id, lat, lon,
+             LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lat,
+             LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_lon
+      FROM coords
+    )
+    SELECT user_id, event_id,
+           ROUND(2*6371*ASIN(LEAST(SQRT(
+             POW(SIN(RADIANS(lat-prev_lat)/2),2)
+             + COS(RADIANS(prev_lat))*COS(RADIANS(lat))*POW(SIN(RADIANS(lon-prev_lon)/2),2)
+           ), 1.0)), 2) AS dist_km
+    FROM lagged
+    WHERE prev_lat IS NOT NULL
+      AND 2*6371*ASIN(LEAST(SQRT(
+             POW(SIN(RADIANS(lat-prev_lat)/2),2)
+             + COS(RADIANS(prev_lat))*COS(RADIANS(lat))*POW(SIN(RADIANS(lon-prev_lon)/2),2)
+           ), 1.0)) > 15000
+    """,
+)
+def q19_haversine_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 + Q16 corpus — lag + haversine jump-anomaly detection on
+    deterministic synthetic coordinates.
+    """
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_lat", F.lag("lat").over(w)).withColumn(
+        "prev_lon", F.lag("lon").over(w)
+    )
+    dist = haversine_km(
+        F.col("prev_lat"), F.col("prev_lon"), F.col("lat"), F.col("lon")
+    )
+    return (
+        lagged.filter(F.col("prev_lat").isNotNull())
+        .withColumn("_d", dist)
+        .filter(F.col("_d") > 15000)
+        .select("user_id", "event_id", F.round("_d", 2).alias("dist_km"))
+    )
+
+
+@register(
+    "q20_grid_density",
+    oracle=_COORDS_CTE
+    + """
+    SELECT CAST(FLOOR(lat/5.0) AS BIGINT) AS lat_cell,
+           CAST(FLOOR(lon/5.0) AS BIGINT) AS lon_cell,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM coords GROUP BY 1, 2
+    """,
+)
+def q20_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — floor-quantized spatial grid density."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    return ev.groupBy(
+        grid_cell(F.col("lat"), 5.0).alias("lat_cell"),
+        grid_cell(F.col("lon"), 5.0).alias("lon_cell"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q21_coordinate_quarantine",
+    oracle="""
+    SELECT event_id,
+           value * 0.5 - 95.0 AS lat,
+           value - 200.0 AS lon,
+           CAST(CASE WHEN (value*0.5 - 95.0) BETWEEN -90 AND 90
+                      AND (value - 200.0) BETWEEN -180 AND 180
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_valid
+    FROM events
+    """,
+)
+def q21_coordinate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/S6 — the clean_coordinates valid/quarantine split, re-unioned with
+    a validity flag so one query checks both halves.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") * 0.5 - 95.0).alias("lat"),
+        (F.col("value") - 200.0).alias("lon"),
+    )
+    valid, invalid = cleaning.clean_coordinates(ev, "lat", "lon")
+    return valid.withColumn("is_valid", F.lit(1).cast("long")).unionByName(
+        invalid.withColumn("is_valid", F.lit(0).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning chain analogs (P4, P6/P7/P8) with oracle parity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_parse_timestamps",
+    oracle="""
+    WITH s AS (
+      SELECT event_id,
+             CASE CAST(event_id % 3 AS INTEGER)
+               WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+               WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+               ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'
+             END AS raw
+      FROM events
+    ),
+    p AS (
+      SELECT event_id,
+             try_strptime(regexp_replace(regexp_replace(raw, 'Z$', ''),
+                                         '[+-][0-9]{2}:[0-9]{2}$', ''),
+                          ['%Y-%m-%d %H:%M:%S', '%Y-%m-%dT%H:%M:%S']) AS base_datetime
+      FROM s
+    )
+    SELECT event_id, base_datetime,
+           strftime(base_datetime, '%Y') AS year,
+           strftime(base_datetime, '%m') AS month,
+           strftime(base_datetime, '%d') AS day
+    FROM p WHERE base_datetime IS NOT NULL
+    """,
+)
+def q22_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — multi-format timestamp parsing (Z-strip, 3-format coalesce,
+    partition derivation) round-tripped through formatted strings.
+    """
+    ev = load(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("event_id") % 3 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .otherwise(F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")))
+    )
+    df = ev.select("event_id", raw.alias("BaseDateTime"))
+    parsed = cleaning.parse_base_datetime(df, "BaseDateTime")
+    return parsed.select(
+        "event_id",
+        F.col("BaseDateTime").alias("base_datetime"),
+        "year",
+        "month",
+        "day",
+    )
+
+
+@register(
+    "q23_clean_clamp",
+    oracle="""
+    SELECT event_id,
+           LEAST(value, 100.0) AS value_clamped,
+           CAST(CASE WHEN value > 0 THEN 1 ELSE 0 END AS BIGINT) AS movement_flag,
+           CASE WHEN value < 50 THEN 'anchored' ELSE 'moving' END AS movement_state
+    FROM events
+    """,
+)
+def q23_clean_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7/P8 — upper-bound clamp, movement flag, movement state."""
+    ev = load(spark, sf_dir, "events").select("event_id", F.col("value").alias("SOG"))
+    out = cleaning.clean_sog_cog_heading(ev)
+    out = cleaning.derive_movement_flag(out)
+    out = cleaning.add_movement_state(out, threshold=50.0)
+    return out.select(
+        "event_id",
+        F.col("SOG").alias("value_clamped"),
+        F.col("MovementFlag").cast("long").alias("movement_flag"),
+        "movement_state",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling (T6) — endpoint-preserving thinning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_sample_trajectory",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, value, CAST(ts AS DATE) AS day,
+             (epoch_us(ts) // 1000000)
+               // (CASE WHEN value >= 10 THEN 600 ELSE 900 END) AS bucket
+      FROM events
+    ),
+    flags AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rd1,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rd2,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day, bucket ORDER BY ts, event_id) AS rb1,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day, bucket ORDER BY ts DESC, event_id DESC) AS rb2
+      FROM base
+    )
+    SELECT user_id, event_id, ts, day
+    FROM flags
+    WHERE rd1 = 1 OR rd2 = 1 OR (value >= 50 AND (rb1 = 1 OR rb2 = 1))
+    """,
+)
+def q24_sample_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/W5/W7 — the reference's trajectory thinning: day endpoints plus
+    speed-conditional time-bucket endpoints for moving rows.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn(
+            "movement_state",
+            F.when(F.col("value") < 50, F.lit("anchored")).otherwise(F.lit("moving")),
+        )
+    )
+    sampled = sample_trajectory(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        session_col="day",
+        speed_col="value",
+        day_col="day",
+        tiebreak_cols=["event_id"],
+    )
+    return sampled.select("user_id", "event_id", "ts", "day")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (D1/D2 + near-dup extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q25_dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT *, md5(concat_ws('', coalesce(CAST(text AS VARCHAR), ' <NULL> '))) AS f
+      FROM documents
+    ),
+    w AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM fp d JOIN w ON d.f = w.f AND d.doc_id = w.doc_id
+    """,
+)
+def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — exact content-fingerprint dedup with deterministic min-id
+    survivor (fixing the reference's arbitrary dropDuplicates survivor).
+    """
+    docs = load(spark, sf_dir, "documents")
+    out = dedup_exact(docs, content_cols=["text"], id_col="doc_id")
+    return out.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "q26_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                       x -> x <> '')) AS sh
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sized a, sized b
+    WHERE a.doc_id < b.doc_id
+      AND LEAST(a.n, b.n) >= GREATEST(a.n, b.n) * 0.8
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
+)
+def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup (exact pairwise baseline, token shingles)."""
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs_exact(docs, "doc_id", "text", threshold=0.8)
+
+
+@register("q27_minhash_near_dups")  # rows-only: xxhash64 not expressible in the oracle
+def q27_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified (the at-scale dedup
+    path: banded signature equi-join, no cross product). Recall vs the
+    exact baseline is asserted in tests/test_dedup.py.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.8, use_char_ngrams=False
+    )
+
+
+@register("q28_simhash_near_dups")  # rows-only: xxhash64 not expressible in the oracle
+def q28_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via block-permutation LSH + Hamming verify."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data curation surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q29_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                 / len(toks), 6) AS avg_token_len
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def q29_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) per document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+                "double"
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+    return out.filter(F.col("n_tokens") > 0)
+
+
+@register(
+    "q30_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text,
+             length(text) AS n_chars,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / n_chars, 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio,
+           CAST(CASE WHEN len(toks) >= 10
+                      AND CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)/n_chars <= 0.1
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM t WHERE len(toks) > 0 AND n_chars > 0
+    """,
+)
+def q30_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword features + keep flag."""
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    ).filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+    keep = (F.col("n_tokens") >= 10) & (F.col("punct_ratio") <= 0.1)
+    return out.withColumn("keep", F.when(keep, 1).otherwise(0).cast("long"))
+
+
+def _langid_oracle() -> str:
+    counts = []
+    for lang, words in LANG_MARKERS.items():
+        inlist = ",".join(f"'{w}'" for w in words)
+        counts.append(
+            f"len(list_filter(toks, x -> x IN ({inlist}))) AS c_{lang}"
+        )
+    count_sql = ",\n             ".join(counts)
+    langs = list(LANG_MARKERS.keys())
+    greatest = "GREATEST(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for la in langs:
+        case += f"WHEN c_{la} = {greatest} THEN '{la}' "
+    case += "END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             {count_sql}
+      FROM t
+    )
+    SELECT doc_id, lang, {case} AS guess,
+           CAST(CASE WHEN ({case}) = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM c
+    """
+
+
+@register("q31_langid", oracle=_langid_oracle())
+def q31_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language marker-token counts
+    with fixed precedence, compared against the labeled lang.
+    """
+    docs = load(spark, sf_dir, "documents")
+    guess = langid_guess(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        guess.alias("guess"),
+        F.when(guess == F.col("lang"), 1).otherwise(0).cast("long").alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    s AS (
+      SELECT qid AS query_id, cid AS neighbor_id,
+             ROUND(
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 6) AS score
+      FROM q, c WHERE cid <> qid
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM s)
+    WHERE rank <= 5
+"""
+
+
+@register("q32_cosine_topk", oracle=_COSINE_ORACLE)
+def q32_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: queries broadcast against the
+    corpus, native zip_with/aggregate dot products, deterministic ranks.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries_df, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@register("q33_ann_lsh_topk")  # rows-only: approximate by design
+def q33_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the scale path). Recall vs the exact
+    baseline is asserted in tests/test_similarity.py.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk(
+        emb, queries_df, dim=64, id_col="vec_id", vec_col="embedding", k=5, n_planes=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops, running windows, distinct enumeration (U1, W3-general, A6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q34_union_by_name",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, CAST(NULL AS DOUBLE) AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def q34_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — unionByName with missing columns (the seeded-union idiom)."""
+    cust = load(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    b = cust.filter(F.col("c_custkey") % 2 == 1).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "q35_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS running_value
+    FROM events
+    """,
+)
+def q35_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3-general — running prefix sum per entity (exact integer cents)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(cents(F.col("value"))).over(w).cast("double") / 100.0).alias(
+            "running_value"
+        ),
+    )
+
+
+@register(
+    "q36_distinct_days",
+    oracle="""
+    SELECT DISTINCT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+                    strftime(ts, '%d') AS day
+    FROM events
+    """,
+)
+def q36_distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — distinct partition-tuple enumeration (zero-padded strings, the
+    reference's partition-listing idiom)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.date_format("ts", "yyyy").alias("year"),
+        F.date_format("ts", "MM").alias("month"),
+        F.date_format("ts", "dd").alias("day"),
+    ).distinct()
+
+
+@register(
+    "q37_summary_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events GROUP BY event_type
+    """,
+)
+def q37_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — count / countDistinct / conditional-count summary stats."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("value") > 400, 1).otherwise(0)).cast("long").alias(
+            "n_outliers"
+        ),
+    )

@@ -1,0 +1,85 @@
+"""Readers (SURVEY §2.1 S1-S3, S8).
+
+``read_table`` is the canonical parquet table reader: a plain
+``spark.read.parquet`` over the table root — partition pruning and filter
+pushdown are Catalyst's job, not driver-side path enumeration (the
+reference hand-built per-day path lists, ``fact_voyage_trajectory.py:47-55``;
+SURVEY §4 flags that as manual partition pruning to delete).
+
+Nanosecond-precision timestamp columns (which Spark reads as long when
+``spark.sql.legacy.parquet.nanosAsLong`` is set) are normalized to
+microsecond timestamps, truncating like DuckDB/Arrow do on ns→us casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet_table(spark: SparkSession, path: str, ns_ts_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Parquet scan with ns-timestamp normalization.
+
+    ``ns_ts_cols`` names columns that are ns-precision in the source files;
+    they arrive as LongType (nanos since epoch) under the nanosAsLong conf
+    and are converted to micros timestamps here. Columns already read as
+    timestamps are left untouched, so the same reader works on us/ms files.
+    """
+    df = spark.read.parquet(path)
+    for c in ns_ts_cols:
+        field = next((f for f in df.schema.fields if f.name == c), None)
+        if field is not None and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_csv_with_header(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S1 — header-driven CSV source, inference disabled.
+
+    Header names are authoritative (cast-by-name downstream) — the
+    LAT/LON-swap post-mortem rule (``docs/03-raw-to-staging-postmortem-2025.md``).
+    Reference: ``pipelines/raw_to_staging.py:79-84``.
+    """
+    reader = spark.read.option("header", True).option("inferSchema", False)
+    return reader.csv(path)
+
+
+def read_parquet_enforced(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S2 — schema-enforced parquet read with cast-by-name fallback.
+
+    Tries the declared read schema; on mismatch re-reads without it and
+    casts each declared column by name (reference
+    ``fact_voyage_trajectory.py:62-102``).
+    """
+    try:
+        df = spark.read.schema(schema).option("mergeSchema", "false").parquet(path)
+        df.schema  # force analysis
+        return df
+    except Exception:
+        df = spark.read.parquet(path)
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
+
+def read_state_snapshot(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S8 — state-snapshot source with empty-DataFrame fallback when the
+    snapshot dir is absent (first run). Reference: ``utils/state_io.py:14-29``.
+    """
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.head(1)
+        return df
+    except Exception:
+        return spark.createDataFrame([], schema)
