@@ -57,11 +57,13 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     Empty shingle sets get a signature of nulls (array_min of empty array),
     which never collides into a band bucket.
     """
+    def _hasher(seed: int):
+        # Arity-1 lambda is mandatory: a 2-arg lambda would receive the array
+        # index as its second argument, overriding a defaulted seed.
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     sigs = [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        )
-        for i in range(num_hashes)
+        F.array_min(F.transform(shingles, _hasher(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
 
@@ -73,17 +75,17 @@ def simhash64(tokens: Column) -> Column:
     ``xxhash64`` bit, then take the sign. Expressed with ``aggregate`` over
     the token array per bit — JVM-side, no UDF. O(64·n_tokens) per row.
     """
+    def _vote(bit: int):
+        # Strictly 2-arg merge lambda; the bit index must be closed over, not
+        # defaulted (a 3rd parameter would capture an implicit Column).
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     bits = []
     for b in range(64):
         # vote_b = sum over tokens of (bit b set ? 1 : -1)
-        vote = F.aggregate(
-            tokens,
-            F.lit(0).cast("long"),
-            lambda acc, t, b=b: acc
-            + F.when(
-                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
+        vote = F.aggregate(tokens, F.lit(0).cast("long"), _vote(b))
         bits.append(F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for p in bits[1:]:

@@ -107,4 +107,5 @@ def geohash_expr(lat: Column, lon: Column, precision: int = 6) -> Column:
 def _b32_char(idx: Column) -> Column:
     """Map a 0..31 column to its base-32 geohash character (JVM-side)."""
     arr = F.array(*[F.lit(c) for c in _GEOHASH_B32])
-    return F.element_at(arr, idx + 1)
+    # element_at requires an INT ordinal; the interleaved bit math is LONG
+    return F.element_at(arr, (idx + 1).cast("int"))

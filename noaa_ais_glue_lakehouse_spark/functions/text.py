@@ -65,9 +65,8 @@ def quality_features(text: Column) -> dict[str, Column]:
     n_chars = F.length(text).cast("long")
     n_tokens = F.size(toks).cast("long")
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", "")).cast("long")
-    stop = F.size(
-        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in LANG_MARKERS["en"]]))
-    ).cast("long")
+    en_words = list(LANG_MARKERS["en"])
+    stop = F.size(F.filter(toks, lambda t: t.isin(*en_words))).cast("long")
     n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", "")).cast("long")
     safe_tokens = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(None))
     safe_chars = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(None))
@@ -90,11 +89,15 @@ def quality_features(text: Column) -> dict[str, Column]:
 def lang_marker_counts(text: Column) -> dict[str, Column]:
     """Per-language marker-token counts over the token set."""
     toks = tokenize(text)
+
+    def _member(words: list[str]):
+        # Arity-1 lambda from a factory; plain-string isin. A defaulted 2nd
+        # lambda param would be bound to the element-index Column by Spark.
+        return lambda t: t.isin(*words)
+
     out = {}
     for lang, words in LANG_MARKERS.items():
-        out[lang] = F.size(
-            F.filter(toks, lambda t, ws=tuple(words): t.isin(*[F.lit(w) for w in ws]))
-        ).cast("long")
+        out[lang] = F.size(F.filter(toks, _member(list(words)))).cast("long")
     return out
 
 

@@ -154,7 +154,11 @@ def clean_sog_cog_heading(
     out = df
     for c, hi in ((sog_col, 100.0), (cog_col, 360.0), (heading_col, 511.0)):
         if c in out.columns:
-            out = out.withColumn(c, F.least(F.col(c), F.lit(hi)))
+            # when/otherwise (not least): least() ignores NULLs, which would
+            # turn a NULL reading into the cap and flip MovementFlag downstream.
+            out = out.withColumn(
+                c, F.when(F.col(c) > hi, F.lit(hi)).otherwise(F.col(c))
+            )
     return out
 
 

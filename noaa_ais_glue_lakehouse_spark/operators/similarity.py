@@ -98,20 +98,33 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH buckets.
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
-    Signature = n_planes sign bits of dot(v, plane). Queries and corpus
-    join on equal signatures (one shuffle); scoring happens only within
-    buckets. Recall < 1.0 by design — compare against brute_force_topk for
-    the recall measurement in tests.
+    ``n_tables`` independent hash tables, each bucketing on the sign bits
+    of ``n_planes`` hyperplanes (OR-amplification): a true neighbor at
+    angular agreement p is recovered with probability 1-(1-p^b)^L instead
+    of the single-table p^b, which is what makes recall tunable rather
+    than hoped-for. Candidates are the union over tables of same-bucket
+    pairs; each candidate is scored exactly once (distinct before scoring)
+    so precision of scores is exact.
+
+    Scale shape: corpus rows are exploded L× into (table, bucket) keys —
+    one equi-join shuffle against the broadcast query signatures, never a
+    cross product. Raise ``n_planes`` (smaller buckets) as the corpus
+    grows and ``n_tables`` to buy recall back; both are embarrassingly
+    partition-parallel. Recall vs ``brute_force_topk`` is asserted in
+    ``tests/test_similarity.py::test_lsh_recall_at_k``.
     """
     from pyspark.sql import Window
 
-    def signature(vec):
+    def signature(vec, table: int):
         bits = []
         for p in range(n_planes):
-            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+            plane = F.array(
+                *[F.lit(v) for v in _hyperplane(dim, table * n_planes + p)]
+            )
             bits.append(
                 F.when(_dot(vec, plane) >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
             )
@@ -120,20 +133,36 @@ def lsh_bucket_topk(
             sig = sig.bitwiseOR(x)
         return sig
 
+    def keys(vec):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), signature(vec, t).alias("sig")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        )
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        signature(F.col(vec_col)).alias("_sig"),
+        keys(F.col(vec_col)).alias("_k"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        signature(F.col(vec_col)).alias("_sig"),
+        keys(F.col(vec_col)).alias("_k"),
     )
-    scored = (
-        c.join(F.broadcast(q), "_sig")
+    cands = (
+        c.join(F.broadcast(q), "_k")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "score", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -26,6 +26,10 @@ def read_parquet_table(spark: SparkSession, path: str, ns_ts_cols: tuple[str, ..
     and are converted to micros timestamps here. Columns already read as
     timestamps are left untouched, so the same reader works on us/ms files.
     """
+    # Runtime-settable; must be applied here (not only at session build) because
+    # callers may pass in an externally built SparkSession that never went
+    # through our session factory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_ts_cols:
         field = next((f for f in df.schema.fields if f.name == c), None)

@@ -1,0 +1,81 @@
+"""Similarity search: brute-force correctness and LSH recall vs brute
+force (the recall measurement promised in lsh_bucket_topk's docstring).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+
+DIM = 16
+
+
+def _vectors(spark, n=200, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(DIM)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), rows
+
+
+def test_brute_force_matches_python(spark):
+    corpus, rows = _vectors(spark, n=50)
+    queries = corpus.limit(3)
+    got = brute_force_topk(corpus, queries, k=5).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    vecs = dict(rows)
+    for qid in {r["query_id"] for r in got}:
+        expect = sorted(
+            ((round(cos(vecs[qid], v), 6), -i) for i, v in vecs.items() if i != qid),
+            reverse=True,
+        )[:5]
+        expect_ids = [-i for _, i in expect]
+        got_ids = [
+            r["neighbor_id"]
+            for r in sorted(
+                (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert got_ids == expect_ids
+
+
+def test_lsh_recall_at_k(spark):
+    """Multi-table ANN must recover most true top-5 neighbors.
+
+    Gaussian vectors are the worst case (neighbors barely closer than the
+    crowd); 6 planes × 12 tables measured 0.80 here. Real embedding
+    corpora cluster much tighter, so production recall is higher at the
+    same config. Floor 0.6 leaves seed-robustness headroom.
+    """
+    corpus, _ = _vectors(spark, n=200)
+    queries = corpus.limit(10)
+    truth = brute_force_topk(corpus, queries, k=5).collect()
+    approx = lsh_bucket_topk(
+        corpus, queries, dim=DIM, k=5, n_planes=6, n_tables=12
+    ).collect()
+    truth_set = {(r["query_id"], r["neighbor_id"]) for r in truth}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth_set & approx_set) / len(truth_set)
+    assert recall >= 0.6, f"recall {recall:.3f}"
+
+
+def test_lsh_scores_match_exact_for_found_pairs(spark):
+    corpus, _ = _vectors(spark, n=100)
+    queries = corpus.limit(5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in brute_force_topk(corpus, queries, k=100).collect()
+    }
+    for r in lsh_bucket_topk(corpus, queries, dim=DIM, k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["score"] - exact[key]) < 1e-6

@@ -1,0 +1,71 @@
+"""Text-analysis kernels: tokenization, n-grams, quality features, langid."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.functions.text import (
+    char_ngrams,
+    langid_guess,
+    quality_features,
+    token_count,
+    tokenize,
+)
+
+
+def test_tokenize(spark):
+    df = spark.createDataFrame([("  Hello   World  ",), ("",)], ["t"])
+    got = [r[0] for r in df.select(tokenize(F.col("t"))).collect()]
+    assert got[0] == ["hello", "world"]
+    assert got[1] == []
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",)], ["t"])
+    got = [r[0] for r in df.select(char_ngrams(F.col("t"), 3)).collect()]
+    assert sorted(got[0]) == ["abc", "bcd"]
+    assert got[1] == []
+
+
+def test_char_ngrams_distinct(spark):
+    df = spark.createDataFrame([("aaaa",)], ["t"])
+    got = df.select(char_ngrams(F.col("t"), 2)).first()[0]
+    assert got == ["aa"]
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("one two three",)], ["t"])
+    assert df.select(token_count(F.col("t"))).first()[0] == 3
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([("The cat and the dog!",)], ["t"])
+    feats = quality_features(F.col("t"))
+    r = df.select(*[v.alias(k) for k, v in feats.items()]).first()
+    assert r["n_chars"] == 20
+    assert r["n_tokens"] == 5
+    assert r["punct_ratio"] == round(1 / 20, 6)
+    # 'the' (x2) and 'and' are markers
+    assert r["stopword_ratio"] == round(3 / 5, 6)
+    assert r["upper_ratio"] == round(1 / 20, 6)
+
+
+def test_quality_features_empty_text(spark):
+    df = spark.createDataFrame([("",)], ["t"])
+    feats = quality_features(F.col("t"))
+    r = df.select(*[v.alias(k) for k, v in feats.items()]).first()
+    assert r["n_tokens"] == 0
+    assert r["avg_token_len"] is None and r["punct_ratio"] is None
+
+
+def test_langid(spark):
+    rows = [
+        ("the cat and the dog of a house",),
+        ("el perro de la casa que ladra y come",),
+        ("le chat et les chiens des villes",),
+        ("der hund und die katze das ist gut",),
+        ("xyzzy plugh qwerty",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [r[0] for r in df.select(langid_guess(F.col("t"))).collect()]
+    assert got == ["en", "es", "fr", "de", "und"]
