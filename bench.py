@@ -1,0 +1,117 @@
+"""Headline benchmark.
+
+Runs the flagship query set at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-time of the headline suite. The JSON also
+carries ``fact1_like_rows_per_sec`` — throughput of the trajectory-style
+chain (read → clean → sessionize → sample), directly comparable to
+BASELINE.md's Fact-1 ≈120k rows/s on Glue — and ``clean_rows_per_sec``
+for the raw→staging-style cleaning chain (baseline ≈60k rows/s).
+
+Execution is forced with the noop writer (full pipeline runs, no driver
+collect cost), falling back to count() where noop is unavailable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+HEADLINE = [
+    "q01_pricing_summary",      # scan + agg + derived metrics (TPC-H Q1 shape)
+    "q05_type_distribution",    # groupBy distribution
+    "q08_topk_entities",        # top-k
+    "q11_sessionize",           # windowed prefix-sum sessionization
+    "q12_session_rollup",       # sessionize + rollup (flagship)
+    "q15_revenue_per_nation",   # multi-join + broadcast dim
+    "q19_haversine_jumps",      # lag + haversine window chain
+    "q24_sample_trajectory",    # full Fact-1-style sampling chain
+    "q25_dedup_exact",          # exact dedup
+    "q27_minhash_near_dups",    # MinHash-LSH near-dup (scale path)
+    "q29_token_stats",          # text kernels
+    "q32_cosine_topk",          # brute-force similarity baseline
+    "q33_ann_lsh_topk",         # multi-table ANN (scale path)
+    "q35_running_total",        # running-total window
+]
+
+
+def _force(df) -> int:
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from noaa_ais_glue_lakehouse_spark.plans import catalog
+
+    qs = catalog.queries()
+    times: dict[str, float] = {}
+    t_suite = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_suite, 3)
+
+    # throughput probes against the published baseline shapes
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = ev.count()
+
+    t0 = time.time()
+    _force(qs["q24_sample_trajectory"](spark, sf_dir))
+    fact1_s = time.time() - t0
+
+    t0 = time.time()
+    _force(qs["q22_parse_timestamps"](spark, sf_dir))
+    clean_s = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": cpus,
+                "n_events": n_events,
+                "fact1_like_rows_per_sec": round(n_events / fact1_s),
+                "clean_rows_per_sec": round(n_events / clean_s),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

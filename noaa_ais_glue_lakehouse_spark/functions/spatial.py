@@ -36,8 +36,14 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
         F.pow(F.sin(dlat / 2), 2)
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
     )
-    # clamp the asin argument against FP drift just past 1.0
-    return 2 * EARTH_RADIUS_KM * F.asin(F.least(F.sqrt(a), F.lit(1.0)))
+    # Clamp the asin argument against FP drift just past 1.0 with
+    # when/otherwise, NOT least(): least ignores NULLs, so a NULL input
+    # (e.g. lag() on the first point of an entity) would silently become
+    # asin(1.0) = a half-circumference 20015 km "jump" instead of NULL.
+    root = F.sqrt(a)
+    return 2 * EARTH_RADIUS_KM * F.asin(
+        F.when(root > 1.0, F.lit(1.0)).otherwise(root)
+    )
 
 
 def grid_cell(coord: Column, precision_deg: float) -> Column:

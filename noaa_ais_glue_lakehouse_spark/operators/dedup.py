@@ -23,6 +23,20 @@ from noaa_ais_glue_lakehouse_spark.functions.hashing import (
 from noaa_ais_glue_lakehouse_spark.functions.text import char_ngrams, tokenize
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input arrives
+    in fewer partitions (e.g. one small parquet file). Signature
+    computation is compute-bound, so a single-partition input serializes
+    the whole map stage; the shuffle of raw text is cheap by comparison.
+    The repartition also pins a real exchange boundary so the shingle
+    projection cannot be collapsed back into per-slot recomputation.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(
     df: DataFrame, content_cols: list[str], id_col: str
 ) -> DataFrame:
@@ -110,9 +124,29 @@ def minhash_lsh_candidates(
         if use_char_ngrams
         else F.array_distinct(tokenize(F.col(text_col)))
     )
-    sig = minhash_signature(shingle, num_hashes)
-    sigs = df.select(F.col(id_col), sig.alias("_sig")).filter(
-        F.size("_sig") > 0
+    # Signatures via explode + num_hashes min-aggregates rather than the
+    # Column-level transform/array_min form (functions/hashing.py):
+    # higher-order functions are interpreted per element in Spark, while
+    # explode + conditional aggregates stay inside whole-stage codegen
+    # with map-side partial aggregation — the shuffle carries ~one row per
+    # document, not per shingle. Values are identical:
+    # slot i = min over shingles of xxhash64(shingle, i).
+    shingled = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), shingle.alias("_sh")
+    )
+    exploded = shingled.select(F.col(id_col), F.explode("_sh").alias("_s"))
+    sigs = (
+        exploded.groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"),
+        )
     )
     banded = sigs.select(
         id_col,
@@ -139,18 +173,20 @@ def minhash_lsh_candidates(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    # Dedup across bands via an explicit numeric repartition on the pair key
+    # instead of .distinct(): pair rows are ~16 bytes, so AQE would coalesce
+    # the distinct's exchange to a couple of partitions by byte size — and
+    # the downstream exact-Jaccard verify (compute-bound, not byte-bound)
+    # would inherit that near-serial layout. A user-specified repartition is
+    # exempt from AQE coalescing, and dropDuplicates reuses its partitioning.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(parallelism, "id_a", "id_b").dropDuplicates()
 
 
 def minhash_near_duplicates(
@@ -176,7 +212,9 @@ def minhash_near_duplicates(
         if use_char_ngrams
         else F.array_distinct(tokenize(F.col(text_col)))
     )
-    sets = df.select(F.col(id_col), shingle.alias("_sh"))
+    sets = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), shingle.alias("_sh")
+    )
     out = (
         cands.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
@@ -206,7 +244,9 @@ def simhash_near_duplicates(
     (block_idx, block_value) — no cross join. Verify with bit_count(xor).
     """
     sh = simhash64(tokenize(F.col(text_col)))
-    sigs = df.select(F.col(id_col), sh.alias("_simhash"))
+    sigs = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), sh.alias("_simhash")
+    )
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1
     blocked = sigs.select(

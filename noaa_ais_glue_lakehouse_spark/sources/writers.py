@@ -1,0 +1,138 @@
+"""Sinks (SURVEY §2.1 S4-S7, §2.6 O3).
+
+All writers are plain functions over (DataFrame, path); none of them
+hold state. Scale stance:
+
+- Partition layout is the contract: partitioned parquet + dynamic
+  partition overwrite means a rerun replaces exactly the partitions it
+  produced and never truncates the table (the reference's safety net,
+  ``pipelines/raw_to_staging.py:23,172-178``).
+- Window-scoped overwrite implements the *semantics* the reference
+  intended with its Delta-only ``replaceWhere`` option that the plain
+  parquet writer silently ignored (``fact_voyage_trajectory.py:342-356``,
+  SURVEY §7.4.2): the input is filtered to the window predicate so the
+  dynamic overwrite can only ever touch the window's partitions. On a
+  Delta-enabled cluster, swap the body for
+  ``.format("delta").option("replaceWhere", predicate)``.
+- Quarantine is partition-aware per row (fixes SURVEY §7.4.5, where the
+  reference stamped the whole quarantine write with ``df.first()``'s
+  year/month/day — correct only because its job loops one day at a time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def bounded_count(df: DataFrame, threshold: int) -> int:
+    """O3 — 'are there more than N rows?' without a full count.
+
+    ``limit(n+1).count()`` stops scanning once n+1 rows are found
+    (reference: ``utils/common_functions_raw.py:74-75``). Returns the
+    bounded count — a return of ``threshold + 1`` means "more than".
+    """
+    return df.limit(threshold + 1).count()
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """S4 — partitioned parquet sink with dynamic partition overwrite.
+
+    Reference: ``pipelines/raw_to_staging.py:172-178`` +
+    ``partitionOverwriteMode=dynamic`` at ``:23``. The conf is set at
+    write time (runtime-settable) so the sink works on externally built
+    sessions — same lesson as the reader's nanos conf.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_window_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    window_predicate,
+) -> None:
+    """S5 — overwrite only the partitions inside the window predicate.
+
+    The filter guarantees no row outside the window exists in the input,
+    so dynamic overwrite can only replace window partitions — the correct
+    form of the reference's no-op ``replaceWhere`` on a parquet writer
+    (``fact_voyage_trajectory.py:354-355``; SURVEY §4 "window-scoped
+    overwrite"). ``window_predicate`` is a boolean Column.
+    """
+    write_partitioned_parquet(df.filter(window_predicate), path, partition_cols)
+
+
+def write_quarantine(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    small_threshold: int = 100_000,
+) -> int:
+    """S6 — quarantine sink for rejected rows; returns rows written.
+
+    Partitioned by the row's own year/month/day (when present) rather
+    than a single first()-derived path. Small spills are coalesced to one
+    file to avoid small-file litter (reference ``coalesce(1)`` rule,
+    ``utils/common_functions_raw.py:73-94``); large spills keep their
+    parallelism. CSV with header, matching the reference's format.
+    """
+    parts = [c for c in (partition_cols or ["year", "month", "day"]) if c in df.columns]
+    n = bounded_count(df, small_threshold)
+    if n == 0:
+        return 0
+    out = df.coalesce(1) if n <= small_threshold else df
+    writer = out.write.mode("overwrite").option("header", True)
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.csv(path)
+    return n
+
+
+def write_state_snapshot(df: DataFrame, prefix: str, date_str: str) -> None:
+    """S7 — dated per-entity state snapshot (1 row per entity).
+
+    Layout ``{prefix}/by_date={date_str}/`` mirrors
+    ``utils/state_io.py:36-45``; ``coalesce(1)`` because the snapshot is
+    per-entity-latest and small by construction.
+    """
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{prefix.rstrip('/')}/by_date={date_str}/"
+    )
+
+
+def read_state_snapshot_by_date(
+    spark: SparkSession, prefix: str, date_str: str, schema: T.StructType
+) -> DataFrame:
+    """S8 — dated snapshot source with empty-DataFrame fallback (first
+    run / missing day). Reference: ``utils/state_io.py:14-29``.
+    """
+    path = f"{prefix.rstrip('/')}/by_date={date_str}/"
+    try:
+        df = spark.read.schema(schema).parquet(path)
+        df.head(1)
+        return df
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def register_table_views(
+    spark: SparkSession, sf_dir: str, tables: list[str]
+) -> None:
+    """S10 — register parquet tables as temp views for the spark.sql
+    consumption layer (the Athena external-table analog,
+    ``athena_ddl_scripts/athena_external_tables.sql:14-131``; no MSCK
+    needed — the view reads the table root and Catalyst prunes).
+    """
+    from noaa_ais_glue_lakehouse_spark.sources.readers import read_parquet_table
+
+    for t in tables:
+        read_parquet_table(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)

@@ -1,0 +1,151 @@
+"""End-to-end pipeline tests: raw→staging integration slice (mirrors the
+reference's only e2e test) and the incremental-vs-full trajectory
+equality — the invariant the state-snapshot machinery exists for.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.pipelines.raw_to_staging import (
+    run_raw_to_staging,
+    transform_raw_to_staging,
+)
+from noaa_ais_glue_lakehouse_spark.pipelines.staging_to_curated import (
+    compute_trajectory,
+    monthly_voyage_summary,
+    run_trajectory_window,
+    voyage_daily_partials,
+)
+
+
+def _raw_rows():
+    # 4-row slice like the reference integration test: one survivor, one
+    # duplicate replay, one bad timestamp, one bad coordinate
+    return [
+        ("100", "2024-01-01 10:00:00", "10.0", "20.0", "5.0", "90.0", "91.0"),
+        ("100", "2024-01-01 10:00:00", "10.0", "20.0", "5.0", "90.0", "91.0"),
+        ("101", "not-a-date", "10.0", "20.0", "1.0", "1.0", "1.0"),
+        ("102", "2024-01-01 11:00:00", "95.0", "20.0", "1.0", "1.0", "1.0"),
+    ]
+
+
+_RAW_COLS = ["mmsi", "base_date_time", "latitude", "longitude", "sog", "cog", "heading"]
+
+
+def test_transform_raw_to_staging_slice(spark):
+    df = spark.createDataFrame(_raw_rows(), _RAW_COLS)
+    staging, quarantine = transform_raw_to_staging(df)
+    rows = staging.collect()
+    assert len(rows) == 1  # dup dropped, bad ts dropped, bad coord quarantined
+    r = rows[0]
+    assert r["MMSI"] == 100
+    assert r["BaseDateTime"] == dt.datetime(2024, 1, 1, 10)
+    assert r["MovementFlag"] == 1
+    assert (r["year"], r["month"], r["day"]) == (2024, 1, 1)
+    assert quarantine.count() == 1
+    assert quarantine.first()["MMSI"] == 102
+
+
+def test_run_raw_to_staging_files(spark, tmp_path):
+    src = str(tmp_path / "raw.csv")
+    import csv
+
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(_RAW_COLS)
+        w.writerows(_raw_rows())
+    out = str(tmp_path / "staging")
+    q = str(tmp_path / "quarantine")
+    counters = run_raw_to_staging(spark, src, out, q)
+    assert counters["quarantined"] == 1
+    got = spark.read.parquet(out)
+    assert got.count() == 1
+    assert got.first()["year"] == 2024
+
+
+def _staging_df(spark):
+    """Two days of per-vessel points with a voyage crossing midnight."""
+    rows = []
+    for mmsi in (1, 2):
+        # day-1 evening voyage ...
+        rows += [
+            (mmsi, dt.datetime(2024, 1, 1, 20), 10.0 + mmsi, 20.0, 5.0),
+            (mmsi, dt.datetime(2024, 1, 1, 22), 10.1 + mmsi, 20.1, 6.0),
+            # ... continues across midnight (2h gap < 3h threshold)
+            (mmsi, dt.datetime(2024, 1, 2, 0, 30), 10.2 + mmsi, 20.2, 7.0),
+            # new voyage after >3h silence
+            (mmsi, dt.datetime(2024, 1, 2, 9), 11.0 + mmsi, 21.0, 0.0),
+            (mmsi, dt.datetime(2024, 1, 2, 10), 11.0 + mmsi, 21.0, 0.2),
+        ]
+    return spark.createDataFrame(
+        rows, ["MMSI", "BaseDateTime", "LAT", "LON", "SOG"]
+    )
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path):
+    staging_path = str(tmp_path / "staging")
+    _staging_df(spark).write.parquet(staging_path)
+
+    # full: both days in one window, no seeding
+    full = run_trajectory_window(
+        spark,
+        staging_path,
+        str(tmp_path / "curated_full"),
+        str(tmp_path / "state_full"),
+        "2024-01-01",
+        "2024-01-02",
+        mode="full",
+        sample=False,
+    )
+    want = {
+        (r["MMSI"], r["BaseDateTime"]): r["VoyageID"]
+        for r in full.collect()
+    }
+
+    # incremental: day 1, then day 2 seeded from day 1's snapshot
+    curated = str(tmp_path / "curated_inc")
+    state = str(tmp_path / "state_inc")
+    run_trajectory_window(
+        spark, staging_path, curated, state, "2024-01-01", "2024-01-01",
+        mode="incremental", sample=False,
+    )
+    run_trajectory_window(
+        spark, staging_path, curated, state, "2024-01-02", "2024-01-02",
+        mode="incremental", sample=False,
+    )
+    got = {
+        (r["MMSI"], r["BaseDateTime"]): r["VoyageID"]
+        for r in spark.read.parquet(curated).collect()
+    }
+    assert got == want
+    # the midnight-crossing voyage must keep one id; the 9:00 voyage a new one
+    assert want[(1, dt.datetime(2024, 1, 2, 0, 30))] == want[(1, dt.datetime(2024, 1, 1, 20))]
+    assert want[(1, dt.datetime(2024, 1, 2, 9))] == want[(1, dt.datetime(2024, 1, 2, 0, 30))] + 1
+
+
+def test_trajectory_columns(spark):
+    df = _staging_df(spark)
+    out = compute_trajectory(df)
+    cols = set(out.columns)
+    assert {"VoyageID", "SegmentDistanceKM", "GeoHash", "movement_state"} <= cols
+    g = out.filter(F.col("GeoHash").isNull()).count()
+    assert g == 0
+
+
+def test_daily_partials_and_monthly_rollup(spark):
+    df = compute_trajectory(_staging_df(spark))
+    partials = voyage_daily_partials(df)
+    # voyage 0 of mmsi 1 spans two 'day' partials
+    v0 = partials.filter((F.col("mmsi") == 1) & (F.col("voyageid") == 0))
+    assert v0.count() == 2
+    summary = monthly_voyage_summary(partials)
+    row = summary.filter((F.col("mmsi") == 1) & (F.col("voyageid") == 0)).first()
+    assert row["pointcount"] == 3
+    assert row["voyagestart"] == dt.datetime(2024, 1, 1, 20)
+    assert row["voyageend"] == dt.datetime(2024, 1, 2, 0, 30)
+    assert abs(row["duration_hours"] - 4.5) < 1e-6
+    # avg position = mean of the three points
+    assert abs(row["avglat"] - (11.0 + 11.1 + 11.2) / 3) < 1e-4

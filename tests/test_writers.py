@@ -1,0 +1,91 @@
+"""Sink round-trips: partitioned dynamic overwrite, window-scoped
+overwrite, quarantine, dated state snapshots."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.schemas import STATE_SNAPSHOT_SCHEMA
+from noaa_ais_glue_lakehouse_spark.sources.writers import (
+    bounded_count,
+    read_state_snapshot_by_date,
+    write_partitioned_parquet,
+    write_quarantine,
+    write_state_snapshot,
+    write_window_overwrite,
+)
+
+
+def test_partitioned_write_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 2024, 1, 1), (2, 2024, 1, 2)], ["v", "year", "month", "day"]
+    )
+    write_partitioned_parquet(df, out, ["year", "month", "day"])
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert os.path.isdir(out + "/year=2024/month=1/day=1")
+
+
+def test_dynamic_overwrite_replaces_only_written_partitions(spark, tmp_path):
+    out = str(tmp_path / "t")
+    d1 = spark.createDataFrame([(1, 1), (2, 2)], ["v", "day"])
+    write_partitioned_parquet(d1, out, ["day"])
+    # overwrite day=2 only; day=1 must survive
+    d2 = spark.createDataFrame([(99, 2)], ["v", "day"])
+    write_partitioned_parquet(d2, out, ["day"])
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (2, 99)}
+
+
+def test_window_overwrite_cannot_touch_outside_window(spark, tmp_path):
+    out = str(tmp_path / "t")
+    write_partitioned_parquet(
+        spark.createDataFrame([(1, 1), (2, 2)], ["v", "day"]), out, ["day"]
+    )
+    # input claims rows for day 1 and 2, but the window only allows day 2
+    mixed = spark.createDataFrame([(50, 1), (60, 2)], ["v", "day"])
+    write_window_overwrite(mixed, out, ["day"], F.col("day") == 2)
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (2, 60)}  # day=1 untouched
+
+
+def test_quarantine_partition_aware(spark, tmp_path):
+    out = str(tmp_path / "q")
+    df = spark.createDataFrame(
+        [(1, 2024, 1, 1), (2, 2024, 1, 2)], ["v", "year", "month", "day"]
+    )
+    n = write_quarantine(df, out)
+    assert n == 2
+    assert os.path.isdir(out + "/year=2024/month=1/day=1")
+    assert os.path.isdir(out + "/year=2024/month=1/day=2")
+
+
+def test_quarantine_empty_writes_nothing(spark, tmp_path):
+    out = str(tmp_path / "q")
+    df = spark.createDataFrame([], "v int, year int, month int, day int")
+    assert write_quarantine(df, out) == 0
+    assert not os.path.exists(out)
+
+
+def test_state_snapshot_roundtrip_and_fallback(spark, tmp_path):
+    prefix = str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1, 23), 1.0, 2.0, 3)], STATE_SNAPSHOT_SCHEMA
+    )
+    write_state_snapshot(df, prefix, "2024-01-01")
+    got = read_state_snapshot_by_date(spark, prefix, "2024-01-01", STATE_SNAPSHOT_SCHEMA)
+    assert got.count() == 1 and got.first()["VoyageID"] == 3
+    # missing date → empty with schema
+    empty = read_state_snapshot_by_date(spark, prefix, "1999-01-01", STATE_SNAPSHOT_SCHEMA)
+    assert empty.count() == 0
+    assert empty.schema == STATE_SNAPSHOT_SCHEMA
+
+
+def test_bounded_count(spark):
+    df = spark.range(1000)
+    assert bounded_count(df, 10) == 11
+    assert bounded_count(df.limit(5), 10) == 5
