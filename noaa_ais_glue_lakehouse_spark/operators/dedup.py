@@ -50,8 +50,15 @@ def dedup_exact(
     """
     fp = content_fingerprint(content_cols)
     keyed = df.withColumn("_fp", fp)
-    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, ["_fp", id_col], "inner").drop("_fp")
+    # Single shuffle: min_by pulls the whole winning row through the same
+    # hash aggregation that picks the min id (map-side combinable), vs the
+    # groupBy + join-back form which shuffles twice.
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        keyed.groupBy("_fp")
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
+        .select("_row.*")
+    )
 
 
 def jaccard_pairs_exact(

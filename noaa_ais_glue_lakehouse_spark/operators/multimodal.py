@@ -1,0 +1,160 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Conventions (the brief's training-data-pipeline surface):
+
+- a multimodal asset is a row with an opaque ``binary`` column plus
+  typed metadata columns the pipeline derives (byte size, fingerprint,
+  sniffed format);
+- decode / feature-extract steps run as Arrow-batched ``mapInPandas``
+  over the binary column — the Spark-side plumbing (schema, batch
+  iteration, partition preservation) is real; the pixel/sample decode
+  itself needs an image/audio library that is NOT in this environment,
+  so ``decode_images`` uses the real decoder only when available and
+  otherwise a clearly-marked deterministic stub with the same schema.
+
+Scale notes: binary payloads ride in the row — never ``collect()`` them;
+metadata extraction is a narrow map (no shuffle); fingerprint dedup
+reuses the exact-dedup shuffle shape (hash groupBy on the digest).
+``mapInPandas`` transfers batches via Arrow, so the per-row Python cost
+is amortized across ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# magic-byte prefixes → format tag (public file signatures)
+_MAGIC = [
+    ("ffd8ff", "jpeg"),
+    ("89504e47", "png"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # wav/avi container
+    ("494433", "mp3"),
+    ("664c6143", "flac"),
+    ("000000", "mp4_maybe"),  # ftyp boxes start with a 00-size prefix
+]
+
+
+def binary_metadata(
+    df: DataFrame, binary_col: str, out_prefix: str = "asset_"
+) -> DataFrame:
+    """Attach byte size, md5 fingerprint, and sniffed format columns.
+
+    Pure column expressions (``length``/``md5``/``hex`` are JVM-side on
+    binary), so metadata extraction never leaves codegen.
+    """
+    b = F.col(binary_col)
+    prefix_hex = F.lower(F.hex(F.substring(b, 1, 4)))
+    fmt = F.lit("unknown")
+    for magic, tag in reversed(_MAGIC):
+        fmt = F.when(prefix_hex.startswith(magic), F.lit(tag)).otherwise(fmt)
+    return (
+        df.withColumn(f"{out_prefix}bytes", F.length(b).cast("long"))
+        .withColumn(f"{out_prefix}fingerprint", F.md5(b))
+        .withColumn(f"{out_prefix}format", fmt)
+    )
+
+
+def dedup_binary_exact(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
+    """Exact binary dedup keeping the min-id row per digest — the D1
+    dedup shape applied to asset payloads."""
+    keyed = df.withColumn("_fp", F.md5(F.col(binary_col)))
+    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["_fp", id_col], "inner").drop("_fp")
+
+
+IMAGE_META_SCHEMA = (
+    "id long, width int, height int, channels int, decode_ok boolean"
+)
+
+
+def decode_images(
+    df: DataFrame, id_col: str, binary_col: str, use_stub: bool | None = None
+) -> DataFrame:
+    """Decode image dimensions via Arrow-batched ``mapInPandas``.
+
+    With a real imaging library present (PIL), decodes actual headers.
+    In this environment PIL is absent, so the deterministic STUB derives
+    pseudo-dimensions from the payload bytes:
+
+        width  = 1 + (byte_len * 7) % 640
+        height = 1 + (byte_len * 13) % 480
+        channels = 1 + (first_byte % 4)
+
+    The stub is pure and engine-portable (the catalog oracle reproduces
+    it in SQL), so the mapInPandas plumbing — schema contract, batch
+    shape, null payloads — is fully exercised even without the library.
+    """
+    if use_stub is None:
+        try:
+            import PIL.Image  # noqa: F401
+
+            use_stub = False
+        except ImportError:
+            use_stub = True
+
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("_b"))
+
+    def _decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, cs, ok = [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["_b"]):
+                ids.append(i)
+                if payload is None or len(payload) == 0:
+                    ws.append(None); hs.append(None); cs.append(None); ok.append(False)
+                elif use_stub:
+                    n = len(payload)
+                    ws.append(1 + (n * 7) % 640)
+                    hs.append(1 + (n * 13) % 480)
+                    cs.append(1 + (payload[0] % 4))
+                    ok.append(True)
+                else:
+                    import io
+
+                    import PIL.Image
+
+                    try:
+                        img = PIL.Image.open(io.BytesIO(payload))
+                        ws.append(img.width); hs.append(img.height)
+                        cs.append(len(img.getbands())); ok.append(True)
+                    except Exception:
+                        ws.append(None); hs.append(None); cs.append(None); ok.append(False)
+            yield pd.DataFrame(
+                {"id": ids, "width": ws, "height": hs, "channels": cs, "decode_ok": ok}
+            )
+
+    return src.mapInPandas(_decode, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    n_frames_col: str,
+    every_n: int,
+    frame_col: str = "frame_idx",
+) -> DataFrame:
+    """Frame-sampling plan for video-like assets: one output row per kept
+    frame index (0, every_n, 2*every_n, … < n_frames).
+
+    The *selection* is pure Spark (``sequence`` + ``explode`` — no
+    Python); actual frame extraction would chain a ``mapInPandas`` decode
+    like :func:`decode_images`. This mirrors trajectory thinning (T6):
+    quantized keep-rules first, expensive per-item work after.
+    """
+    n = F.col(n_frames_col).cast("long")
+    idx = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(n - 1, F.lit(0).cast("long")),
+        F.lit(every_n).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.when(n > 0, idx).otherwise(F.array().cast("array<long>"))).alias(
+            frame_col
+        ),
+    )

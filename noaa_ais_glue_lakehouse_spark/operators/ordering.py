@@ -1,0 +1,56 @@
+"""Ordering and instrumentation operators (SURVEY §2.6 O1, §2.4 A7).
+
+O1: co-located sort without a global exchange — repartition on the
+entity key, then sort only within partitions. The reference uses this to
+lay out trajectory points for sequential reads
+(``utils/common_functions_curated.py:95-107``); a global ``orderBy``
+would add a range-exchange over the full table for no downstream benefit.
+
+A7: ``observe()`` metrics instead of separate ``count()`` jobs. The
+reference's LOG_COUNTS checkpoints each run an extra full job
+(``common_functions_curated.py:210-227``); observations piggyback on the
+action that already runs, costing one aggregate per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def sort_by_entity_time(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """O1 — ``repartition(entity)`` + ``sortWithinPartitions(entity, ts)``.
+
+    All rows of one entity land in one partition, time-ordered — the
+    layout every downstream per-entity window wants — without the global
+    range sort of ``orderBy``.
+    """
+    parts = (
+        df.repartition(num_partitions, F.col(entity_col))
+        if num_partitions
+        else df.repartition(F.col(entity_col))
+    )
+    return parts.sortWithinPartitions(entity_col, ts_col)
+
+
+def with_row_observations(
+    df: DataFrame, name: str = "pipeline_stats", null_check_cols: list[str] | None = None
+) -> tuple[DataFrame, Observation]:
+    """A7 — attach row-count (+ per-column null-count) observations.
+
+    Returns (df, observation); read ``observation.get`` AFTER an action
+    has run on the returned DataFrame. Replaces the reference's extra
+    count() jobs — the metrics ride along with whatever job executes.
+    """
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_check_cols or []:
+        metrics.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
+        )
+    return df.observe(obs, *metrics), obs

@@ -1147,3 +1147,245 @@ def q37_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash (P11), dims (P14/D2/J1), SQL consumption layer (S10/W9/O4),
+# multimodal columns — round-2 coverage additions
+# ---------------------------------------------------------------------------
+
+
+def _geohash_oracle_sql(precision: int = 6) -> str:
+    """Generate the DuckDB SQL that reproduces geohash_expr exactly:
+    quantize → interleave → base-32 slice, written out as integer math."""
+    bpa = precision * 5 // 2
+    scale = 1 << bpa
+    parts = []
+    for i in range(bpa):
+        parts.append(f"(((lon_q >> {bpa - 1 - i}) & 1) << {2 * bpa - 1 - 2 * i})")
+        parts.append(f"(((lat_q >> {bpa - 1 - i}) & 1) << {2 * bpa - 2 - 2 * i})")
+    inter = " + ".join(parts)
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = [
+        f"substr('{b32}', CAST(((inter >> {5 * (precision - 1 - k)}) & 31) + 1 AS INT), 1)"
+        for k in range(precision)
+    ]
+    return (
+        _COORDS_CTE
+        + f"""
+    , q AS (
+      SELECT event_id,
+             LEAST(CAST(FLOOR((lon + 180.0)/360.0*{scale}.0) AS BIGINT), {scale - 1}) AS lon_q,
+             LEAST(CAST(FLOOR((lat + 90.0)/180.0*{scale}.0) AS BIGINT), {scale - 1}) AS lat_q
+      FROM coords
+    ), inter_t AS (
+      SELECT event_id, {inter} AS inter FROM q
+    )
+    SELECT event_id, {" || ".join(chars)} AS gh
+    FROM inter_t
+    """
+    )
+
+
+@register("q38_geohash_encode", oracle=_geohash_oracle_sql(6))
+def q38_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — the reference's single Python UDF (geohash encoder,
+    ``utils/common_functions_curated.py:164-185,283-317``) as a native
+    column expression, hash-checked against an integer-math SQL oracle.
+    """
+    from noaa_ais_glue_lakehouse_spark.functions.spatial import geohash_expr
+
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    return ev.select(
+        "event_id", geohash_expr(F.col("lat"), F.col("lon"), 6).alias("gh")
+    )
+
+
+def _nav_status_values_sql() -> str:
+    from noaa_ais_glue_lakehouse_spark.operators.dims import _NAV_STATUS_ROWS
+
+    rows = ", ".join(f"({c}, '{n}')" for c, n, _ in _NAV_STATUS_ROWS)
+    return f"dim(code, status_name) AS (VALUES {rows})"
+
+
+@register(
+    "q39_nav_status_lookup",
+    oracle=f"""
+    WITH {_nav_status_values_sql()}
+    SELECT d.status_name, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e LEFT JOIN dim d ON (e.event_id % 16) = d.code
+    GROUP BY d.status_name
+    """,
+)
+def q39_nav_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14/D2/J1 — dim built with key-dedup from a dirty source, consumed
+    via the broadcast lookup join (reference dim_nav_status + join_lookup).
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.dims import (
+        _NAV_STATUS_ROWS,
+        build_dim_nav_status,
+        join_lookup,
+    )
+
+    dirty = spark.createDataFrame(
+        _NAV_STATUS_ROWS + _NAV_STATUS_ROWS[:4],  # injected dup keys → D2 dedup
+        ["Code", "Navigational_Status", "Meaning"],
+    )
+    dim = build_dim_nav_status(dirty)
+    ev = load(spark, sf_dir, "events").withColumn(
+        "Status", (F.col("event_id") % 16).cast("int")
+    )
+    joined = join_lookup(ev, dim, "Status", "Code", "StatusName", "status_name")
+    return joined.groupBy("status_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    from noaa_ais_glue_lakehouse_spark.sources.writers import register_table_views
+
+    register_table_views(spark, sf_dir, tables)
+
+
+@register(
+    "q40_sql_rows_per_day",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q40_sql_rows_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + Q1 corpus — the rows-per-day shape through ``spark.sql`` over
+    a registered view (the Athena external-table analog)."""
+    _register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT date_format(ts, 'yyyy-MM-dd') AS day,
+               CAST(COUNT(*) AS LONG) AS n
+        FROM events GROUP BY 1
+        """
+    )
+
+
+@register(
+    "q41_sql_topk_users",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id ASC LIMIT 10
+    """,
+)
+def q41_sql_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + O4/Q9 corpus — top-k via SQL text (TakeOrderedAndProject)."""
+    _register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT user_id, CAST(COUNT(*) AS LONG) AS n
+        FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id ASC LIMIT 10
+        """
+    )
+
+
+@register(
+    "q42_sql_gap_stats",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+    FROM lagged GROUP BY user_id
+    """,
+)
+def q42_sql_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + W9/Q12 corpus — the LAG-gap analysis as pure SQL text
+    (reference ``docs/09-qa-curated-data.md:278-307``)."""
+    _register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH lagged AS (
+          SELECT user_id,
+                 unix_micros(ts) - unix_micros(LAG(ts) OVER (PARTITION BY user_id
+                                                             ORDER BY ts, event_id)) AS gap_us
+          FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(gap_us) AS LONG) AS n_gaps,
+               CAST(MIN(gap_us) AS LONG) AS min_gap_us,
+               CAST(MAX(gap_us) AS LONG) AS max_gap_us,
+               CAST(SUM(gap_us) AS LONG) AS sum_gap_us
+        FROM lagged GROUP BY user_id
+        """
+    )
+
+
+@register(
+    "q43_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS asset_bytes,
+           md5(text) AS asset_fingerprint
+    FROM documents
+    """,
+)
+def q43_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — opaque binary payload (document bytes stand in for an
+    image blob) + typed metadata columns, all JVM-side expressions."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import binary_metadata
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = binary_metadata(docs, "payload")
+    return out.select("doc_id", "asset_bytes", "asset_fingerprint")
+
+
+@register(
+    "q44_image_decode_stub",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(1 + (octet_length(encode(text)) * 7) % 640 AS INT) AS width,
+           CAST(1 + (octet_length(encode(text)) * 13) % 480 AS INT) AS height,
+           CAST(1 + (ord(substr(text, 1, 1)) % 4) AS INT) AS channels,
+           octet_length(encode(text)) > 0 AS decode_ok
+    FROM documents
+    """,
+)
+def q44_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — Arrow-batched ``mapInPandas`` decode plumbing with the
+    deterministic stub decoder (no imaging library in this environment);
+    the oracle reproduces the stub in SQL so schema + batch handling are
+    hash-checked, not just row-counted."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import decode_images
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_images(docs, "doc_id", "payload", use_stub=True)
+
+
+@register(
+    "q45_frame_sample",
+    oracle="""
+    SELECT event_id,
+           CAST(unnest(range(0, CAST(event_id % 50 AS BIGINT), 7)) AS BIGINT) AS frame_idx
+    FROM events
+    """,
+)
+def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — frame-sampling keep-rule as a pure Spark plan
+    (sequence + explode); the decode of kept frames would chain a
+    mapInPandas step like q44."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import sample_frames
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "n_frames", (F.col("event_id") % 50).cast("long")
+    )
+    return sample_frames(ev, "event_id", "n_frames", 7)

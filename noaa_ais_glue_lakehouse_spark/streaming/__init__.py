@@ -1,0 +1,13 @@
+from noaa_ais_glue_lakehouse_spark.streaming.sessions import (
+    latest_state,
+    read_event_stream,
+    sessionized_stats,
+    start_partitioned_stream_sink,
+)
+
+__all__ = [
+    "latest_state",
+    "read_event_stream",
+    "sessionized_stats",
+    "start_partitioned_stream_sink",
+]

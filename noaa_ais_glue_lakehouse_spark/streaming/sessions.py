@@ -1,0 +1,119 @@
+"""Structured Streaming analogs of the batch-simulated stateful operators
+(SURVEY §2.9): the reference emulates a stream with date-window batch runs
+plus persisted snapshots; these are the native streaming forms.
+
+Mapping (SURVEY §2.9 table):
+
+- T1 seeded gap sessionization  → ``session_window`` aggregation with a
+  watermark (the >3h gap rule is exactly a session window's gap timeout);
+- T2 state snapshot update      → streaming ``latest_per_entity`` via
+  max_by aggregation in update mode;
+- T7 late data                  → the watermark replaces the reference's
+  24h "gap cushion" (``fact_voyage_summary.py:105-151``).
+
+Every transformation here is expressed so it works on BOTH a batch
+DataFrame and a streaming one — ``session_window`` and the aggregations
+are mode-agnostic — so unit tests exercise the exact expressions in
+batch, and a streaming smoke test runs the file-source → memory-sink
+loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def sessionized_stats(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap: str = "3 hours",
+    watermark: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """T1 streaming form — per-(entity, session-window) aggregate.
+
+    ``session_window(ts, gap)`` merges events whose gaps are < gap into
+    one window — the same semantics as the batch prefix-sum sessionizer
+    (``operators/sessionize.py``) with ids replaced by (start, end)
+    window bounds. Works on batch DataFrames too (no watermark needed
+    there), which is how the equivalence test pins it to the batch
+    operator.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    ]
+    if value_col:
+        aggs.append(F.sum(value_col).alias(f"sum_{value_col}"))
+    return (
+        src.groupBy(F.col(entity_col), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .drop("session_window")
+    )
+
+
+def latest_state(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """T2 streaming form — last-known row per entity via ``max_by``.
+
+    In a streaming query run with ``outputMode("update")`` this emits the
+    refreshed snapshot rows each microbatch — the continuous version of
+    the dated state-snapshot sink (``utils/state_io.py:36-45``).
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    aggs = [F.max(ts_col).alias(ts_col)] + [
+        F.max_by(c, F.col(ts_col)).alias(c) for c in value_cols
+    ]
+    return src.groupBy(entity_col).agg(*aggs)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-source stream over a drop directory — the streaming analog of
+    the reference's daily-drop raw zone (``ingestion/ingest_2024.sh``)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format(fmt)
+        .load(path)
+    )
+
+
+def start_partitioned_stream_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str],
+    trigger_once: bool = True,
+):
+    """S4 streaming form — partitioned parquet sink with checkpointing.
+
+    ``trigger_once`` drains everything available then stops (the batch-
+    compatible mode); continuous jobs pass False and their own trigger.
+    Returns the StreamingQuery handle.
+    """
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_cols)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

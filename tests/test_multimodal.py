@@ -1,0 +1,68 @@
+"""Multimodal operators: metadata sniffing, binary dedup, mapInPandas
+decode plumbing, frame sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+    binary_metadata,
+    decode_images,
+    dedup_binary_exact,
+    sample_frames,
+)
+
+
+def _assets(spark):
+    rows = [
+        (1, bytes.fromhex("ffd8ff") + b"jpegdata"),
+        (2, bytes.fromhex("89504e47") + b"pngdata"),
+        (3, b"plain text bytes"),
+        (4, bytes.fromhex("ffd8ff") + b"jpegdata"),  # dup of 1
+    ]
+    return spark.createDataFrame(rows, ["id", "payload"])
+
+
+def test_binary_metadata(spark):
+    out = binary_metadata(_assets(spark), "payload")
+    got = {r["id"]: (r["asset_format"], r["asset_bytes"]) for r in out.collect()}
+    assert got[1][0] == "jpeg" and got[2][0] == "png" and got[3][0] == "unknown"
+    assert got[1][1] == 11
+    fps = {r["id"]: r["asset_fingerprint"] for r in out.collect()}
+    assert fps[1] == fps[4] and fps[1] != fps[2]
+
+
+def test_dedup_binary_exact(spark):
+    out = dedup_binary_exact(_assets(spark), "payload", "id")
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_decode_images_stub_schema_and_values(spark):
+    out = decode_images(_assets(spark), "id", "payload", use_stub=True)
+    assert [f.name for f in out.schema.fields] == [
+        "id", "width", "height", "channels", "decode_ok",
+    ]
+    got = {r["id"]: r for r in out.collect()}
+    n = 11  # payload length of asset 1
+    assert got[1]["width"] == 1 + (n * 7) % 640
+    assert got[1]["height"] == 1 + (n * 13) % 480
+    assert got[1]["channels"] == 1 + (0xFF % 4)
+    assert got[1]["decode_ok"]
+
+
+def test_decode_images_null_payload(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    df = spark.createDataFrame([(9, None)], schema)
+    r = decode_images(df, "id", "payload", use_stub=True).first()
+    assert r["decode_ok"] is False and r["width"] is None
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(1, 20), (2, 0), (3, 1)], ["id", "n_frames"])
+    out = sample_frames(df, "id", "n_frames", every_n=7)
+    got = sorted((r["id"], r["frame_idx"]) for r in out.collect())
+    assert got == [(1, 0), (1, 7), (1, 14), (3, 0)]
