@@ -39,6 +39,10 @@ HEADLINE = [
     "q32_cosine_topk",          # brute-force similarity baseline
     "q33_ann_lsh_topk",         # multi-table ANN (scale path)
     "q35_running_total",        # running-total window
+    "q38_geohash_encode",       # native geohash kernel
+    "q44_image_decode_stub",    # Arrow mapInPandas multimodal plumbing
+    "q47_cosine_dup_lsh",       # embedding-cosine near-dup (scale path)
+    "q49_winnow_fingerprints",  # winnowing fingerprint index
 ]
 
 

@@ -54,6 +54,45 @@ def token_count(text: Column) -> Column:
     return F.size(tokenize(text)).cast("long")
 
 
+# Subword-ish lexer classes: letter runs, digit runs, single punctuation.
+# Approximates a BPE pre-tokenizer's split points with a pattern that is
+# identical in Java regex (Spark) and RE2 (DuckDB) so oracles match.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-pre-tokenizer-style token array (array<string>).
+
+    ``regexp_extract_all`` is JVM-side; the token count over this array
+    is the usual proxy for LLM token budgets when no vocab is loaded.
+    """
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (array<string>, distinct).
+
+    The standard local-fingerprinting scheme: hash every k-gram, slide a
+    w-wide window over the hash sequence, keep each window's minimum —
+    guarantees any match of length ≥ k+w-1 shares a fingerprint. Hashes
+    are md5 hex strings compared lexicographically, which every engine
+    reproduces bit-identically (the portability trick the exact-dedup
+    oracle already relies on). All array ops, no UDF.
+    """
+    s = F.lower(text)
+    n = F.length(s)
+    gram_idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(gram_idx, lambda i: F.md5(s.substr(i, F.lit(k))))
+    m = F.size(hashes)
+    win_idx = F.when(
+        m >= w, F.sequence(F.lit(1), m - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    mins = F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    return F.array_distinct(mins)
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Heuristic quality features for corpus filtering.
 

@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster parallelism when the input has fewer
+    partitions (one small file → one partition serializes compute-bound
+    map stages). The round-robin exchange also pins a hard boundary so an
+    expensive aliased expression in the next projection cannot be
+    collapsed back into per-reference recomputation downstream.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def sort_by_entity_time(
     df: DataFrame,
     entity_col: str,

@@ -15,6 +15,7 @@ bucket join pre-partitioned (bucketed tables) and signatures precomputed.
 
 from __future__ import annotations
 
+import pandas
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,6 +91,109 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
+def _signature_udf(dim: int, n_planes: int, n_tables: int):
+    """Arrow-batched multi-table hyperplane signatures: one numpy matmul
+    per batch gives all L·b sign bits; returns array<int> of L bucket ids.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplane(dim, i) for i in range(n_tables * n_planes)]
+    ).T  # dim × (L·b)
+    weights = np.array([1 << p for p in range(n_planes)])
+
+    @pandas_udf("array<int>")
+    def signatures(vecs: pandas.Series) -> pandas.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
+        bits = (mat @ planes) >= 0  # batch × (L·b) sign bits
+        sigs = (bits.reshape(len(mat), n_tables, n_planes) * weights).sum(
+            axis=2
+        )  # batch × L bucket ids
+        return pandas.Series(list(sigs.astype(np.int32)))
+
+    return signatures
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute force (id_a < id_b).
+
+    O(n²) all-pairs — the exact baseline/oracle for
+    :func:`cosine_near_duplicates`, same role q26 plays for the MinHash
+    path. Scores rounded to 4 dp for cross-engine hash stability.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table LSH + exact verify.
+
+    The scale path for embedding dedup: bucket on hyperplane sign bits
+    (few planes → big buckets → high recall at moderate thresholds; many
+    tables → OR-amplification), self-join per (table, bucket), then exact
+    cosine ≥ threshold on candidates only. Defaults target thresholds
+    around 0.4 (p≈0.63 → recall ≈ 0.94 with 4×16); tighten n_planes for
+    higher thresholds. Precision is exact (verification step); recall vs
+    :func:`cosine_pairs_exact` is measured in tests.
+    """
+    signatures = _signature_udf(dim, n_planes, n_tables)
+    keyed = df.select(
+        F.col(id_col), F.col(vec_col), signatures(F.col(vec_col)).alias("_sigs")
+    ).select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.arrays_zip(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)).alias("tbl"),
+                F.col("_sigs").alias("sig"),
+            )
+        ).alias("_k"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    cands = (
+        a.join(
+            b,
+            (F.col("a._k") == F.col("b._k"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .repartition(parallelism, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        cands.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,45 +220,41 @@ def lsh_bucket_topk(
     grows and ``n_tables`` to buy recall back; both are embarrassingly
     partition-parallel. Recall vs ``brute_force_topk`` is asserted in
     ``tests/test_similarity.py::test_lsh_recall_at_k``.
+
+    The L·b plane dot-products per vector are one numpy matmul inside an
+    Arrow-batched pandas UDF (BLAS across the whole batch) — Spark's
+    higher-order functions evaluate per element interpreted, which made
+    the pure-Column form ~64 interpreted array traversals per row.
     """
     from pyspark.sql import Window
 
-    def signature(vec, table: int):
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(
-                *[F.lit(v) for v in _hyperplane(dim, table * n_planes + p)]
-            )
-            bits.append(
-                F.when(_dot(vec, plane) >= 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
-            )
-        sig = bits[0]
-        for x in bits[1:]:
-            sig = sig.bitwiseOR(x)
-        return sig
+    signatures = _signature_udf(dim, n_planes, n_tables)
 
-    def keys(vec):
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), signature(vec, t).alias("sig")
-                    )
-                    for t in range(n_tables)
-                ]
+    def keys(df, out_id, out_vec):
+        sig = F.explode(
+            F.arrays_zip(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)).alias("tbl"),
+                F.col("_sigs").alias("sig"),
+            )
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(out_vec),
+                signatures(F.col(vec_col)).alias("_sigs"),
+            )
+            .select(out_id, out_vec, sig.alias("_z"))
+            .select(
+                out_id,
+                out_vec,
+                F.struct(
+                    F.col("_z.tbl").alias("tbl"), F.col("_z.sig").alias("sig")
+                ).alias("_k"),
             )
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        keys(F.col(vec_col)).alias("_k"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        keys(F.col(vec_col)).alias("_k"),
-    )
+    c = keys(corpus, "neighbor_id", "_cv")
+    q = keys(queries, "query_id", "_qv")
     cands = (
         c.join(F.broadcast(q), "_k")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -1389,3 +1389,100 @@ def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames", (F.col("event_id") % 50).cast("long")
     )
     return sample_frames(ev, "event_id", "n_frames", 7)
+
+
+@register(
+    "q46_cosine_dup_exact",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+             4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+             4) >= 0.4
+    """,
+)
+def q46_cosine_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact all-pairs baseline (the oracle
+    anchor for the LSH scale path q47)."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register("q47_cosine_dup_lsh")  # rows-only: LSH recall < 1 by design
+def q47_cosine_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via multi-table hyperplane LSH + exact
+    verify — the at-scale embedding dedup path; recall vs q46 is
+    asserted in tests/test_similarity.py."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(emb, dim=64, threshold=0.4)
+
+
+@register(
+    "q48_bpe_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS n_distinct
+    FROM documents
+    """,
+)
+def q48_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer-style token counting (letter runs / digit runs /
+    punctuation) — the no-vocab LLM token-budget proxy."""
+    from noaa_ais_glue_lakehouse_spark.functions.text import bpe_ish_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "q49_winnow_fingerprints",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(lower(text)) - 6),
+                            i -> md5(substr(lower(text), i, 8))) AS hashes
+      FROM documents
+      WHERE length(text) >= 8
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hashes) - 2),
+                           j -> list_min(hashes[j : j + 3]))) AS fps
+      FROM grams
+      WHERE len(hashes) >= 4
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM wins
+    """,
+)
+def q49_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (k=8, w=4), exploded to one row per
+    (doc, fingerprint) — the local-fingerprint index a plagiarism/overlap
+    detector joins on."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_fingerprint_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprint_index(docs, "doc_id", "text", 8, 4)
