@@ -248,6 +248,11 @@ def minhash_near_duplicates(
         cands.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
     )
+    # Exactness-preserving size prefilter before the set intersection:
+    # J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t, so size-mismatched candidates
+    # are rejected without paying for array_intersect.
+    na, nb = F.size("_sha"), F.size("_shb")
+    out = out.filter(F.least(na, nb) >= F.greatest(na, nb) * F.lit(threshold))
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size("_sha") + F.size("_shb") - inter
     jacc = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
@@ -268,10 +273,17 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
     Block-permutation LSH: split the 64-bit simhash into ``n_blocks``
-    16-bit blocks; any pair within Hamming d < n_blocks shares at least one
+    blocks; any pair within Hamming d < n_blocks shares at least one
     identical block (pigeonhole), so candidates come from equi-joins on
     (block_idx, block_value) — no cross join. Verify with bit_count(xor).
+    Pigeonhole requires ``n_blocks > max_hamming`` — enforced here rather
+    than silently losing recall.
     """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole needs n_blocks > max_hamming ({n_blocks} <= {max_hamming}): "
+            "raise n_blocks or lower max_hamming"
+        )
     sh = simhash64(tokenize(F.col(text_col)))
     sigs = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), sh.alias("_simhash")

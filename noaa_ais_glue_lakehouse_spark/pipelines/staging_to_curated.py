@@ -166,6 +166,42 @@ def run_trajectory_window(
     return out
 
 
+def run_voyage_summary_monthly(
+    spark: SparkSession,
+    curated_path: str,
+    partials_path: str,
+    summary_path: str,
+    month: str,
+) -> DataFrame:
+    """T5 end-to-end — daily partials for ``month`` (YYYY-MM) + monthly
+    rebuild, mirroring ``pipelines/voyage_summary_monthly.py`` →
+    ``fact_voyage_daily`` / ``fact_monthly_summary``.
+
+    The month's partials are (re)written partitioned by day (dynamic
+    overwrite = embarrassingly rerunnable); the final rollup restricts
+    the *full* partials table to voyages seen this month via a left-semi
+    join on distinct keys (J3) so month-spanning voyages aggregate over
+    their complete history, then writes one row per (mmsi, voyageid)
+    partitioned by voyagestartdate.
+    """
+    curated = spark.read.parquet(curated_path).filter(
+        F.date_format("BaseDateTime", "yyyy-MM") == month
+    )
+    partials = voyage_daily_partials(curated)
+    write_partitioned_parquet(partials, partials_path, ["day"])
+
+    all_partials = spark.read.parquet(partials_path)
+    month_keys = (
+        all_partials.filter(F.substring("day", 1, 7) == month)
+        .select("mmsi", "voyageid")
+        .distinct()
+    )
+    relevant = all_partials.join(month_keys, ["mmsi", "voyageid"], "left_semi")
+    summary = monthly_voyage_summary(relevant)
+    write_partitioned_parquet(summary, summary_path, ["voyagestartdate"])
+    return summary
+
+
 def voyage_daily_partials(df: DataFrame) -> DataFrame:
     """T5/A1 — per-(mmsi, voyageid, day) partial aggregates.
 

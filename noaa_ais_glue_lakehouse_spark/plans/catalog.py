@@ -1486,3 +1486,72 @@ def q49_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return winnow_fingerprint_index(docs, "doc_id", "text", 8, 4)
+
+
+@register(
+    "q50_day_boundary_span",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, d, last_ts,
+             LEAD(first_ts) OVER (PARTITION BY user_id ORDER BY d) AS next_first,
+             LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+      FROM bounds
+    )
+    SELECT user_id, CAST(d AS VARCHAR) AS day,
+           CAST((epoch_us(next_first) - epoch_us(last_ts)) // 60000000 AS BIGINT)
+             AS boundary_gap_min
+    FROM spans
+    WHERE next_d = d + INTERVAL 1 DAY
+      AND epoch_us(next_first) - epoch_us(last_ts) < CAST(7200 AS BIGINT) * 1000000
+    """,
+)
+def q50_day_boundary_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + Q15 corpus — day-boundary span check: entities whose last
+    event of day D and first event of day D+1 are within 2h (the
+    continuity QA the reference runs on voyage day boundaries,
+    ``docs/09-qa-curated-data.md:703-723``)."""
+    _register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH bounds AS (
+          SELECT user_id, CAST(ts AS DATE) AS d,
+                 MIN(ts) AS first_ts, MAX(ts) AS last_ts
+          FROM events GROUP BY 1, 2
+        ), spans AS (
+          SELECT user_id, d, last_ts,
+                 LEAD(first_ts) OVER (PARTITION BY user_id ORDER BY d) AS next_first,
+                 LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+          FROM bounds
+        )
+        SELECT user_id, CAST(d AS STRING) AS day,
+               CAST((unix_micros(next_first) - unix_micros(last_ts)) DIV 60000000 AS LONG)
+                 AS boundary_gap_min
+        FROM spans
+        WHERE next_d = d + INTERVAL 1 DAY
+          AND unix_micros(next_first) - unix_micros(last_ts) < CAST(7200 AS BIGINT) * 1000000
+        """
+    )
+
+
+@register(
+    "q51_movement_distribution",
+    oracle="""
+    SELECT CASE WHEN value < 250.0 THEN 'anchored' ELSE 'moving' END AS movement_state,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q51_movement_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 + Q4 corpus — movement_state distribution (threshold applied to
+    the synthetic value column standing in for SOG)."""
+    ev = load(spark, sf_dir, "events")
+    out = cleaning.add_movement_state(ev, sog_col="value", threshold=250.0)
+    return out.groupBy("movement_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -124,6 +124,19 @@ def read_state_snapshot_by_date(
         return spark.createDataFrame([], schema)
 
 
+def list_partitions(
+    df: DataFrame, partition_cols: list[str]
+) -> list[tuple]:
+    """O2 — ordered distinct partition tuples (for run logs / manifest
+    checks). Reference: ``raw_to_staging.py:160-169``. The collect is
+    |partitions|-sized, not |rows|-sized — partition tuples only.
+    """
+    rows = (
+        df.select(*partition_cols).distinct().orderBy(*partition_cols).collect()
+    )
+    return [tuple(r) for r in rows]
+
+
 def register_table_views(
     spark: SparkSession, sf_dir: str, tables: list[str]
 ) -> None:

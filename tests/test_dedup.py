@@ -97,7 +97,17 @@ def test_simhash_finds_near_identical(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in simhash_near_duplicates(df, "doc_id", "text", max_hamming=8).collect()
+        for r in simhash_near_duplicates(
+            df, "doc_id", "text", max_hamming=8, n_blocks=16
+        ).collect()
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_pigeonhole_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_duplicates(df, "doc_id", "text", max_hamming=8, n_blocks=4)

@@ -135,6 +135,44 @@ def test_trajectory_columns(spark):
     assert g == 0
 
 
+def test_run_voyage_summary_monthly_files(spark, tmp_path):
+    """T5 through real file IO: partials partitioned by day, semi-join on
+    month voyage keys, summary partitioned by start date; rerunnable."""
+    curated = str(tmp_path / "curated")
+    compute_trajectory(_staging_df(spark)).withColumn(
+        "year", F.year("BaseDateTime")
+    ).write.parquet(curated)
+
+    from noaa_ais_glue_lakehouse_spark.pipelines.staging_to_curated import (
+        run_voyage_summary_monthly,
+    )
+
+    out = run_voyage_summary_monthly(
+        spark, curated, str(tmp_path / "partials"), str(tmp_path / "summary"),
+        "2024-01",
+    )
+    rows = {(r["mmsi"], r["voyageid"]): r for r in out.collect()}
+    assert len(rows) == 4  # 2 vessels × 2 voyages
+    assert rows[(1, 0)]["pointcount"] == 3
+    # rerun is idempotent (dynamic overwrite both layers)
+    out2 = run_voyage_summary_monthly(
+        spark, curated, str(tmp_path / "partials"), str(tmp_path / "summary"),
+        "2024-01",
+    )
+    assert out2.count() == 4
+    got = spark.read.parquet(str(tmp_path / "summary"))
+    assert got.count() == 4
+
+
+def test_list_partitions(spark):
+    from noaa_ais_glue_lakehouse_spark.sources.writers import list_partitions
+
+    df = spark.createDataFrame(
+        [(1, 2024, 2), (2, 2024, 1), (3, 2024, 2)], ["v", "year", "day"]
+    )
+    assert list_partitions(df, ["year", "day"]) == [(2024, 1), (2024, 2)]
+
+
 def test_daily_partials_and_monthly_rollup(spark):
     df = compute_trajectory(_staging_df(spark))
     partials = voyage_daily_partials(df)
