@@ -1555,3 +1555,84 @@ def q51_movement_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "q52_jump_outliers",
+    oracle=_COORDS_CTE
+    + """
+    , lagged AS (
+      SELECT user_id, event_id, lat, lon, ts,
+             LAG(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+             LAG(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+      FROM coords
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           CAST(MAX(CAST(ROUND(2*6371*ASIN(LEAST(SQRT(
+             POW(SIN(RADIANS(lat-plat)/2),2)
+             + COS(RADIANS(plat))*COS(RADIANS(lat))*POW(SIN(RADIANS(lon-plon)/2),2)
+           ), 1.0)) * 100) AS BIGINT)) AS DOUBLE)/100.0 AS max_jump_km
+    FROM lagged
+    WHERE plat IS NOT NULL AND 2*6371*ASIN(LEAST(SQRT(
+             POW(SIN(RADIANS(lat-plat)/2),2)
+             + COS(RADIANS(plat))*COS(RADIANS(lat))*POW(SIN(RADIANS(lon-plon)/2),2)
+           ), 1.0)) > 20
+    GROUP BY user_id
+    """,
+)
+def q52_jump_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 corpus — segment-distance outlier filter (>20 km) rolled up per
+    entity (reference ``docs/09-qa-curated-data.md:431-445``)."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = haversine_km(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    return (
+        ev.withColumn("_d", d)
+        .filter(F.col("_d") > 20)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_outliers"),
+            (F.max(F.round(F.col("_d") * 100).cast("long")).cast("double") / 100.0)
+            .alias("max_jump_km"),
+        )
+    )
+
+
+@register(
+    "q53_voyage_continuity",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us <= 1800000000 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)) AS gap_us
+        FROM events
+      )
+    )
+    SELECT user_id,
+           CAST(MIN(sid) AS BIGINT) AS first_session,
+           CAST(MAX(sid) AS BIGINT) AS last_session,
+           CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions
+    FROM sess GROUP BY user_id
+    """,
+)
+def q53_voyage_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 corpus — voyage/session continuity check: ids per entity must
+    run 0..n-1 densely (min/max/count-distinct agree), the invariant the
+    reference validates after incremental runs (``docs/09:567-581``)."""
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, "user_id", "ts", gap_seconds=SESSION_GAP_SECONDS,
+        tiebreak_cols=["event_id"],
+    )
+    return sess.groupBy("user_id").agg(
+        F.min("session_id").cast("long").alias("first_session"),
+        F.max("session_id").cast("long").alias("last_session"),
+        F.countDistinct("session_id").cast("long").alias("n_sessions"),
+    )

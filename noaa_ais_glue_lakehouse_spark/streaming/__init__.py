@@ -3,6 +3,7 @@ from noaa_ais_glue_lakehouse_spark.streaming.sessions import (
     read_event_stream,
     sessionized_stats,
     start_partitioned_stream_sink,
+    stateful_sessionize,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "read_event_stream",
     "sessionized_stats",
     "start_partitioned_stream_sink",
+    "stateful_sessionize",
 ]

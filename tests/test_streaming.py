@@ -52,6 +52,58 @@ def test_latest_state_batch(spark):
     assert out["b"] == (dt.datetime(2024, 1, 1, 2), 4.0)
 
 
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState continuity: day-2 events arriving in a later
+    microbatch must continue day-1 voyages exactly like a batch recompute."""
+    import datetime as dt
+
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import stateful_sessionize
+
+    d1 = [(7, dt.datetime(2024, 1, 1, 20)), (7, dt.datetime(2024, 1, 1, 22))]
+    d2 = [(7, dt.datetime(2024, 1, 2, 0, 30)), (7, dt.datetime(2024, 1, 2, 9))]
+    src = str(tmp_path / "drop")
+    schema = "user_id long, ts timestamp"
+    # two files → two microbatches with maxFilesPerTrigger=1
+    spark.createDataFrame(d1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(d2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_sessionize(stream, "user_id", "ts", gap_seconds=3 * 3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["ts"]): r["session_id"]
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    want = {
+        (r["mmsi"], r["ts"]): r["session_id"]
+        for r in sessionize(
+            spark.createDataFrame(
+                [("m", t) for _, t in d1 + d2], ["mmsi", "ts"]
+            ).withColumnRenamed("mmsi", "mmsi"),
+            "mmsi", "ts", gap_seconds=3 * 3600,
+        ).collect()
+    }
+    # same ordinal sequence: midnight crossing stays session 0, 9:00 is 1
+    assert got[(7, d2[0][1])] == 0
+    assert got[(7, d2[1][1])] == 1
+    assert len(got) == 4
+    assert sorted(got.values()) == sorted(
+        v for (_, t), v in want.items()
+    )
+
+
 def test_streaming_file_source_to_partitioned_sink(spark, tmp_path):
     """Real streaming smoke: parquet drop dir → readStream → session agg →
     partitioned parquet sink with checkpoint, drained with availableNow."""
