@@ -187,11 +187,30 @@ def cosine_near_duplicates(
         .repartition(parallelism, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    cos = _pair_cosine_udf()(F.col("_va"), F.col("_vb"))
     return (
         cands.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _pair_cosine_udf():
+    """Vectorized pairwise cosine: one einsum per Arrow batch instead of
+    interpreted zip_with/aggregate per row (the Column form stays as the
+    oracle baseline in cosine_pairs_exact, whose left-fold summation
+    matches DuckDB's bit-for-bit)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cosine(a: pandas.Series, b: pandas.Series) -> pandas.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pandas.Series(dots / norms)
+
+    return pair_cosine
 
 
 def lsh_bucket_topk(

@@ -86,6 +86,10 @@ def run_raw_to_staging(
     (``raw_to_staging.py:233-236``) is unnecessary: dynamic partition
     overwrite scopes the write to whatever days the input contains.
     """
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        with_row_observations,
+    )
+
     raw = read_csv_with_header(spark, input_path)
     staging, quarantine = transform_raw_to_staging(raw, schema)
     n_quarantined = (
@@ -93,5 +97,13 @@ def run_raw_to_staging(
         if quarantine_path
         else 0
     )
+    # A7: row counters ride along with the write job (observe()), replacing
+    # the reference's extra count() jobs behind LOG_COUNTS
+    staging, obs = with_row_observations(staging, null_check_cols=["MMSI"])
     write_partitioned_parquet(staging, output_path, PARTITION_COLS)
-    return {"quarantined": n_quarantined}
+    metrics = obs.get
+    return {
+        "rows_written": metrics["n_rows"],
+        "null_mmsi": metrics["n_null_MMSI"],
+        "quarantined": n_quarantined,
+    }

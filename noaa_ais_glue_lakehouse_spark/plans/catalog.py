@@ -1636,3 +1636,61 @@ def q53_voyage_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_id").cast("long").alias("last_session"),
         F.countDistinct("session_id").cast("long").alias("n_sessions"),
     )
+
+
+@register(
+    "q54_seeded_sessionize",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us <= 1800000000 THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)) AS gap_us
+        FROM events
+      )
+    )
+    SELECT user_id, event_id, CAST(sid AS BIGINT) AS session_id
+    FROM sess WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    """,
+)
+def q54_seeded_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/T1 — the reference's hardest semantic, oracle-checked: the
+    incremental path (sessionize the first half-month, snapshot the last
+    row per entity, run the second half seeded from the snapshot) must
+    equal a full-recompute — and the oracle IS that full recompute,
+    restricted to second-half rows. Day-boundary voyages keep their ids.
+    """
+    import datetime as dt
+
+    from noaa_ais_glue_lakehouse_spark.operators.sessionize import (
+        latest_per_entity,
+    )
+    from noaa_ais_glue_lakehouse_spark.operators.state import prepare_seeded_union
+
+    split = dt.datetime(2024, 1, 16)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    d1 = ev.filter(F.col("ts") < F.lit(split))
+    d2 = ev.filter(F.col("ts") >= F.lit(split))
+
+    s1 = sessionize(
+        d1, "user_id", "ts", gap_seconds=SESSION_GAP_SECONDS,
+        tiebreak_cols=["event_id"],
+    )
+    state = latest_per_entity(s1, "user_id", "ts", tiebreak_cols=["event_id"])
+
+    seeded = prepare_seeded_union(
+        state, d2, session_col="session_id", seed_col="seed_session_id"
+    )
+    out = sessionize(
+        seeded, "user_id", "ts", gap_seconds=SESSION_GAP_SECONDS,
+        session_col="session_id", seed_col="seed_session_id",
+        tiebreak_cols=["event_id"],
+    )
+    return (
+        out.filter(~F.col("is_seed"))
+        .select("user_id", "event_id", F.col("session_id").cast("long"))
+    )

@@ -61,9 +61,31 @@ def test_run_raw_to_staging_files(spark, tmp_path):
     q = str(tmp_path / "quarantine")
     counters = run_raw_to_staging(spark, src, out, q)
     assert counters["quarantined"] == 1
+    assert counters["rows_written"] == 1  # observe() metric, no extra job
+    assert counters["null_mmsi"] == 0
     got = spark.read.parquet(out)
     assert got.count() == 1
     assert got.first()["year"] == 2024
+
+
+def test_trajectory_window_sampled_path(spark, tmp_path):
+    """sample=True endpoint-preserving thinning through the runner: per
+    (entity, day) the first and last points always survive and distances
+    are recomputed on the thinned timeline (window-first rows NULL)."""
+    staging_path = str(tmp_path / "staging")
+    _staging_df(spark).write.parquet(staging_path)
+    out = run_trajectory_window(
+        spark, staging_path, str(tmp_path / "curated"), str(tmp_path / "state"),
+        "2024-01-01", "2024-01-02", mode="full", sample=True,
+    )
+    rows = out.filter(F.col("MMSI") == 1).orderBy("BaseDateTime").collect()
+    times = [r["BaseDateTime"] for r in rows]
+    import datetime as dt
+
+    assert times[0] == dt.datetime(2024, 1, 1, 20)   # day-1 first kept
+    assert dt.datetime(2024, 1, 1, 22) in times      # day-1 last kept
+    assert times[-1] == dt.datetime(2024, 1, 2, 10)  # day-2 last kept
+    assert rows[0]["SegmentDistanceKM"] is None      # thinned re-lag
 
 
 def _staging_df(spark):
