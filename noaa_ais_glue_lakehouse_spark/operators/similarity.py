@@ -291,3 +291,93 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    kmeans_sample: int = 10_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    alternative to :func:`lsh_bucket_topk`.
+
+    Train: k-means centroids on a bounded sample (``kmeans_sample`` rows
+    to the driver — the training set is a sample by design, never the
+    corpus). Index: assign every corpus vector to its nearest centroid
+    (one numpy argmax per Arrow batch). Search: each query probes its
+    ``n_probe`` nearest centroids, the probe list explodes into
+    (centroid, query) keys, and an equi-join on centroid id restricts
+    exact scoring to probed lists — shuffle ∝ |corpus| + n_probe·|Q|,
+    never |Q|·|corpus|.
+
+    Recall rises with n_probe (n_probe == n_lists degenerates to exact);
+    measured against brute force in tests/test_similarity.py.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    sample = corpus.select(vec_col).limit(kmeans_sample).collect()
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    # deterministic k-means (fixed seed, fixed iteration count) — plain
+    # numpy Lloyd on the driver-side sample; centroids then broadcast as
+    # literals inside the assignment UDF
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(8):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    cent = centroids  # closure capture
+
+    @pandas_udf("int")
+    def nearest_list(vecs: pandas.Series) -> pandas.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pandas.Series(d2.argmin(axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe_lists(vecs: pandas.Series) -> pandas.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, : min(n_probe, len(cent))]
+        return pandas.Series(list(order.astype(np.int32)))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        nearest_list(F.col(vec_col)).alias("_list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_lists(F.col(vec_col))).alias("_list"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score", F.round(_pair_cosine_udf()(F.col("_qv"), F.col("_cv")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
+        )
+    )

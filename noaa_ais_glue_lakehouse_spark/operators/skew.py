@@ -1,0 +1,41 @@
+"""Skew-mitigation operators: salted joins for hot keys.
+
+AQE's runtime skew-join handling (enabled in the session factory) covers
+most cases; explicit salting remains the tool when a join's hot keys are
+known ahead of time or AQE is unavailable (e.g. writing to a
+pre-partitioned layout). The pattern: replicate each right-side row
+``salt_factor`` times with a salt id, scatter left-side rows uniformly
+across salts, join on (key, salt) — a hot key's rows spread over
+``salt_factor`` tasks instead of one straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with hot-key salting (left = big/skewed side).
+
+    The right side is replicated salt_factor× (explode of a literal
+    range) — correct for any join cardinality because each left row
+    matches exactly one replica (its own salt). Deterministic salts via
+    a hash of the whole left row rather than rand(): reruns produce the
+    same partitioning, which keeps shuffle-file reuse and debugging sane.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)
+    ).cast("int")
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<int>")),
+    )
+    return l_salted.join(r_salted, keys + ["_salt"], how).drop("_salt")

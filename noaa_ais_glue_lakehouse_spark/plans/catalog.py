@@ -1694,3 +1694,15 @@ def q54_seeded_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(~F.col("is_seed"))
         .select("user_id", "event_id", F.col("session_id").cast("long"))
     )
+
+
+@register("q55_ivf_topk")  # rows-only: k-means assignment not SQL-expressible
+def q55_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse k-means quantizer + probed exact
+    scoring) — the inverted-file alternative to the q33 LSH path; recall
+    vs brute force asserted in tests/test_similarity.py."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(10)
+    return ivf_topk(emb, queries, dim=64, k=5)

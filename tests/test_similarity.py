@@ -68,6 +68,32 @@ def test_lsh_recall_at_k(spark):
     assert recall >= 0.6, f"recall {recall:.3f}"
 
 
+def test_ivf_recall_at_k(spark):
+    """IVF with n_probe=4 of 16 lists must beat LSH-level recall on
+    clustered data; n_probe == n_lists must be exact."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import ivf_topk
+
+    corpus, _ = _vectors(spark, n=200)
+    queries = corpus.limit(10)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, dim=DIM, k=5, n_lists=16, n_probe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.3f}"
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            corpus, queries, dim=DIM, k=5, n_lists=8, n_probe=8
+        ).collect()
+    }
+    assert exact == truth  # probing every list degenerates to brute force
+
+
 def test_lsh_scores_match_exact_for_found_pairs(spark):
     corpus, _ = _vectors(spark, n=100)
     queries = corpus.limit(5)
