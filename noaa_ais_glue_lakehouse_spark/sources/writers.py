@@ -124,6 +124,29 @@ def read_state_snapshot_by_date(
         return spark.createDataFrame([], schema)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage for co-located joins.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT an exchange — the shuffle is paid once at write time instead
+    of on every join (the scale answer for fact⋈fact joins AQE cannot
+    broadcast; the reference had no equivalent, it re-shuffled per run).
+    ``sortBy`` additionally makes the merge side of a sort-merge join
+    sort-free. Requires the session's warehouse catalog (saveAsTable).
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def list_partitions(
     df: DataFrame, partition_cols: list[str]
 ) -> list[tuple]:
