@@ -78,6 +78,11 @@ def main() -> None:
     from noaa_ais_glue_lakehouse_spark.plans import catalog
 
     qs = catalog.queries()
+    # warmup: absorb JVM/codegen/Python-worker startup so per-query times
+    # reflect steady state (first-query JIT cost was ~4s of q01's 5s)
+    _force(qs["q08_topk_entities"](spark, sf_dir))
+    _force(qs["q44_image_decode_stub"](spark, sf_dir))
+
     times: dict[str, float] = {}
     t_suite = time.time()
     for name in HEADLINE:

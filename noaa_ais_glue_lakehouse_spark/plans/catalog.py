@@ -1706,3 +1706,35 @@ def q55_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(10)
     return ivf_topk(emb, queries, dim=64, k=5)
+
+
+@register(
+    "q56_enforced_read_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q56_enforced_read_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — schema-enforced parquet read with cast-by-name fallback: the
+    declared read schema drops to exactly the needed columns (projection
+    enforced at the scan) and survives type drift via the fallback path."""
+    from pyspark.sql import types as T
+
+    from noaa_ais_glue_lakehouse_spark.sources.readers import read_parquet_enforced
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    ev = read_parquet_enforced(spark, f"{sf_dir}/events.parquet", schema)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias(
+            "sum_value"
+        ),
+    )
