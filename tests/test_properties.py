@@ -85,6 +85,31 @@ def test_haversine_metric_properties(spark, pairs):
             assert r["d"] < 1e-9
 
 
+_doc_text = st.text(
+    alphabet="abcdefgh ", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_text, _doc_text, st.text(alphabet="xyzw", min_size=11, max_size=25))
+def test_winnowing_guarantee(spark, prefix, suffix, planted):
+    """Winnowing's defining guarantee: two documents sharing a substring of
+    length ≥ k + w - 1 (= 11 for k=8, w=4) share at least one fingerprint."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_fingerprint_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, prefix + planted + suffix), (2, "QQ " + planted + " PP")],
+        ["doc_id", "text"],
+    )
+    idx = winnow_fingerprint_index(df, "doc_id", "text", 8, 4)
+    fps = {1: set(), 2: set()}
+    for r in idx.collect():
+        fps[r["doc_id"]].add(r["fingerprint"])
+    assert fps[1] & fps[2], (prefix, planted, suffix)
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(
