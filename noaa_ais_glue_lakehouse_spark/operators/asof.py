@@ -1,0 +1,71 @@
+"""As-of join — match each left row to the latest right row at or before
+its timestamp, per key (the time-series join Spark lacks natively;
+named in the engine brief as a flagship custom operator).
+
+Implementation is the union + last-known-value window idiom, not a UDF
+and not a range self-join:
+
+1. tag left (probe) and right (reference) rows, union by name;
+2. one window per key ordered by (ts, tag): ``last(right_value,
+   ignorenulls=True)`` over unbounded-preceding rows carries the most
+   recent reference value forward onto every probe row;
+3. keep probe rows.
+
+Cost: ONE shuffle on the key — same partitioning the downstream
+per-key logic wants — versus the naive ``left.ts >= right.ts`` theta
+join which is a cross product per key. Ties (probe.ts == ref.ts) take
+the reference row (tag orders refs first), matching DuckDB/pandas
+ASOF semantics (the oracle uses DuckDB's native ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Left as-of join: left columns + latest-at-or-before ``value_cols``.
+
+    ``tolerance_seconds`` optionally voids matches older than the window
+    (value columns become NULL), like pandas ``merge_asof(tolerance=…)``.
+    """
+    probe = left.withColumn("_tag", F.lit(1))
+    ref = right.select(
+        key_col, ts_col, *value_cols
+    ).withColumn("_tag", F.lit(0))
+    unioned = probe.unionByName(ref, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = unioned
+    for c in value_cols:
+        src = F.when(F.col("_tag") == 0, F.col(c))
+        out = out.withColumn(f"_asof_{c}", F.last(src, ignorenulls=True).over(w))
+    ref_ts = F.when(F.col("_tag") == 0, F.col(ts_col))
+    out = out.withColumn("_asof_ts", F.last(ref_ts, ignorenulls=True).over(w))
+
+    out = out.filter(F.col("_tag") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_asof_ts"))
+        ) > tolerance_seconds * 1_000_000
+        for c in value_cols:
+            out = out.withColumn(
+                f"_asof_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_asof_{c}"))
+            )
+
+    keep = [c for c in left.columns] + [
+        F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols
+    ]
+    return out.select(*keep)

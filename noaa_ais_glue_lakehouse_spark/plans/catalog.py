@@ -1738,3 +1738,69 @@ def q56_enforced_read_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@register(
+    "q57_asof_join",
+    oracle="""
+    WITH ref AS (
+      SELECT user_id, ts, MAX(value) AS ref_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), probe AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type <> 'view'
+    )
+    SELECT p.event_id,
+           CAST(ROUND(r.ref_value * 100) AS BIGINT) AS asof_value_cents
+    FROM probe p ASOF LEFT JOIN ref r
+      ON p.user_id = r.user_id AND p.ts >= r.ts
+    """,
+)
+def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks): each non-view event gets
+    the latest at-or-before 'view' value for its user — one shuffle via
+    the union + last-known-value window, hash-checked against DuckDB's
+    native ASOF JOIN."""
+    from noaa_ais_glue_lakehouse_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    ref = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    probe = ev.filter(F.col("event_type") != "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(probe, ref, "user_id", "ts", ["ref_value"])
+    return out.select(
+        "event_id",
+        F.round(F.col("asof_ref_value") * 100).cast("long").alias("asof_value_cents"),
+    )
+
+
+@register(
+    "q58_rolling_1h_window",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q58_rolling_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame rolling window: per-entity trailing-1h event count and
+    sum — the time-range frame (vs the rows frames used elsewhere),
+    ordered on epoch micros so both engines share tie semantics."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("sum_cents_1h"),
+    )

@@ -3,8 +3,9 @@
 The reference builds its session through Glue (``pipelines/raw_to_staging.py:20-34``
 in /root/reference) with dynamic partition overwrite + S3A committers. Here the
 session is plain Spark, tuned for correctness-critical determinism (UTC
-timezone, ANSI off to match reference semantics) and for scale-minded defaults
-(AQE on, adaptive coalescing, Arrow for the pandas exchange paths).
+timezone; ANSI mode is left at Spark's default — every operator and query
+runs clean under ANSI) and for scale-minded defaults (AQE on, adaptive
+coalescing, Arrow for the pandas exchange paths).
 
 On a real cluster the same builder works unchanged — only ``master`` and the
 shuffle-partition count come from the environment.

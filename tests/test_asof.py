@@ -1,0 +1,53 @@
+"""As-of join: basic semantics, ties, no-match, tolerance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from noaa_ais_glue_lakehouse_spark.operators.asof import asof_join
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_basic(spark):
+    probe = spark.createDataFrame(
+        [("a", 1, _t(10)), ("a", 2, _t(30)), ("b", 3, _t(5))],
+        ["k", "pid", "ts"],
+    )
+    ref = spark.createDataFrame(
+        [("a", _t(0), 100.0), ("a", _t(20), 200.0), ("b", _t(50), 900.0)],
+        ["k", "ts", "price"],
+    )
+    got = {r["pid"]: r["asof_price"] for r in asof_join(probe, ref, "k", "ts", ["price"]).collect()}
+    assert got == {1: 100.0, 2: 200.0, 3: None}  # b's ref is in the future
+
+
+def test_asof_tie_takes_reference(spark):
+    probe = spark.createDataFrame([("a", 1, _t(20))], ["k", "pid", "ts"])
+    ref = spark.createDataFrame([("a", _t(20), 7.0)], ["k", "ts", "v"])
+    r = asof_join(probe, ref, "k", "ts", ["v"]).first()
+    assert r["asof_v"] == 7.0  # equal timestamps match (>= semantics)
+
+
+def test_asof_tolerance(spark):
+    probe = spark.createDataFrame(
+        [("a", 1, _t(10)), ("a", 2, _t(59))], ["k", "pid", "ts"]
+    )
+    ref = spark.createDataFrame([("a", _t(0), 5.0)], ["k", "ts", "v"])
+    got = {
+        r["pid"]: r["asof_v"]
+        for r in asof_join(
+            probe, ref, "k", "ts", ["v"], tolerance_seconds=1800
+        ).collect()
+    }
+    assert got[1] == 5.0      # 10 min old: within tolerance
+    assert got[2] is None     # 59 min old: stale
+
+
+def test_asof_keeps_left_columns_only_plus_values(spark):
+    probe = spark.createDataFrame([("a", 1, _t(10), "x")], ["k", "pid", "ts", "extra"])
+    ref = spark.createDataFrame([("a", _t(0), 1.0)], ["k", "ts", "v"])
+    out = asof_join(probe, ref, "k", "ts", ["v"])
+    assert out.columns == ["k", "pid", "ts", "extra", "asof_v"]
