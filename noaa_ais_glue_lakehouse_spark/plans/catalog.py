@@ -1804,3 +1804,111 @@ def q58_rolling_1h_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
         F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("sum_cents_1h"),
     )
+
+
+@register(
+    "q59_range_join",
+    oracle="""
+    WITH bands AS (
+      SELECT CAST(i AS INT) AS band_id,
+             i * 100.0 AS lo, i * 100.0 + 120.0 AS hi
+      FROM generate_series(0, 4) AS t(i)
+    )
+    SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+    GROUP BY b.band_id
+    """,
+)
+def q59_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join via grid binning (no theta join): events whose
+    value falls inside overlapping 120-wide bands — each event lands in
+    one bin, each band explodes to its bins, equi-join + exact BETWEEN."""
+    from noaa_ais_glue_lakehouse_spark.operators.rangejoin import range_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(i, i * 100.0, i * 100.0 + 120.0) for i in range(5)],
+        ["band_id", "lo", "hi"],
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", bin_width=50.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+@register(
+    "q60_time_bucket_rollup",
+    oracle="""
+    SELECT user_id,
+           make_timestamp(epoch_us(ts) // 21600000000 * 21600000000) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q60_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket rollup: arbitrary-width (6h) aligned
+    buckets per entity — the continuous-aggregate shape; partials are
+    map-side combinable and an incremental refresh only rewrites dirty
+    buckets (the daily-partials pipeline is the day-width instance)."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 21600).cast("long") * 21600
+    )
+    return ev.groupBy("user_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+@register(
+    "q61_winnow_near_dups",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(lower(text)) - 6),
+                            i -> md5(substr(lower(text), i, 8))) AS hashes
+      FROM documents WHERE length(text) >= 8
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hashes) - 2),
+                           j -> list_min(hashes[j : j + 3]))) AS fps
+      FROM grams WHERE len(hashes) >= 4
+    ), idx AS (
+      SELECT doc_id, unnest(fps) AS fp FROM wins
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q61_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup pairs: self-join the fingerprint index on
+    fingerprint, keep pairs sharing ≥10 fingerprints. Deterministic (no
+    randomness), so unlike the MinHash path this near-dup family is fully
+    oracle-checked. Equi-join on fingerprint — same no-cross-product
+    shape as LSH banding."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_fingerprint_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = winnow_fingerprint_index(docs, "doc_id", "text", 8, 4)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 10)
+    )
