@@ -28,6 +28,82 @@ from noaa_ais_glue_lakehouse_spark.operators.ordering import (
 )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (id, component).
+
+    Min-label propagation with pointer doubling: each round a node takes
+    the minimum label among itself and its neighbors, then jumps through
+    its label's label (path halving) — O(log diameter) rounds, so chains
+    converge as fast as the dense cliques near-dup graphs actually
+    produce. Each round is two joins + one aggregate on the edge list,
+    with ``localCheckpoint`` truncating lineage so the loop's plan doesn't
+    snowball. This is the pairs→groups step every dedup pipeline needs
+    before choosing survivors.
+    """
+    # materialize the edge list once — it feeds every round, and leaving it
+    # lazy would re-run the (possibly expensive) pair-producing pipeline
+    # per iteration
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer doubling: label <- label(label)
+        ptr = propagated.select(
+            F.col("node").alias("label"), F.col("label").alias("jump")
+        )
+        new_labels = (
+            propagated.join(ptr, "label", "left")
+            .select("node", F.coalesce("jump", "label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
+
+
+def dedup_by_components(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Keep one row per near-dup component (the min-id representative) plus
+    every row that appears in no pair — the survivor-selection step on top
+    of any pair-producing dedup family."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def winnow_fingerprint_index(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
 ) -> DataFrame:

@@ -1912,3 +1912,49 @@ def q61_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= 10)
     )
+
+
+@register(
+    "q62_dedup_components",
+    oracle="""
+    WITH RECURSIVE p AS MATERIALIZED (
+      WITH grams AS (
+        SELECT doc_id,
+               list_transform(range(1, length(lower(text)) - 6),
+                              i -> md5(substr(lower(text), i, 8))) AS hashes
+        FROM documents WHERE length(text) >= 8
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hashes) - 2),
+                             j -> list_min(hashes[j : j + 3]))) AS fps
+        FROM grams WHERE len(hashes) >= 4
+      ), idx AS (
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ), cc(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+      WHERE cc.label < e.dst
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM cc GROUP BY node
+    """,
+)
+def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the winnowing near-dup graph — the
+    pairs→groups step of dedup. Deterministic input graph (q61), so the
+    distributed min-label + pointer-doubling loop is hash-checked against
+    a recursive-CTE reachability oracle."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import connected_components
+
+    pairs = q61_winnow_near_dups(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )
