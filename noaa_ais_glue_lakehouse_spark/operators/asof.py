@@ -48,24 +48,28 @@ def asof_join(
         .orderBy(F.col(ts_col), F.col("_tag"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for c in value_cols:
-        src = F.when(F.col("_tag") == 0, F.col(c))
-        out = out.withColumn(f"_asof_{c}", F.last(src, ignorenulls=True).over(w))
-    ref_ts = F.when(F.col("_tag") == 0, F.col(ts_col))
-    out = out.withColumn("_asof_ts", F.last(ref_ts, ignorenulls=True).over(w))
+    # Carry the whole reference row as ONE struct: last(…, ignorenulls)
+    # then skips probe rows (struct is null there) but never a reference
+    # row whose VALUE is genuinely NULL — per-column carries would return
+    # a stale older value where ASOF semantics demand the latest row's
+    # NULL, and would let the tolerance check judge staleness against a
+    # different row than the value came from.
+    ref_row = F.when(
+        F.col("_tag") == 0,
+        F.struct(F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]),
+    )
+    out = unioned.withColumn("_asof", F.last(ref_row, ignorenulls=True).over(w))
 
     out = out.filter(F.col("_tag") == 1)
     if tolerance_seconds is not None:
         stale = (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_asof_ts"))
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_asof._ts"))
         ) > tolerance_seconds * 1_000_000
-        for c in value_cols:
-            out = out.withColumn(
-                f"_asof_{c}", F.when(stale, F.lit(None)).otherwise(F.col(f"_asof_{c}"))
-            )
+        out = out.withColumn(
+            "_asof", F.when(stale, F.lit(None)).otherwise(F.col("_asof"))
+        )
 
     keep = [c for c in left.columns] + [
-        F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols
+        F.col(f"_asof.{c}").alias(f"asof_{c}") for c in value_cols
     ]
     return out.select(*keep)

@@ -59,11 +59,16 @@ def binary_metadata(
 
 
 def dedup_binary_exact(df: DataFrame, binary_col: str, id_col: str) -> DataFrame:
-    """Exact binary dedup keeping the min-id row per digest — the D1
-    dedup shape applied to asset payloads."""
+    """Exact binary dedup keeping the min-id row per digest — single
+    min_by shuffle (payload rows are the heaviest in the system; the
+    groupBy + join-back form would shuffle them twice)."""
     keyed = df.withColumn("_fp", F.md5(F.col(binary_col)))
-    winners = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return keyed.join(winners, ["_fp", id_col], "inner").drop("_fp")
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        keyed.groupBy("_fp")
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
+        .select("_row.*")
+    )
 
 
 IMAGE_META_SCHEMA = (
@@ -78,15 +83,17 @@ def decode_images(
 
     With a real imaging library present (PIL), decodes actual headers.
     In this environment PIL is absent, so the deterministic STUB derives
-    pseudo-dimensions from the payload bytes:
+    pseudo-dimensions from the payload length:
 
         width  = 1 + (byte_len * 7) % 640
         height = 1 + (byte_len * 13) % 480
-        channels = 1 + (first_byte % 4)
+        channels = 1 + (byte_len * 31) % 4
 
-    The stub is pure and engine-portable (the catalog oracle reproduces
-    it in SQL), so the mapInPandas plumbing — schema contract, batch
-    shape, null payloads — is fully exercised even without the library.
+    (length-only on purpose: a first-byte rule would make the SQL oracle
+    depend on codepoint-vs-UTF-8-byte encoding details). The stub is pure
+    and engine-portable, so the mapInPandas plumbing — schema contract,
+    batch shape, null payloads — is fully exercised even without the
+    library.
     """
     if use_stub is None:
         try:
@@ -111,7 +118,7 @@ def decode_images(
                     n = len(payload)
                     ws.append(1 + (n * 7) % 640)
                     hs.append(1 + (n * 13) % 480)
-                    cs.append(1 + (payload[0] % 4))
+                    cs.append(1 + (n * 31) % 4)
                     ok.append(True)
                 else:
                     import io

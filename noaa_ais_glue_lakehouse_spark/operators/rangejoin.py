@@ -33,11 +33,15 @@ def range_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
-    p = points.withColumn("_pid", F.monotonically_increasing_id()).withColumn(
-        "_cell", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    # A point lands in exactly ONE cell, so the binned join can be a plain
+    # (left) join with the compound condition — no row-identity bookkeeping
+    # needed for the unmatched side (and no reliance on
+    # monotonically_increasing_id staying stable across recomputes).
+    p = points.withColumn(
+        "_pcell", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
     )
     i = intervals.withColumn(
-        "_cell",
+        "_icell",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
@@ -45,11 +49,7 @@ def range_join(
             )
         ),
     )
-    cond = F.col(point_col).between(F.col(lo_col), F.col(hi_col))
-    matched = p.join(i, "_cell").filter(cond)
-    if how == "inner":
-        return matched.drop("_cell", "_pid")
-    missing = p.join(matched.select("_pid").distinct(), "_pid", "left_anti")
-    for c in intervals.columns:
-        missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return matched.unionByName(missing).drop("_cell", "_pid")
+    cond = (F.col("_pcell") == F.col("_icell")) & F.col(point_col).between(
+        F.col(lo_col), F.col(hi_col)
+    )
+    return p.join(i, cond, how).drop("_pcell", "_icell")

@@ -30,6 +30,10 @@ def salted_join(
     a hash of the whole left row rather than rand(): reruns produce the
     same partitioning, which keeps shuffle-file reuse and debugging sane.
     """
+    if how not in ("inner", "left"):
+        # right/full joins would emit salt_factor copies of every
+        # unmatched right row (each replica fails the join independently)
+        raise ValueError(f"unsupported how={how!r}: salting replicates the right side")
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)
     ).cast("int")

@@ -119,13 +119,14 @@ def run_trajectory_window(
 
     seed_col = None
     base = staging
+    prior_state = None
     if mode in ("incremental", "recompute"):
         seed_date = (start - dt.timedelta(days=1)).isoformat()
-        state = read_state_snapshot_by_date(
+        prior_state = read_state_snapshot_by_date(
             spark, state_prefix, seed_date, STATE_SNAPSHOT_SCHEMA
         )
         base = prepare_seeded_union(
-            state, staging, session_col="VoyageID", seed_col="SeedVoyageID"
+            prior_state, staging, session_col="VoyageID", seed_col="SeedVoyageID"
         )
         seed_col = "SeedVoyageID"
 
@@ -142,10 +143,17 @@ def run_trajectory_window(
     )
 
     # state refresh happens on the UNSAMPLED trajectory (the last point of
-    # the window must seed tomorrow even if sampling would drop it)
+    # the window must seed tomorrow even if sampling would drop it), and
+    # MERGED with the prior snapshot: an entity silent this window keeps
+    # its last-known row, otherwise its voyage counter would restart at 0
+    # on reappearance and collide with its historical voyage ids
     new_state = latest_per_entity(curated, "MMSI", "BaseDateTime").select(
         "MMSI", "BaseDateTime", "LAT", "LON", "VoyageID"
     )
+    if prior_state is not None:
+        new_state = latest_per_entity(
+            new_state.unionByName(prior_state), "MMSI", "BaseDateTime"
+        )
 
     out = curated
     if sample:
@@ -196,7 +204,26 @@ def run_voyage_summary_monthly(
         .select("mmsi", "voyageid")
         .distinct()
     )
-    relevant = all_partials.join(month_keys, ["mmsi", "voyageid"], "left_semi")
+    # The write below dynamically overwrites every voyagestartdate partition
+    # this month's voyages start on. Other voyages starting on those same
+    # dates (touched by earlier/later months) would be deleted with the
+    # partition unless they are recomputed too — so widen the key set to
+    # every voyage whose first partial day lands on an affected date.
+    # (A voyage's start date IS its min 'day' partial: day_first_time is
+    # bounded by that day.)
+    first_days = all_partials.groupBy("mmsi", "voyageid").agg(
+        F.min("day").alias("_first_day")
+    )
+    affected_dates = (
+        first_days.join(month_keys, ["mmsi", "voyageid"], "left_semi")
+        .select("_first_day")
+        .distinct()
+    )
+    keys = (
+        first_days.join(affected_dates, "_first_day", "left_semi")
+        .select("mmsi", "voyageid")
+    )
+    relevant = all_partials.join(keys, ["mmsi", "voyageid"], "left_semi")
     summary = monthly_voyage_summary(relevant)
     write_partitioned_parquet(summary, summary_path, ["voyagestartdate"])
     return summary

@@ -1351,9 +1351,12 @@ def q43_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44_image_decode_stub",
     oracle="""
     SELECT doc_id AS id,
-           CAST(1 + (octet_length(encode(text)) * 7) % 640 AS INT) AS width,
-           CAST(1 + (octet_length(encode(text)) * 13) % 480 AS INT) AS height,
-           CAST(1 + (ord(substr(text, 1, 1)) % 4) AS INT) AS channels,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(1 + (octet_length(encode(text)) * 7) % 640 AS INT) END AS width,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(1 + (octet_length(encode(text)) * 13) % 480 AS INT) END AS height,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(1 + (octet_length(encode(text)) * 31) % 4 AS INT) END AS channels,
            octet_length(encode(text)) > 0 AS decode_ok
     FROM documents
     """,

@@ -85,16 +85,25 @@ def write_quarantine(
     ``utils/common_functions_raw.py:73-94``); large spills keep their
     parallelism. CSV with header, matching the reference's format.
     """
+    from pyspark.sql import Observation
+
     parts = [c for c in (partition_cols or ["year", "month", "day"]) if c in df.columns]
     n = bounded_count(df, small_threshold)
     if n == 0:
         return 0
+    # dynamic overwrite here too — without it, a vanilla session's first
+    # quarantine write would truncate ALL prior days' quarantined rows
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out = df.coalesce(1) if n <= small_threshold else df
+    # exact row count rides the write job via observe() (the bounded count
+    # above only decides the coalesce and may stop at threshold+1)
+    obs = Observation("quarantine")
+    out = out.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     writer = out.write.mode("overwrite").option("header", True)
     if parts:
         writer = writer.partitionBy(*parts)
     writer.csv(path)
-    return n
+    return obs.get["n_rows"]
 
 
 def write_state_snapshot(df: DataFrame, prefix: str, date_str: str) -> None:
@@ -117,11 +126,22 @@ def read_state_snapshot_by_date(
     """
     path = f"{prefix.rstrip('/')}/by_date={date_str}/"
     try:
-        df = spark.read.schema(schema).parquet(path)
-        df.head(1)
-        return df
+        raw = spark.read.parquet(path)
+        raw.head(1)  # existence probe only
     except Exception:
         return spark.createDataFrame([], schema)
+    # cast-by-name to the declared schema rather than an enforced read:
+    # an enforced read THROWS on physical-type drift (e.g. an INT64 MMSI
+    # written by a caller with wider ids vs the INT32 declaration), and
+    # treating that as "no snapshot" would silently reset every entity's
+    # state — the S2 fallback semantics apply here too.
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in raw.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return raw.select(*cols)
 
 
 def write_bucketed_table(

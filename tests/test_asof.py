@@ -46,6 +46,44 @@ def test_asof_tolerance(spark):
     assert got[2] is None     # 59 min old: stale
 
 
+def test_asof_null_reference_value_honored(spark):
+    """The latest reference row wins even when its value is NULL — a
+    per-column ignorenulls carry would wrongly return the older value."""
+    from pyspark.sql import types as T
+
+    probe = spark.createDataFrame([("a", 1, _t(30))], ["k", "pid", "ts"])
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    ref = spark.createDataFrame([("a", _t(0), 5.0), ("a", _t(20), None)], schema)
+    r = asof_join(probe, ref, "k", "ts", ["v"]).first()
+    assert r["asof_v"] is None
+
+
+def test_asof_tolerance_judges_same_row_as_value(spark):
+    """Staleness must be judged against the row the value came from."""
+    from pyspark.sql import types as T
+
+    probe = spark.createDataFrame([("a", 1, _t(50))], ["k", "pid", "ts"])
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    # old row has the value; a fresh row exists but with NULL value
+    ref = spark.createDataFrame([("a", _t(0), 5.0), ("a", _t(45), None)], schema)
+    r = asof_join(probe, ref, "k", "ts", ["v"], tolerance_seconds=600).first()
+    # latest row (t=45, within tolerance) is the match; its value is NULL —
+    # NOT the stale t=0 value smuggled past the tolerance check
+    assert r["asof_v"] is None
+
+
 def test_asof_keeps_left_columns_only_plus_values(spark):
     probe = spark.createDataFrame([("a", 1, _t(10), "x")], ["k", "pid", "ts", "extra"])
     ref = spark.createDataFrame([("a", _t(0), 1.0)], ["k", "ts", "v"])

@@ -46,7 +46,7 @@ def test_decode_images_stub_schema_and_values(spark):
     n = 11  # payload length of asset 1
     assert got[1]["width"] == 1 + (n * 7) % 640
     assert got[1]["height"] == 1 + (n * 13) % 480
-    assert got[1]["channels"] == 1 + (0xFF % 4)
+    assert got[1]["channels"] == 1 + (n * 31) % 4
     assert got[1]["decode_ok"]
 
 

@@ -148,6 +148,81 @@ def test_incremental_equals_full_recompute(spark, tmp_path):
     assert want[(1, dt.datetime(2024, 1, 2, 9))] == want[(1, dt.datetime(2024, 1, 2, 0, 30))] + 1
 
 
+def test_silent_entity_keeps_voyage_counter(spark, tmp_path):
+    """An entity with no data in a window must keep its snapshot row, so a
+    later reappearance continues its voyage ids instead of restarting at 0
+    and colliding with historical keys."""
+    rows = [
+        # day 1: two separate voyages (gap > 3h) → ids 0 and 1
+        (5, dt.datetime(2024, 1, 1, 1), 10.0, 20.0, 5.0),
+        (5, dt.datetime(2024, 1, 1, 10), 10.5, 20.5, 5.0),
+        # day 2: silence
+        # day 3: reappears after a long gap → must be voyage 2, not 0
+        (5, dt.datetime(2024, 1, 3, 1), 11.0, 21.0, 5.0),
+    ]
+    staging = str(tmp_path / "staging")
+    spark.createDataFrame(
+        rows, ["MMSI", "BaseDateTime", "LAT", "LON", "SOG"]
+    ).write.parquet(staging)
+    curated = str(tmp_path / "curated")
+    state = str(tmp_path / "state")
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        run_trajectory_window(
+            spark, staging, curated, state, d, d, mode="incremental", sample=False
+        )
+    got = {
+        r["BaseDateTime"]: r["VoyageID"]
+        for r in spark.read.parquet(curated).collect()
+    }
+    assert got[dt.datetime(2024, 1, 3, 1)] == 2
+
+
+def test_monthly_rerun_preserves_other_months_voyages(spark, tmp_path):
+    """Dynamic overwrite of a voyagestartdate partition must not delete
+    summaries of voyages that start the same date but belong to a
+    different month's run."""
+    from noaa_ais_glue_lakehouse_spark.pipelines.staging_to_curated import (
+        run_voyage_summary_monthly,
+    )
+
+    # voyage A: Jan 31 only. voyage B: starts Jan 31, continues into Feb.
+    rows = [
+        (1, dt.datetime(2024, 1, 31, 8), 10.0, 20.0, 5.0),
+        (1, dt.datetime(2024, 1, 31, 9), 10.1, 20.1, 5.0),
+        (2, dt.datetime(2024, 1, 31, 22), 30.0, 40.0, 5.0),
+        (2, dt.datetime(2024, 2, 1, 0, 30), 30.1, 40.1, 5.0),
+    ]
+    curated = str(tmp_path / "curated")
+    compute_trajectory(
+        spark.createDataFrame(rows, ["MMSI", "BaseDateTime", "LAT", "LON", "SOG"])
+    ).write.parquet(curated)
+    partials = str(tmp_path / "partials")
+    summary = str(tmp_path / "summary")
+    run_voyage_summary_monthly(spark, curated, partials, summary, "2024-01")
+    run_voyage_summary_monthly(spark, curated, partials, summary, "2024-02")
+    got = spark.read.parquet(summary)
+    rows_by_key = {(r["mmsi"], r["voyageid"]): r for r in got.collect()}
+    # voyage A must survive the Feb run's rewrite of the Jan-31 partition
+    assert (1, 0) in rows_by_key
+    assert (2, 0) in rows_by_key
+    # and voyage B's Feb rollup covers both days
+    assert rows_by_key[(2, 0)]["pointcount"] == 2
+
+
+def test_quarantine_second_day_preserves_first(spark, tmp_path):
+    from noaa_ais_glue_lakehouse_spark.sources.writers import write_quarantine
+
+    q = str(tmp_path / "q")
+    d1 = spark.createDataFrame([(1, 2024, 1, 1)], ["v", "year", "month", "day"])
+    d2 = spark.createDataFrame([(2, 2024, 1, 2)], ["v", "year", "month", "day"])
+    assert write_quarantine(d1, q) == 1
+    assert write_quarantine(d2, q) == 1
+    import os
+
+    assert os.path.isdir(q + "/year=2024/month=1/day=1")
+    assert os.path.isdir(q + "/year=2024/month=1/day=2")
+
+
 def test_trajectory_columns(spark):
     df = _staging_df(spark)
     out = compute_trajectory(df)
