@@ -79,7 +79,22 @@ def main() -> None:
 
     qs = catalog.queries()
     # warmup: absorb JVM/codegen/Python-worker startup so per-query times
-    # reflect steady state (first-query JIT cost was ~4s of q01's 5s)
+    # reflect steady state (first-query JIT cost was ~4s of q01's 5s), and
+    # touch EVERY table the suite reads — footer/metadata reads happen once
+    # per table, and round 2 published q01 at 11.9s (steady state ~1.1s)
+    # because lineitem's first scan absorbed them
+    for t in (
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "nation",
+        "region",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        catalog.load(spark, sf_dir, t).count()
     _force(qs["q08_topk_entities"](spark, sf_dir))
     _force(qs["q44_image_decode_stub"](spark, sf_dir))
 

@@ -33,6 +33,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    raise_on_unconverged: bool = True,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (id, component).
 
@@ -41,24 +43,46 @@ def connected_components(
     its label's label (path halving) — O(log diameter) rounds, so chains
     converge as fast as the dense cliques near-dup graphs actually
     produce. Each round is two joins + one aggregate on the edge list,
-    with ``localCheckpoint`` truncating lineage so the loop's plan doesn't
+    with checkpointing truncating lineage so the loop's plan doesn't
     snowball. This is the pairs→groups step every dedup pipeline needs
     before choosing survivors.
+
+    ``checkpoint_dir``: when set, iterations use reliable ``checkpoint()``
+    into that directory instead of ``localCheckpoint()`` — the right choice
+    on a real cluster, where localCheckpoint pins executor storage and dies
+    with a lost executor. ``raise_on_unconverged``: exhausting
+    ``max_iterations`` before the fixed point means the returned labels
+    would be WRONG (two nodes of one component under different labels →
+    survivor selection keeps both), so the default is to raise rather than
+    silently return them.
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     # materialize the edge list once — it feeds every round, and leaving it
     # lazy would re-run the (possibly expensive) pair-producing pipeline
     # per iteration
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint()
+    edges = _ckpt(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    )
 
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -74,10 +98,11 @@ def connected_components(
         ptr = propagated.select(
             F.col("node").alias("label"), F.col("label").alias("jump")
         )
-        new_labels = (
-            propagated.join(ptr, "label", "left")
-            .select("node", F.coalesce("jump", "label").alias("label"))
-        ).localCheckpoint()
+        new_labels = _ckpt(
+            propagated.join(ptr, "label", "left").select(
+                "node", F.coalesce("jump", "label").alias("label")
+            )
+        )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")
             .join(labels, "node")
@@ -88,6 +113,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — labels would be incorrect; raise max_iterations"
+        )
+        if raise_on_unconverged:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
 
 

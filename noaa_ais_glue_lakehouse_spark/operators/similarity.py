@@ -15,9 +15,22 @@ bucket join pre-partitioned (bucketed tables) and signatures precomputed.
 
 from __future__ import annotations
 
-import pandas
+try:
+    # Optional: only the pandas-UDF factories (_signature_udf,
+    # _pair_cosine_udf, ivf_topk) need pandas; pure-Column paths like
+    # brute_force_topk work without it. Kept at module level (not inside the
+    # factories) because pandas_udf resolves the `pandas.Series` type hints
+    # through this module's globals.
+    import pandas
+except ImportError:  # pragma: no cover
+    pandas = None
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _require_pandas() -> None:
+    if pandas is None:  # pragma: no cover
+        raise ImportError("this similarity operator needs pandas (Arrow UDF path)")
 
 
 def _dot(a, b):
@@ -324,8 +337,12 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    sample = corpus.select(vec_col).limit(kmeans_sample).collect()
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    _require_pandas()
+    # orderBy before limit: bare limit()'s row selection depends on partition
+    # layout, so the training set (hence centroids, hence recall) would
+    # drift between environments — the docstring promises determinism
+    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(kmeans_sample).collect()
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
     # deterministic k-means (fixed seed, fixed iteration count) — plain
     # numpy Lloyd on the driver-side sample; centroids then broadcast as
     # literals inside the assignment UDF

@@ -26,16 +26,25 @@ def salted_join(
 
     The right side is replicated salt_factor× (explode of a literal
     range) — correct for any join cardinality because each left row
-    matches exactly one replica (its own salt). Deterministic salts via
-    a hash of the whole left row rather than rand(): reruns produce the
-    same partitioning, which keeps shuffle-file reuse and debugging sane.
+    matches exactly one replica (its own salt). Salts come from a hash of
+    the whole left row *plus* a row-unique component (partition id + the
+    per-partition monotonic id): hot keys are often fully identical
+    duplicate rows, and a content-only hash would give them all the same
+    salt, landing the entire hot key back in one task. Still
+    deterministic for a fixed input partitioning (no rand()), which keeps
+    reruns and debugging sane.
     """
     if how not in ("inner", "left"):
         # right/full joins would emit salt_factor copies of every
         # unmatched right row (each replica fails the join independently)
         raise ValueError(f"unsupported how={how!r}: salting replicates the right side")
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_factor)
+        F.xxhash64(
+            F.spark_partition_id(),
+            F.monotonically_increasing_id(),
+            *[F.col(c) for c in left.columns],
+        ),
+        F.lit(salt_factor),
     ).cast("int")
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

@@ -77,6 +77,13 @@ def oracle_sql() -> dict[str, str]:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from noaa_ais_glue_lakehouse_spark.sources.readers import read_parquet_table
 
+    # Pinned at call time (not only in the session factory) because the
+    # external driver passes its OWN SparkSession: any timestamp the catalog
+    # constructs (to_timestamp/date_format) is interpreted in the session
+    # timezone at EXECUTION time, and the DuckDB oracle is timezone-naive
+    # (effectively UTC). Left set deliberately — execution happens lazily
+    # after this returns, so a save/restore here would un-pin it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
 
 
@@ -704,7 +711,8 @@ def q21_coordinate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                           ['%Y-%m-%d %H:%M:%S', '%Y-%m-%dT%H:%M:%S']) AS base_datetime
       FROM s
     )
-    SELECT event_id, base_datetime,
+    SELECT event_id,
+           strftime(base_datetime, '%Y-%m-%d %H:%M:%S') AS base_datetime,
            strftime(base_datetime, '%Y') AS year,
            strftime(base_datetime, '%m') AS month,
            strftime(base_datetime, '%d') AS day
@@ -714,6 +722,12 @@ def q21_coordinate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 — multi-format timestamp parsing (Z-strip, 3-format coalesce,
     partition derivation) round-tripped through formatted strings.
+
+    ``base_datetime`` is emitted as a formatted STRING on both sides: this is
+    the only catalog query that constructs timestamps (rather than passing
+    reader-produced ones through), and constructed-timestamp dtype/instant
+    mapping is the one thing an externally owned SparkSession can change out
+    from under us (round-2 driver red: rows ✓ schema ✗ hash ✗).
     """
     ev = load(spark, sf_dir, "events")
     raw = (
@@ -725,7 +739,7 @@ def q22_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = cleaning.parse_base_datetime(df, "BaseDateTime")
     return parsed.select(
         "event_id",
-        F.col("BaseDateTime").alias("base_datetime"),
+        F.date_format("BaseDateTime", "yyyy-MM-dd HH:mm:ss").alias("base_datetime"),
         "year",
         "month",
         "day",

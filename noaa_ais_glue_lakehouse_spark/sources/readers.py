@@ -28,9 +28,18 @@ def read_parquet_table(spark: SparkSession, path: str, ns_ts_cols: tuple[str, ..
     """
     # Runtime-settable; must be applied here (not only at session build) because
     # callers may pass in an externally built SparkSession that never went
-    # through our session factory.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # through our session factory. Only set when the plain read actually hits
+    # the nanos schema error (thrown eagerly at footer/schema inference), so
+    # sessions reading only us/ms files are never mutated. When it IS set it
+    # must STAY set: the scan re-consults the conf lazily at execution time,
+    # so a save/restore here would break the collect that happens after we
+    # return. Side effect: later ns-file reads in the same session get
+    # LongType instead of an error — which this reader normalizes anyway.
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     for c in ns_ts_cols:
         field = next((f for f in df.schema.fields if f.name == c), None)
         if field is not None and isinstance(field.dataType, T.LongType):
