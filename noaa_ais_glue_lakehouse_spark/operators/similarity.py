@@ -118,7 +118,7 @@ def _signature_udf(dim: int, n_planes: int, n_tables: int):
 
     @pandas_udf("array<int>")
     def signatures(vecs: pandas.Series) -> pandas.Series:
-        mat = np.array(vecs.tolist(), dtype=np.float64)  # batch × dim
+        mat = np.stack(vecs.values).astype(np.float64, copy=False)  # batch × dim
         bits = (mat @ planes) >= 0  # batch × (L·b) sign bits
         sigs = (bits.reshape(len(mat), n_tables, n_planes) * weights).sum(
             axis=2
@@ -170,11 +170,16 @@ def cosine_near_duplicates(
     :func:`cosine_pairs_exact` is measured in tests.
     """
     signatures = _signature_udf(dim, n_planes, n_tables)
+    # Candidate generation is id-only: carrying the vectors through the
+    # band self-join and the dedup shuffle would ship ~dim·8 bytes per
+    # candidate ROW (candidates outnumber the corpus by orders of
+    # magnitude when buckets are large); id pairs are ~16 bytes. Vectors
+    # re-attach after dropDuplicates — |survivors| join work, and the
+    # corpus side broadcasts when small.
     keyed = df.select(
-        F.col(id_col), F.col(vec_col), signatures(F.col(vec_col)).alias("_sigs")
+        F.col(id_col), signatures(F.col(vec_col)).alias("_sigs")
     ).select(
         id_col,
-        vec_col,
         F.explode(
             F.arrays_zip(
                 F.sequence(F.lit(0), F.lit(n_tables - 1)).alias("tbl"),
@@ -194,11 +199,17 @@ def cosine_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
         )
         .repartition(parallelism, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            "id_a",
+        )
+        .join(
+            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            "id_b",
+        )
     )
     cos = _pair_cosine_udf()(F.col("_va"), F.col("_vb"))
     return (
@@ -217,8 +228,8 @@ def _pair_cosine_udf():
 
     @pandas_udf("double")
     def pair_cosine(a: pandas.Series, b: pandas.Series) -> pandas.Series:
-        ma = np.array(a.tolist(), dtype=np.float64)
-        mb = np.array(b.tolist(), dtype=np.float64)
+        ma = np.stack(a.values).astype(np.float64, copy=False)
+        mb = np.stack(b.values).astype(np.float64, copy=False)
         dots = np.einsum("ij,ij->i", ma, mb)
         norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pandas.Series(dots / norms)
@@ -360,13 +371,13 @@ def ivf_topk(
 
     @pandas_udf("int")
     def nearest_list(vecs: pandas.Series) -> pandas.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = np.stack(vecs.values).astype(np.float64, copy=False)
         d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         return pandas.Series(d2.argmin(axis=1).astype(np.int32))
 
     @pandas_udf("array<int>")
     def probe_lists(vecs: pandas.Series) -> pandas.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = np.stack(vecs.values).astype(np.float64, copy=False)
         d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         order = np.argsort(d2, axis=1)[:, : min(n_probe, len(cent))]
         return pandas.Series(list(order.astype(np.int32)))

@@ -42,8 +42,20 @@ def read_parquet_table(spark: SparkSession, path: str, ns_ts_cols: tuple[str, ..
         df = spark.read.parquet(path)
     for c in ns_ts_cols:
         field = next((f for f in df.schema.fields if f.name == c), None)
-        if field is not None and isinstance(field.dataType, T.LongType):
+        if field is None:
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Parquet files whose timestamps are micros with isAdjustedToUTC=
+            # false arrive as TIMESTAMP_NTZ. The engine's invariant is LTZ
+            # timestamps under a UTC session (callers pin
+            # spark.sql.session.timeZone=UTC at load time), so the NTZ wall
+            # clock converts to the same instant. Cast via the explicit
+            # TimestampType class — the string name "timestamp" would follow
+            # spark.sql.timestampType and silently stay NTZ on sessions that
+            # set it.
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
