@@ -238,6 +238,122 @@ def jaccard_pairs_exact(
     )
 
 
+def _shingle_expr(text_col: str, use_char_ngrams: bool, ngram_n: int):
+    return (
+        char_ngrams(F.col(text_col), ngram_n)
+        if use_char_ngrams
+        else F.array_distinct(tokenize(F.col(text_col)))
+    )
+
+
+def _minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    use_char_ngrams: bool,
+    ngram_n: int,
+    with_sets: bool,
+) -> DataFrame:
+    """Per-document minhash index in ONE shingle pass: 32 signature mins
+    (``_h0..``) and, when ``with_sets``, the xxhash64'd shingle set
+    (``_sh``/``_n``) the exact-Jaccard verify needs.
+
+    Signatures via explode + num_hashes min-aggregates rather than the
+    Column-level transform/array_min form (functions/hashing.py):
+    higher-order functions are interpreted per element in Spark, while
+    explode + conditional aggregates stay inside whole-stage codegen
+    with map-side partial aggregation — the shuffle carries ~one row per
+    document, not per shingle. Values are identical:
+    slot i = min over shingles of xxhash64(shingle, i).
+
+    The hashed set MUST be built inside this aggregation, not as a
+    projection over the doc scan: CollapseProject pulls a bare
+    tokenize+transform projection up through the verify joins, so the
+    per-document work would be re-evaluated once per CANDIDATE PAIR per
+    side (interpreted higher-order functions ×|candidates|, not ×|docs| —
+    measured 53 s → 9 s at sf0.1 on a corpus with a 2300-doc dup
+    cluster). explode + collect_set is a hard optimizer barrier and
+    shares the one-shuffle shape of the signature aggregation.
+    """
+    shingle = _shingle_expr(text_col, use_char_ngrams, ngram_n)
+    exploded = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(shingle).alias("_s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    if with_sets:
+        aggs.append(F.collect_set(F.xxhash64("_s")).alias("_sh"))
+    out = exploded.groupBy(id_col).agg(*aggs)
+    if with_sets:
+        out = out.withColumn("_n", F.size("_sh"))
+    return out
+
+
+def _band_pairs(
+    feats: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b, exactly once) from a
+    per-document signature index (``_h0..`` columns)."""
+    r = num_hashes // bands
+    # Band hashes as FLAT columns (not an array): every band of every doc
+    # is needed in the join condition below, and flat primitive columns
+    # keep the whole condition inside whole-stage codegen.
+    band_hash = [
+        F.xxhash64(
+            F.concat_ws(
+                ",", *[F.col(f"_h{i * r + j}").cast("string") for j in range(r)]
+            )
+        ).alias(f"_b{i}")
+        for i in range(bands)
+    ]
+    banded_docs = feats.select(F.col(id_col), *band_hash)
+    banded = banded_docs.select(
+        id_col,
+        *[f"_b{i}" for i in range(bands)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"), F.col(f"_b{i}").alias("band_hash")
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, *[f"_b{i}" for i in range(bands)], "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # Cross-band dedup WITHOUT a shuffle: a pair colliding in k bands
+    # appears k times in the raw band join; emitting it only from its
+    # FIRST colliding band (no earlier band agrees) produces each pair
+    # exactly once, replacing the dropDuplicates over the k-fold join
+    # output (22.5M rows for a 2300-doc dup cluster at sf0.1) with a
+    # bands-1-term boolean filter evaluated inside the join.
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for j in range(bands - 1):
+        cond = cond & (
+            (F.col("a.band_idx") <= F.lit(j)) | (F.col(f"a._b{j}") != F.col(f"b._b{j}"))
+        )
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    # Explicit numeric repartition on the pair key: pair rows are ~16
+    # bytes, so AQE would coalesce the exchange to a couple of partitions
+    # by byte size — and the downstream exact-Jaccard verify
+    # (compute-bound, not byte-bound) would inherit that near-serial
+    # layout. A user-specified repartition is exempt from AQE coalescing.
+    parallelism = feats.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(parallelism, "id_a", "id_b")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -246,6 +362,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     use_char_ngrams: bool = True,
     ngram_n: int = 5,
+    materialize_index: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH candidate pairs (id_a < id_b, distinct).
 
@@ -254,79 +371,22 @@ def minhash_lsh_candidates(
     band_hash). Probability a pair with Jaccard s collides:
     1-(1-s^r)^bands. The join is an equi-join on the band key — one shuffle,
     no cross product; bucket skew (giant clusters) is bounded by AQE skew
-    handling plus the downstream distinct.
+    handling plus the first-collision-band dedup.
+
+    ``materialize_index`` checkpoints the per-doc signature index
+    (~8·num_hashes bytes/doc) so the self-join's two sides don't each
+    recompute the full shingle pass — the standard "materialize the
+    signature index" step of any LSH pipeline. Set False to keep the plan
+    fully lazy.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
-    shingle = (
-        char_ngrams(F.col(text_col), ngram_n)
-        if use_char_ngrams
-        else F.array_distinct(tokenize(F.col(text_col)))
+    feats = _minhash_index(
+        df, id_col, text_col, num_hashes, use_char_ngrams, ngram_n, with_sets=False
     )
-    # Signatures via explode + num_hashes min-aggregates rather than the
-    # Column-level transform/array_min form (functions/hashing.py):
-    # higher-order functions are interpreted per element in Spark, while
-    # explode + conditional aggregates stay inside whole-stage codegen
-    # with map-side partial aggregation — the shuffle carries ~one row per
-    # document, not per shingle. Values are identical:
-    # slot i = min over shingles of xxhash64(shingle, i).
-    shingled = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), shingle.alias("_sh")
-    )
-    exploded = shingled.select(F.col(id_col), F.explode("_sh").alias("_s"))
-    sigs = (
-        exploded.groupBy(id_col)
-        .agg(
-            *[
-                F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"),
-        )
-    )
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("_sig", i * r + j + 1).cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    # Dedup across bands via an explicit numeric repartition on the pair key
-    # instead of .distinct(): pair rows are ~16 bytes, so AQE would coalesce
-    # the distinct's exchange to a couple of partitions by byte size — and
-    # the downstream exact-Jaccard verify (compute-bound, not byte-bound)
-    # would inherit that near-serial layout. A user-specified repartition is
-    # exempt from AQE coalescing, and dropDuplicates reuses its partitioning.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return pairs.repartition(parallelism, "id_a", "id_b").dropDuplicates()
+    if materialize_index:
+        feats = feats.localCheckpoint()
+    return _band_pairs(feats, id_col, num_hashes, bands)
 
 
 def minhash_near_duplicates(
@@ -338,40 +398,59 @@ def minhash_near_duplicates(
     bands: int = 8,
     use_char_ngrams: bool = True,
     ngram_n: int = 5,
+    materialize_index: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
     The verify join re-attaches shingle sets only for candidate ids —
     at scale this is |candidates| work, not |corpus|².
+
+    Verify runs over xxhash64'd shingles: array_intersect on longs skips
+    per-element string hashing/equality — measured 18.7s → 11.2s at
+    sf0.1 with identical output (a 64-bit collision shifting a Jaccard
+    across the threshold needs colliding shingles in one document pair;
+    probability ~2^-64 per pair).
+
+    ``materialize_index`` checkpoints ONE per-doc index carrying both the
+    signature mins and the hashed shingle set (~8·(num_hashes+|set|)
+    bytes/doc), shared by the band self-join (2 consumers) and the verify
+    joins (2 more) — without it the full text→shingle→agg pass runs four
+    times.
     """
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, num_hashes, bands, use_char_ngrams, ngram_n
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    feats = _minhash_index(
+        df, id_col, text_col, num_hashes, use_char_ngrams, ngram_n, with_sets=True
     )
-    shingle = (
-        char_ngrams(F.col(text_col), ngram_n)
-        if use_char_ngrams
-        else F.array_distinct(tokenize(F.col(text_col)))
-    )
-    # Verify over xxhash64'd shingles: array_intersect on longs skips
-    # per-element string hashing/equality — measured 18.7s → 11.2s at
-    # sf0.1 with identical output (a 64-bit collision shifting a Jaccard
-    # across the threshold needs colliding shingles in one document pair;
-    # probability ~2^-64 per pair).
-    hashed = F.array_distinct(F.transform(shingle, lambda s: F.xxhash64(s)))
-    sets = _spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), hashed.alias("_sh")
-    )
+    if materialize_index:
+        feats = feats.localCheckpoint()
+    cands = _band_pairs(feats, id_col, num_hashes, bands)
+    sets = feats.select(F.col(id_col), "_sh", "_n")
     out = (
-        cands.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
-        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        cands.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_sh").alias("_sha"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_sh").alias("_shb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
     )
     # Exactness-preserving size prefilter before the set intersection:
     # J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t, so size-mismatched candidates
     # are rejected without paying for array_intersect.
-    na, nb = F.size("_sha"), F.size("_shb")
+    na, nb = F.col("_na"), F.col("_nb")
     out = out.filter(F.least(na, nb) >= F.greatest(na, nb) * F.lit(threshold))
     inter = F.size(F.array_intersect("_sha", "_shb"))
-    union = F.size("_sha") + F.size("_shb") - inter
+    union = na + nb - inter
     jacc = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
         F.lit(0.0)
     )

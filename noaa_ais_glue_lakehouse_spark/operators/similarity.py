@@ -171,15 +171,15 @@ def cosine_near_duplicates(
     """
     signatures = _signature_udf(dim, n_planes, n_tables)
     # Candidate generation is id-only: carrying the vectors through the
-    # band self-join and the dedup shuffle would ship ~dim·8 bytes per
-    # candidate ROW (candidates outnumber the corpus by orders of
-    # magnitude when buckets are large); id pairs are ~16 bytes. Vectors
-    # re-attach after dropDuplicates — |survivors| join work, and the
-    # corpus side broadcasts when small.
+    # band self-join would ship ~dim·8 bytes per candidate ROW (candidates
+    # outnumber the corpus by orders of magnitude when buckets are large);
+    # id pairs are ~16 bytes. Vectors re-attach afterwards — |survivors|
+    # join work, and the corpus side broadcasts when small.
     keyed = df.select(
         F.col(id_col), signatures(F.col(vec_col)).alias("_sigs")
     ).select(
         id_col,
+        "_sigs",
         F.explode(
             F.arrays_zip(
                 F.sequence(F.lit(0), F.lit(n_tables - 1)).alias("tbl"),
@@ -190,18 +190,29 @@ def cosine_near_duplicates(
     a = keyed.alias("a")
     b = keyed.alias("b")
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    cands = (
-        a.join(
-            b,
-            (F.col("a._k") == F.col("b._k"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Cross-table dedup without a shuffle: emit a pair only from its FIRST
+    # agreeing table (no earlier table's bucket ids match) — each pair
+    # exactly once, no dropDuplicates over the L-fold join output.
+    # element_at is a plain codegen expression, so the n_tables-1 guard
+    # terms stay inside the join's generated code.
+    cond = (F.col("a._k") == F.col("b._k")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for j in range(n_tables - 1):
+        cond = cond & (
+            (F.col("a._k.tbl") <= F.lit(j))
+            | (F.element_at("a._sigs", j + 1) != F.element_at("b._sigs", j + 1))
         )
+    cands = (
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        # explicit numeric repartition: candidate rows are ~16 bytes, so
+        # AQE would byte-coalesce the verify (compute-bound) to a couple
+        # of partitions
         .repartition(parallelism, "id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
         .join(
             df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
             "id_a",
