@@ -92,25 +92,25 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
         # pointer doubling: label <- label(label)
         ptr = propagated.select(
             F.col("node").alias("label"), F.col("label").alias("jump")
         )
+        # carry a changed flag through the round so convergence is a
+        # filter over the checkpointed output — not an extra join of new
+        # labels against old ones (one fewer shuffle job per round)
         new_labels = _ckpt(
             propagated.join(ptr, "label", "left").select(
-                "node", F.coalesce("jump", "label").alias("label")
+                "node",
+                F.coalesce("jump", "label").alias("label"),
+                (F.coalesce("jump", "label") != F.col("_old")).alias("_changed"),
             )
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     if changed != 0:
@@ -167,6 +167,41 @@ def winnow_fingerprint_index(
     mins = F.transform(win_idx, lambda j: F.array_min(F.slice("_h", j, w)))
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+def winnow_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 10,
+    materialize_index: bool = True,
+) -> DataFrame:
+    """Winnowing near-dup pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints (id_a < id_b, with the shared count).
+
+    Deterministic (no randomness), so unlike the MinHash path this
+    near-dup family is fully oracle-checkable. Candidate generation is a
+    fingerprint equi-join — the same no-cross-product shape as LSH
+    banding. ``materialize_index`` checkpoints the fingerprint index so
+    the self-join's two sides don't each recompute the per-gram md5 pass.
+    """
+    idx = winnow_fingerprint_index(df, id_col, text_col, k, w)
+    if materialize_index:
+        idx = idx.localCheckpoint()
+    a = idx.alias("a")
+    b = idx.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 

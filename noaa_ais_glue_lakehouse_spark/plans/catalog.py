@@ -1910,25 +1910,11 @@ def q61_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. Equi-join on fingerprint — same no-cross-product
     shape as LSH banding."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import (
-        winnow_fingerprint_index,
+        winnow_near_duplicates,
     )
 
     docs = load(spark, sf_dir, "documents")
-    idx = winnow_fingerprint_index(docs, "doc_id", "text", 8, 4)
-    a = idx.alias("a")
-    b = idx.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fingerprint") == F.col("b.fingerprint"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 10)
-    )
+    return winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
 
 
 @register(
