@@ -54,21 +54,28 @@ def grid_cell(coord: Column, precision_deg: float) -> Column:
     return F.floor(coord / F.lit(precision_deg)).cast("long")
 
 
-def _interleave_bits(lon_q: Column, lat_q: Column, bits_per_axis: int) -> Column:
-    """Interleave two bits_per_axis-bit integers, lon bit first (geohash order)."""
-    total = 2 * bits_per_axis
+def _interleave_bits(lon_q: Column, lat_q: Column, lon_bits: int, lat_bits: int) -> Column:
+    """Interleave lon_bits+lat_bits integers, lon bit first (geohash order).
+
+    lon occupies output bits total-1, total-3, …; lat occupies total-2,
+    total-4, … — with lon_bits == lat_bits (even precision) or
+    lon_bits == lat_bits+1 (odd precision, lon gets the extra bit per the
+    public geohash spec).
+    """
+    total = lon_bits + lat_bits
     parts = []
-    for i in range(bits_per_axis):
-        # bit (bits_per_axis-1-i) of lon goes to output bit (total-1-2i)
+    for i in range(lon_bits):
+        # bit (lon_bits-1-i) of lon goes to output bit (total-1-2i)
         parts.append(
             F.shiftleft(
-                F.shiftright(lon_q, bits_per_axis - 1 - i).bitwiseAND(F.lit(1)),
+                F.shiftright(lon_q, lon_bits - 1 - i).bitwiseAND(F.lit(1)),
                 total - 1 - 2 * i,
             )
         )
+    for i in range(lat_bits):
         parts.append(
             F.shiftleft(
-                F.shiftright(lat_q, bits_per_axis - 1 - i).bitwiseAND(F.lit(1)),
+                F.shiftright(lat_q, lat_bits - 1 - i).bitwiseAND(F.lit(1)),
                 total - 2 - 2 * i,
             )
         )
@@ -82,26 +89,31 @@ def geohash_expr(lat: Column, lon: Column, precision: int = 6) -> Column:
     """Base-32 geohash of (lat, lon) as a native column expression.
 
     Equivalent to the standard bisection encoder the reference wraps in a
-    Python UDF (``utils/common_functions_curated.py:283-317``): for an
-    even-length geohash of ``precision`` chars, the lon axis gets
-    ``precision*5/2`` bits and quantization ``floor((x-min)/range * 2^bits)``
-    reproduces the bisection bit pattern exactly.
+    Python UDF (``utils/common_functions_curated.py:283-317``): the lon
+    axis gets ceil(precision*5/2) bits (the extra bit on odd lengths, per
+    the public spec), lat gets the rest, and quantization
+    ``floor((x-min)/range * 2^bits)`` reproduces the bisection bit
+    pattern exactly. Precisions 1–12 (total bits ≤ 60 stay inside long).
     """
-    if precision % 2 != 0:
-        raise ValueError("geohash_expr supports even precision (lon/lat bit split)")
-    bits_per_axis = precision * 5 // 2
-    scale = 1 << bits_per_axis
-    max_q = scale - 1
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    total = precision * 5
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
 
     lon_q = F.least(
-        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(scale))).cast("long"),
-        F.lit(max_q),
+        F.floor(
+            (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))
+        ).cast("long"),
+        F.lit((1 << lon_bits) - 1),
     )
     lat_q = F.least(
-        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(scale))).cast("long"),
-        F.lit(max_q),
+        F.floor(
+            (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))
+        ).cast("long"),
+        F.lit((1 << lat_bits) - 1),
     )
-    inter = _interleave_bits(lon_q, lat_q, bits_per_axis)
+    inter = _interleave_bits(lon_q, lat_q, lon_bits, lat_bits)
 
     chars = []
     for k in range(precision):

@@ -328,6 +328,115 @@ def lsh_bucket_topk(
     )
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    kmeans_sample: int,
+):
+    """Deterministic k-means centroids (numpy Lloyd, fixed seed + iteration
+    count) from a bounded driver-side sample.
+
+    orderBy before limit: bare limit()'s row selection depends on partition
+    layout, so the training set (hence centroids, hence recall) would drift
+    between environments. The sample is bounded by design (``kmeans_sample``
+    rows to the driver — never the corpus).
+    """
+    import numpy as np
+
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(kmeans_sample).collect()
+    )
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
+    for _ in range(8):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def cosine_near_duplicates_clustered(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    kmeans_sample: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via k-means clustering + per-cluster
+    BLAS matmul (the SemDeDup shape) — the scale path when sign-LSH can't
+    prune (low thresholds sit too close to the random-pair collision rate:
+    at cos ≥ 0.4 a 4-plane×16-table config admits ~64% of ALL pairs).
+
+    Each vector is assigned to its ``n_probe`` nearest centroids
+    (multi-assignment buys cross-boundary recall); ``applyInPandas`` per
+    cluster computes the full within-cluster similarity matrix with one
+    normalized matmul and emits only pairs ≥ threshold. Shuffle is
+    n_probe·|corpus| vector rows — no candidate-pair materialization at
+    all; compute is Σ|cluster|² inside BLAS. Pair duplicates from
+    multi-assignment are bounded by n_probe² per pair and dedup'd on the
+    output (|result| work). Precision exact; recall = P(pair shares ≥1
+    probed cluster), measured vs :func:`cosine_pairs_exact` in tests.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    _require_pandas()
+    cent = _train_centroids(corpus=df, id_col=id_col, vec_col=vec_col,
+                            n_lists=n_lists, seed=seed, kmeans_sample=kmeans_sample)
+
+    @pandas_udf("array<int>")
+    def probe_lists(vecs: pandas.Series) -> pandas.Series:
+        m = np.stack(vecs.values).astype(np.float64, copy=False)
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, : min(n_probe, len(cent))]
+        return pandas.Series(list(order.astype(np.int32)))
+
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(probe_lists(F.col(vec_col))).alias("_list"),
+    )
+
+    thr = float(threshold)
+
+    def _cluster_pairs(pdf):
+        ids = pdf["_id"].to_numpy()
+        m = np.stack(pdf["_v"].values).astype(np.float64, copy=False)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        mn = m / norms[:, None]
+        sims = mn @ mn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        # round BEFORE thresholding — parity with cosine_pairs_exact,
+        # which filters on the 4-dp-rounded score
+        rounded = np.round(sims[iu, ju], 4)
+        keep = rounded >= thr
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        lo = np.minimum(ia, jb)
+        hi = np.maximum(ia, jb)
+        return pandas.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": rounded[keep]}
+        )
+
+    pairs = assigned.groupBy("_list").applyInPandas(
+        _cluster_pairs, schema="id_a long, id_b long, cosine double"
+    )
+    # multi-assignment emits a pair once per shared probed cluster —
+    # output-sized dedup (scores are identical, keep any)
+    return pairs.dropDuplicates(["id_a", "id_b"]).filter(F.col("cosine") >= threshold)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -360,25 +469,7 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     _require_pandas()
-    # orderBy before limit: bare limit()'s row selection depends on partition
-    # layout, so the training set (hence centroids, hence recall) would
-    # drift between environments — the docstring promises determinism
-    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(kmeans_sample).collect()
-    mat = np.array([r[1] for r in sample], dtype=np.float64)
-    # deterministic k-means (fixed seed, fixed iteration count) — plain
-    # numpy Lloyd on the driver-side sample; centroids then broadcast as
-    # literals inside the assignment UDF
-    rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)]
-    for _ in range(8):
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-
-    cent = centroids  # closure capture
+    cent = _train_centroids(corpus, id_col, vec_col, n_lists, seed, kmeans_sample)
 
     @pandas_udf("int")
     def nearest_list(vecs: pandas.Series) -> pandas.Series:

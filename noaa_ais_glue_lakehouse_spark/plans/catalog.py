@@ -1961,3 +1961,45 @@ def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("component")
     )
+
+
+@register("q63_sketch_distinct_quantiles")  # rows-only: sketch values differ across engines by design
+def q63_sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (operators/sketches.py) under the driver's eye:
+    per-day HLL++ distinct users + approximate value quantiles. No value
+    oracle is possible — sketch estimates are engine-specific by design —
+    so the driver records rows/schema while tests/test_sketches.py pins
+    tolerance vs exact answers. One map-side-combinable aggregation;
+    the shuffle carries one sketch per (day), never the value set."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        approx_distinct_by,
+        approx_quantiles_by,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    distinct = approx_distinct_by(ev, ["day"], "user_id", rsd=0.02)
+    quants = approx_quantiles_by(ev, ["day"], "value", [0.5, 0.95], 10_000)
+    return (
+        distinct.join(quants, "day")
+        .select(
+            "day",
+            F.col("approx_n_user_id").cast("long").alias("approx_users"),
+            F.element_at("quantiles_value", 1).alias("p50_value"),
+            F.element_at("quantiles_value", 2).alias("p95_value"),
+        )
+    )
+
+
+@register("q64_cosine_dup_cluster")  # rows-only: k-means clustering not SQL-expressible
+def q64_cosine_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered embedding dedup (SemDeDup shape): k-means multi-assign +
+    per-cluster BLAS similarity matrix via applyInPandas — the scale path
+    when the threshold sits too close to the random-pair cosine for
+    sign-LSH to prune. Precision exact (scores match q46 on found pairs);
+    recall vs q46 asserted in tests/test_similarity.py."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates_clustered,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates_clustered(emb, dim=64, threshold=0.4)

@@ -59,13 +59,18 @@ coords = st.tuples(
 @settings(max_examples=10, deadline=None)
 @given(st.lists(coords, min_size=1, max_size=20))
 def test_geohash_matches_bisection_encoder(spark, pts):
+    # even AND odd precisions — odd lengths give lon the extra bit
+    # (asymmetric split), the branch the quantizer must get right
     df = spark.createDataFrame(pts, ["lat", "lon"])
-    got = [
-        r[0]
-        for r in df.select(geohash_expr(F.col("lat"), F.col("lon"), 6)).collect()
-    ]
-    want = [_ref_geohash(lat, lon, 6) for lat, lon in pts]
-    assert got == want
+    for precision in (5, 6, 7):
+        got = [
+            r[0]
+            for r in df.select(
+                geohash_expr(F.col("lat"), F.col("lon"), precision)
+            ).collect()
+        ]
+        want = [_ref_geohash(lat, lon, precision) for lat, lon in pts]
+        assert got == want, f"precision {precision}"
 
 
 @settings(max_examples=10, deadline=None)

@@ -105,3 +105,30 @@ def test_detect_swapped_coordinates(spark):
     # limitation of the reference's mean-based rule)
     subtle = spark.createDataFrame([(-76.0, 39.0), (-80.0, 40.0)], ["LAT", "LON"])
     assert detect_swapped_coordinates(subtle) is False
+
+
+def test_cosine_dedup_clustered_recall_and_parity(spark):
+    """SemDeDup-shape clustered dedup: precision exact (scores match the
+    brute-force baseline on found pairs), recall ≥ LSH-level on clustered
+    data — its natural regime, since k-means recovers the very clusters
+    the dups live in."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates_clustered,
+    )
+
+    df = _clustered_vectors(spark)
+    truth = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs_exact(df, threshold=0.7).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_duplicates_clustered(
+            df, dim=16, threshold=0.7, n_lists=8, n_probe=3
+        ).collect()
+    }
+    assert set(got) <= set(truth)  # exact scoring → precision 1.0
+    for key, score in got.items():
+        assert abs(score - truth[key]) < 1e-9  # identical 4-dp rounding
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.8, f"recall {recall:.3f}"
