@@ -1,0 +1,108 @@
+"""Training-data assembly operators: deterministic sampling, split
+assignment, and token-budget sequence packing.
+
+These are the steps between "cleaned corpus" and "batches on the trainer":
+subsample/rebalance classes, carve held-out splits, and pack documents
+into fixed token windows. All three are deterministic (hash/arithmetic on
+the id, never RNG state), so runs are reproducible and resumable — the
+property that matters when a 100 TB job dies at 80%.
+
+Scale shape: sampling and split assignment are stateless row-local
+projections (no shuffle at all); packing is one window pass partitioned
+by shard — each shard packs independently, which is exactly how a
+distributed trainer consumes data (one packed stream per worker), so the
+plan has no global ordering bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative hash constant (2^32 / phi). Cross-engine
+# reproducible with plain BIGINT arithmetic — unlike xxhash64, any SQL
+# engine can verify the sample. For adversarial id distributions swap in
+# deterministic_fraction's md5 path.
+_KNUTH = 2654435761
+
+
+def _id_fraction(id_col: str) -> F.Column:
+    """Deterministic pseudo-uniform fraction in [0, 1) from an integer id:
+    multiplicative hashing on the low 32 bits (pmod keeps negatives out).
+    """
+    return (
+        F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(1 << 32))
+    ).cast("double") / F.lit(float(1 << 32))
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-class deterministic subsampling — rebalance a corpus by keeping
+    ``rates[class]`` of each class (id-hash order, not RNG), so the same
+    input always yields the same sample and late-arriving partitions can't
+    change earlier decisions. No shuffle: a row-local filter.
+    """
+    frac = _id_fraction(id_col)
+    rate = F.lit(float(default_rate))
+    for cls, r in sorted(rates.items()):
+        rate = F.when(F.col(class_col) == cls, F.lit(float(r))).otherwise(rate)
+    return df.filter(frac < rate)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign a deterministic train/val/test split by id hash — stable
+    across runs and engines, membership decided row-locally (no shuffle).
+    """
+    frac = _id_fraction(id_col)
+    return df.withColumn(
+        split_col,
+        F.when(frac < val_fraction, F.lit("val"))
+        .when(frac < val_fraction + test_fraction, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    context_tokens: int,
+    n_shards: int = 32,
+    shard_col: str = "shard",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Concatenation-style sequence packing: assign each document to a
+    fixed ``context_tokens`` window within its shard.
+
+    Documents are streamed in deterministic id order per shard and the
+    window id is ``floor(tokens_before / context_tokens)`` — the
+    concatenate-then-chop packing LLM pretraining uses (a document may
+    straddle a boundary; the trainer splits it). Shards pack
+    independently (id-hash sharding), so the plan is one window pass
+    partitioned by shard — no global ordering bottleneck; parallelism is
+    ``n_shards`` regardless of corpus size.
+    """
+    shard = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(1 << 32)) % F.lit(
+        n_shards
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn(shard_col, shard.cast("int"))
+    tokens_before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return out.withColumn(
+        bin_col, F.floor(tokens_before / F.lit(context_tokens)).cast("long")
+    )

@@ -2003,3 +2003,117 @@ def q64_cosine_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return cosine_near_duplicates_clustered(emb, dim=64, threshold=0.4)
+
+
+@register(
+    "q65_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE p AS MATERIALIZED (
+      WITH grams AS (
+        SELECT doc_id,
+               list_transform(range(1, length(lower(text)) - 6),
+                              i -> md5(substr(lower(text), i, 8))) AS hashes
+        FROM documents WHERE length(text) >= 8
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hashes) - 2),
+                             j -> list_min(hashes[j : j + 3]))) AS fps
+        FROM grams WHERE len(hashes) >= 4
+      ), idx AS (
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ), cc(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+      WHERE cc.label < e.dst
+    ), losers AS (
+      SELECT node FROM cc GROUP BY node HAVING MIN(label) <> node
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node
+    """,
+)
+def q65_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup: winnowing near-dup pairs → connected components →
+    min-id survivor per component + all untouched docs (dedup_by_components)
+    — the full pairs→groups→survivors chain a training pipeline runs, fully
+    hash-checked against a recursive-CTE oracle (deterministic family)."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        dedup_by_components,
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
+    survivors = dedup_by_components(docs, pairs.select("id_a", "id_b"), "doc_id")
+    return survivors.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+@register(
+    "q66_stratified_sample",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE CAST((event_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+          < CASE event_type WHEN 'view' THEN 0.1 WHEN 'click' THEN 0.5 ELSE 1.0 END
+    """,
+)
+def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class subsampling (corpus rebalancing): keep 10%
+    of views, 50% of clicks, everything else — id-hash order, not RNG, so
+    the sample is reproducible across runs AND engines (the oracle runs
+    the identical arithmetic). Row-local filter, no shuffle."""
+    from noaa_ais_glue_lakehouse_spark.operators.training import (
+        deterministic_stratified_sample,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return deterministic_stratified_sample(
+        ev, "event_id", "event_type", {"view": 0.1, "click": 0.5}
+    ).select("event_id", "event_type")
+
+
+@register(
+    "q67_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST((doc_id * 2654435761) % 4294967296 % 32 AS INT) AS shard,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 512.0) AS BIGINT) AS bin_id
+    FROM t
+    """,
+)
+def q67_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concatenate-then-chop): documents
+    stream in id order per shard; window id = floor(tokens_before / 512).
+    One window pass partitioned by shard — shards pack independently, so
+    there is no global-ordering bottleneck at any corpus size."""
+    from noaa_ais_glue_lakehouse_spark.operators.training import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    with_counts = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        with_counts, "doc_id", "n_tokens", context_tokens=512, n_shards=32
+    )
+    return packed.select("doc_id", "shard", "n_tokens", "bin_id")

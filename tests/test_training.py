@@ -1,0 +1,65 @@
+"""Training-data assembly: deterministic sampling, split assignment,
+sequence packing (operators/training.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.operators.training import (
+    deterministic_stratified_sample,
+    pack_sequences,
+    train_val_test_split,
+)
+
+
+def _events(spark, n=2000):
+    rows = [(i, ["view", "click", "purchase"][i % 3]) for i in range(n)]
+    return spark.createDataFrame(rows, ["event_id", "event_type"])
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = _events(spark)
+    got = deterministic_stratified_sample(
+        df, "event_id", "event_type", {"view": 0.1, "click": 0.5}
+    )
+    counts = {r["event_type"]: r["n"] for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    base = {r["event_type"]: r["n"] for r in df.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert counts["purchase"] == base["purchase"]  # default rate 1.0 keeps all
+    assert 0.05 < counts["view"] / base["view"] < 0.2
+    assert 0.4 < counts["click"] / base["click"] < 0.6
+    # determinism: identical id set on re-run
+    again = deterministic_stratified_sample(
+        df, "event_id", "event_type", {"view": 0.1, "click": 0.5}
+    )
+    assert sorted(r[0] for r in got.select("event_id").collect()) == sorted(
+        r[0] for r in again.select("event_id").collect()
+    )
+
+
+def test_split_partitions_and_covers(spark):
+    df = _events(spark)
+    got = train_val_test_split(df, "event_id", 0.1, 0.1)
+    counts = {r["split"]: r["n"] for r in got.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # partition: every row exactly once
+    assert 0.05 < counts["val"] / 2000 < 0.15
+    assert 0.05 < counts["test"] / 2000 < 0.15
+    assert counts["train"] > 1000
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, 10 + (i * 7) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_sequences(df, "doc_id", "n_tokens", context_tokens=256, n_shards=8)
+    data = packed.orderBy("shard", "doc_id").collect()
+    assert len(data) == 500  # every doc packed exactly once
+    by_shard: dict[int, list] = {}
+    for r in data:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        # bin ids are the running-sum chop: non-decreasing in id order,
+        # starting at 0, and tokens_before of the first doc in a bin is
+        # below bin_id*C + C
+        cum = 0
+        for r in shard_rows:
+            assert r["bin_id"] == cum // 256
+            cum += r["n_tokens"]
