@@ -43,6 +43,9 @@ HEADLINE = [
     "q44_image_decode_stub",    # Arrow mapInPandas multimodal plumbing
     "q47_cosine_dup_lsh",       # embedding-cosine near-dup (scale path)
     "q49_winnow_fingerprints",  # winnowing fingerprint index
+    "q64_cosine_dup_cluster",   # clustered embedding dedup (SemDeDup shape)
+    "q66_stratified_sample",    # deterministic class rebalancing
+    "q67_pack_sequences",       # token-budget sequence packing
 ]
 
 
@@ -104,12 +107,20 @@ def main() -> None:
     _force(qs["q08_topk_entities"](spark, sf_dir))
     _force(qs["q44_image_decode_stub"](spark, sf_dir))
 
+    import gc
+
     times: dict[str, float] = {}
     t_suite = time.time()
     for name in HEADLINE:
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        # drop the query's Python-side DF refs so the ContextCleaner can
+        # free its localCheckpoint/broadcast blocks before the next query
+        # measures — without this, LSH queries run against a heap full of
+        # the previous query's dead blocks (q47: 14.9 s in-suite vs 8.3 s
+        # standalone)
+        gc.collect()
     total = round(time.time() - t_suite, 3)
 
     # throughput probes against the published baseline shapes
