@@ -127,14 +127,37 @@ def connected_components(
 
 
 def dedup_by_components(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame, pairs: DataFrame, id_col: str, quality_col: str | None = None
 ) -> DataFrame:
-    """Keep one row per near-dup component (the min-id representative) plus
-    every row that appears in no pair — the survivor-selection step on top
-    of any pair-producing dedup family."""
+    """Keep one row per near-dup component plus every row that appears in
+    no pair — the survivor-selection step on top of any pair-producing
+    dedup family.
+
+    Default survivor is the min-id representative (reproducible without
+    any extra data). With ``quality_col``, the survivor is the
+    highest-quality member (ties → min id) — what real corpus dedup keeps
+    (longest / best-scored document), at the cost of one extra join to
+    attach quality to the component table.
+    """
     comp = connected_components(pairs)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    if quality_col is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q")), "id"
+    )
+    # one survivor per component: max quality, ties broken by min id —
+    # a single max_by aggregation on a (quality desc, id asc) sort key
+    key = F.struct(F.col("_q").alias("q"), (-F.col("id")).alias("neg_id"))
+    winners = scored.groupBy("component").agg(
+        F.max_by(F.col("id"), key).alias("winner_id")
+    )
+    losers = (
+        scored.join(winners, "component")
+        .filter(F.col("id") != F.col("winner_id"))
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
 

@@ -2117,3 +2117,98 @@ def q67_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_counts, "doc_id", "n_tokens", context_tokens=512, n_shards=32
     )
     return packed.select("doc_id", "shard", "n_tokens", "bin_id")
+
+
+@register(
+    "q68_json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q68_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column with a
+    declared schema (from_json — JVM-side, no UDF) and aggregate the
+    extracted field. Schema-on-read for event payloads; malformed rows
+    yield NULL and are filtered, never crash the scan."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "struct<k:int>").getField("k")
+    return (
+        ev.withColumn("_k", k)
+        .filter(F.col("_k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.max("_k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "q69_dedup_survivors_quality",
+    oracle="""
+    WITH RECURSIVE p AS MATERIALIZED (
+      WITH grams AS (
+        SELECT doc_id,
+               list_transform(range(1, length(lower(text)) - 6),
+                              i -> md5(substr(lower(text), i, 8))) AS hashes
+        FROM documents WHERE length(text) >= 8
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hashes) - 2),
+                             j -> list_min(hashes[j : j + 3]))) AS fps
+        FROM grams WHERE len(hashes) >= 4
+      ), idx AS (
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ), cc(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+      WHERE cc.label < e.dst
+    ), comp AS (
+      SELECT node, MIN(label) AS component FROM cc GROUP BY node
+    ), ranked AS (
+      SELECT c.node,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY length(d.text) DESC, c.node ASC
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ), losers AS (
+      SELECT node FROM ranked WHERE rn > 1
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node
+    """,
+)
+def q69_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: per near-dup component keep the
+    LONGEST document (ties → min id) instead of the min-id representative
+    — what production corpus dedup keeps. Same recursive-CTE oracle as
+    q65 with an argmax-per-component ranking."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        dedup_by_components,
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_len", F.length("text").cast("long")
+    )
+    pairs = winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
+    survivors = dedup_by_components(
+        docs, pairs.select("id_a", "id_b"), "doc_id", quality_col="_len"
+    )
+    return survivors.select("doc_id", F.col("_len").alias("n_chars"))
