@@ -523,6 +523,7 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    materialize_index: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
@@ -542,6 +543,10 @@ def simhash_near_duplicates(
     sigs = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), sh.alias("_simhash")
     )
+    if materialize_index:
+        # one 16-byte row per doc; the self-join's two sides would each
+        # recompute the full tokenize+simhash pass otherwise
+        sigs = sigs.localCheckpoint()
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
@@ -564,20 +569,25 @@ def simhash_near_duplicates(
 
     a = blocked.alias("a")
     b = blocked.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.block_idx") == F.col("b.block_idx"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._simhash").alias("_ha"),
-            F.col("b._simhash").alias("_hb"),
-        )
-        .distinct()
+    # first-collision-block dedup (same trick as the minhash bands): a
+    # pair sharing k blocks is emitted only from the earliest shared
+    # block, so no distinct over the k-fold join output is needed. The
+    # earlier-block values derive from the simhash both sides already
+    # carry — plain shift/mask codegen terms.
+    cond = (
+        (F.col("a.block_idx") == F.col("b.block_idx"))
+        & (F.col("a.block_val") == F.col("b.block_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for j in range(n_blocks - 1):
+        blk_a = F.shiftright("a._simhash", j * block_bits).bitwiseAND(F.lit(mask))
+        blk_b = F.shiftright("b._simhash", j * block_bits).bitwiseAND(F.lit(mask))
+        cond = cond & ((F.col("a.block_idx") <= F.lit(j)) | (blk_a != blk_b))
+    cands = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a._simhash").alias("_ha"),
+        F.col("b._simhash").alias("_hb"),
     )
     return cands.select(
         "id_a", "id_b", hamming64(F.col("_ha"), F.col("_hb")).alias("hamming")
