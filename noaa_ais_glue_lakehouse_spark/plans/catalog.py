@@ -2212,3 +2212,68 @@ def q69_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, pairs.select("id_a", "id_b"), "doc_id", quality_col="_len"
     )
     return survivors.select("doc_id", F.col("_len").alias("n_chars"))
+
+
+@register(
+    "q70_streaming_sessionize",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts,
+             EXTRACT(EPOCH FROM ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+      FROM events
+    )
+    SELECT user_id, ts,
+           CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM lagged
+    """,
+)
+def q70_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming under the driver's gate: a file-source
+    stream (availableNow) over the events table, sessionized with the
+    applyInPandasWithState custom stateful operator, materialized through
+    a memory sink — and hash-checked against the batch prefix-sum SQL.
+    Streaming == batch semantics is the property the reference's
+    batch-simulated streaming (SURVEY §2.9) relies on; here it is proven
+    per run, not assumed. The blocking awaitTermination happens at plan
+    build (bounded: availableNow drains and stops), like the IVF
+    trainer's bounded collect."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import stateful_sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+    # the file stream source requires a DIRECTORY; the testdata table is a
+    # single parquet file, so stage a temp dir holding a symlink to it
+    # (zero-copy drop directory)
+    import os
+
+    drop_dir = tempfile.mkdtemp(prefix="q70_drop_")
+    os.symlink(os.path.abspath(path), os.path.join(drop_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(file_schema)
+        .parquet(drop_dir)
+        .select(
+            F.col("user_id"),
+            F.col("ts").cast(T.TimestampType()).alias("ts"),
+        )
+    )
+    out = stateful_sessionize(stream, "user_id", "ts", gap_seconds=1800.0)
+    name = f"q70_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q70_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "ts", "session_id")
