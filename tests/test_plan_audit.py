@@ -33,6 +33,8 @@ BUILD_TIME_EXECUTION = {
     "q62_dedup_components",
     "q64_cosine_dup_cluster",
     "q65_dedup_survivors",
+    "q69_dedup_survivors_quality",
+    "q70_streaming_sessionize",
 }
 
 
