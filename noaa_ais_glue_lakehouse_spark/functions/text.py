@@ -156,3 +156,35 @@ def langid_guess(text: Column) -> Column:
             guess
         )
     return guess
+
+
+# minimal English function-word list used by the normalization step; the
+# full pipeline would plug a language-specific list in
+DEFAULT_STOPWORDS = ("a", "an", "and", "are", "as", "at", "be", "by", "for",
+                     "in", "is", "it", "of", "on", "or", "the", "to", "with")
+
+
+def remove_stopwords(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    """Tokens of ``text`` with stopwords removed (array<string>) — the
+    normalization step before quality scoring / fingerprinting."""
+    words = list(stopwords)
+
+    def _keep(t):
+        # arity-1 lambda: a defaulted 2nd param would bind the index Column
+        return ~t.isin(*words)
+
+    return F.filter(tokenize(text), _keep)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact common PII shapes: emails → <EMAIL>, 5+-digit runs → <NUM>,
+    phone-like groups → <PHONE>. Pure regexp_replace chain (JVM-side,
+    codegen); patterns restricted to the RE2-compatible subset so external
+    engines can verify the transform byte-for-byte."""
+    out = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    out = F.regexp_replace(
+        out, r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"
+    )
+    return F.regexp_replace(out, r"[0-9]{5,}", "<NUM>")

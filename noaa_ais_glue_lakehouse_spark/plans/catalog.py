@@ -2277,3 +2277,44 @@ def q70_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select("user_id", "ts", "session_id")
+
+
+@register(
+    "q71_normalize_stopwords",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, toks,
+             list_filter(toks, x -> x NOT IN
+               ('a','an','and','are','as','at','be','by','for',
+                'in','is','it','of','on','or','the','to','with')) AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS normalized,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+    FROM f
+    """,
+)
+def q71_normalize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: stopword removal (the cleaning step before
+    quality scoring / fingerprinting), emitting the normalized text and
+    the removed-token count. Pure JVM column expressions; verified
+    byte-for-byte against the DuckDB list_filter oracle."""
+    from noaa_ais_glue_lakehouse_spark.functions.text import (
+        remove_stopwords,
+        tokenize,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    kept = remove_stopwords(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("normalized"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -69,3 +69,25 @@ def test_langid(spark):
     df = spark.createDataFrame(rows, ["t"])
     got = [r[0] for r in df.select(langid_guess(F.col("t"))).collect()]
     assert got == ["en", "es", "fr", "de", "und"]
+
+
+def test_remove_stopwords(spark):
+    from noaa_ais_glue_lakehouse_spark.functions.text import remove_stopwords
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("the cat sat on a mat",)], ["text"])
+    got = df.select(remove_stopwords(F.col("text")).alias("t")).first()["t"]
+    assert got == ["cat", "sat", "mat"]
+
+
+def test_scrub_pii(spark):
+    from noaa_ais_glue_lakehouse_spark.functions.text import scrub_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("mail a.b@example.com or call +1 555 867-5309, id 1234567",)], ["text"]
+    )
+    got = df.select(scrub_pii(F.col("text")).alias("t")).first()["t"]
+    assert "<EMAIL>" in got and "example.com" not in got
+    assert "<PHONE>" in got or "<NUM>" in got
+    assert "1234567" not in got
