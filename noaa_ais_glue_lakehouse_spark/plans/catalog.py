@@ -2318,3 +2318,37 @@ def q71_normalize_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept, " ").alias("normalized"),
         (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+@register(
+    "q72_part_type_revenue",
+    oracle="""
+    SELECT p.p_type,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)/100.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def q72_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape fact⋈dim revenue rollup over the part table: the
+    dimension side broadcasts (|part| « |lineitem|), integer-cents sums
+    keep the aggregate order-independent for cross-engine hashing."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
