@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from noaa_ais_glue_lakehouse_spark.functions.hashing import (
     content_fingerprint,
     hamming64,
-    minhash_signature,
     simhash64,
 )
 from noaa_ais_glue_lakehouse_spark.functions.text import char_ngrams, tokenize
