@@ -2352,3 +2352,68 @@ def q72_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q73_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q73_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — one pass produces the
+    (flag, status), (flag), and grand-total grains (Spark expands to a
+    single expand+aggregate, no re-scan per grain). NULL grouping slots
+    coalesced to 'ALL' so the cross-engine hash is unambiguous."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_lines",
+        )
+    )
+
+
+@register(
+    "q74_pivot_event_types",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
+    FROM events GROUP BY 1
+    """,
+)
+def q74_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide per-day type counts with an EXPLICIT value list —
+    without it Spark runs a driver-side distinct scan to discover pivot
+    columns (a hidden extra job at 100 TB) and the output schema becomes
+    data-dependent."""
+    ev = load(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "error", "signup"]
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
