@@ -111,3 +111,91 @@ def test_simhash_pigeonhole_guard(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_duplicates(df, "doc_id", "text", max_hamming=8, n_blocks=4)
+
+
+def test_first_collision_equals_distinct_of_all_band_collisions(spark):
+    """The zero-shuffle pair dedup (emit from first colliding band only)
+    must produce EXACTLY the distinct of all band collisions — the
+    equivalence the optimization's correctness rests on. Checked against
+    a naive reimplementation: same signatures, join on every band, then
+    dropDuplicates."""
+    import random
+
+    from noaa_ais_glue_lakehouse_spark.functions.text import tokenize
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        base = rng.sample(words, 8)
+        # heavy dup structure: every third doc is a near-copy of doc i-1
+        if i % 3 != 0 and rows:
+            prev = rows[-1][1].split()
+            base = prev[: len(prev) - 1] + [rng.choice(words)]
+        rows.append((i, " ".join(base)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            df, "doc_id", "text", use_char_ngrams=False
+        ).collect()
+    }
+
+    # naive reference: explode every band, plain equi-join, distinct
+    shingle = F.array_distinct(tokenize(F.col("text")))
+    exploded = df.select("doc_id", F.explode(shingle).alias("_s"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}") for i in range(32)]
+    )
+    r = 4
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col(f"_h{i*r+j}").cast("string") for j in range(r)]
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bi", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    naive = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert fast == naive and len(naive) > 0
+
+
+def test_minhash_materialize_index_equivalence(spark):
+    """materialize_index=True (localCheckpoint) and False (pure lazy) must
+    return identical near-dup pairs."""
+    df = _corpus(spark)
+    kw = dict(threshold=0.7, use_char_ngrams=False)
+    a = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_duplicates(df, "doc_id", "text", **kw).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_near_duplicates(
+            df, "doc_id", "text", materialize_index=False, **kw
+        ).collect()
+    }
+    assert a == b and len(a) > 0
