@@ -2417,3 +2417,59 @@ def q74_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
     )
+
+
+@register(
+    "q75_exists_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q75_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the spark.sql surface (S10): Catalyst
+    decorrelates to a left-semi hash join — the rewrite the reference
+    relied on Athena for. Registered views keep the query text engine-
+    portable."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@register(
+    "q76_median_value_per_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(MEDIAN(value), 6) AS median_value,
+           ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q76_median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median/percentile (percentile_cont) — the exact
+    counterpart of the q63 sketch quantiles; linear-interpolation
+    semantics match across engines, rounded to 6dp for hash stability.
+    At 100 TB the sketch path (q63) is the default; this is the
+    verification-grade variant for bounded groups."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 6).alias(
+            "median_value"
+        ),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)"), 6).alias(
+            "p90_value"
+        ),
+    )
