@@ -199,3 +199,18 @@ def test_minhash_materialize_index_equivalence(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_minhash_ignores_empty_documents(spark):
+    """Docs with no shingles (empty/whitespace text) produce no signature
+    row and therefore no pairs — never a crash or a null-key bucket."""
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, ""), (4, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            df, "doc_id", "text", threshold=0.7, use_char_ngrams=False
+        ).collect()
+    }
+    assert got == {(1, 2)}

@@ -63,3 +63,13 @@ def test_pack_sequences_invariants(spark):
         for r in shard_rows:
             assert r["bin_id"] == cum // 256
             cum += r["n_tokens"]
+
+
+def test_pack_sequences_null_token_counts(spark):
+    """NULL token counts contribute nothing to the running sum (SQL SUM
+    semantics) and the row still lands in a bin."""
+    rows = [(1, 100), (2, None), (3, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = pack_sequences(df, "doc_id", "n_tokens", context_tokens=150, n_shards=1)
+    assert got.count() == 3
+    assert got.filter("bin_id IS NULL").count() == 0
