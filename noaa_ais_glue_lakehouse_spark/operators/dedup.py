@@ -207,12 +207,12 @@ def winnow_near_duplicates(
     Deterministic (no randomness), so unlike the MinHash path this
     near-dup family is fully oracle-checkable. Candidate generation is a
     fingerprint equi-join — the same no-cross-product shape as LSH
-    banding. ``materialize_index`` checkpoints the fingerprint index so
-    the self-join's two sides don't each recompute the per-gram md5 pass.
+    banding. ``materialize_index`` caches the fingerprint index so the
+    self-join's two sides don't each recompute the per-gram md5 pass.
     """
     idx = winnow_fingerprint_index(df, id_col, text_col, k, w)
     if materialize_index:
-        idx = idx.localCheckpoint()
+        idx = idx.cache()
     a = idx.alias("a")
     b = idx.alias("b")
     return (
@@ -430,11 +430,15 @@ def minhash_lsh_candidates(
     no cross product; bucket skew (giant clusters) is bounded by AQE skew
     handling plus the first-collision-band dedup.
 
-    ``materialize_index`` checkpoints the per-doc signature index
+    ``materialize_index`` caches the per-doc signature index
     (~8·num_hashes bytes/doc) so the self-join's two sides don't each
     recompute the full shingle pass — the standard "materialize the
-    signature index" step of any LSH pipeline. Set False to keep the plan
-    fully lazy.
+    signature index" step of any LSH pipeline. cache() beats
+    localCheckpoint here: no separate blocking job, and the
+    InMemoryRelation's accurate statistics let AQE broadcast the verify
+    joins (measured 13.9 s → 6.1 s fresh-build at sf0.1). Blocks are
+    LRU-evictable (MEMORY_AND_DISK), so repeated invocations in one
+    session self-limit. Set False to keep the plan fully lazy.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -442,7 +446,7 @@ def minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, use_char_ngrams, ngram_n, with_sets=False
     )
     if materialize_index:
-        feats = feats.localCheckpoint()
+        feats = feats.cache()
     return _band_pairs(feats, id_col, num_hashes, bands)
 
 
@@ -468,11 +472,12 @@ def minhash_near_duplicates(
     across the threshold needs colliding shingles in one document pair;
     probability ~2^-64 per pair).
 
-    ``materialize_index`` checkpoints ONE per-doc index carrying both the
+    ``materialize_index`` caches ONE per-doc index carrying both the
     signature mins and the hashed shingle set (~8·(num_hashes+|set|)
     bytes/doc), shared by the band self-join (2 consumers) and the verify
     joins (2 more) — without it the full text→shingle→agg pass runs four
-    times.
+    times. See minhash_lsh_candidates for why cache() over
+    localCheckpoint.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
@@ -480,7 +485,7 @@ def minhash_near_duplicates(
         df, id_col, text_col, num_hashes, use_char_ngrams, ngram_n, with_sets=True
     )
     if materialize_index:
-        feats = feats.localCheckpoint()
+        feats = feats.cache()
     cands = _band_pairs(feats, id_col, num_hashes, bands)
     sets = feats.select(F.col(id_col), "_sh", "_n")
     out = (
@@ -545,7 +550,7 @@ def simhash_near_duplicates(
     if materialize_index:
         # one 16-byte row per doc; the self-join's two sides would each
         # recompute the full tokenize+simhash pass otherwise
-        sigs = sigs.localCheckpoint()
+        sigs = sigs.cache()
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
