@@ -2473,3 +2473,383 @@ def q76_median_value_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeseries imputation, multidim aggregation, reshaping, rank analytics
+# (round-3 widening: W-family + A-family shapes the reference's SQL corpus
+# implies but never names, plus training-data curation signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q77_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS filled_value
+    FROM events
+    """,
+)
+def q77_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) per entity: the
+    standard sensor-gap imputation the reference's cleaning stage leaves to
+    consumers. `last(ignorenulls=True)` over a running row frame is one
+    window pass on the entity shuffle — no self-join, no explode. Values
+    observed during 'error' events are masked to NULL and re-imputed from
+    the most recent healthy observation."""
+    ev = load(spark, sf_dir, "events")
+    healthy = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(healthy, ignorenulls=True).over(w), 6).alias("filled_value"),
+    )
+
+
+@register(
+    "q78_resample_hourly",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour_ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS n_in_hour
+      FROM events
+    ), hourly AS (
+      SELECT user_id, hour_ts, n_in_hour AS n_events, value AS last_value
+      FROM ranked WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+      FROM spans
+    )
+    SELECT g.user_id,
+           strftime(g.hour_ts, '%Y-%m-%d %H:%M') AS hour,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+           ROUND(LAST_VALUE(h.last_value IGNORE NULLS)
+                 OVER (PARTITION BY g.user_id ORDER BY g.hour_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS filled_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id = h.user_id AND g.hour_ts = h.hour_ts
+    """,
+)
+def q78_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling (downsample-to-hour + gap-fill): per entity,
+    materialize the full hourly grid between first and last observation
+    (`sequence` + `explode` — grid rows are generated distributed, never on
+    the driver), left-join the per-hour rollup, and forward-fill empty
+    hours from the last observed value.
+
+    Scale shape: the per-hour rollup, the span agg, the grid join and the
+    fill window all share the `user_id` hash partitioning, so the whole
+    resample is one shuffle of the input plus a skinny |entities|-sized
+    span table. Grid cardinality is bounded by time-range/step per entity,
+    independent of event count — safe at 100 TB where events/entity is the
+    thing that explodes, not the calendar."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy("user_id", hour.alias("hour_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts"),
+    )
+    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("last_value", ignorenulls=True).over(w), 6).alias("filled_value"),
+    )
+
+
+@register(
+    "q79_cube_event_counts",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE(event_type, CAST(ts AS DATE))
+    """,
+)
+def q79_cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, day) with `grouping_id` disambiguation — the
+    all-subtotal companion of q73's ROLLUP. Spark expands the cube
+    map-side (one shuffle carries all 4 grouping sets with partial
+    aggregation), so the cost is ~the grouping-set count, not 4 scans."""
+    ev = load(spark, sf_dir, "events")
+    cubed = ev.cube("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    return cubed.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+        "n_events",
+        "gid",
+    )
+
+
+@register(
+    "q80_unpivot_daily_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
+      FROM events GROUP BY 1
+    )
+    SELECT day, 'n_view' AS metric, n_view AS cnt FROM wide
+    UNION ALL SELECT day, 'n_click', n_click FROM wide
+    UNION ALL SELECT day, 'n_purchase', n_purchase FROM wide
+    UNION ALL SELECT day, 'n_error', n_error FROM wide
+    UNION ALL SELECT day, 'n_signup', n_signup FROM wide
+    """,
+)
+def q80_unpivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt), the inverse of q74's pivot. Spark's
+    `unpivot` compiles to a generate/expand projection — no shuffle beyond
+    the one that built the wide table, and no driver-side column
+    discovery."""
+    ev = load(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "error", "signup"]
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in types
+            ],
+        )
+    )
+    return wide.unpivot(["day"], [f"n_{t}" for t in types], "metric", "cnt")
+
+
+@register(
+    "q81_user_value_ranks",
+    oracle="""
+    WITH totals AS (
+      SELECT event_type, user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, total_cents,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM totals
+    WINDOW w AS (PARTITION BY event_type ORDER BY total_cents DESC, user_id)
+    """,
+)
+def q81_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-analytics family in one pass: row_number / ntile / percent_rank
+    / cume_dist over a per-type leaderboard. The user_id tiebreak makes the
+    order total, so every rank function is deterministic cross-engine. Agg
+    and all four window functions share the event_type partitioning."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(cents(F.col("value"))).alias("total_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_cents"), "user_id")
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_cents",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def _word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams of a token array as joined strings — pure column
+    expressions (sequence + transform + slice), JVM-side, no explode until
+    the caller asks for one."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "q82_dup_ngram_rate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 5
+                  THEN list_transform(range(1, len(toks) - 3),
+                                      i -> array_to_string(toks[i:i+4], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+             AS dup_rate
+    FROM g WHERE len(grams) > 0
+    """,
+)
+def q82_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-5-gram rate — the repetition signal
+    used to flag boilerplate/spam docs in LLM corpus curation (high
+    dup-rate ⇒ templated or looping text). Entirely column expressions:
+    n-grams built with sequence+transform+slice, counted with
+    array_distinct — zero explode, zero shuffle beyond the scan."""
+    docs = load(spark, sf_dir, "documents")
+    grams = _word_ngrams(tokenize(F.col("text")), 5)
+    out = docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+    ).where(F.col("n_grams") > 0)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6).alias("dup_rate"),
+    )
+
+
+@register(
+    "q83_benchmark_contamination",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 8
+                  THEN list_distinct(list_transform(range(1, len(toks) - 6),
+                                     i -> array_to_string(toks[i:i+7], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id < 50
+    ), corpus AS (
+      SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id >= 50
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+def q83_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 8-gram with a
+    held-out benchmark set (here: doc_id < 50), with the shared-gram count
+    per contaminated doc. The benchmark gram set is tiny relative to the
+    corpus, so the join broadcasts — at 100 TB the corpus side streams
+    through map-side hash probes with no corpus shuffle at all. Distinct
+    grams per doc before the join bounds the explode at
+    (doc_len - 7) rows per doc."""
+    docs = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(_word_ngrams(tokenize(F.col("text")), 8))
+    with_grams = docs.select("doc_id", grams.alias("grams"))
+    bench = (
+        with_grams.where(F.col("doc_id") < 50)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = with_grams.where(F.col("doc_id") >= 50).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "q84_native_session_window",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q84_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in `session_window` aggregation, pinned against the
+    gap-break prefix-sum oracle (the same semantics q11 implements
+    manually): window start = first event, end = last event + gap, a new
+    session opens when the inter-event gap EXCEEDS 30 min — an event at
+    exactly prev_ts+gap still merges (verified empirically in
+    tests/test_timeseries.py; break condition is strictly `gap > threshold`,
+    identical to our prefix-sum sessionize).
+    Having both forms oracle-checked proves our sessionize and Spark's
+    native operator agree — and the native form is the one Structured
+    Streaming can run incrementally."""
+    ev = load(spark, sf_dir, "events")
+    sw = ev.groupBy("user_id", F.session_window("ts", "1800 seconds")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return sw.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )

@@ -1,0 +1,144 @@
+"""Pins for the round-3 timeseries/reshaping queries (q77-q84): forward
+fill, grid resample, native session_window equivalence, and the n-gram
+helper the curation signals (q82/q83) build on.
+
+The oracle gate already value-hashes these against DuckDB; the tests here
+pin the *semantic corners* the oracle data may not exercise (all-null
+prefixes, boundary gaps, short docs).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.operators.sessionize import sessionize
+from noaa_ais_glue_lakehouse_spark.plans.catalog import _word_ngrams
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_forward_fill_null_prefix_stays_null(spark):
+    """Rows before the first non-null observation must stay NULL (no
+    backfill), and fills must not leak across entities."""
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), None),
+            (1, _ts(1), 10.0),
+            (1, _ts(2), None),
+            (2, _ts(0), None),
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = {
+        (r["user_id"], r["ts"].minute): r["filled"]
+        for r in df.select(
+            "user_id", "ts", F.last("value", ignorenulls=True).over(w).alias("filled")
+        ).collect()
+    }
+    assert out[(1, 0)] is None
+    assert out[(1, 1)] == 10.0
+    assert out[(1, 2)] == 10.0
+    assert out[(2, 0)] is None  # entity 2 never sees entity 1's values
+
+
+def test_native_session_window_matches_sessionize(spark):
+    """Spark's built-in session_window and our prefix-sum sessionize agree
+    on session count and sizes — including the exact-boundary case: an
+    event exactly gap seconds after the previous MERGES (break is strictly
+    `gap > threshold`, empirically pinned here; q84's oracle encodes the
+    same strict inequality)."""
+    gap = 60.0
+    rows = [
+        (1, _ts(0)),
+        (1, _ts(1)),   # exactly 60s after previous => still SAME session
+        (1, _ts(30)),
+        (2, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "60 seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.col("session_window.start").alias("start"), "n"
+        )
+    )
+    ours = (
+        sessionize(df, entity_col="user_id", ts_col="ts", gap_seconds=gap)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "start", "n")
+    )
+    n_rows = sorted((r["user_id"], r["start"], r["n"]) for r in native.collect())
+    o_rows = sorted((r["user_id"], r["start"], r["n"]) for r in ours.collect())
+    assert n_rows == o_rows
+    # (1,@0..1) merged at the exact boundary, (1,@30) split, (2,@5)
+    assert len(n_rows) == 3
+    assert n_rows[0][2] == 2  # the boundary event joined session 1
+
+
+def test_word_ngrams_short_and_exact_length():
+    """Docs shorter than n yield an empty array; length == n yields one."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    df = spark.createDataFrame(
+        [("a b c",), ("a b c d e",), ("",)], "text string"
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    out = [r[0] for r in df.select(_word_ngrams(toks, 5).alias("g")).collect()]
+    assert out[0] == []
+    assert out[1] == ["a b c d e"]
+    assert out[2] == []
+
+
+def test_grid_resample_covers_empty_hours(spark):
+    """An entity with a 3-hour span and events only in hours 0 and 2 must
+    get an hour-1 grid row with n_events=0 and the forward-filled value."""
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 15), 5.0),
+            (1, datetime.datetime(2024, 1, 1, 2, 45), 7.0),
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = df.groupBy("user_id", hour.alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("value").alias("last_value")
+    )
+    spans = df.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        grid.join(hourly, ["user_id", "hour_ts"], "left")
+        .select(
+            F.hour("hour_ts").alias("h"),
+            F.coalesce("n_events", F.lit(0)).alias("n"),
+            F.last("last_value", ignorenulls=True).over(w).alias("filled"),
+        )
+        .collect()
+    )
+    by_hour = {r["h"]: (r["n"], r["filled"]) for r in out}
+    assert by_hour == {0: (1, 5.0), 1: (0, 5.0), 2: (1, 7.0)}
