@@ -158,6 +158,7 @@ def cosine_near_duplicates(
     threshold: float = 0.4,
     n_planes: int = 4,
     n_tables: int = 16,
+    broadcast_matrix_verify: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH + exact verify.
 
@@ -168,6 +169,20 @@ def cosine_near_duplicates(
     around 0.4 (p≈0.63 → recall ≈ 0.94 with 4×16); tighten n_planes for
     higher thresholds. Precision is exact (verification step); recall vs
     :func:`cosine_pairs_exact` is measured in tests.
+
+    ``broadcast_matrix_verify``: permissive hyperplane LSH at moderate
+    thresholds generates orders of magnitude more candidates than
+    survivors (measured 1.27M → 871 at sf0.1), and the default verify
+    ships BOTH vectors per candidate row through Arrow (~2·dim·4 bytes ×
+    |candidates|). When True, the whole (id, vector) table is collected
+    once, broadcast, and the verify ships only the 16-byte id pair —
+    vectors resolve by binary search inside the UDF; bit-identical
+    output (same float32→float64 widening, same einsum). Only valid in
+    the regime where the embedding table fits in executor memory
+    (≈ ≤10M rows at dim 64) — which is also the regime where a flat
+    self-join LSH is the right tool at all; beyond it, use
+    :func:`cosine_near_duplicates_clustered` (SemDeDup shape) or IVF,
+    whose candidate generation is already centroid-sharded.
     """
     signatures = _signature_udf(dim, n_planes, n_tables)
     # Candidate generation is id-only: carrying the vectors through the
@@ -203,7 +218,7 @@ def cosine_near_duplicates(
             (F.col("a._k.tbl") <= F.lit(j))
             | (F.element_at("a._sigs", j + 1) != F.element_at("b._sigs", j + 1))
         )
-    cands = (
+    pairs = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -213,20 +228,55 @@ def cosine_near_duplicates(
         # AQE would byte-coalesce the verify (compute-bound) to a couple
         # of partitions
         .repartition(parallelism, "id_a", "id_b")
-        .join(
-            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
-            "id_a",
+    )
+    if broadcast_matrix_verify:
+        cos = _pair_cosine_by_index_udf(df, id_col, vec_col)
+        return (
+            pairs.select("id_a", "id_b", F.round(cos(F.col("id_a"), F.col("id_b")), 4).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
         )
-        .join(
-            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
-            "id_b",
-        )
+    cands = pairs.join(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+        "id_a",
+    ).join(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+        "id_b",
     )
     cos = _pair_cosine_udf()(F.col("_va"), F.col("_vb"))
     return (
         cands.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _pair_cosine_by_index_udf(df: DataFrame, id_col: str, vec_col: str):
+    """Pairwise cosine where the UDF input is only the (id_a, id_b) pair:
+    the (id, vector) table is collected ONCE in id order, broadcast to
+    executors, and vectors resolve by ``searchsorted`` on the sorted id
+    array. Arithmetic is identical to :func:`_pair_cosine_udf` (float32
+    values widened to float64, einsum dot, norm product), so the output
+    is bit-for-bit the same — only the transport differs: 16 bytes per
+    candidate instead of 2·dim·4. See cosine_near_duplicates for the
+    memory-regime caveat."""
+    _require_pandas()
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    @pandas_udf("double")
+    def pair_cosine_by_index(ia: pandas.Series, ib: pandas.Series) -> pandas.Series:
+        b_ids, b_mat = bc.value
+        ma = b_mat[np.searchsorted(b_ids, ia.values)]
+        mb = b_mat[np.searchsorted(b_ids, ib.values)]
+        dots = np.einsum("ij,ij->i", ma, mb)
+        norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pandas.Series(dots / norms)
+
+    return pair_cosine_by_index
 
 
 def _pair_cosine_udf():

@@ -1439,14 +1439,20 @@ def q46_cosine_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q47_cosine_dup_lsh")  # rows-only: LSH recall < 1 by design
 def q47_cosine_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via multi-table hyperplane LSH + exact
-    verify — the at-scale embedding dedup path; recall vs q46 is
-    asserted in tests/test_similarity.py."""
+    verify — the mid-scale embedding dedup path; recall vs q46 is
+    asserted in tests/test_similarity.py. Verify resolves vectors from a
+    broadcast matrix (bit-identical to the attach form, pinned in
+    tests/test_similarity.py) — valid here because the embedding table
+    fits in memory by construction; the truly-at-scale variants are the
+    clustered (q64) and IVF (q55) paths."""
     from noaa_ais_glue_lakehouse_spark.operators.similarity import (
         cosine_near_duplicates,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_near_duplicates(emb, dim=64, threshold=0.4)
+    return cosine_near_duplicates(
+        emb, dim=64, threshold=0.4, broadcast_matrix_verify=True
+    )
 
 
 @register(
@@ -2852,4 +2858,116 @@ def q84_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_end"
         ),
         "n_events",
+    )
+
+
+@register(
+    "q85_streaming_hourly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q85_streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window rollup under the correctness
+    gate (T7 companion to q70's stateful sessionize): a file-source stream
+    drained with availableNow through a windowed groupBy into a memory
+    sink, hash-checked against the batch GROUP BY. Complete output mode
+    is what makes streaming == batch EXACT here — append mode would
+    withhold windows the watermark hasn't closed when the bounded stream
+    ends (the classic missing-last-window pitfall); the watermarked
+    append path with genuinely late rows is exercised in
+    tests/test_streaming.py, where per-batch emission is the thing under
+    test. 1-hour tumbling windows align to the epoch, so
+    `window(ts, '1 hour').start == date_trunc('hour', ts)` on both
+    engines."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+    drop_dir = tempfile.mkdtemp(prefix="q85_drop_")
+    os.symlink(os.path.abspath(path), os.path.join(drop_dir, "events.parquet"))
+    stream = spark.readStream.schema(file_schema).parquet(drop_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+    )
+    name = f"q85_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q85_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("hour"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+@register(
+    "q86_set_ops_users",
+    oracle="""
+    SELECT 'both' AS tag, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'purchase_only' AS tag, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+)
+def q86_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (U-family completion beyond
+    union): purchasers who also errored vs purchasers who never did.
+    Catalyst plans both as left-semi / left-anti hash joins over the
+    distinct sets — same scale shape as q16/q17."""
+    ev = load(spark, sf_dir, "events")
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    errorers = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    both = purchasers.intersect(errorers).select(
+        F.lit("both").alias("tag"), "user_id"
+    )
+    only = purchasers.exceptAll(errorers).select(
+        F.lit("purchase_only").alias("tag"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "q87_event_type_profile",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q87_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with a deterministic (sorted) order — collect_set
+    order is partition-dependent, so sort_array is what makes an array
+    column hash-comparable cross-engine (and reproducible run-to-run, the
+    same discipline every array-producing operator here follows)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
     )

@@ -142,11 +142,15 @@ def test_first_collision_equals_distinct_of_all_band_collisions(spark):
         ).collect()
     }
 
-    # naive reference: explode every band, plain equi-join, distinct
+    # naive reference: explode every band, plain equi-join, distinct.
+    # Same hash family as _minhash_index: one xxhash64 over the shingle
+    # string, slot i mixes that 64-bit value with the slot index.
     shingle = F.array_distinct(tokenize(F.col("text")))
-    exploded = df.select("doc_id", F.explode(shingle).alias("_s"))
+    exploded = df.select("doc_id", F.explode(shingle).alias("_s")).select(
+        "doc_id", F.xxhash64("_s").alias("_hs")
+    )
     sigs = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}") for i in range(32)]
+        *[F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}") for i in range(32)]
     )
     r = 4
     banded = sigs.select(
