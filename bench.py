@@ -46,6 +46,8 @@ HEADLINE = [
     "q64_cosine_dup_cluster",   # clustered embedding dedup (SemDeDup shape)
     "q66_stratified_sample",    # deterministic class rebalancing
     "q67_pack_sequences",       # token-budget sequence packing
+    "q78_resample_hourly",      # grid resample + forward fill
+    "q88_hopping_window_counts",  # sliding-window aggregation
 ]
 
 

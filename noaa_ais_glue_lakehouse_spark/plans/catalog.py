@@ -2971,3 +2971,96 @@ def q87_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("event_type")).alias("types"),
         F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
     )
+
+
+@register(
+    "q88_hopping_window_counts",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, UNNEST([
+        make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+        make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)
+      ]) AS wstart
+      FROM events
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q88_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — 1-hour windows every 30
+    minutes, so each event contributes to exactly two windows. Spark's
+    `window(ts, '1 hour', '30 minutes')` replicates rows map-side before
+    the hash aggregation (no self-join); the oracle unrolls the same two
+    epoch-aligned window starts per event explicitly. The hop/width pair
+    is the smoothing tool the tumbling rollup (q60/q85) can't express."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@register(
+    "q89_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           ROUND(FLOOR(value / 25.0) * 25.0, 6) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q89_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning per type — the distribution-profiling
+    pass a curation pipeline runs before choosing quality thresholds.
+    Pure integer bin arithmetic (no percentile state), one map-side
+    combinable aggregation; at 100 TB the bin cardinality is bounded by
+    range/width, independent of row count."""
+    ev = load(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / 25.0).cast("long")
+    return ev.groupBy(
+        "event_type",
+        bin_col.alias("bin"),
+        F.round(bin_col * 25.0, 6).alias("bin_lo"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q90_salted_join_totals",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS user_total_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, d.user_total_cents
+    FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+    """,
+)
+def q90_salted_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join skew mitigation under the correctness gate: a
+    left join through `salted_join` (right side replicated salt_factor×,
+    left rows scattered across salts) must be row-for-row identical to
+    the plain join the oracle runs. Salting spreads a hot key over
+    salt_factor tasks — the standard fix when one entity dominates the
+    events stream and AQE's skew split isn't available (e.g. a
+    broadcast-ineligible mid-size dim)."""
+    from noaa_ais_glue_lakehouse_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents(F.col("value"))).alias("user_total_cents"))
+    )
+    return salted_join(
+        ev.select("event_id", "user_id"), dim, keys=["user_id"], how="left"
+    ).select("event_id", "user_id", "user_total_cents")
