@@ -3064,3 +3064,168 @@ def q90_salted_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         ev.select("event_id", "user_id"), dim, keys=["user_id"], how="left"
     ).select("event_id", "user_id", "user_total_cents")
+
+
+@register(
+    "q91_vocab_top_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok
+    )
+    SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 100
+    """,
+)
+def q91_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-100 — the vocabulary/stopword
+    derivation pass of a tokenizer-training pipeline. Explode + count is
+    map-side combinable (the shuffle carries one row per distinct token
+    per partition, not per occurrence); top-k with a token tiebreak is a
+    TakeOrdered, no global sort materialized."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(100)
+    )
+
+
+@register(
+    "q92_tfidf_top_terms",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), n AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), s AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ), r AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rn
+      FROM s
+    )
+    SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def q92_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 terms. The document-frequency table is
+    tiny relative to the corpus (|vocab| rows) and broadcasts; the
+    row_number ranks over the 6dp-ROUNDED score on BOTH engines so float
+    ulps in ln() can't reorder ties. Scale shape: one shuffle for tf
+    (doc, token), one |vocab|-sized agg for df, one doc-partition window."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    s = tf.join(F.broadcast(df_), "tok").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        s.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", "rn")
+    )
+
+
+@register(
+    "q93_share_of_daily_value",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS type_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, type_cents,
+           ROUND(CAST(type_cents AS DOUBLE)
+                 / SUM(type_cents) OVER (PARTITION BY day), 6) AS share
+    FROM d
+    """,
+)
+def q93_share_of_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each type's share of the day's
+    value. The window sum rides the same day partitioning the aggregation
+    produced — agg + window is one shuffle total; integer-cents numerators
+    keep the ratio exact-input deterministic."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(cents(F.col("value"))).alias("type_cents")
+    )
+    w = Window.partitionBy("day")
+    return d.select(
+        "day",
+        "event_type",
+        "type_cents",
+        F.round(
+            F.col("type_cents").cast("double") / F.sum("type_cents").over(w), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "q94_zscore_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(ABS(CAST(ROUND(e.value * 100) AS BIGINT) * m.n - m.s1) AS DOUBLE)
+             > 3.0 * SQRT(GREATEST(CAST(m.n AS DOUBLE) * m.s2 - CAST(m.s1 AS DOUBLE) * m.s1, 0.0))
+             AS is_outlier
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def q94_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3σ outlier flags — the statistical quality filter of a
+    curation pipeline — computed from EXACT integer moments (Σcents,
+    Σcents²) instead of stddev_samp: engines disagree on streaming
+    variance algorithms (Welford vs textbook) at float precision, while
+    integer sums are order-independent and identical everywhere. The
+    comparison |x·n − s1| > 3·√(n·s2 − s1²) is the z-score test scaled
+    through by n to stay in exact integers until the final sqrt. One
+    |types|-sized broadcast joins the moments back — no second scan
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    c = cents(F.col("value"))
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    joined = ev.select("event_id", "event_type", c.alias("_c")).join(
+        F.broadcast(m), "event_type"
+    )
+    lhs = F.abs(F.col("_c") * F.col("n") - F.col("s1")).cast("double")
+    rhs = 3.0 * F.sqrt(
+        F.greatest(
+            F.col("n").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1"),
+            F.lit(0.0),
+        )
+    )
+    return joined.select("event_id", "event_type", (lhs > rhs).alias("is_outlier"))
