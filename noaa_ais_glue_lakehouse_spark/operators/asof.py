@@ -31,21 +31,37 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: left columns + latest-at-or-before ``value_cols``.
+    """Left as-of join: left columns + nearest-reference ``value_cols``.
 
-    ``tolerance_seconds`` optionally voids matches older than the window
-    (value columns become NULL), like pandas ``merge_asof(tolerance=…)``.
+    ``direction="backward"`` (default) matches the latest reference at or
+    before the probe timestamp; ``"forward"`` matches the earliest at or
+    after (pandas ``merge_asof(direction=…)`` semantics). Forward is the
+    same one-shuffle window idiom run over a DESCENDING timestamp order —
+    "carry the last seen reference" becomes "carry the next upcoming
+    one"; equal timestamps still take the reference row (tag sorts refs
+    first within a timestamp in both directions).
+
+    ``tolerance_seconds`` optionally voids matches farther than the
+    window (value columns become NULL), like pandas
+    ``merge_asof(tolerance=…)``; staleness is |probe.ts − ref.ts| in the
+    match direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     probe = left.withColumn("_tag", F.lit(1))
     ref = right.select(
         key_col, ts_col, *value_cols
     ).withColumn("_tag", F.lit(0))
     unioned = probe.unionByName(ref, allowMissingColumns=True)
 
+    order_ts = (
+        F.col(ts_col) if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col), F.col("_tag"))
+        .orderBy(order_ts, F.col("_tag"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # Carry the whole reference row as ONE struct: last(…, ignorenulls)
@@ -62,9 +78,10 @@ def asof_join(
 
     out = out.filter(F.col("_tag") == 1)
     if tolerance_seconds is not None:
-        stale = (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_asof._ts"))
-        ) > tolerance_seconds * 1_000_000
+        gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_asof._ts"))
+        if direction == "forward":
+            gap = -gap
+        stale = gap > tolerance_seconds * 1_000_000
         out = out.withColumn(
             "_asof", F.when(stale, F.lit(None)).otherwise(F.col("_asof"))
         )

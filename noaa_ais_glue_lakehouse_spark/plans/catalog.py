@@ -3229,3 +3229,42 @@ def q94_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.select("event_id", "event_type", (lhs > rhs).alias("is_outlier"))
+
+
+@register(
+    "q95_asof_join_forward",
+    oracle="""
+    WITH ref AS (
+      SELECT user_id, ts, MAX(value) AS ref_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ), probe AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type <> 'view'
+    )
+    SELECT p.event_id,
+           CAST(ROUND(r.ref_value * 100) AS BIGINT) AS next_value_cents
+    FROM probe p ASOF LEFT JOIN ref r
+      ON p.user_id = r.user_id AND p.ts <= r.ts
+    """,
+)
+def q95_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (q57's mirror): each non-view event gets the
+    EARLIEST at-or-after 'view' value for its user — the "next reading
+    after the event" lookup of alert-enrichment pipelines. Same single
+    key shuffle, window order reversed; DuckDB's native ASOF with
+    ``p.ts <= r.ts`` is the oracle."""
+    from noaa_ais_glue_lakehouse_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    ref = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    probe = ev.filter(F.col("event_type") != "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(probe, ref, "user_id", "ts", ["ref_value"], direction="forward")
+    return out.select(
+        "event_id",
+        F.round(F.col("asof_ref_value") * 100).cast("long").alias("next_value_cents"),
+    )

@@ -89,3 +89,29 @@ def test_asof_keeps_left_columns_only_plus_values(spark):
     ref = spark.createDataFrame([("a", _t(0), 1.0)], ["k", "ts", "v"])
     out = asof_join(probe, ref, "k", "ts", ["v"])
     assert out.columns == ["k", "pid", "ts", "extra", "asof_v"]
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: earliest reference at or after the probe ts;
+    equal-ts reference matches; tolerance voids matches too far AHEAD."""
+    probe = spark.createDataFrame(
+        [("a", 1, _t(10)), ("a", 2, _t(30)), ("a", 3, _t(55))],
+        ["k", "pid", "ts"],
+    )
+    ref = spark.createDataFrame(
+        [("a", _t(30), 1.0), ("a", _t(40), 2.0)], ["k", "ts", "v"]
+    )
+    out = {
+        r["pid"]: r["asof_v"]
+        for r in asof_join(
+            probe, ref, "k", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 1.0, 3: None}  # pid2: equal-ts match; pid3: nothing after
+    bounded = {
+        r["pid"]: r["asof_v"]
+        for r in asof_join(
+            probe, ref, "k", "ts", ["v"], direction="forward", tolerance_seconds=900
+        ).collect()
+    }
+    assert bounded == {1: None, 2: 1.0, 3: None}  # pid1's match is 20min ahead > 15min
