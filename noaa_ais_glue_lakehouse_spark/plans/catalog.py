@@ -3268,3 +3268,86 @@ def q95_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("asof_ref_value") * 100).cast("long").alias("next_value_cents"),
     )
+
+
+@register(
+    "q96_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.user_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - 600000000
+    """,
+)
+def q96_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join under the correctness gate: purchases
+    joined to the same user's views from the preceding 10 minutes, both
+    sides real file-source streams with event-time watermarks, drained
+    with availableNow into a memory sink and hash-checked against the
+    batch time-bounded join. The watermark + time-bound condition is what
+    lets Spark expire join state at scale (state holds only the
+    watermark-deep tail of each side, not the full history) — the
+    streaming analog of the q59 range join. Inner-join emission is
+    complete regardless of watermark progress, so streaming == batch
+    exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+
+    def _stream(prefix: str):
+        d = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+        return spark.readStream.schema(file_schema).parquet(d)
+
+    # cast through the EXPLICIT TimestampType (LTZ): under a session whose
+    # default timestampType is NTZ, cast("timestamp") resolves to NTZ and
+    # watermarks reject it (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    views = (
+        _stream("q96_v_")
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast(T.TimestampType()).alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _stream("q96_p_")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast(T.TimestampType()).alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    name = f"q96_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q96_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id", "view_id", F.col("p_user").alias("user_id")
+    )
