@@ -22,6 +22,9 @@ ALLOWED_NON_EQUI = {
     "q26_jaccard_pairs",
     "q46_cosine_dup_exact",
     "q32_cosine_topk",
+    # deliberate SINGLE-ROW broadcast cross join: attaching the corpus
+    # count scalar (idf denominator) — O(|tf|) rows × 1, not a fallback
+    "q92_tfidf_top_terms",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
