@@ -3351,3 +3351,74 @@ def q96_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "purchase_id", "view_id", F.col("p_user").alias("user_id")
     )
+
+
+@register(
+    "q97_type_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q97_type_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition (bigram) counts — the Markov-chain feature
+    table of behavioral modeling / next-event prediction pipelines. One
+    lag window on the entity shuffle, then a tiny |types|² aggregation;
+    the transition matrix never materializes per-user state."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    return seq.groupBy(
+        F.col("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q98_signup_purchase_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           first_signup_us IS NOT NULL AND first_purchase_us IS NOT NULL
+             AND first_purchase_us >= first_signup_us AS converted,
+           CASE WHEN first_signup_us IS NOT NULL AND first_purchase_us >= first_signup_us
+                THEN (first_purchase_us - first_signup_us) // 1000000 END
+             AS latency_seconds
+    FROM f WHERE first_signup_us IS NOT NULL
+    """,
+)
+def q98_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: per signed-up user, whether (and how fast) the
+    first purchase followed the first signup. Conditional-min aggregation
+    collapses each user to one row in a single map-side-combinable pass —
+    no self-join of the two event subsets, no window. Microsecond
+    integer arithmetic end-to-end (the cross-engine time convention)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("su"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("pu"),
+    )
+    converted = F.col("su").isNotNull() & F.col("pu").isNotNull() & (
+        F.col("pu") >= F.col("su")
+    )
+    latency = F.when(
+        F.col("su").isNotNull() & (F.col("pu") >= F.col("su")),
+        F.floor((F.col("pu") - F.col("su")) / 1_000_000).cast("long"),
+    )
+    return f.where(F.col("su").isNotNull()).select(
+        "user_id", converted.alias("converted"), latency.alias("latency_seconds")
+    )
