@@ -3422,3 +3422,65 @@ def q98_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.where(F.col("su").isNotNull()).select(
         "user_id", converted.alias("converted"), latency.alias("latency_seconds")
     )
+
+
+@register(
+    "q99_streaming_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT ON (event_id) event_id, event_type
+      FROM (SELECT event_id, event_type FROM events
+            UNION ALL SELECT event_id, event_type FROM events)
+      ORDER BY event_id
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_distinct_events
+    FROM d GROUP BY event_type
+    """,
+)
+def q99_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the events file is staged TWICE into
+    the drop directory (every row arrives duplicated), and
+    `dropDuplicatesWithinWatermark` on event_id must collapse the stream
+    back to one row per event — the at-least-once-delivery dedup every
+    production ingest needs. Watermark-scoped state means the dedup
+    buffer holds only the watermark-deep tail at scale, not every key
+    ever seen (the unbounded-state trap of plain dropDuplicates on a
+    stream). Hash-checked against batch DISTINCT."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+    drop_dir = tempfile.mkdtemp(prefix="q99_drop_")
+    os.symlink(os.path.abspath(path), os.path.join(drop_dir, "a.parquet"))
+    os.symlink(os.path.abspath(path), os.path.join(drop_dir, "b.parquet"))
+    stream = (
+        spark.readStream.schema(file_schema)
+        .parquet(drop_dir)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("ts").cast(T.TimestampType()).alias("ts"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"q99_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q99_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_events"))
+    )
