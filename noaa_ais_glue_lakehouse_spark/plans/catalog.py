@@ -3484,3 +3484,90 @@ def q99_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_events"))
     )
+
+
+@register(
+    "q100_curation_funnel",
+    oracle="""
+    WITH RECURSIVE p AS MATERIALIZED (
+      WITH q AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= 200
+      ), ex AS (
+        SELECT MIN(doc_id) AS doc_id, text FROM q GROUP BY text
+      ), grams AS (
+        SELECT doc_id,
+               list_transform(range(1, length(lower(text)) - 6),
+                              i -> md5(substr(lower(text), i, 8))) AS hashes
+        FROM ex WHERE length(text) >= 8
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hashes) - 2),
+                             j -> list_min(hashes[j : j + 3]))) AS fps
+        FROM grams WHERE len(hashes) >= 4
+      ), idx AS (
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ), cc(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+      WHERE cc.label < e.dst
+    ), losers AS (
+      SELECT node FROM cc GROUP BY node HAVING MIN(label) <> node
+    ), q2 AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 200
+    ), ex2 AS (
+      SELECT MIN(doc_id) AS doc_id FROM q2 GROUP BY text
+    ), surv AS (
+      SELECT e.doc_id FROM ex2 e ANTI JOIN losers l ON e.doc_id = l.node
+    )
+    SELECT 1 AS stage_id, 'input' AS stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+    UNION ALL SELECT 2, 'quality_filter', (SELECT COUNT(*) FROM q2)
+    UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM ex2)
+    UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM surv)
+    """,
+)
+def q100_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP curation pipeline report: the end-to-end LLM-corpus prep
+    chain — quality filter → exact dedup (min-id survivor) → winnowing
+    near-dup survivors — reported as a funnel of per-stage document
+    counts, the top-level artifact a curation run publishes. Every stage
+    is the REAL operator (dedup_exact, winnow_near_duplicates,
+    dedup_by_components), and the whole funnel is hash-checked against a
+    recursive-CTE oracle because the winnowing family is deterministic.
+    At production scale each stage's output would persist to a table and
+    the counts would ride observe() metrics; here the four counts are one
+    unioned plan so the driver's single action sees a consistent
+    snapshot."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        dedup_by_components,
+        dedup_exact,
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    quality = docs.where(F.length("text") >= 200)
+    exact = dedup_exact(quality, ["text"], "doc_id")
+    pairs = winnow_near_duplicates(exact, "doc_id", "text", 8, 4, min_shared=10)
+    surv = dedup_by_components(exact, pairs.select("id_a", "id_b"), "doc_id")
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    return (
+        stage(1, "input", docs)
+        .unionByName(stage(2, "quality_filter", quality))
+        .unionByName(stage(3, "exact_dedup", exact))
+        .unionByName(stage(4, "near_dedup", surv))
+    )
