@@ -115,3 +115,53 @@ def test_asof_forward_direction(spark):
         ).collect()
     }
     assert bounded == {1: None, 2: 1.0, 3: None}  # pid1's match is 20min ahead > 15min
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=59), min_size=1, max_size=12),
+    st.lists(st.integers(min_value=0, max_value=59), min_size=0, max_size=12),
+    st.sampled_from(["backward", "forward"]),
+)
+def test_asof_matches_pandas_merge_asof(spark, probe_mins, ref_mins, direction):
+    """Both directions pinned against pandas merge_asof on random series
+    (the public reference semantics the operator claims)."""
+    import pandas as pd
+
+    probe_mins = sorted(set(probe_mins))
+    ref_mins = sorted(set(ref_mins))
+    probe = spark.createDataFrame(
+        [("k", i, _t(m)) for i, m in enumerate(probe_mins)], ["k", "pid", "ts"]
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    ref = spark.createDataFrame(
+        [("k", _t(m), float(m)) for m in ref_mins], schema
+    )
+    got = {
+        r["pid"]: r["asof_v"]
+        for r in asof_join(probe, ref, "k", "ts", ["v"], direction=direction).collect()
+    }
+    pdf_p = pd.DataFrame({"ts": [_t(m) for m in probe_mins], "pid": range(len(probe_mins))})
+    pdf_r = pd.DataFrame(
+        {
+            "ts": pd.Series([_t(m) for m in ref_mins], dtype="datetime64[ns]"),
+            "v": pd.Series([float(m) for m in ref_mins], dtype="float64"),
+        }
+    )
+    merged = pd.merge_asof(pdf_p, pdf_r, on="ts", direction=direction)
+    want = {
+        int(row.pid): (None if pd.isna(row.v) else float(row.v))
+        for row in merged.itertuples()
+    }
+    assert got == want
