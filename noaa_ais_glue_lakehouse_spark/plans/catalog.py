@@ -3571,3 +3571,35 @@ def q100_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(3, "exact_dedup", exact))
         .unionByName(stage(4, "near_dedup", surv))
     )
+
+
+@register(
+    "q101_custom_source_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q101_custom_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource under the gate: the same per-day/type
+    rollup every other query computes over the native reader, but scanned
+    through the row-group-partitioned Arrow connector
+    (sources/pysource.py) — proving a from-scratch connector delivers
+    byte-identical data to Spark's built-in parquet path."""
+    from noaa_ais_glue_lakehouse_spark.sources.pysource import register as reg
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reg(spark)
+    ev = (
+        spark.read.format("pyrowgroup")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    return ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+    )
