@@ -19,7 +19,13 @@ q101 pins this connector's results against it via the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 _ARROW_TO_DDL = {
     "int8": "tinyint",
@@ -96,3 +102,74 @@ class RowGroupParquetSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the connector on a session."""
     spark.dataSource.register(RowGroupParquetSource)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int):
+        self.file = file
+        self.rows = rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Two-phase commit, the same contract FileOutputCommitter gives the
+    native sinks: each task writes to a ``.tmp`` name and reports it in
+    its commit message; only the DRIVER's commit() renames temp files to
+    final names and publishes a ``_MANIFEST.json`` (file list + row
+    count). A reader that honors the manifest never sees partial output
+    from failed/speculative tasks; abort() deletes the temps."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fn = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(fn, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(fn, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total, kept = 0, []
+        for m in messages:
+            final = m.file[: -len(".tmp")]
+            os.rename(m.file, final)
+            kept.append(os.path.basename(final))
+            total += m.rows
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump({"files": sorted(kept), "rows": total}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.file)
+            except OSError:
+                pass
+
+
+class JsonLinesSink(DataSource):
+    """``df.write.format("pyjsonl").option("path", …).mode("append")`` —
+    the sink half of the custom-connector story (S-family): JSONL shards,
+    one per task, atomically published via rename + manifest."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesSink)

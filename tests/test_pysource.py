@@ -50,3 +50,26 @@ def test_custom_source_partitions_track_row_groups(spark):
     src = RowGroupParquetSource({"path": path})
     parts = src.reader(None).partitions()
     assert len(parts) == max(pq.ParquetFile(path).num_row_groups, 1)
+
+
+def test_jsonl_sink_round_trip(spark, tmp_path):
+    from noaa_ais_glue_lakehouse_spark.sources.pysource import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(500).selectExpr("id", "id * 2 as dbl", "cast(id as string) as s")
+    df.write.format("pyjsonl").option("path", out).mode("append").save()
+
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 500
+    # no uncommitted temp shards remain
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    # every manifest shard exists; read back equals input
+    for f in manifest["files"]:
+        assert os.path.exists(os.path.join(out, f))
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == 500
+    assert back.agg({"dbl": "sum"}).collect()[0][0] == df.agg({"dbl": "sum"}).collect()[0][0]
