@@ -3603,3 +3603,29 @@ def q101_custom_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(cents(F.col("value"))).alias("value_cents"),
     )
+
+
+@register("q102_mergeable_hll_rollup")  # rows-only: sketch estimates are engine-specific
+def q102_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the incremental-rollup pattern
+    q63's one-shot approx_count_distinct can't express: build one Datasketches
+    HLL per day (`hll_sketch_agg`), then UNION the daily sketches into the
+    monthly distinct estimate (`hll_union_agg`) without ever recounting the
+    raw rows. At 100 TB this is the difference between a daily O(day) sketch
+    job + O(days) merge and a monthly O(month) recount; the persisted daily
+    sketch column is what the reference's daily-partials → monthly-rebuild
+    chain (T5) would store. Estimate accuracy vs exact distinct is
+    tolerance-tested in tests/test_sketches.py."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    monthly = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").cast("long").alias(
+            "est_monthly_distinct_users"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_days_merged"),
+    )
+    return monthly

@@ -41,3 +41,20 @@ def test_approx_quantiles_within_tolerance(spark):
     )
     assert abs(got[0] - exact_p50) <= 0.02 * span
     assert abs(got[1] - exact_p95) <= 0.02 * span
+
+
+def test_mergeable_hll_union_matches_exact_within_tolerance(spark):
+    """Daily HLL sketches unioned to a monthly estimate must land within
+    the sketch's error bounds of the exact distinct count — the accuracy
+    contract of the q102 incremental rollup."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    est = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()[0]["est"]
+    )
+    assert abs(est - exact) / exact < 0.05, (est, exact)
