@@ -84,3 +84,31 @@ def test_dim_lookup_broadcasts(spark):
     plan = _plan(catalog.queries()["q39_nav_status_lookup"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_forward_fill_is_single_shuffle(spark):
+    # LOCF is one window pass on the entity exchange — no self-join
+    plan = _plan(catalog.queries()["q77_forward_fill"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    # the benchmark gram set probes map-side; the corpus never shuffles
+    # for the join
+    plan = _plan(catalog.queries()["q83_benchmark_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    # top-100 with tiebreak is TakeOrdered, not a full Sort + Exchange
+    # rangepartitioning of the vocab
+    plan = _plan(catalog.queries()["q91_vocab_top_tokens"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    # document-frequency (|vocab| rows) broadcasts; only the tf table
+    # shuffles
+    plan = _plan(catalog.queries()["q92_tfidf_top_terms"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
