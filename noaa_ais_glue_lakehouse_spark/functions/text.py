@@ -176,6 +176,43 @@ def remove_stopwords(text: Column, stopwords: tuple[str, ...] = DEFAULT_STOPWORD
     return F.filter(tokenize(text), _keep)
 
 
+def gopher_word_stats(text: Column) -> dict[str, Column]:
+    """Gopher-rule document statistics (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", appendix A1.1 quality heuristics): word count,
+    mean word length, and the fraction of words containing at least one
+    alphabetic character. The published filter keeps documents with
+    50–100,000 words, mean word length 3–10, and ≥80% alphabetic words —
+    ``passes`` applies exactly those bounds.
+
+    All native column expressions over the whitespace tokenization
+    (lowercased, so the alphabetic test is ``[a-z]``), reproducible
+    bit-identically by external SQL engines. Documents with zero words get
+    NULL ratios and fail ``passes``.
+    """
+    toks = tokenize(text)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    safe_n = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(None))
+    mean_word_len = F.round(sum_len.cast("double") / safe_n, 4)
+    frac_alpha = F.round(n_alpha.cast("double") / safe_n, 4)
+    passes = (
+        n_words.between(50, 100000)
+        & mean_word_len.between(3.0, 10.0)
+        & (frac_alpha >= 0.8)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "frac_alpha_words": frac_alpha,
+        "passes": F.coalesce(passes, F.lit(False)),
+    }
+
+
 def scrub_pii(text: Column) -> Column:
     """Redact common PII shapes: emails → <EMAIL>, 5+-digit runs → <NUM>,
     phone-like groups → <PHONE>. Pure regexp_replace chain (JVM-side,

@@ -73,6 +73,48 @@ def train_val_test_split(
     )
 
 
+def mixture_sample_to_budget(
+    df: DataFrame,
+    id_col: str,
+    class_col: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    default_budget: int,
+    tokens_before_col: str = "tokens_before",
+) -> DataFrame:
+    """Data-mixture sampling: cap each class (language/domain/quality bin)
+    at a TOKEN budget, not a row fraction — how pretraining mixtures are
+    actually specified ("300B tokens of web, 50B of code, ...").
+
+    Documents are ranked inside their class by ``md5(id)`` — a
+    deterministic shuffle both engines reproduce bit-identically, unlike
+    RNG sampling — and the greedy prefix whose *preceding* cumulative
+    token count is still under the class budget is kept (so the sample
+    may overshoot by at most one document, never undershoot). Stable
+    across runs, resumable, and late partitions can't change earlier
+    decisions.
+
+    Scale shape: one hash shuffle on the class key + one window pass;
+    classes sample independently. Class cardinality is small (languages,
+    domains) while rows-per-class is huge — if a single class outgrows
+    one task's sort budget, pre-aggregate per-doc token counts first
+    (they already are here) so the window sorts |docs|, not |tokens|.
+    """
+    order = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = (
+        Window.partitionBy(class_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(int(default_budget))
+    for cls, b in sorted(budgets.items()):
+        budget = F.when(F.col(class_col) == cls, F.lit(int(b))).otherwise(budget)
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn(tokens_before_col, before).filter(
+        F.col(tokens_before_col) < budget
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -3629,3 +3629,467 @@ def q102_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_days_merged"),
     )
     return monthly
+
+
+# ---------------------------------------------------------------------------
+# Curation surface round 3: PII scrubbing, embedding quantization, mixture
+# sampling, Gopher quality rules, skew audit, SCD2, compaction planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q103_scrub_pii",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call +1-555-867-5309 ref '
+                  || CAST(doc_id * 98765 AS VARCHAR) AS raw
+      FROM documents
+    ),
+    scrub AS (
+      SELECT doc_id, raw,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '<PHONE>', 'g'),
+               '[0-9]{5,}', '<NUM>', 'g') AS scrubbed
+      FROM synth
+    )
+    SELECT doc_id, md5(scrubbed) AS scrub_md5,
+           CAST(length(raw) - length(scrubbed) AS BIGINT) AS chars_delta,
+           CAST(CASE WHEN scrubbed <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed
+    FROM scrub
+    """,
+)
+def q103_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the curation path: emails → <EMAIL>, phone-like
+    groups → <PHONE>, long digit runs → <NUM> (functions/text.py scrub_pii,
+    a pure regexp_replace chain — JVM-side, codegen, RE2-compatible
+    patterns). The synthetic corpus contains no PII, so each document gets
+    a deterministic doc_id-derived contact line appended IN BOTH ENGINES
+    before scrubbing — the oracle value-checks the full transform via the
+    md5 of the scrubbed text, not just counts. Row-local projection: no
+    shuffle at any scale."""
+    from noaa_ais_glue_lakehouse_spark.functions.text import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1-555-867-5309 ref "),
+        (F.col("doc_id") * 98765).cast("string"),
+    )
+    scrubbed = scrub_pii(raw)
+    return docs.select(
+        "doc_id",
+        F.md5(scrubbed.cast("binary")).alias("scrub_md5"),
+        (F.length(raw) - F.length(scrubbed)).cast("long").alias("chars_delta"),
+        F.when(scrubbed != raw, F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "changed"
+        ),
+    )
+
+
+@register(
+    "q104_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           array_to_string(
+             list_transform(e, x -> CAST(CAST(ROUND(x / scale) AS INTEGER) AS VARCHAR)),
+             ',') AS q_csv,
+           CAST(len(list_filter(e, x -> CAST(ROUND(abs(x) / scale) AS INTEGER) = 127))
+                AS BIGINT) AS n_saturated
+    FROM s WHERE scale > 0
+    """,
+)
+def q104_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× storage/bandwidth
+    reduction step an embedding lakehouse applies before ANN serving:
+    per-vector scale = max|v|/127, q_i = round(v_i/scale) ∈ [-127, 127].
+    Pure array expressions (transform/array_max — JVM-side, no UDF); the
+    full quantized vector is value-checked via its CSV rendering, so the
+    oracle pins every element, not a summary. Row-local: no shuffle.
+    Zero vectors (scale 0) are excluded on both sides."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select("vec_id", e.alias("_e")).withColumn(
+        "_scale", F.array_max(F.transform("_e", F.abs)) / F.lit(127.0)
+    )
+    q = F.transform("_e", lambda x: F.round(x / F.col("_scale")).cast("int"))
+    sat = F.size(
+        F.filter(
+            "_e", lambda x: F.round(F.abs(x) / F.col("_scale")).cast("int") == 127
+        )
+    ).cast("long")
+    return df.filter(F.col("_scale") > 0).select(
+        "vec_id",
+        F.round("_scale", 6).alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
+        sat.alias("n_saturated"),
+    )
+
+
+@register(
+    "q105_mixture_sample",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS tokens_before
+      FROM t
+    ),
+    kept AS (
+      SELECT * FROM ranked
+      WHERE tokens_before < CASE lang WHEN 'en' THEN 20000 ELSE 8000 END
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY lang
+    """,
+)
+def q105_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining data-mixture assembly: cap each language at a TOKEN
+    budget (20k for en, 8k otherwise here) — mixtures are specified in
+    tokens, not row fractions. Ranking inside each class is md5(doc_id) —
+    a deterministic shuffle every engine reproduces — and the greedy
+    prefix under budget is kept (operators/training.py
+    mixture_sample_to_budget). One class-key shuffle + one window pass;
+    classes sample independently, so the plan holds at any corpus size."""
+    from noaa_ais_glue_lakehouse_spark.operators.training import (
+        mixture_sample_to_budget,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", "lang", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    kept = mixture_sample_to_budget(
+        with_counts, "doc_id", "lang", "n_tokens", {"en": 20000}, default_budget=8000
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "q106_gopher_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             ROUND(CAST(sum_len AS DOUBLE) / n_words, 4) AS mean_word_len,
+             ROUND(CAST(n_alpha AS DOUBLE) / n_words, 4) AS frac_alpha_words
+      FROM s WHERE n_words > 0
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND mean_word_len BETWEEN 3.0 AND 10.0
+                      AND frac_alpha_words >= 0.8
+                     THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM r
+    """,
+)
+def q106_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1): word count in
+    [50, 100k], mean word length in [3, 10], ≥80% words containing an
+    alphabetic character — the published heuristic pretraining filter,
+    as native column expressions (functions/text.py gopher_word_stats).
+    Row-local projection, no shuffle; every intermediate ratio is
+    emitted so the oracle pins the arithmetic, not just the verdict."""
+    from noaa_ais_glue_lakehouse_spark.functions.text import gopher_word_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = gopher_word_stats(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            stats["n_words"].alias("n_words"),
+            stats["mean_word_len"].alias("mean_word_len"),
+            stats["frac_alpha_words"].alias("frac_alpha_words"),
+            stats["passes"].cast("long").alias("passes"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+
+
+@register(
+    "q107_hot_key_audit",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4) AS skew_factor,
+           ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top1_share
+    FROM c
+    """,
+)
+def q107_hot_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew audit — the diagnostic a 100 TB job runs BEFORE choosing a
+    join strategy: per-key cardinality profile reduced to key count, max
+    partition weight, skew factor (max/mean) and the hottest key's share.
+    Two-level aggregation: the per-key count is map-side combinable, the
+    final reduce sees |keys| rows, not |rows|. Feeds the
+    salted_join/broadcast decision (operators/skew.py, q90)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.round(
+            F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"), 4
+        ).alias("skew_factor"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top1_share"),
+    )
+
+
+@register(
+    "q108_scd2_dim",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+             AS valid_to,
+           CAST(CASE WHEN LEAD(valid_from) OVER (
+                  PARTITION BY user_id ORDER BY valid_from, event_id)
+                IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM changes
+    """,
+)
+def q108_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event log: collapse consecutive
+    equal states per entity into validity intervals
+    [valid_from, valid_to), open-ended on the current state — the
+    lakehouse dimension-history pattern. Both window passes (change
+    detection, then interval close-off) share the entity partition key:
+    the filter between them preserves the hash partitioning, so the plan
+    shuffles ONCE regardless of history depth."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias(
+            "is_current"
+        ),
+    )
+
+
+@register(
+    "q109_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT CAST(ts AS DATE) AS day, EXTRACT(hour FROM ts) AS h,
+             COUNT(*) AS n_rows
+      FROM events GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT day, n_rows,
+             CAST(FLOOR(COALESCE(SUM(n_rows) OVER (
+               PARTITION BY day ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 500.0) AS BIGINT) AS out_file
+      FROM files
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_input_files,
+           CAST(MAX(out_file) + 1 AS BIGINT) AS n_output_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows
+    FROM planned GROUP BY day
+    """,
+)
+def q109_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance pass every
+    parquet lakehouse schedules: per partition (day), bin-pack the
+    hour-grain file fragments into ~target-row output files by prefix-sum
+    binning (same greedy shape as q67's sequence packing, applied to file
+    manifests). The plan is computed from per-file row counts only —
+    |files| rows, never the data — so planning cost is independent of
+    table size; execution would rewrite each bin with one task."""
+    ev = load(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "out_file",
+        F.floor(F.coalesce(F.sum("n_rows").over(w), F.lit(0)) / F.lit(500.0)).cast(
+            "long"
+        ),
+    )
+    return planned.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input_files"),
+        (F.max("out_file") + 1).cast("long").alias("n_output_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+
+
+@register(
+    "q110_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q110_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming aggregation under the correctness gate:
+    the events table is replayed as a THREE-microbatch file stream
+    (range-split drop directory, maxFilesPerTrigger=1), a per-key stateful
+    processor maintains per-user running (count, cents) totals across the
+    batches, and the final emission per key is hash-checked against the
+    batch GROUP BY — streaming-state == batch-aggregate equality, proven
+    per run. The operator (streaming/sessions.py running_totals) uses
+    Spark 4's ``transformWithState`` typed-ValueState API where the
+    protobuf runtime it requires exists, and an identical-semantics
+    ``applyInPandasWithState`` processor otherwise. Integer-cents state
+    makes the totals exact and replay-order-independent. The last
+    emission per key is selected by max_by on the strictly-increasing
+    running count (update-mode memory sinks append every refresh)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import running_totals
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    # stage a 3-file drop directory so availableNow + maxFilesPerTrigger=1
+    # actually exercises state persistence ACROSS microbatches (a single
+    # file would fold the whole table into one batch and never re-read
+    # state)
+    drop_dir = tempfile.mkdtemp(prefix="q110_drop_")
+    (
+        spark.read.parquet(path)
+        .repartitionByRange(3, "ts")
+        .write.mode("overwrite")
+        .parquet(drop_dir)
+    )
+    file_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select(
+            F.col("user_id"),
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    out = running_totals(stream, "user_id", "value_cents")
+    name = f"q110_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q110_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name)
+    # n is strictly increasing per key across emissions, so max_by(n) is
+    # the final state
+    return emissions.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max_by("value_cents", "n").cast("long").alias("value_cents"),
+    )
+
+
+@register(
+    "q111_variant_props",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q111_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    ``parse_json`` shreds the payload once into the binary Variant
+    encoding, ``try_variant_get`` extracts typed fields without
+    re-parsing — the schema-flexible complement of q68's fixed-schema
+    ``from_json`` (Variant keeps fields the declared schema would drop,
+    and malformed payloads yield NULL via the try_ form instead of
+    failing the scan). Per-day rollup of the extracted field,
+    hash-checked against the DuckDB JSON oracle."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.withColumn("_k", k)
+        .filter(F.col("_k").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.min("_k").cast("long").alias("min_k"),
+        )
+    )

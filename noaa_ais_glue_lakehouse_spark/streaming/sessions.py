@@ -143,6 +143,103 @@ def stateful_sessionize(
     )
 
 
+def running_totals(
+    df: DataFrame,
+    entity_col: str,
+    cents_col: str = "value_cents",
+) -> DataFrame:
+    """Per-entity running (count, integer-cents sum) across microbatches
+    via ``transformWithState`` — Spark 4's arbitrary-stateful-processing
+    API (the successor of ``applyInPandasWithState``): explicit typed
+    ``ValueState`` per key, Arrow-batched row iteration, update-mode
+    emission of the refreshed totals each time a key appears in a batch.
+
+    This is the streaming form of the daily-partials → running-rollup
+    chain (T2/T5): the ValueState the processor keeps IS the state
+    snapshot the reference persists to dated parquet between batch runs
+    (``utils/state_io.py``), maintained continuously instead. Sums ride
+    integer cents so the emitted totals are exact and order-independent —
+    batch-replay order across microbatches cannot change the result.
+
+    Scale shape: state is O(|entities|) longs in the state store, input
+    is streamed through Arrow batches per key group; nothing is
+    collected. Works identically under availableNow replay and a live
+    source.
+
+    The transformWithState Python worker speaks protobuf to the JVM state
+    server; in environments without the protobuf package the operator
+    falls back to an ``applyInPandasWithState`` processor with the
+    IDENTICAL per-key state transition and emission (the equivalence is
+    what tests pin), so callers see one API either way.
+    """
+    out_schema = f"{entity_col} long, n long, {cents_col} long"
+
+    try:  # transformWithState requires google.protobuf at worker runtime
+        from google.protobuf import descriptor  # noqa: F401
+
+        _has_protobuf = True
+    except ImportError:  # pragma: no cover - depends on environment
+        _has_protobuf = False
+
+    if _has_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState("totals", "n long, cents long")
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                if self._state.exists():
+                    n, cents = self._state.get()
+                else:
+                    n, cents = 0, 0
+                for pdf in rows:
+                    n += int(len(pdf))
+                    cents += int(pdf[cents_col].sum())
+                self._state.update((n, cents))
+                yield pd.DataFrame(
+                    {entity_col: [key[0]], "n": [n], cents_col: [cents]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return df.groupBy(entity_col).transformWithStateInPandas(
+            _RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            n, cents = state.get
+        else:
+            n, cents = 0, 0
+        for pdf in pdfs:
+            n += int(len(pdf))
+            cents += int(pdf[cents_col].sum())
+        state.update((int(n), int(cents)))
+        yield pd.DataFrame({entity_col: [key[0]], "n": [n], cents_col: [cents]})
+
+    return df.groupBy(entity_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,

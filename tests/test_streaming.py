@@ -126,3 +126,56 @@ def test_streaming_file_source_to_partitioned_sink(spark, tmp_path):
     # session (0:00-1:00) must have been finalized and written
     rows = {(r["mmsi"], r["session_start"]) for r in got.collect()}
     assert ("a", dt.datetime(2024, 1, 1, 0)) in rows
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithState ValueState survives across microbatches: a
+    3-file drop dir with maxFilesPerTrigger=1 forces 3 batches; the final
+    emission per key must equal the batch aggregate (exact integer
+    cents)."""
+    import uuid
+
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import running_totals
+
+    rows = [(i % 5, 0.25 * (i + 1)) for i in range(60)]
+    src = spark.createDataFrame(rows, ["user_id", "value"]).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    drop = str(tmp_path / "drop")
+    src.repartitionByRange(3, "value").write.parquet(drop)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+        .select("user_id", "value_cents")
+    )
+    out = running_totals(stream, "user_id", "value_cents")
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emissions = spark.table(name)
+    # >5 emissions proves keys were refreshed in more than one batch
+    assert emissions.count() > 5
+    final = {
+        r["user_id"]: (r["n"], r["value_cents"])
+        for r in emissions.groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max_by("value_cents", "n").alias("value_cents"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["value_cents"])
+        for r in src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value_cents").alias("value_cents")
+        )
+        .collect()
+    }
+    assert final == want

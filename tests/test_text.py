@@ -91,3 +91,32 @@ def test_scrub_pii(spark):
     assert "<EMAIL>" in got and "example.com" not in got
     assert "<PHONE>" in got or "<NUM>" in got
     assert "1234567" not in got
+
+
+def test_gopher_word_stats(spark):
+    from noaa_ais_glue_lakehouse_spark.functions.text import gopher_word_stats
+
+    good = " ".join(["word"] * 60)  # 60 words, mean 4.0, all alphabetic
+    short = "too few words"
+    digits = " ".join(["123"] * 60)  # no alphabetic chars
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, digits), (4, "")], ["i", "text"]
+    )
+    stats = gopher_word_stats(F.col("text"))
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            stats["n_words"].alias("n_words"),
+            stats["mean_word_len"].alias("mean_word_len"),
+            stats["frac_alpha_words"].alias("frac_alpha_words"),
+            stats["passes"].alias("passes"),
+        ).collect()
+    }
+    assert rows[1]["n_words"] == 60
+    assert rows[1]["mean_word_len"] == 4.0
+    assert rows[1]["frac_alpha_words"] == 1.0
+    assert rows[1]["passes"] is True
+    assert rows[2]["passes"] is False  # under 50 words
+    assert rows[3]["frac_alpha_words"] == 0.0 and rows[3]["passes"] is False
+    assert rows[4]["n_words"] == 0 and rows[4]["passes"] is False  # empty: no NULL leak

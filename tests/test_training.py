@@ -73,3 +73,48 @@ def test_pack_sequences_null_token_counts(spark):
     got = pack_sequences(df, "doc_id", "n_tokens", context_tokens=150, n_shards=1)
     assert got.count() == 3
     assert got.filter("bin_id IS NULL").count() == 0
+
+
+def test_mixture_sample_budget_invariants(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.training import (
+        mixture_sample_to_budget,
+    )
+
+    rows = [(i, ["en", "fr"][i % 2], 10 + (i * 13) % 40) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    got = mixture_sample_to_budget(
+        df, "doc_id", "lang", "n_tokens", {"en": 500}, default_budget=200
+    )
+    data = got.collect()
+    per_class: dict[str, list] = {}
+    for r in data:
+        per_class.setdefault(r["lang"], []).append(r)
+    budgets = {"en": 500, "fr": 200}
+    for lang, cls_rows in per_class.items():
+        total = sum(r["n_tokens"] for r in cls_rows)
+        max_doc = max(r["n_tokens"] for r in cls_rows)
+        # greedy prefix: reaches the budget, overshoots by at most one doc
+        assert total >= budgets[lang] or len(cls_rows) == 200
+        assert total < budgets[lang] + max_doc
+        # every kept doc's preceding cumulative count is under budget
+        assert all(r["tokens_before"] < budgets[lang] for r in cls_rows)
+    # determinism: identical selection on re-run
+    again = mixture_sample_to_budget(
+        df, "doc_id", "lang", "n_tokens", {"en": 500}, default_budget=200
+    )
+    assert sorted(r["doc_id"] for r in data) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_mixture_sample_budget_smaller_than_any_doc(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.training import (
+        mixture_sample_to_budget,
+    )
+
+    df = spark.createDataFrame([(1, "en", 100), (2, "en", 100)], ["doc_id", "lang", "n_tokens"])
+    got = mixture_sample_to_budget(
+        df, "doc_id", "lang", "n_tokens", {}, default_budget=1
+    ).collect()
+    # tokens_before of the first doc is 0 < 1: exactly one doc survives
+    assert len(got) == 1
