@@ -112,3 +112,27 @@ def test_tfidf_broadcasts_df_table(spark):
     # shuffles
     plan = _plan(catalog.queries()["q92_tfidf_top_terms"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_shares_entity_shuffle(spark):
+    """q108: change-detection window and interval-close window both key on
+    user_id; the filter between them preserves partitioning, so ONE
+    exchange total."""
+    plan = _plan(catalog.queries()["q108_scd2_dim"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mixture_sample_is_single_shuffle(spark):
+    """q105: md5-rank + budget filter is one class-key window pass."""
+    plan = _plan(catalog.queries()["q105_mixture_sample"](spark, SF_DIR))
+    # one exchange for the lang window; the final small groupBy may add an
+    # AQE-coalesced agg exchange over |classes| rows — allow at most 2
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rowlocal_curation_ops_never_shuffle(spark):
+    """q103/q104/q106: scrubbing, quantization, and quality scoring are
+    row-local projections — zero exchanges at any scale."""
+    for q in ("q103_scrub_pii", "q104_quantize_embeddings", "q106_gopher_quality"):
+        plan = _plan(catalog.queries()[q](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{q} shuffles"
