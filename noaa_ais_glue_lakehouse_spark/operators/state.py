@@ -76,3 +76,70 @@ def merge_state_full_outer(
             ).otherwise(F.greatest(F.col(f"s.{c}"), F.col(f"d.{c}"))).alias(c)
         )
     return merged.select(*exprs)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: matched target rows are
+    replaced by the source row (WHEN MATCHED THEN UPDATE SET *),
+    unmatched source rows are inserted (WHEN NOT MATCHED THEN INSERT *),
+    unmatched target rows are kept — and, when ``delete_col`` names a
+    boolean column on the source, matched rows with it true are deleted
+    instead of updated (WHEN MATCHED AND cond THEN DELETE).
+
+    The result is the merged snapshot; pairing it with the
+    dynamic-partition-overwrite writer (sources/writers.py) gives the
+    parquet-era equivalent of a Delta/Iceberg MERGE — rewrite only the
+    partitions the merged rows land in. Columns are taken positionally
+    from the TARGET schema; the source must carry the same columns
+    (extra source columns beyond ``delete_col`` are dropped).
+
+    Scale shape: upsert = one anti-join (target rows whose key has no
+    source row) + union with the surviving source rows — both hash
+    shuffles on the merge key, no window, no full-outer wide row. At 100
+    TB the anti-join side is the big table and the source is the day's
+    delta; with both bucketed on the key the exchange disappears
+    entirely (tests/test_bucketing.py shows the layout).
+    """
+    out_cols = target.columns
+    live = source
+    if delete_col is not None:
+        live = source.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    live = live.select(*out_cols)
+    kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(live)
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "op",
+    upsert_ops: tuple[str, ...] = ("I", "U"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete rows ordered by a
+    sequence) to a snapshot — the change-data-capture replay every
+    lakehouse ingestion pipeline runs against Debezium/DMS-style feeds.
+
+    Per key, only the LATEST change (by ``seq_cols``, ties broken by the
+    full tuple) decides: upsert ops replace/insert the row, the delete op
+    removes the key; keys untouched by the changelog pass through. The
+    whole replay is one max_by aggregation over the changelog (map-side
+    combinable — a key changed 10⁶ times reduces to one row before the
+    shuffle) plus the same anti-join + union as :func:`merge_upsert`.
+    """
+    seq = F.struct(*[F.col(c) for c in seq_cols])
+    value_cols = [c for c in changes.columns if c not in keys]
+    latest = changes.groupBy(*keys).agg(
+        *[F.max_by(c, seq).alias(c) for c in value_cols]
+    )
+    live = latest.filter(F.col(op_col).isin(*upsert_ops)).drop(op_col, *seq_cols)
+    dropped_keys = latest.select(*keys)  # any changed key leaves the snapshot row
+    kept = snapshot.join(dropped_keys, keys, "left_anti")
+    return kept.unionByName(live.select(*snapshot.columns))

@@ -4093,3 +4093,210 @@ def q111_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("_k").cast("long").alias("min_k"),
         )
     )
+
+
+@register(
+    "q112_merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey + CASE WHEN o_custkey % 10 = 0 THEN 1000000 ELSE 0 END AS key,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS new_bal
+      FROM orders GROUP BY 1
+    ),
+    srcf AS (
+      SELECT key, new_bal, (key % 7 = 3) AS del FROM src
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey NOT IN (SELECT key FROM srcf)
+    UNION ALL
+    SELECT key AS c_custkey,
+           'Merged#' || CAST(key AS VARCHAR) AS c_name,
+           CAST(key % 25 AS INTEGER) AS c_nationkey,
+           new_bal AS c_acctbal,
+           'MERGED' AS c_mktsegment
+    FROM srcf WHERE NOT del
+    """,
+)
+def q112_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: the customer snapshot
+    merged with an order-derived delta — matched keys updated (balance
+    replaced), unmatched source keys inserted (the %10 key shift
+    manufactures them), matched keys flagged for delete removed, untouched
+    target rows kept (operators/state.py merge_upsert). This is the
+    parquet-era MERGE the reference's replaceWhere never actually was;
+    pairing the result with the dynamic-overwrite writer rewrites only
+    affected partitions. One anti-join + union — no full-outer wide rows;
+    bucket both sides on the key and the exchange disappears."""
+    from noaa_ais_glue_lakehouse_spark.operators.state import merge_upsert
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_custkey") + F.when(
+        F.col("o_custkey") % 10 == 0, F.lit(1000000)
+    ).otherwise(F.lit(0))
+    src = (
+        orders.groupBy(key.alias("c_custkey"))
+        .agg(
+            (F.sum(cents(F.col("o_totalprice"))).cast("double") / 100.0).alias(
+                "c_acctbal"
+            )
+        )
+        .select(
+            "c_custkey",
+            F.concat(F.lit("Merged#"), F.col("c_custkey").cast("string")).alias(
+                "c_name"
+            ),
+            (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
+            "c_acctbal",
+            F.lit("MERGED").alias("c_mktsegment"),
+            (F.col("c_custkey") % 7 == 3).alias("_del"),
+        )
+    )
+    return merge_upsert(cust, src, ["c_custkey"], delete_col="_del")
+
+
+@register(
+    "q113_cdc_apply",
+    oracle="""
+    WITH snap AS (
+      SELECT DISTINCT
+             user_id + CASE WHEN user_id % 9 = 0 THEN 1000 ELSE 0 END AS user_id,
+             'init' AS status, CAST(0 AS BIGINT) AS value_cents
+      FROM events WHERE user_id < 100
+    ),
+    latest AS (
+      SELECT user_id, op, status, value_cents FROM (
+        SELECT user_id,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+               event_type AS status,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id, status, value_cents FROM snap
+    WHERE user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT user_id, status, value_cents FROM latest WHERE op IN ('I', 'U')
+    """,
+)
+def q113_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog replay (Debezium/DMS-shape): the events feed becomes
+    an I/U/D changelog (signup=insert, error=delete, rest=update), applied
+    to a user snapshot — per key only the LATEST change decides, deletes
+    drop the key, untouched snapshot keys (the %9 shift manufactures
+    them) pass through (operators/state.py apply_cdc). The changelog
+    collapses via one map-side-combinable max_by aggregation — a key
+    changed a million times reduces to one row before the shuffle — then
+    the same anti-join + union as MERGE. This is how a lakehouse applies
+    upstream-database change feeds at 100 TB."""
+    from noaa_ais_glue_lakehouse_spark.operators.state import apply_cdc
+
+    ev = load(spark, sf_dir, "events")
+    snap = (
+        ev.filter(F.col("user_id") < 100)
+        .select(
+            (
+                F.col("user_id")
+                + F.when(F.col("user_id") % 9 == 0, F.lit(1000)).otherwise(F.lit(0))
+            ).alias("user_id")
+        )
+        .distinct()
+        .select(
+            "user_id",
+            F.lit("init").alias("status"),
+            F.lit(0).cast("long").alias("value_cents"),
+        )
+    )
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type").alias("status"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return apply_cdc(snap, changes, ["user_id"], ["ts", "event_id"], "op")
+
+
+@register(
+    "q114_grouping_sets",
+    oracle="""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS BIGINT)
+             AS gid
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def q114_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the explicit-subtotal form between q73's
+    ROLLUP and q79's CUBE: per-type totals, per-day totals, and the grand
+    total in ONE pass (Spark expands the sets map-side and aggregates
+    once; three separate GROUP BYs would scan the fact three times).
+    grouping_id disambiguates the NULL-vs-'ALL' encoding exactly as the
+    oracle does."""
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        "event_type", F.to_date("ts").alias("day"), cents(F.col("value")).alias("_c")
+    ).createOrReplaceTempView("q114_ev")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(day AS STRING), 'ALL') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(_c) AS BIGINT) AS value_cents,
+               CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid
+        FROM q114_ev
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+        """
+    )
+
+
+@register(
+    "q115_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(user_id % 10, 7) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(user_id % 10, 7) AS bucket,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1
+    )
+    SELECT a.bucket, a.n_events, b.value_cents
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    """,
+)
+def q115_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL join keys
+    match each other instead of silently dropping — the semantics data
+    reconciliation needs when NULL is a real category (here a NULLIF'd
+    bucket). eqNullSafe keys still hash-partition (NULLs co-locate in one
+    partition), so the plan stays a hash join, never a cross product;
+    both sides are pre-aggregated to |buckets| rows so the NULL bucket
+    cannot hot-spot the join itself."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.nullif(F.col("user_id") % 10, F.lit(7))
+    a = ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    b = ev.groupBy(bucket.alias("bucket")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("value_cents")
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.bucket").eqNullSafe(F.col("b.bucket")))
+        .select("a.bucket", "a.n_events", "b.value_cents")
+    )

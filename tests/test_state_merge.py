@@ -1,0 +1,63 @@
+"""MERGE upsert and CDC changelog replay (operators/state.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from noaa_ais_glue_lakehouse_spark.operators.state import apply_cdc, merge_upsert
+
+
+def test_merge_upsert_update_insert_delete_keep(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "name", "bal"],
+    )
+    # k=1 update, k=3 delete, k=9 insert, k=5 delete-of-unmatched (no-op)
+    source = spark.createDataFrame(
+        [
+            (1, "a2", 11.0, False),
+            (3, "c2", 0.0, True),
+            (9, "new", 90.0, False),
+            (5, "ghost", 0.0, True),
+        ],
+        ["k", "name", "bal", "_del"],
+    )
+    got = {r["k"]: (r["name"], r["bal"]) for r in merge_upsert(
+        target, source, ["k"], delete_col="_del"
+    ).collect()}
+    assert got == {
+        1: ("a2", 11.0),   # matched update
+        2: ("b", 20.0),    # untouched keep
+        4: ("d", 40.0),    # untouched keep
+        9: ("new", 90.0),  # unmatched insert
+        # 3 deleted; 5's delete of a missing key is a no-op insert-nothing
+    }
+
+
+def test_merge_upsert_without_delete_col(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = spark.createDataFrame([(1, "a2"), (2, "b")], ["k", "v"])
+    got = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: "a2", 2: "b"}
+
+
+def test_apply_cdc_latest_wins_and_delete(spark):
+    snap = spark.createDataFrame(
+        [(1, "init", 0), (2, "init", 0), (3, "init", 0)], ["k", "status", "v"]
+    )
+    # k=1: U then D (delete wins - later seq); k=2: D then U (update wins);
+    # k=4: I (insert); k=3: untouched
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "U", "up", 5),
+            (1, 2, "D", "gone", 0),
+            (2, 1, "D", "gone", 0),
+            (2, 2, "U", "up", 7),
+            (4, 1, "I", "new", 9),
+        ],
+        ["k", "seq", "op", "status", "v"],
+    )
+    got = {r["k"]: (r["status"], r["v"]) for r in apply_cdc(
+        snap, changes, ["k"], ["seq"], "op"
+    ).collect()}
+    assert got == {2: ("up", 7), 3: ("init", 0), 4: ("new", 9)}
