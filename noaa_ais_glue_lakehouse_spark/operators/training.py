@@ -123,6 +123,7 @@ def pack_sequences(
     n_shards: int = 32,
     shard_col: str = "shard",
     bin_col: str = "bin_id",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Concatenation-style sequence packing: assign each document to a
     fixed ``context_tokens`` window within its shard.
@@ -134,12 +135,17 @@ def pack_sequences(
     independently (id-hash sharding), so the plan is one window pass
     partitioned by shard — no global ordering bottleneck; parallelism is
     ``n_shards`` regardless of corpus size.
+
+    ``group_cols`` packs within (group × shard) instead — e.g. pass
+    ``["split"]`` so train/val/test each pack their own windows and a
+    val document can never share a context window with a train one.
     """
     shard = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(1 << 32)) % F.lit(
         n_shards
     )
+    part_cols = [*(group_cols or []), shard_col]
     w = (
-        Window.partitionBy(shard_col)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -4300,3 +4300,135 @@ def q115_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b.alias("b"), F.col("a.bucket").eqNullSafe(F.col("b.bucket")))
         .select("a.bucket", "a.n_events", "b.value_cents")
     )
+
+
+@register(
+    "q116_training_corpus_assembly",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens,
+             ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / len(toks), 4) AS mean_len,
+             ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE) / len(toks), 4) AS frac_alpha
+      FROM t WHERE len(toks) > 0
+    ),
+    q AS (
+      SELECT doc_id, lang, text, n_tokens FROM g
+      WHERE n_tokens BETWEEN 20 AND 100000
+        AND mean_len BETWEEN 3.0 AND 10.0
+        AND frac_alpha >= 0.8
+    ),
+    ex AS (
+      SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text
+    ),
+    qq AS (
+      SELECT q.doc_id, q.lang, q.n_tokens FROM q JOIN ex USING (doc_id)
+    ),
+    mix AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS tokens_before
+      FROM qq
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_tokens FROM mix
+      WHERE tokens_before < CASE lang WHEN 'en' THEN 12000 ELSE 5000 END
+    ),
+    sp AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN frac < 0.05 THEN 'val'
+                  WHEN frac < 0.10 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM (
+        SELECT *, CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                    / 4294967296.0 AS frac
+        FROM kept
+      )
+    ),
+    binned AS (
+      SELECT split, n_tokens,
+             CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard,
+             doc_id
+      FROM sp
+    ),
+    packed AS (
+      SELECT split, shard, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY split, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 512.0) AS BIGINT) AS bin_id
+      FROM binned
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT (shard, bin_id)) AS BIGINT) AS n_bins
+    FROM packed GROUP BY split
+    """,
+)
+def q116_training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP training-corpus assembly — the full path from raw corpus
+    to trainer-ready windows, every stage the REAL operator: Gopher-rule
+    quality filter (word/length/alpha bounds, adjusted min-words for this
+    corpus) → exact dedup (min-id survivor) → token-budget mixture
+    sampling per language → deterministic train/val/test split → per-split
+    sequence packing into 512-token windows (group_cols packing so a val
+    doc never shares a window with a train doc). Reported per split:
+    documents, tokens, packed windows — the manifest a pretraining run
+    starts from, hash-checked end-to-end against a single DuckDB CTE.
+
+    Scale: quality/split stages are row-local; dedup shuffles on the text
+    hash; mixture + packing are one window pass each on small keys. No
+    stage materializes more than |docs| rows."""
+    from noaa_ais_glue_lakehouse_spark.functions.text import gopher_word_stats
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import dedup_exact
+    from noaa_ais_glue_lakehouse_spark.operators.training import (
+        mixture_sample_to_budget,
+        pack_sequences,
+        train_val_test_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    stats = gopher_word_stats(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        stats["n_words"].alias("n_tokens"),
+        stats["mean_word_len"].alias("_mean"),
+        stats["frac_alpha_words"].alias("_alpha"),
+    ).filter(
+        F.col("n_tokens").between(20, 100000)
+        & F.col("_mean").between(3.0, 10.0)
+        & (F.col("_alpha") >= 0.8)
+    )
+    deduped = dedup_exact(quality, ["text"], "doc_id").select(
+        "doc_id", "lang", "n_tokens"
+    )
+    kept = mixture_sample_to_budget(
+        deduped, "doc_id", "lang", "n_tokens", {"en": 12000}, default_budget=5000
+    ).drop("tokens_before")
+    split = train_val_test_split(kept, "doc_id", 0.05, 0.05)
+    packed = pack_sequences(
+        split,
+        "doc_id",
+        "n_tokens",
+        context_tokens=512,
+        n_shards=8,
+        group_cols=["split"],
+    )
+    return packed.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("shard", "bin_id").cast("long").alias("n_bins"),
+    )

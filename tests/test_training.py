@@ -118,3 +118,23 @@ def test_mixture_sample_budget_smaller_than_any_doc(spark):
     ).collect()
     # tokens_before of the first doc is 0 < 1: exactly one doc survives
     assert len(got) == 1
+
+
+def test_pack_sequences_group_cols_isolate_splits(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.training import pack_sequences
+
+    rows = [(i, ["train", "val"][i % 2], 100) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "split", "n_tokens"])
+    packed = pack_sequences(
+        df, "doc_id", "n_tokens", context_tokens=256, n_shards=4, group_cols=["split"]
+    ).collect()
+    # each (split, shard) packs independently from bin 0
+    by_group: dict[tuple, list] = {}
+    for r in packed:
+        by_group.setdefault((r["split"], r["shard"]), []).append(r)
+    for rows_g in by_group.values():
+        rows_g.sort(key=lambda r: r["doc_id"])
+        assert rows_g[0]["bin_id"] == 0  # every group restarts at bin 0
+        # 100-token docs in 256-token bins: bin increments every 2-3 docs
+        bins = [r["bin_id"] for r in rows_g]
+        assert bins == sorted(bins)
