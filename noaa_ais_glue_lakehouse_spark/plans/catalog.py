@@ -4432,3 +4432,98 @@ def q116_training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.countDistinct("shard", "bin_id").cast("long").alias("n_bins"),
     )
+
+
+@register(
+    "q117_map_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COALESCE(SUM(n) FILTER (WHERE event_type = 'view'), 0) AS BIGINT)
+             AS n_views,
+           CAST(COALESCE(SUM(n) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT)
+             AS n_purchases,
+           CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_frequent_types
+    FROM c GROUP BY user_id
+    """,
+)
+def q117_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed per-entity profile: per user, the event-type→count map is
+    built with map_from_entries(collect_list(struct)), then consumed with
+    the map kernel functions — map_keys/size for the type count,
+    try_element_at for point lookups (NULL, never an error, on absent
+    keys), map_filter for the ≥10-occurrence subset. The map column is
+    the profile shape a feature store serves; the oracle computes the
+    same values relationally, proving the map path loses nothing. One
+    two-level aggregation — map construction is map-side combinable on
+    (user, type) first."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    profiles = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    m = F.col("type_counts")
+    return profiles.select(
+        "user_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_types"),
+        F.coalesce(F.try_element_at(m, F.lit("view")), F.lit(0))
+        .cast("long")
+        .alias("n_views"),
+        F.coalesce(F.try_element_at(m, F.lit("purchase")), F.lit(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.size(F.map_keys(F.map_filter(m, lambda k, v: v >= 10)))
+        .cast("long")
+        .alias("n_frequent_types"),
+    )
+
+
+@register(
+    "q118_collated_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS label,
+             value
+      FROM events
+    )
+    SELECT lower(label) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM mixed GROUP BY lower(label)
+    """,
+)
+def q118_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a mixed-case label
+    column grouped under UTF8_LCASE collation folds 'VIEW' and 'view'
+    into one group WITHOUT rewriting the data — the engine-level answer
+    to case-divergent sources that the reference handled by hand-
+    lowercasing every column. The output key is canonicalized with
+    lower() only for cross-engine comparison; the grouping itself is
+    collation-native."""
+    ev = load(spark, sf_dir, "events")
+    label = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    mixed = ev.select(
+        F.collate(label, "UTF8_LCASE").alias("label"),
+        cents(F.col("value")).alias("_c"),
+    )
+    return mixed.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_c").cast("long").alias("value_cents"),
+    ).select(
+        # strip the collation for a plain-string schema the oracle matches
+        F.lower(F.col("label").cast("string")).alias("label"),
+        "n",
+        "value_cents",
+    )
