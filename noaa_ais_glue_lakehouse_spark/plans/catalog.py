@@ -4527,3 +4527,75 @@ def q118_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_cents",
     )
+
+
+@register(
+    "q119_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE d(day, max_day) AS (
+      SELECT MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)) FROM events
+      UNION ALL
+      SELECT CAST(day + INTERVAL 1 DAY AS DATE), max_day FROM d WHERE day < max_day
+    )
+    SELECT d.day, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+    FROM d LEFT JOIN events e ON CAST(e.ts AS DATE) = d.day
+    GROUP BY d.day
+    """,
+)
+def q119_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE (Spark 4's WITH RECURSIVE): generate the
+    complete calendar spine between the table's first and last day by
+    recursion — no driver-side date loop, no sequence() row — and
+    left-join daily counts onto it so silent zero-event days surface as
+    explicit rows (the data-freshness report a lakehouse runs nightly).
+    Recursion bounds travel as columns of the working set, so the whole
+    spine derives from ONE anchor aggregate; the iterative union runs
+    inside the engine exactly like the q62 connected-components loop,
+    but declared in SQL."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q119_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE d(day, max_day) AS (
+          SELECT MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)) FROM q119_events
+          UNION ALL
+          SELECT date_add(day, 1), max_day FROM d WHERE day < max_day
+        )
+        SELECT d.day, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+        FROM d LEFT JOIN q119_events e ON CAST(e.ts AS DATE) = d.day
+        GROUP BY d.day
+        """
+    )
+
+
+@register(
+    "q120_lateral_topk",
+    oracle="""
+    SELECT t.event_type, l.user_id, l.n
+    FROM (SELECT DISTINCT event_type FROM events) t,
+    LATERAL (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events e WHERE e.event_type = t.event_type
+      GROUP BY user_id ORDER BY n DESC, user_id LIMIT 3
+    ) l
+    """,
+)
+def q120_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group LIMIT — top-3 users per
+    event type in the SQL form analysts write. Catalyst decorrelates the
+    lateral into a window/aggregate plan (no per-outer-row re-execution),
+    so the declarative form costs the same as q08's hand-written
+    row_number top-k; id tiebreak keeps the cut total across engines."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q120_events")
+    return spark.sql(
+        """
+        SELECT t.event_type, l.user_id, l.n
+        FROM (SELECT DISTINCT event_type FROM q120_events) t,
+        LATERAL (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM q120_events e WHERE e.event_type = t.event_type
+          GROUP BY user_id ORDER BY n DESC, user_id LIMIT 3
+        ) l
+        """
+    )
