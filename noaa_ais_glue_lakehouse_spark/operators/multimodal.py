@@ -165,3 +165,54 @@ def sample_frames(
             frame_col
         ),
     )
+
+
+def decode_images_arrow(
+    df: DataFrame, id_col: str, binary_col: str
+) -> DataFrame:
+    """The :func:`decode_images` stub path as ``mapInArrow`` — Arrow
+    RecordBatches in, Arrow RecordBatches out, no pandas materialization
+    on either side. For binary-heavy columns this skips the
+    Arrow→pandas→Arrow copy that mapInPandas pays per batch (pandas
+    boxes each payload as a Python bytes object; here the metadata
+    derives from the Arrow buffer offsets alone, so the payload bytes
+    are never touched, let alone copied). Output is bit-identical to
+    ``decode_images(use_stub=True)`` (pinned by test + shared oracle).
+    """
+    import pyarrow as pa
+
+    src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("_b"))
+
+    def _decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            # byte length straight from the Arrow value buffer — NULL
+            # propagates, payload bytes never copied into Python
+            n = pc.binary_length(payloads).cast(pa.int64())
+            # and_kleene: false & null = false (plain and_ would propagate
+            # the null from greater(NULL, 0) into decode_ok)
+            nonempty = pc.and_kleene(pc.is_valid(payloads), pc.greater(n, 0))
+            # stub dimensions (same arithmetic as decode_images' stub).
+            # pyarrow.compute has no mod kernel: x % d = x - (x // d) * d
+            # (integer divide on int64 truncates; all operands non-negative)
+            def _dim(mult: int, mod: int, bits=pa.int32()):
+                x = pc.multiply(n, mult)
+                m = pc.subtract(x, pc.multiply(pc.divide(x, mod), mod))
+                v = pc.add(m, 1).cast(bits)
+                return pc.if_else(nonempty, v, pa.scalar(None, bits))
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    _dim(7, 640),
+                    _dim(13, 480),
+                    _dim(31, 4),
+                    nonempty,
+                ],
+                names=["id", "width", "height", "channels", "decode_ok"],
+            )
+
+    return src.mapInArrow(_decode, schema=IMAGE_META_SCHEMA)

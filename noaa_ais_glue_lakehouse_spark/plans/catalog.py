@@ -4599,3 +4599,148 @@ def q120_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@register(
+    "q121_streaming_merge_sink",
+    oracle="""
+    SELECT user_id, status, value_cents FROM (
+      SELECT user_id, event_type AS status,
+             CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q121_streaming_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink — the streaming-upsert pattern every
+    lakehouse runs where a native sink doesn't exist: events replay as a
+    THREE-microbatch stream (three sequentially-staged files so arrival
+    order follows event time, like an ordered CDC feed), each batch
+    collapses to its latest row per user and MERGEs into a parquet
+    snapshot via stage-then-swap (streaming/sessions.py
+    start_merge_upsert_sink; never collected, never O(history) per
+    batch). The final snapshot is hash-checked against the batch
+    latest-per-user — continuous maintenance == one-shot rebuild."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import (
+        start_merge_upsert_sink,
+    )
+
+    ev_src = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    # three sequential writes → strictly increasing mtimes → the file
+    # source replays batches in event-time order (an ordered feed, the
+    # precondition for blind upsert; an unordered feed would use the
+    # ts-aware latest_per_entity merge instead)
+    drop_dir = tempfile.mkdtemp(prefix="q121_drop_")
+    ts_day = F.dayofmonth("ts")
+    for i, (lo, hi) in enumerate([(1, 10), (11, 20), (21, 31)]):
+        ev_src.filter(ts_day.between(lo, hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(drop_dir, f"part{i}"))
+    stage_dir = tempfile.mkdtemp(prefix="q121_files_")
+    n = 0
+    for i in range(3):
+        part = os.path.join(drop_dir, f"part{i}")
+        for f in sorted(os.listdir(part)):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(part, f), os.path.join(stage_dir, f"{i}_{f}")
+                )
+                n += 1
+    stream = (
+        spark.readStream.schema(ev_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="q121_tgt_"), "snapshot")
+    q = start_merge_upsert_sink(
+        stream,
+        target,
+        tempfile.mkdtemp(prefix="q121_ckpt_"),
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select("user_id", "status", "value_cents")
+
+
+@register(
+    "q122_image_decode_arrow",
+    oracle="""
+    SELECT doc_id AS id,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(1 + (octet_length(encode(text)) * 7) % 640 AS INT) END AS width,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(1 + (octet_length(encode(text)) * 13) % 480 AS INT) END AS height,
+           CASE WHEN octet_length(encode(text)) > 0
+                THEN CAST(1 + (octet_length(encode(text)) * 31) % 4 AS INT) END AS channels,
+           octet_length(encode(text)) > 0 AS decode_ok
+    FROM documents
+    """,
+)
+def q122_image_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — the q44 decode as ``mapInArrow``: RecordBatches in
+    and out, metadata computed from Arrow buffer offsets, binary payloads
+    never copied into Python objects (the pandas boxing q44's
+    mapInPandas pays per batch). Same oracle as q44, so the two Python
+    execution paths are pinned bit-identical."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        decode_images_arrow,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_images_arrow(docs, "doc_id", "payload")
+
+
+@register(
+    "q123_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN (event_id % 5) <> 0
+                THEN CAST(ROUND(value * 100) AS BIGINT) / (event_id % 5) END
+             AS cents_per_bucket,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed_id,
+           CAST(ROUND(value * 100) AS BIGINT) <= 807 AS add_survives
+    FROM events
+    """,
+)
+def q123_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defensive-ingestion arithmetic (ANSI mode survival kit): try_divide
+    yields NULL on the zero buckets instead of aborting the job under
+    ANSI semantics, try_cast turns malformed literals into NULLs (the
+    raw-zone cast-by-name fallback as an expression), and the overflow
+    probe documents try_add's contract. A 100 TB ingest cannot die on
+    row 40 billion because one bucket is zero — these expressions are
+    why."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.col("event_id") % 5
+    raw = F.when(F.col("event_id") % 3 == 0, F.lit("not-a-number")).otherwise(
+        F.col("event_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.try_divide(cents(F.col("value")), bucket).alias("cents_per_bucket"),
+        raw.try_cast("long").alias("parsed_id"),
+        # overflow → NULL, not a crash: cents + (MAX-807) survives only for
+        # cents ≤ 807, which the oracle states arithmetically (DuckDB has
+        # no non-throwing add to run the real thing)
+        F.try_add(cents(F.col("value")), F.lit(9223372036854775000))
+        .isNotNull()
+        .alias("add_survives"),
+    )

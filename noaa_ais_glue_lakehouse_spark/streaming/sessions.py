@@ -240,6 +240,70 @@ def running_totals(
     )
 
 
+def start_merge_upsert_sink(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+):
+    """Streaming MERGE sink via ``foreachBatch``: each microbatch is
+    collapsed to its latest row per key, merged into the parquet target
+    with :func:`~noaa_ais_glue_lakehouse_spark.operators.state.merge_upsert`,
+    and the target rewritten — the continuously-maintained state snapshot
+    the reference rebuilt once per daily batch run
+    (``utils/state_io.py``), and the standard streaming-upsert pattern a
+    Delta ``MERGE`` sink runs per batch.
+
+    foreachBatch is the escape hatch for sinks the streaming engine has
+    no native writer for: the batch DataFrame inside the callback is a
+    plain batch frame, so the whole batch operator library applies. The
+    rewrite here is read-merge-overwrite on parquet (atomic enough under
+    a single writer; a table format would make it transactional) — batch
+    contents are collapsed to |keys in batch| rows BEFORE the merge, so
+    per-batch cost is O(target + batch-keys), never O(history).
+
+    Returns the StreamingQuery (availableNow; caller awaits).
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.sessionize import (
+        latest_per_entity,
+    )
+    from noaa_ais_glue_lakehouse_spark.operators.state import merge_upsert
+
+    spark = stream.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        latest = latest_per_entity(batch_df, keys[0], ts_col, tiebreak_cols)
+        base = target_dir.rstrip("/")
+        try:
+            target = spark.read.parquet(target_dir)
+            merged = merge_upsert(target, latest, keys)
+        except Exception:  # first batch: no target yet
+            merged = latest
+        # stage-then-swap: the merged plan READS the files it replaces, so
+        # write to a staging dir (distributed, never collected) and swap
+        # directories after the write commits — the parquet-era version of
+        # the snapshot-commit a table format does transactionally
+        staging = f"{base}._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{base}._old_{batch_id}"
+        if os.path.exists(base):
+            os.rename(base, old)
+        os.rename(staging, base)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,

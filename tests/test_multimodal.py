@@ -66,3 +66,18 @@ def test_sample_frames(spark):
     out = sample_frames(df, "id", "n_frames", every_n=7)
     got = sorted((r["id"], r["frame_idx"]) for r in out.collect())
     assert got == [(1, 0), (1, 7), (1, 14), (3, 0)]
+
+
+def test_decode_arrow_matches_pandas_stub(spark):
+    """mapInArrow and mapInPandas decode paths are bit-identical,
+    including NULL and empty payloads."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        decode_images,
+        decode_images_arrow,
+    )
+
+    rows = [(1, b"abc"), (2, b""), (3, None), (4, b"x" * 1000)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    a = sorted(decode_images_arrow(df, "id", "payload").collect())
+    p = sorted(decode_images(df, "id", "payload", use_stub=True).collect())
+    assert a == p

@@ -179,3 +179,45 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         .collect()
     }
     assert final == want
+
+
+def test_foreach_batch_merge_sink(spark, tmp_path):
+    """foreachBatch MERGE sink: later (ordered) batches overwrite earlier
+    per-key rows; final snapshot == batch latest-per-key."""
+    import datetime as dt2
+    import os
+    import time as time2
+
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import (
+        start_merge_upsert_sink,
+    )
+
+    t0 = dt2.datetime(2024, 1, 1)
+    batches = [
+        [(1, t0, 10, "a"), (2, t0, 20, "b")],
+        [(1, t0 + dt2.timedelta(hours=1), 11, "a2"), (3, t0, 30, "c")],
+        [(2, t0 + dt2.timedelta(hours=2), 22, "b2")],
+    ]
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v long, s string")
+        part = str(tmp_path / f"part{i}")
+        df.coalesce(1).write.parquet(part)
+        for f in sorted(os.listdir(part)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(part, f), str(drop / f"{i}_{f}"))
+        time2.sleep(0.05)  # distinct mtimes: ordered replay
+
+    schema = "k long, ts timestamp, v long, s string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(drop))
+    )
+    target = str(tmp_path / "snapshot")
+    q = start_merge_upsert_sink(
+        stream, target, str(tmp_path / "ckpt"), keys=["k"], ts_col="ts"
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: (r["v"], r["s"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (11, "a2"), 2: (22, "b2"), 3: (30, "c")}
