@@ -225,3 +225,37 @@ def scrub_pii(text: Column) -> Column:
         out, r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}", "<PHONE>"
     )
     return F.regexp_replace(out, r"[0-9]{5,}", "<NUM>")
+
+
+def chunk_udtf(chunk_tokens: int = 32, stride: int = 24):
+    """Factory for a document-chunking Python UDTF (Spark 4 ``@udtf``):
+    one input row (text) → one output row per overlapping token window —
+    the chunking step a RAG / embedding-indexing pipeline runs before
+    embedding. Chunk starts are 0, stride, 2·stride, … while < n_tokens;
+    each chunk carries up to ``chunk_tokens`` tokens.
+
+    A UDTF is row-at-a-time Python — the SLOW path; it exists here to
+    cover the table-function API surface (registered via
+    ``spark.udtf.register`` and consumed with LATERAL). The identical
+    expansion is expressible natively (sequence + transform + slice —
+    see the q124 oracle), and tests pin the two equal; production
+    chunking at 100 TB should use the native form or mapInArrow.
+    """
+    from pyspark.sql.functions import udtf
+
+    ct, st = int(chunk_tokens), int(stride)
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class _Chunk:
+        def eval(self, text):
+            if text is None:
+                return
+            toks = [t for t in text.lower().strip().split() if t]
+            n = len(toks)
+            for idx, s in enumerate(range(0, max(n, 1), st)):
+                if s >= n:
+                    break
+                piece = toks[s : s + ct]
+                yield idx, " ".join(piece), len(piece)
+
+    return _Chunk

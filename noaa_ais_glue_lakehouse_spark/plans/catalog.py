@@ -4744,3 +4744,46 @@ def q123_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNotNull()
         .alias("add_survives"),
     )
+
+
+@register(
+    "q124_udtf_chunks",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), 24)) AS s
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s / 24 AS INT) AS chunk_idx,
+           array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,
+           CAST(LEAST(32, len(toks) - s) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def q124_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.10): overlapping 32-token / stride-24
+    document chunking — the RAG/embedding-index prep step — as a
+    registered table function consumed with LATERAL. The oracle expands
+    the identical windows natively, so the UDTF's row expansion is
+    hash-checked, not just counted. Deliberately the one row-at-a-time
+    Python operator in the catalog: it demonstrates the API, and its
+    docstring (functions/text.py chunk_udtf) points hot paths at the
+    native sequence/slice form instead."""
+    from noaa_ais_glue_lakehouse_spark.functions.text import chunk_udtf
+
+    spark.udtf.register("q124_chunks", chunk_udtf(32, 24))
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("q124_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM q124_docs d, LATERAL q124_chunks(d.text) c
+        """
+    )

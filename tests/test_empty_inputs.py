@@ -78,3 +78,42 @@ def test_salted_join_empty_sides(spark):
         salted_join(right, left.withColumnRenamed("x", "y2"), ["k"], how="left").count()
         == 1
     )
+
+
+def test_merge_upsert_empty_sides(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.state import merge_upsert
+
+    t = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    empty = spark.createDataFrame([], "k bigint, v string")
+    # empty source: target unchanged
+    assert merge_upsert(t, empty, ["k"]).collect() == t.collect()
+    # empty target: pure insert
+    assert merge_upsert(empty, t, ["k"]).collect() == t.collect()
+    # both empty
+    assert merge_upsert(empty, empty, ["k"]).count() == 0
+
+
+def test_apply_cdc_empty_changelog(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.state import apply_cdc
+
+    snap = spark.createDataFrame([(1, "init", 0)], "k bigint, status string, v bigint")
+    empty = spark.createDataFrame(
+        [], "k bigint, seq bigint, op string, status string, v bigint"
+    )
+    assert apply_cdc(snap, empty, ["k"], ["seq"], "op").collect() == snap.collect()
+
+
+def test_mixture_sample_empty_and_missing_class(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.training import (
+        mixture_sample_to_budget,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, lang string, n bigint")
+    assert (
+        mixture_sample_to_budget(empty, "doc_id", "lang", "n", {"en": 10}, 5).count()
+        == 0
+    )
+    # a class absent from budgets uses the default budget
+    df = spark.createDataFrame([(1, "xx", 3), (2, "xx", 3)], "doc_id bigint, lang string, n bigint")
+    got = mixture_sample_to_budget(df, "doc_id", "lang", "n", {"en": 100}, 4)
+    assert got.count() == 2  # 3 < 4 for both preceding sums (0 and 3)
