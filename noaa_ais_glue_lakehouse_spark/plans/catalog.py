@@ -4787,3 +4787,74 @@ def q124_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q124_docs d, LATERAL q124_chunks(d.text) c
         """
     )
+
+
+@register(
+    "q125_expectations_report",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_notnull,
+             SUM(CASE WHEN value IS NOT NULL
+                       AND NOT (value BETWEEN 0 AND 100) THEN 1 ELSE 0 END)
+               AS v_range,
+             SUM(CASE WHEN event_type IS NOT NULL
+                       AND NOT regexp_matches(event_type, '^[a-z]+$')
+                      THEN 1 ELSE 0 END) AS v_regex,
+             SUM(CASE WHEN event_type IS NOT NULL
+                       AND event_type NOT IN
+                         ('view','click','purchase','signup','error')
+                      THEN 1 ELSE 0 END) AS v_set,
+             COUNT(event_id) - COUNT(DISTINCT event_id) AS v_unique
+      FROM events
+    ),
+    fk AS (
+      SELECT COUNT(*) AS v_fk FROM events e
+      WHERE user_id IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    )
+    SELECT rule, kind, n_violations, n_rows,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM (
+      SELECT 'user_id_not_null' AS rule, 'not_null' AS kind,
+             CAST(v_notnull AS BIGINT) AS n_violations, CAST(n AS BIGINT) AS n_rows
+      FROM base
+      UNION ALL SELECT 'value_in_range', 'in_range', CAST(v_range AS BIGINT),
+                       CAST(n AS BIGINT) FROM base
+      UNION ALL SELECT 'event_type_matches', 'matches', CAST(v_regex AS BIGINT),
+                       CAST(n AS BIGINT) FROM base
+      UNION ALL SELECT 'event_type_in_set', 'in_set', CAST(v_set AS BIGINT),
+                       CAST(n AS BIGINT) FROM base
+      UNION ALL SELECT 'event_id_unique', 'unique', CAST(v_unique AS BIGINT),
+                       CAST(n AS BIGINT) FROM base
+      UNION ALL SELECT 'user_id_fk', 'foreign_key', CAST(v_fk AS BIGINT),
+                       CAST(n AS BIGINT) FROM base, fk
+    )
+    """,
+)
+def q125_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (Deequ/dbt-test shape): six rules —
+    not-null, numeric range, regex, value set, uniqueness, and a
+    broadcast foreign-key probe against the customer dimension —
+    evaluated over the events table and reported one row per rule
+    (operators/expectations.py). All row-level and uniqueness rules ride
+    ONE scan as conditional aggregates; rule count doesn't multiply
+    jobs. This is the publish gate a lakehouse runs per ingest before a
+    partition goes live."""
+    from noaa_ais_glue_lakehouse_spark.operators import expectations as X
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    rules = [
+        X.not_null("user_id", "user_id_not_null"),
+        X.in_range("value", 0, 100, "value_in_range"),
+        X.matches("event_type", "^[a-z]+$", "event_type_matches"),
+        X.in_set(
+            "event_type",
+            ["view", "click", "purchase", "signup", "error"],
+            "event_type_in_set",
+        ),
+        X.unique("event_id", "event_id_unique"),
+        X.foreign_key("user_id", cust, "c_custkey", "user_id_fk"),
+    ]
+    return X.check(ev, rules)
