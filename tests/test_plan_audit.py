@@ -25,6 +25,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: attaching the corpus
     # count scalar (idf denominator) — O(|tf|) rows × 1, not a fallback
     "q92_tfidf_top_terms",
+    # deliberate 1-row × 1-row cross join: pairing the FK-orphan count
+    # aggregate with the total-rows aggregate in the expectations report
+    "q125_expectations_report",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means

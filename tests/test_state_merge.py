@@ -61,3 +61,47 @@ def test_apply_cdc_latest_wins_and_delete(spark):
         snap, changes, ["k"], ["seq"], "op"
     ).collect()}
     assert got == {2: ("up", 7), 3: ("init", 0), 4: ("new", 9)}
+
+
+# ---- property: apply_cdc == sequential pandas replay ----------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _changelogs(draw):
+    n = draw(st.integers(1, 40))
+    rows = []
+    for seq in range(n):
+        k = draw(st.integers(0, 6))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        rows.append((k, seq, op, f"s{seq}", draw(st.integers(0, 99))))
+    snap_keys = draw(st.lists(st.integers(0, 9), max_size=6, unique=True))
+    return rows, snap_keys
+
+
+@settings(max_examples=12, deadline=None)
+@given(_changelogs())
+def test_apply_cdc_matches_sequential_replay(spark, data):
+    from noaa_ais_glue_lakehouse_spark.operators.state import apply_cdc
+
+    rows, snap_keys = data
+    snap = spark.createDataFrame(
+        [(k, "init", -1) for k in snap_keys] or [],
+        "k bigint, status string, v bigint",
+    )
+    changes = spark.createDataFrame(rows, "k bigint, seq bigint, op string, status string, v bigint")
+    got = {
+        r["k"]: (r["status"], r["v"])
+        for r in apply_cdc(snap, changes, ["k"], ["seq"], "op").collect()
+    }
+    # reference: replay the log in seq order over a dict
+    state = {k: ("init", -1) for k in snap_keys}
+    for k, seq, op, status, v in sorted(rows, key=lambda r: r[1]):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (status, v)
+    # apply_cdc's delete removes the key only if D is the LATEST op for it;
+    # sequential replay agrees because any later I/U re-creates the key
+    assert got == state
