@@ -4858,3 +4858,108 @@ def q125_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.foreign_key("user_id", cust, "c_custkey", "user_id_fk"),
     ]
     return X.check(ev, rules)
+
+
+@register(
+    "q126_string_kernels",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+')[1] AS w1,
+             list_last(string_split_regex(lower(trim(text)), '\\s+')) AS w2
+      FROM documents
+    )
+    SELECT doc_id,
+           levenshtein(w1, w2) AS edit_dist,
+           reverse(w1) AS w1_rev,
+           translate(w1, 'aeiou', '.....') AS w1_devoweled,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           left(w2, 3) AS w2_prefix,
+           CAST(ascii(w1) AS BIGINT) AS w1_first_cp
+    FROM t
+    """,
+)
+def q126_string_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-kernel surface sweep: edit distance (fuzzy matching),
+    reverse, translate (character-class scrubbing), zero-padded id
+    rendering, prefix slice, codepoint probe — each a JVM codegen
+    expression the cleaning/standardization layer leans on, pinned
+    byte-for-byte against the oracle's implementations. Row-local, no
+    shuffle."""
+    ev = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    w1 = F.element_at(toks, 1)
+    w2 = F.element_at(toks, -1)
+    return ev.select(
+        "doc_id",
+        F.levenshtein(w1, w2).alias("edit_dist"),
+        F.reverse(w1).alias("w1_rev"),
+        F.translate(w1, "aeiou", ".....").alias("w1_devoweled"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.substring(w2, 1, 3).alias("w2_prefix"),
+        F.ascii(w1).cast("long").alias("w1_first_cp"),
+    )
+
+
+@register(
+    "q127_exact_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sx,
+             SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS sxx,
+             SUM(CAST(EXTRACT(hour FROM ts) AS BIGINT)
+                 * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS syy,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(EXTRACT(hour FROM ts) AS BIGINT)) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * n - 1.0), 6) AS covar_scaled,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS corr_value_hour
+    FROM m
+    """,
+)
+def q127_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation/covariance from EXACT integer moments — the q94
+    framework extended to second-order cross-moments: built-in corr()
+    accumulates floating partials whose value depends on partition
+    order, so cross-engine (and cross-run) hashes can't match; integer
+    sums of x, y, x², y², xy are order-independent, and the final
+    double arithmetic is a deterministic function of them. This is how
+    an engine reports reproducible statistics at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    x = cents(F.col("value"))
+    y = F.hour("ts").cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    num = nd * sxy - sx * sy
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / (nd * F.col("n") - 1.0), 6).alias("covar_scaled"),
+        F.round(
+            num / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)), 6
+        ).alias("corr_value_hour"),
+    )

@@ -52,3 +52,36 @@ def test_unix_micros_consumers_work_on_current_testdata(spark):
     df = read_parquet_table(spark, "/root/testdata/sf0.001/events.parquet")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.select(F.unix_micros("ts")).first()[0] is not None
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across file generations: v2 files add a column;
+    mergeSchema unifies, v1 rows get NULLs, and the enforced reader's
+    declared-schema path serves the superset schema."""
+    from pyspark.sql import types as T
+
+    from noaa_ais_glue_lakehouse_spark.sources.readers import read_parquet_enforced
+
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(base)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(base)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    declared = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("added_later", T.IntegerType()),  # not in any file
+        ]
+    )
+    out = read_parquet_enforced(spark, base, declared)
+    assert [f.name for f in out.schema.fields] == ["id", "v", "score", "added_later"]
+    got = {r["id"]: (r["score"], r["added_later"]) for r in out.collect()}
+    assert got == {1: (None, None), 2: (9.5, None)}
