@@ -4963,3 +4963,96 @@ def q127_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)), 6
         ).alias("corr_value_hour"),
     )
+
+
+@register(
+    "q128_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(median(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS med_cents_5
+    FROM events
+    """,
+)
+def q128_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median over a 5-row window — the robust-smoothing
+    companion of q58's rolling mean (outlier-resistant trajectory/price
+    smoothing). Spark has no exact median window function; the window
+    collects the integer-cents values, sorts the ≤5-element array, and
+    takes the middle (odd) or mid-pair average (even) — O(w log w) per
+    row for constant w, one shuffle on the entity key. Integer cents
+    make the median identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(cents(F.col("value"))).over(w))
+    n = F.size(arr)
+    mid = (n + 1) / 2
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, F.floor(mid).cast("int")).cast("double")
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2).cast("int") + 1)
+        ).cast("double")
+        / 2.0
+    )
+    return ev.select("event_id", "user_id", med.alias("med_cents_5"))
+
+
+@register(
+    "q129_dup_graph_degree",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(lower(text)) - 6),
+                            i -> md5(substr(lower(text), i, 8))) AS hashes
+      FROM documents WHERE length(text) >= 8
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hashes) - 2),
+                           j -> list_min(hashes[j : j + 3]))) AS fps
+      FROM grams WHERE len(hashes) >= 4
+    ), idx AS (
+      SELECT doc_id, unnest(fps) AS fp FROM wins
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT id_a AS node FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+      ) GROUP BY node
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def q129_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-graph degree distribution — the diagnostic a dedup run
+    publishes BEFORE committing survivors: how many documents have 1, 2,
+    …, k near-dup partners (heavy tails reveal boilerplate/template
+    families that deserve their own handling rather than pairwise
+    dedup). Built on the deterministic winnowing pairs (q61) so the
+    whole profile is hash-checked; degrees come from one explode +
+    count, |pairs| work."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
+    nodes = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
