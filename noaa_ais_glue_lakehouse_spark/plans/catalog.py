@@ -295,25 +295,41 @@ def q09_pct_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
-           ROUND(CAST(SUM(gap_us) AS DOUBLE)/COUNT(gap_us)/1000000.0, 6) AS avg_gap_s,
-           ROUND(MIN(gap_us)/1000000.0, 6) AS min_gap_s,
-           ROUND(MAX(gap_us)/1000000.0, 6) AS max_gap_s
+           CAST((2 * SUM(gap_us) + COUNT(gap_us)) // (2 * COUNT(gap_us)) AS BIGINT)
+             AS avg_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
     FROM lagged GROUP BY user_id
     """,
 )
 def q10_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12 corpus shape — LAG window + gap statistics (W1/W2)."""
+    """Q12 corpus shape — LAG window + gap statistics (W1/W2).
+
+    The average is EXACT half-up integer microseconds:
+    ``(2·sum + n) // (2·n)`` in pure BIGINT arithmetic. The earlier
+    ``round(sum/n/1e6, 6)`` double form hash-diverged between engines at
+    sf0.1 (one group's quotient landed in the ULP region where Spark's
+    BigDecimal HALF_UP and the oracle's float rounding disagree) —
+    integer division cannot.
+    """
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     lagged = ev.withColumn("gap_us", gap)
-    return lagged.groupBy("user_id").agg(
-        F.count("gap_us").cast("long").alias("n_gaps"),
-        F.round(F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6, 6).alias(
-            "avg_gap_s"
-        ),
-        F.round(F.min("gap_us") / F.lit(1e6), 6).alias("min_gap_s"),
-        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+    g = lagged.groupBy("user_id").agg(
+        F.count("gap_us").alias("_n"),
+        F.sum("gap_us").alias("_s"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    return g.select(
+        "user_id",
+        F.col("_n").cast("long").alias("n_gaps"),
+        # `div` is true integer division (long / on longs is double division
+        # and its floor can be off by one ULP)
+        F.expr("(2 * _s + _n) div (2 * _n)").cast("long").alias("avg_gap_us"),
+        "min_gap_us",
+        "max_gap_us",
     )
 
 
