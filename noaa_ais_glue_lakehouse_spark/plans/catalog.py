@@ -5072,3 +5072,86 @@ def q129_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@register(
+    "q130_user_trend",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(epoch_us(ts) // 1000000 - 1704067200) AS sx,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sy,
+             SUM((epoch_us(ts) // 1000000 - 1704067200)
+                 * (epoch_us(ts) // 1000000 - 1704067200)) AS sxx,
+             SUM((epoch_us(ts) // 1000000 - 1704067200)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS sxy
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * 86400.0, 6) AS cents_per_day
+    FROM m WHERE n >= 2
+    """,
+)
+def q130_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity OLS trend from EXACT integer moments — closed-form
+    linear regression (slope of value-cents over time) without MLlib,
+    sampling, or iterative fitting: one map-side-combinable aggregation
+    of Σx, Σy, Σx², Σxy per user, then deterministic double arithmetic.
+    Timestamps ride as SECONDS re-based to 2024-01-01 so the int64
+    x²-sums stay far from overflow (a month window in µs would overflow
+    the square; seconds give 10⁶× headroom — re-base per partition
+    window at decade spans).
+    The feature-engineering shape a churn/LTV pipeline computes per
+    entity at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    x = F.expr("unix_micros(ts) div 1000000") - F.lit(1704067200)
+    y = cents(F.col("value"))
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope_per_s = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.filter(F.col("n") >= 2).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope_per_s * 86400.0, 6).alias("cents_per_day"),
+    )
+
+
+@register(
+    "q131_weekday_profile",
+    oracle="""
+    SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS avg_cents
+    FROM events GROUP BY 1
+    """,
+)
+def q131_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality profile: per day-of-week totals and exact
+    half-up average cents (the q10 integer-division form). Day-of-week
+    numbering is normalized to DuckDB's Sunday=0 convention (Spark's
+    dayofweek is Sunday=1); the q119 date spine + this profile are the
+    freshness/seasonality pair a nightly report publishes."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy((F.dayofweek("ts") - 1).cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cents(F.col("value"))).alias("_s"),
+    )
+    return g.select(
+        "dow",
+        F.col("_n").cast("long").alias("n_events"),
+        F.col("_s").cast("long").alias("value_cents"),
+        F.expr("(2 * _s + _n) div (2 * _n)").cast("long").alias("avg_cents"),
+    )
