@@ -5155,3 +5155,73 @@ def q131_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_s").cast("long").alias("value_cents"),
         F.expr("(2 * _s + _n) div (2 * _n)").cast("long").alias("avg_cents"),
     )
+
+
+@register(
+    "q132_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE) - CAST(EXTRACT(dow FROM ts) AS INTEGER))
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             (CAST(ts AS DATE) - CAST(EXTRACT(dow FROM ts) AS INTEGER)
+              - cohort_week) // 7 AS week_offset
+      FROM events e JOIN first_seen f USING (user_id)
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM first_seen GROUP BY cohort_week
+    )
+    SELECT CAST(a.cohort_week AS DATE) AS cohort_week,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 4) AS retention
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def q132_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — THE product-analytics table: users bucketed by
+    first-seen week (weeks start Sunday, matching the oracle's dow
+    arithmetic), then for each (cohort, week-offset) the fraction of the
+    cohort still active. Two aggregations over the events scan plus a
+    BROADCAST join of the |cohorts|-sized size table; the per-user
+    first-seen reduce is map-side combinable, so the whole report is two
+    shuffles end-to-end regardless of history depth."""
+    ev = load(spark, sf_dir, "events")
+    week = F.date_sub(F.to_date("ts"), F.dayofweek("ts") - 1)
+    first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        ev.select("user_id", week.alias("_w"))
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("_w", F.col("cohort_week")) / 7).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
