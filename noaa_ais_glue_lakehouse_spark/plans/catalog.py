@@ -5225,3 +5225,67 @@ def q132_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "q133_blame_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT l1.l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+          )
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q133_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest subquery pattern in the corpus:
+    doubly-correlated EXISTS + NOT EXISTS over a self-joined fact
+    ("suppliers who were the SOLE late shipper in a multi-supplier
+    order"). Catalyst decorrelates both subqueries into left-semi and
+    left-anti hash joins on l_orderkey — no per-row re-execution, three
+    hash joins total, all on the same key so co-partitioning (bucketing
+    by orderkey) removes every exchange at scale. 'Late' is shipdate
+    more than 90 days after the order date (this dataset carries no
+    receipt/commit dates)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    li.createOrReplaceTempView("q133_lineitem")
+    orders.createOrReplaceTempView("q133_orders")
+    return spark.sql(
+        """
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM q133_lineitem l JOIN q133_orders o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        SELECT l1.l_suppkey AS suppkey,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1
+        WHERE EXISTS (
+                SELECT 1 FROM q133_lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+              )
+        GROUP BY l1.l_suppkey
+        """
+    )
