@@ -143,3 +143,48 @@ def apply_cdc(
     dropped_keys = latest.select(*keys)  # any changed key leaves the snapshot row
     kept = snapshot.join(dropped_keys, keys, "left_anti")
     return kept.unionByName(live.select(*snapshot.columns))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    change_status_col: str = "change",
+) -> DataFrame:
+    """Reconcile two snapshot versions: one row per key that differs,
+    tagged 'added' (key only in new), 'removed' (only in old), or
+    'changed' (both, any non-key column differs) — the table-diff a
+    lakehouse runs to audit what an ingest actually did, and the
+    generator for an I/U/D changelog (:func:`apply_cdc`'s inverse).
+
+    Unchanged keys are dropped INSIDE the join projection, so the output
+    is |changes|-sized. Comparison is per-column null-safe equality
+    (eqNullSafe), not a serialized-row hash, so column order and
+    encoding can't cause false diffs. One full-outer hash join on the
+    key; bucket both versions and the exchange disappears.
+    """
+    value_cols = [c for c in new.columns if c not in keys]
+    o = old.alias("o")
+    n = new.alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    key_exprs = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    old_vals = [F.col(f"o.{c}").alias(f"old_{c}") for c in value_cols]
+    new_vals = [F.col(f"n.{c}").alias(f"new_{c}") for c in value_cols]
+    return (
+        joined.withColumn(change_status_col, status)
+        .filter(F.col(change_status_col).isNotNull())
+        .select(*key_exprs, F.col(change_status_col), *old_vals, *new_vals)
+    )

@@ -5289,3 +5289,64 @@ def q133_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l1.l_suppkey
         """
     )
+
+
+@register(
+    "q134_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT user_id, status, value_cents FROM (
+        SELECT user_id, event_type AS status,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+      ) WHERE rn = 1
+    ),
+    new AS (
+      SELECT user_id, status, value_cents FROM (
+        SELECT user_id, event_type AS status,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           o.status AS old_status, o.value_cents AS old_value_cents,
+           n.status AS new_status, n.value_cents AS new_value_cents
+    FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.status IS DISTINCT FROM n.status
+       OR o.value_cents IS DISTINCT FROM n.value_cents
+    """,
+)
+def q134_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (table diff): the day-14 latest-state
+    snapshot diffed against the month-end snapshot — one row per key
+    that was added, removed, or changed, with old/new values side by
+    side (operators/state.py snapshot_diff). The audit a lakehouse runs
+    after every ingest ("what did this run actually change?") and the
+    generator of an I/U/D changelog for downstream apply_cdc replay.
+    |changes|-sized output off one full-outer key join."""
+    from noaa_ais_glue_lakehouse_spark.operators.sessionize import latest_per_entity
+    from noaa_ais_glue_lakehouse_spark.operators.state import snapshot_diff
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    def snap(df):
+        return latest_per_entity(df, "user_id", "ts", ["event_id"]).select(
+            "user_id", "status", "value_cents"
+        )
+
+    old = snap(ev.filter(F.to_date("ts") < F.lit("2024-01-15").cast("date")))
+    new = snap(ev)
+    return snapshot_diff(old, new, ["user_id"])

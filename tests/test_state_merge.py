@@ -105,3 +105,21 @@ def test_apply_cdc_matches_sequential_replay(spark, data):
     # apply_cdc's delete removes the key only if D is the LATEST op for it;
     # sequential replay agrees because any later I/U re-creates the key
     assert got == state
+
+
+def test_snapshot_diff_statuses(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.state import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k bigint, s string, v bigint",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b2", 20), (3, None, 30), (5, "e", 50)],
+        "k bigint, s string, v bigint",
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=1 unchanged (dropped), k=3 unchanged incl. null-safe equal NULLs
+    assert got == {2: "changed", 4: "removed", 5: "added"}
+    row = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}[2]
+    assert (row["old_s"], row["new_s"]) == ("b", "b2")
