@@ -89,3 +89,25 @@ def test_bounded_count(spark):
     df = spark.range(1000)
     assert bounded_count(df, 10) == 11
     assert bounded_count(df.limit(5), 10) == 5
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A day-partitioned table read with a day predicate must prune at the
+    FILE level (PartitionFilters in the scan, only matching partition
+    dirs listed) — the property that turns a 100 TB table scan into a
+    one-day scan."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 5:02d}") for i in range(100)], "id long, day string"
+    )
+    path = str(tmp_path / "t")
+    df.write.partitionBy("day").parquet(path)
+
+    read = spark.read.parquet(path).filter(F.col("day") == "2024-01-03")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "2024-01-03" in m.group(1), plan[:500]
+    # correctness of the pruned read (inputFiles() reflects the relation
+    # pre-pruning, so the plan's PartitionFilters is the pruning evidence)
+    assert read.count() == 20
