@@ -5350,3 +5350,93 @@ def q134_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = snap(ev.filter(F.to_date("ts") < F.lit("2024-01-15").cast("date")))
     new = snap(ev)
     return snapshot_diff(old, new, ["user_id"])
+
+
+@register(
+    "q135_week_type_drift",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 0 ELSE 1 END
+               AS half,
+             event_type
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             COALESCE(list_sort(list_distinct(list(event_type)
+               FILTER (WHERE half = 0))), []) AS t1,
+             COALESCE(list_sort(list_distinct(list(event_type)
+               FILTER (WHERE half = 1))), []) AS t2
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id,
+           COALESCE(array_to_string(t1, ','), '') AS first_half_types,
+           COALESCE(array_to_string(
+             list_sort(list_filter(t2, x -> NOT list_contains(t1, x))), ','), '')
+             AS gained,
+           COALESCE(array_to_string(
+             list_sort(list_filter(t1, x -> NOT list_contains(t2, x))), ','), '')
+             AS lost,
+           CAST(len(list_filter(t2, x -> list_contains(t1, x))) AS BIGINT)
+             AS n_retained
+    FROM s
+    """,
+)
+def q135_week_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral drift via ARRAY SET ALGEBRA: each user's distinct
+    event-type set in the first vs second half of the month, with
+    array_except/array_intersect computing gained, lost, and retained
+    behaviors — the array-typed churn signal. collect_set aggregates are
+    map-side combinable over tiny sets; everything else is row-local
+    array math. Arrays ride as sorted CSV so the oracle pins every
+    element."""
+    ev = load(spark, sf_dir, "events")
+    half = F.when(
+        F.to_date("ts") < F.lit("2024-01-15").cast("date"), F.lit(0)
+    ).otherwise(F.lit(1))
+    s = ev.withColumn("_h", half).groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_set(F.when(F.col("_h") == 0, F.col("event_type")))
+        ).alias("t1"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("_h") == 1, F.col("event_type")))
+        ).alias("t2"),
+    )
+    return s.select(
+        "user_id",
+        F.array_join("t1", ",").alias("first_half_types"),
+        F.array_join(F.array_sort(F.array_except("t2", "t1")), ",").alias("gained"),
+        F.array_join(F.array_sort(F.array_except("t1", "t2")), ",").alias("lost"),
+        F.size(F.array_intersect("t2", "t1")).cast("long").alias("n_retained"),
+    )
+
+
+@register(
+    "q136_regex_group_extract",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT)
+             AS name_id,
+           CAST(CASE WHEN CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1)
+                          AS BIGINT) = c_custkey
+                     THEN 1 ELSE 0 END AS BIGINT) AS name_consistent
+    FROM customer
+    """,
+)
+def q136_regex_group_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex CAPTURE-GROUP extraction (regexp_extract group 1) — the
+    parse-structured-ids-out-of-strings step every raw zone needs,
+    plus a consistency audit of the extracted id against the surrogate
+    key. Codegen JVM regex; the pattern sticks to the RE2-compatible
+    subset so the oracle runs it verbatim."""
+    cust = load(spark, sf_dir, "customer")
+    name_id = F.regexp_extract("c_name", r"Customer#([0-9]+)", 1).cast("long")
+    return cust.select(
+        "c_custkey",
+        name_id.alias("name_id"),
+        F.when(name_id == F.col("c_custkey"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("name_consistent"),
+    )
