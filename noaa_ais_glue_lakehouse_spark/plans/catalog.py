@@ -5440,3 +5440,68 @@ def q136_regex_group_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("name_consistent"),
     )
+
+
+@register(
+    "q137_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ),
+    totals AS (
+      SELECT SUM(c) AS total, COUNT(*) AS v FROM vocab
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(ln((v2.c + 1.0) / (tt.total + tt.v))) AS lp
+      FROM toks t JOIN vocab v2 USING (tok) CROSS JOIN totals tt
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(lp / n_tokens, 6) AS avg_logprob
+    FROM scored
+    """,
+)
+def q137_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring without an external LM: a unigram
+    language model fit on the corpus itself (add-one smoothed), each
+    document scored by its mean token log-probability — the
+    perplexity-proxy filter a curation pipeline applies when KenLM isn't
+    on the cluster, and the exact aggregation shape (explode → broadcast
+    vocab join → map-side-combinable log-sum) a real LM-scoring job
+    uses. The vocab is |types|-sized and broadcast; the corpus-total
+    scalar rides a literal-sized cross join. Log floats round to 6dp for
+    cross-engine hash stability (same doubles in, same libm class
+    out)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("lp") / F.col("n_tokens"), 6).alias("avg_logprob"),
+    )
