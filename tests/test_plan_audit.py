@@ -28,6 +28,9 @@ ALLOWED_NON_EQUI = {
     # deliberate 1-row × 1-row cross join: pairing the FK-orphan count
     # aggregate with the total-rows aggregate in the expectations report
     "q125_expectations_report",
+    # deliberate SINGLE-ROW broadcast cross join: attaching the corpus
+    # (total, vocab-size) scalar to the token stream for LM smoothing
+    "q137_unigram_logprob",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
