@@ -127,3 +127,34 @@ def _b32_char(idx: Column) -> Column:
     arr = F.array(*[F.lit(c) for c in _GEOHASH_B32])
     # element_at requires an INT ordinal; the interleaved bit math is LONG
     return F.element_at(arr, (idx + 1).cast("int"))
+
+
+def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key of two non-negative integer columns — bit
+    interleaving x and y into one long, x taking the even output bits
+    (bit 0, 2, …) and y the odd. Writing a table sorted by this key
+    clusters rows that are close in BOTH dimensions into the same
+    parquet row groups, so min/max column statistics prune scans for 2-D
+    predicates (id-range × time-range, lat × lon cells) — the layout
+    trick table formats call Z-ORDER, as a plain column expression any
+    writer can `sortWithinPartitions` by. ``bits`` per dimension, ≤ 31
+    so the interleave stays inside a long. Inputs are masked to
+    ``bits`` (callers quantize first, e.g. grid_cell).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("morton bits must be in 1..31")
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    parts = []
+    for i in range(bits):
+        parts.append(
+            F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        parts.append(
+            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out

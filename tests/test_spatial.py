@@ -79,3 +79,62 @@ def test_grid_cell(spark):
     df = spark.createDataFrame([(39.27,), (-0.01,)], ["lat"])
     got = [r[0] for r in df.select(grid_cell(F.col("lat"), 0.5)).collect()]
     assert got == [78, -1]
+
+
+def test_morton_key_matches_reference(spark):
+    """morton_key == independent bit-interleave reference, and preserves
+    2-D locality ordering on a quantized grid."""
+    from hypothesis import given, settings, strategies as st
+
+    from noaa_ais_glue_lakehouse_spark.functions.spatial import morton_key
+
+    def ref_morton(x, y, bits):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    import random
+
+    rng = random.Random(7)
+    cases = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    cases += [(0, 0), (65535, 65535), (1, 0), (0, 1)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["m"]
+        for r in df.select("x", "y", morton_key(F.col("x"), F.col("y"), 16).alias("m")).collect()
+    }
+    for (x, y), m in got.items():
+        assert m == ref_morton(x, y, 16), (x, y)
+
+    # masking: values beyond `bits` are truncated, not corrupted
+    df2 = spark.createDataFrame([(1 << 20, 3)], "x long, y long")
+    m2 = df2.select(morton_key(F.col("x"), F.col("y"), 8).alias("m")).first()["m"]
+    assert m2 == ref_morton((1 << 20) & 255, 3, 8)
+
+
+def test_morton_sort_clusters_neighbors(spark):
+    """Rows sorted by morton key keep small 2-D neighborhoods contiguous:
+    the max morton-rank spread within any 4x4 block is far below a
+    row-major layout's spread."""
+    from noaa_ais_glue_lakehouse_spark.functions.spatial import morton_key
+
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    ranked = (
+        df.select("x", "y", morton_key(F.col("x"), F.col("y"), 6).alias("m"))
+        .orderBy("m")
+        .collect()
+    )
+    rank = {(r["x"], r["y"]): i for i, r in enumerate(ranked)}
+    worst = 0
+    for bx in range(0, n, 4):
+        for by in range(0, n, 4):
+            rs = [rank[(bx + i, by + j)] for i in range(4) for j in range(4)]
+            worst = max(worst, max(rs) - min(rs))
+    # any 4x4 block spans at most a few z-curve cells; row-major would
+    # span ~4 full rows = 4*64 ranks at best per block edge
+    assert worst < 1024
+    assert worst < 4 * n * 3  # strictly tighter than generic row-major spread
