@@ -154,3 +154,42 @@ def pack_sequences(
     return out.withColumn(
         bin_col, F.floor(tokens_before / F.lit(context_tokens)).cast("long")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents can NEVER
+    straddle splits: the split hash is computed on the connected-component
+    representative id, not the document id, so an entire duplicate family
+    moves as one unit — the eval-contamination guard published dedup
+    studies call for (a val doc with a near-dup twin in train silently
+    inflates eval scores).
+
+    ``pairs`` is any near-dup pair table (id_a, id_b) from the dedup
+    families; unpaired documents are their own representative. Cost on
+    top of the plain split: the components computation (O(log diameter)
+    rounds over |pairs|) plus one left join — the split itself stays a
+    row-local hash.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs)
+    rep = F.coalesce(F.col("component"), F.col(id_col)).alias("_rep")
+    with_rep = df.join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+    ).select(df["*"], rep)
+    frac = _id_fraction("_rep")
+    return with_rep.withColumn(
+        split_col,
+        F.when(frac < val_fraction, F.lit("val"))
+        .when(frac < val_fraction + test_fraction, F.lit("test"))
+        .otherwise(F.lit("train")),
+    ).drop("_rep")

@@ -5505,3 +5505,93 @@ def q137_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("lp") / F.col("n_tokens"), 6).alias("avg_logprob"),
     )
+
+
+@register(
+    "q138_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE p AS MATERIALIZED (
+      WITH grams AS (
+        SELECT doc_id,
+               list_transform(range(1, length(lower(text)) - 6),
+                              i -> md5(substr(lower(text), i, 8))) AS hashes
+        FROM documents WHERE length(text) >= 8
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hashes) - 2),
+                             j -> list_min(hashes[j : j + 3]))) AS fps
+        FROM grams WHERE len(hashes) >= 4
+      ), idx AS (
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ), cc(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+      WHERE cc.label < e.dst
+    ), rep AS (
+      SELECT node, MIN(label) AS component FROM cc GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id,
+             COALESCE(r.component, d.doc_id) AS rep_id,
+             CASE WHEN CAST((COALESCE(r.component, d.doc_id) * 2654435761)
+                            % 4294967296 AS DOUBLE) / 4294967296.0 < 0.05
+                    THEN 'val'
+                  WHEN CAST((COALESCE(r.component, d.doc_id) * 2654435761)
+                            % 4294967296 AS DOUBLE) / 4294967296.0 < 0.10
+                    THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents d LEFT JOIN rep r ON d.doc_id = r.node
+    ),
+    viol AS (
+      SELECT COUNT(*) AS n FROM p
+      JOIN assigned a ON p.id_a = a.doc_id
+      JOIN assigned b ON p.id_b = b.doc_id
+      WHERE a.split <> b.split
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST((SELECT n FROM viol) AS BIGINT) AS n_split_violations
+    FROM assigned GROUP BY split
+    """,
+)
+def q138_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hash rides the
+    near-dup COMPONENT representative, so a duplicate family can never
+    straddle splits (a val doc with a near-identical twin in train
+    silently inflates eval — the contamination the published dedup
+    studies warn about). Uses the deterministic winnowing pair graph, so
+    the whole assignment — and the zero-violation property itself,
+    emitted as a column — is hash-checked against the recursive-CTE
+    oracle."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+    from noaa_ais_glue_lakehouse_spark.operators.training import (
+        leakage_safe_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
+    assigned = leakage_safe_split(
+        docs.select("doc_id"), "doc_id", pairs.select("id_a", "id_b")
+    )
+    a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    viol = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_split_violations"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(viol))
+    )

@@ -44,6 +44,9 @@ BUILD_TIME_EXECUTION = {
     "q65_dedup_survivors",
     "q69_dedup_survivors_quality",
     "q70_streaming_sessionize",
+    # connected components iterate at plan build; the final report also
+    # carries a deliberate 1-row violations-count broadcast cross join
+    "q138_leakage_safe_split",
 }
 
 

@@ -138,3 +138,27 @@ def test_pack_sequences_group_cols_isolate_splits(spark):
         # 100-token docs in 256-token bins: bin increments every 2-3 docs
         bins = [r["bin_id"] for r in rows_g]
         assert bins == sorted(bins)
+
+
+def test_leakage_safe_split_families_share_split(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.training import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    # three families: {1,2,3}, {10,11}, {50,60,70} (chain)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (50, 60), (60, 70)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+        docs, "doc_id", pairs
+    ).collect()}
+    assert len(got) == 200  # every doc assigned exactly once
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11]
+    assert got[50] == got[60] == got[70]
+    # unpaired docs use their own id (same as plain split)
+    from noaa_ais_glue_lakehouse_spark.operators.training import train_val_test_split
+    plain = {r["doc_id"]: r["split"] for r in train_val_test_split(
+        docs, "doc_id"
+    ).collect()}
+    unpaired = set(range(200)) - {1, 2, 3, 10, 11, 50, 60, 70}
+    assert all(got[i] == plain[i] for i in unpaired)
