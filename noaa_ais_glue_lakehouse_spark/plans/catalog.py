@@ -5595,3 +5595,49 @@ def q138_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .crossJoin(F.broadcast(viol))
     )
+
+
+@register(
+    "q139_rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau,
+           CAST(COUNT(*) AS BIGINT) AS n_day_user_pairs
+    FROM days d JOIN du u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def q139_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) — the sliding-DISTINCT metric a
+    window function cannot express (distinct is not frame-combinable).
+    The scale trick: collapse the fact to DISTINCT (day, user) pairs
+    FIRST (map-side combinable, |active-days| rows), then EXPLODE each
+    pair into the ≤7 window-end days it contributes to — a pure
+    equi-aggregation, no range join, no nested loop; window work is
+    O(|pairs| × 7), independent of raw event volume. The day-grain pair
+    table is exactly what an incremental job persists daily; at extreme
+    cardinality the HLL-sketch form (q102's mergeable sketches)
+    replaces the exact count."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    # keep only window-end days that exist in the data (the oracle's day
+    # spine): a LEFT SEMI equi-join on the tiny distinct-day table
+    observed = contrib.join(days, "day", "left_semi")
+    return observed.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau"),
+        F.count(F.lit(1)).cast("long").alias("n_day_user_pairs"),
+    )
