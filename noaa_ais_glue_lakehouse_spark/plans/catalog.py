@@ -5641,3 +5641,68 @@ def q139_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("wau"),
         F.count(F.lit(1)).cast("long").alias("n_day_user_pairs"),
     )
+
+
+@register(
+    "q140_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 0 ELSE 1 END
+               AS half,
+             LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 9) AS bin
+      FROM events
+    ),
+    c AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+      FROM b GROUP BY bin
+    ),
+    t AS (
+      SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM c
+    ),
+    p AS (
+      SELECT bin,
+             (n0 + 0.5) / (t0 + 5.0) AS p0,
+             (n1 + 0.5) / (t1 + 5.0) AS p1
+      FROM c, t
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           ROUND(p0, 6) AS p_ref,
+           ROUND(p1, 6) AS p_cur,
+           ROUND((p1 - p0) * ln(p1 / p0), 6) AS psi_term
+    FROM p
+    """,
+)
+def q140_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ML-ops drift metric that decides
+    whether a feature's distribution moved enough to retrain: the value
+    column binned into fixed-width deciles, first-half vs second-half
+    month proportions (Laplace-smoothed so empty bins can't produce
+    ±inf), per-bin PSI terms emitted (sum ≥ 0.2 is the standard 'retrain'
+    flag). Two conditional-sum aggregations over one scan + a scalar
+    totals join; every proportion derives from exact integer counts, so
+    the doubles are engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    half = F.when(
+        F.to_date("ts") < F.lit("2024-01-15").cast("date"), F.lit(0)
+    ).otherwise(F.lit(1))
+    bin_ = F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(9))
+    c = ev.select(half.alias("_h"), bin_.alias("bin")).groupBy("bin").agg(
+        F.sum(F.when(F.col("_h") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("_h") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    t = c.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    p = c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        ((F.col("n0") + 0.5) / (F.col("t0") + 5.0)).alias("p0"),
+        ((F.col("n1") + 0.5) / (F.col("t1") + 5.0)).alias("p1"),
+    )
+    return p.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("p0", 6).alias("p_ref"),
+        F.round("p1", 6).alias("p_cur"),
+        F.round((F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0")), 6).alias(
+            "psi_term"
+        ),
+    )

@@ -31,6 +31,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: attaching the corpus
     # (total, vocab-size) scalar to the token stream for LM smoothing
     "q137_unigram_logprob",
+    # deliberate SINGLE-ROW broadcast cross join: attaching the half-
+    # totals scalar to the |bins|-sized PSI table
+    "q140_psi_drift",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
