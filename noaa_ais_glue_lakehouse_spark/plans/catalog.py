@@ -5706,3 +5706,65 @@ def q140_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     )
+
+
+@register(
+    "q141_session_entry_exit",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM lagged
+    ),
+    flows AS (
+      SELECT user_id, session_id,
+             FIRST_VALUE(event_type) OVER w AS entry_type,
+             LAST_VALUE(event_type) OVER
+               (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS exit_type,
+             ROW_NUMBER() OVER w AS rn
+      FROM sess
+      WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM flows WHERE rn = 1
+    GROUP BY entry_type, exit_type
+    """,
+)
+def q141_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry→exit flow matrix: how sessions start vs how they end
+    (landing/exit analysis) — first_value/last_value over the session
+    frame, one row per session via rn=1, counted into the |types|² flow
+    matrix. The sessionize → entry/exit windows all share the entity
+    shuffle; the matrix reduce is map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    from noaa_ais_glue_lakehouse_spark.operators.sessionize import sessionize
+
+    sess = sessionize(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        "user_id",
+        "ts",
+        gap_seconds=SESSION_GAP_SECONDS,
+        tiebreak_cols=["event_id"],
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    flows = sess.select(
+        "user_id",
+        "session_id",
+        F.first("event_type").over(w).alias("entry_type"),
+        F.last("event_type").over(w_full).alias("exit_type"),
+        F.row_number().over(w).alias("_rn"),
+    ).filter(F.col("_rn") == 1)
+    return flows.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
