@@ -5768,3 +5768,63 @@ def q141_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flows.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
+
+
+@register(
+    "q142_order_reconciliation",
+    oracle="""
+    WITH line_sums AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 100) AS BIGINT)) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus AS orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN ls.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_lines,
+           CAST(SUM(CASE WHEN ls.l_orderkey IS NOT NULL
+                          AND ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                                  - ls.line_cents) > 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(MAX(CASE WHEN ls.l_orderkey IS NULL THEN 0
+                         ELSE ABS(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                                  - ls.line_cents) END) AS BIGINT)
+             AS max_abs_delta_cents
+    FROM orders o LEFT JOIN line_sums ls ON o.o_orderkey = ls.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q142_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact reconciliation: every order's header total audited
+    against the integer-cents sum of its line items (headers with no
+    lines and deltas beyond a cent tolerance surfaced per status) — the
+    cross-table consistency check a lakehouse publishes alongside the
+    q125 single-table rules. Line sums pre-aggregate to |orders| rows
+    before the join; both sides key on orderkey, so bucketing both
+    tables makes the whole audit exchange-free (test_bucketing.py shows
+    the layout)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    line_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    sums = li.groupBy("l_orderkey").agg(F.sum(line_cents).alias("line_cents"))
+    joined = orders.join(
+        sums, orders["o_orderkey"] == sums["l_orderkey"], "left"
+    )
+    delta = F.abs(cents(F.col("o_totalprice")) - F.col("line_cents"))
+    missing = F.col("l_orderkey").isNull()
+    return joined.groupBy(F.col("o_orderstatus").alias("orderstatus")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(missing, 1).otherwise(0)).cast("long").alias("n_missing_lines"),
+        F.sum(F.when(~missing & (delta > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(F.when(missing, F.lit(0)).otherwise(delta))
+        .cast("long")
+        .alias("max_abs_delta_cents"),
+    )
