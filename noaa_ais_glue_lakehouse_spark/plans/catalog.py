@@ -5828,3 +5828,138 @@ def q142_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_abs_delta_cents"),
     )
+
+
+@register(
+    "q143_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT c.event_type, c.dow, c.o,
+             SUM(c.o) OVER (PARTITION BY c.event_type) AS row_total,
+             SUM(c.o) OVER (PARTITION BY c.dow) AS col_total,
+             SUM(c.o) OVER () AS grand
+      FROM cells c
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(o AS BIGINT) AS observed,
+           ROUND(CAST(row_total AS DOUBLE) * col_total / grand, 6) AS expected,
+           ROUND(POW(o - CAST(row_total AS DOUBLE) * col_total / grand, 2)
+                 / (CAST(row_total AS DOUBLE) * col_total / grand), 6)
+             AS chi2_term
+    FROM margins
+    """,
+)
+def q143_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit (event type × day-of-week): per-cell
+    observed vs expected-under-independence counts and the χ² terms whose
+    sum decides whether behavior depends on weekday — the categorical
+    companion of q140's PSI, everything derived from exact integer cell
+    counts so the doubles are engine-identical. One aggregation to the
+    |types × 7| contingency table; margins ride window sums over that
+    tiny table, never the fact."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(w_row).alias("row_total"),
+        F.sum("o").over(w_col).alias("col_total"),
+        F.sum("o").over(w_all).alias("grand"),
+    )
+    expected = F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
+    return m.select(
+        "event_type",
+        "dow",
+        F.col("o").cast("long").alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(F.pow(F.col("o") - expected, 2) / expected, 6).alias("chi2_term"),
+    )
+
+
+@register(
+    "q144_type_affinity",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (
+      SELECT COUNT(DISTINCT user_id) AS n FROM events
+    ),
+    singles AS (
+      SELECT event_type, COUNT(*) AS c FROM u GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS c_ab
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.c_ab AS BIGINT) AS n_both,
+           ROUND(CAST(p.c_ab AS DOUBLE) / nu.n, 6) AS support,
+           ROUND(CAST(p.c_ab AS DOUBLE) * nu.n
+                 / (CAST(sa.c AS DOUBLE) * sb.c), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON p.type_a = sa.event_type
+    JOIN singles sb ON p.type_b = sb.event_type
+    CROSS JOIN n_users nu
+    """,
+)
+def q144_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (support & lift) over per-user behavior
+    sets: which event types co-occur in the same users beyond chance —
+    the association-rule primitive. The fact collapses to DISTINCT
+    (user, type) first (|users|·|types| max), the pair join is per-user
+    with a bounded item vocabulary (k types → ≤ k² pair rows per user),
+    and lift derives from exact integer counts. At a real catalog scale
+    the same plan runs on the top-N items (q91's vocabulary) to bound
+    the pair fan-out."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("n"))
+    singles = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = u.alias("a")
+    b = u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("_ca"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("c_ab").cast("long").alias("n_both"),
+            F.round(F.col("c_ab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n")
+                / (F.col("_ca").cast("double") * F.col("_cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

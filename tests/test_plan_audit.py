@@ -34,6 +34,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: attaching the half-
     # totals scalar to the |bins|-sized PSI table
     "q140_psi_drift",
+    # deliberate SINGLE-ROW broadcast cross join: the distinct-user-count
+    # scalar attached to the |type-pairs|-sized affinity table
+    "q144_type_affinity",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
