@@ -5963,3 +5963,69 @@ def q144_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q145_robust_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(cents) AS m FROM c GROUP BY event_type
+    ),
+    dev AS (
+      SELECT c.event_type, c.cents, med.m,
+             ABS(c.cents - med.m) AS adev
+      FROM c JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MEDIAN(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(CAST(MIN(d.m) AS DOUBLE), 6) AS median_cents,
+           ROUND(CAST(MIN(mad.mad) AS DOUBLE), 6) AS mad_cents,
+           CAST(SUM(CASE WHEN mad.mad > 0
+                          AND 0.6745 * ABS(d.cents - d.m) / mad.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q145_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MAD (median absolute deviation) and
+    the modified z-score (0.6745·|x−med|/MAD > 3.5, Iglewicz–Hoaglin) —
+    the outlier rule that, unlike q94's 3σ, is not itself dragged by the
+    outliers it hunts. Two exact-median passes (percentile_cont over
+    integer cents) sharing the type partition key; deviations join the
+    |types|-sized median table by broadcast. The per-type medians ride
+    MIN() through the final rollup (constant within the group) so the
+    whole report is one row per type."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select("event_type", cents(F.col("value")).alias("cents"))
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").alias("m")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    d = dev.join(F.broadcast(mad), "event_type")
+    return d.groupBy("event_type").agg(
+        F.round(F.min("m").cast("double"), 6).alias("median_cents"),
+        F.round(F.min("mad").cast("double"), 6).alias("mad_cents"),
+        F.sum(
+            F.when(
+                (F.col("mad") > 0)
+                & (0.6745 * F.abs(F.col("cents") - F.col("m")) / F.col("mad") > 3.5),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
