@@ -6029,3 +6029,95 @@ def q145_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "q146_dedup_savings",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '')) AS n_tokens,
+             MIN(doc_id) OVER (PARTITION BY text) AS keeper
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_after,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN doc_id = keeper THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_after,
+           ROUND(1.0 - CAST(SUM(CASE WHEN doc_id = keeper THEN n_tokens
+                                     ELSE 0 END) AS DOUBLE)
+                 / SUM(n_tokens), 6) AS token_savings
+    FROM t
+    """,
+)
+def q146_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report — the number a curation run publishes to
+    justify itself: document and TOKEN counts before/after exact dedup
+    and the fraction of training compute the dedup saved. The survivor
+    flag is a min-id window over the content key (no join-back), so the
+    whole report is one window pass + one 1-row aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    t = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    kept = F.when(F.col("doc_id") == F.col("keeper"), F.col("n_tokens")).otherwise(
+        F.lit(0)
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before"),
+        F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_after"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        F.sum(kept).cast("long").alias("tokens_after"),
+        F.round(
+            1.0 - F.sum(kept).cast("double") / F.sum("n_tokens"), 6
+        ).alias("token_savings"),
+    )
+
+
+@register(
+    "q147_longest_streak",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS anchor
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, COUNT(*) AS run_len
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def q147_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    via the classic date-minus-row_number anchor (consecutive days share
+    an anchor; a gap starts a new island) — the engagement metric and
+    THE canonical islands pattern, with zero joins: distinct day grain,
+    one window, two aggregations, all sharing the user key."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = d.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_streak_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
