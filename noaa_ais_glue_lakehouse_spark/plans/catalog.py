@@ -6121,3 +6121,67 @@ def q147_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_streak_days"),
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )
+
+
+@register(
+    "q148_doc_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(w) - 3),
+               i -> array_to_string(w[i : i + 4], ' ')))) AS g
+      FROM toks WHERE len(w) >= 5
+    ),
+    counts AS (
+      SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams gr JOIN counts c USING (g)
+    GROUP BY gr.doc_id
+    """,
+)
+def q148_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty — the inverse of the boilerplate signal: the
+    fraction of a document's distinct word 5-grams that occur NOWHERE
+    else in the corpus (document frequency 1). Low novelty = template/
+    near-dup material the near-dup families should catch; high novelty =
+    unique content worth keeping. One gram explode (distinct within doc),
+    one map-side-combinable df count, one join back — the same inverted-
+    index shape as contamination checking (q83), pointed at the corpus
+    itself."""
+    docs = load(spark, sf_dir, "documents")
+    w = tokenize(F.col("text"))
+    idx = F.when(
+        F.size(w) >= 5, F.sequence(F.lit(1), F.size(w) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    grams_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i, 5), " "))
+    )
+    grams = docs.select(
+        "doc_id", F.explode(grams_arr).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    joined = grams.join(counts, "g")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unique"),
+        F.round(
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
+    )
