@@ -6185,3 +6185,44 @@ def q148_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty"),
     )
+
+
+@register(
+    "q149_type_bitmask",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                             WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                             ELSE 16 END AS mask,
+             CAST(ts AS DATE) AS day
+      FROM events
+    )
+    SELECT user_id,
+           CAST(BIT_OR(mask) AS BIGINT) AS type_mask,
+           CAST(BIT_COUNT(BIT_OR(mask)) AS BIGINT) AS n_distinct_types,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS days_active
+    FROM m GROUP BY user_id
+    """,
+)
+def q149_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregation: each event type one bit, BIT_OR folding a
+    user's whole history into a single long whose popcount is the
+    distinct-type count — the bitmap-index trick for set-membership
+    rollups (a 64-slot vocabulary compresses 'which features has this
+    entity touched' into 8 bytes, mergeable across partitions and days
+    like a sketch, but exact). One map-side-combinable aggregation."""
+    ev = load(spark, sf_dir, "events")
+    mask = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    m = ev.select("user_id", mask.alias("mask"), F.to_date("ts").alias("day"))
+    return m.groupBy("user_id").agg(
+        F.bit_or("mask").cast("long").alias("type_mask"),
+        F.bit_count(F.bit_or("mask")).cast("long").alias("n_distinct_types"),
+        F.countDistinct("day").cast("long").alias("days_active"),
+    )
