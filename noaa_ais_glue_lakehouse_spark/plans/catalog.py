@@ -6226,3 +6226,153 @@ def q149_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.bit_or("mask")).cast("long").alias("n_distinct_types"),
         F.countDistinct("day").cast("long").alias("days_active"),
     )
+
+
+@register(
+    "q150_weighted_median",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, price_cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY price_cents, w
+                          ROWS UNBOUNDED PRECEDING) AS cum_w,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM t
+    ),
+    m AS (
+      SELECT l_returnflag, price_cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY price_cents, w) AS rn
+      FROM c WHERE 2 * cum_w >= tot_w
+    )
+    SELECT l_returnflag,
+           CAST(price_cents AS BIGINT) AS weighted_median_cents
+    FROM m WHERE rn = 1
+    """,
+)
+def q150_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted median price per return flag — the weighted
+    quantile no built-in aggregate computes: cumulative-weight prefix
+    sums over the ordered values, first row whose cumulative weight
+    reaches half the total. Integer-cents weights make the crossing
+    point exact; the cum-sum and selection windows share one partition
+    key, so the whole statistic is one shuffle. (The unweighted exact
+    form is q76; the sketch form is q63.)"""
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        cents(F.col("l_extendedprice")).alias("price_cents"),
+        cents(F.col("l_quantity")).alias("w"),
+    )
+    w_ord = Window.partitionBy("l_returnflag").orderBy("price_cents", "w")
+    c = t.select(
+        "l_returnflag",
+        "price_cents",
+        "w",
+        F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_w"
+        ),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tot_w"),
+    )
+    m = c.filter(2 * F.col("cum_w") >= F.col("tot_w")).withColumn(
+        "_rn", F.row_number().over(w_ord)
+    )
+    return m.filter(F.col("_rn") == 1).select(
+        "l_returnflag", F.col("price_cents").cast("long").alias("weighted_median_cents")
+    )
+
+
+@register(
+    "q151_k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_reidentifiable_rows,
+           CAST(MIN(k) AS BIGINT) AS min_k
+    FROM g
+    """,
+)
+def q151_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): how many equivalence classes fall below k=5 and how many
+    rows they expose — the privacy check a dataset release runs AFTER
+    PII scrubbing (q103 removes direct identifiers; this measures
+    re-identification risk from the indirect ones; remediation is
+    generalization or the q125 quarantine). Two-level aggregation,
+    |classes| rows at the final reduce."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_reidentifiable_rows"),
+        F.min("k").cast("long").alias("min_k"),
+    )
+
+
+@register(
+    "q152_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)
+                    - CAST(ROUND(p.p_retailprice * 70) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q152_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — the widest join in the corpus: the lineitem fact
+    enriched through orders (fact⋈fact on orderkey), part and supplier
+    (broadcast-sized here; bucketed co-partition at scale) and the
+    nation dim, rolled up to profit per nation-year (revenue minus a
+    70%-of-retail supply-cost proxy — this dataset carries no partsupp
+    cost table). Catalyst orders the joins; the dims broadcast, so the
+    fact is shuffled only for the orderkey join and the final rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cost = F.round(F.col("p_retailprice") * 70).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(revenue - cost).cast("long").alias("profit_cents"))
+    )
