@@ -6376,3 +6376,68 @@ def q152_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(revenue - cost).cast("long").alias("profit_cents"))
     )
+
+
+@register(
+    "q153_decimal_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+                AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q153_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-typed money arithmetic: totals accumulated as
+    DECIMAL(18,2) — Spark's exact base-10 path (Tungsten's long-backed
+    Decimal with overflow widening), the type a finance-grade pipeline
+    declares instead of the double+integer-cents idiom the rest of the
+    catalog uses. Both engines sum exactly in decimal, so the final
+    double render is identical without any rounding step — the same
+    order-independence the cents idiom buys, provided natively by the
+    type system."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "q154_first_touch",
+    oracle="""
+    SELECT user_id, first_ts, first_type, first_cents FROM (
+      SELECT user_id, ts AS first_ts, event_type AS first_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS first_cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q154_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution row per user via MIN over an ordered
+    STRUCT — the aggregation-based argmin. Unlike the window row_number
+    form (q13's latest_per_entity), a struct-min is a plain aggregate:
+    map-side combinable, no per-partition sort, no row_number
+    materialization — at 100 TB the partial aggregates reduce each
+    partition to |keys| rows BEFORE the shuffle, which the window form
+    cannot. Struct comparison is lexicographic (ts, then event_id), so
+    the winner matches the window oracle exactly."""
+    ev = load(spark, sf_dir, "events")
+    s = F.struct(
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("event_type"),
+        cents(F.col("value")).alias("_c"),
+    )
+    first = ev.groupBy("user_id").agg(F.min(s).alias("_f"))
+    return first.select(
+        "user_id",
+        F.col("_f.ts").alias("first_ts"),
+        F.col("_f.event_type").alias("first_type"),
+        F.col("_f._c").cast("long").alias("first_cents"),
+    )
