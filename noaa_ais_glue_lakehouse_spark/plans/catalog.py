@@ -6441,3 +6441,270 @@ def q154_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_f.event_type").alias("first_type"),
         F.col("_f._c").cast("long").alias("first_cents"),
     )
+
+
+@register(
+    "q155_winsorized_stats",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(ROUND(value * 100) AS BIGINT),
+                                         event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.01 * (n - 1)) AS BIGINT) + 1
+                      THEN cents END) AS lo_cents,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1
+                      THEN cents END) AS hi_cents
+      FROM r GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           b.lo_cents, b.hi_cents,
+           ROUND(CAST(SUM(LEAST(GREATEST(r.cents, b.lo_cents), b.hi_cents))
+                      AS DOUBLE) / COUNT(*), 6) AS winsorized_mean_cents
+    FROM r JOIN b USING (event_type)
+    GROUP BY r.event_type, b.lo_cents, b.hi_cents
+    """,
+)
+def q155_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) per-type value stats — the outlier-robust
+    normalization a feature pipeline applies before model training: clamp
+    each value into its group's exact [p01, p99] band, then average.
+    Percentile bounds are RANK-BASED (the sorted element at
+    floor(p*(n-1))+1), not interpolated — integers survive the
+    cross-engine hash where interpolated floats would not. One shuffle:
+    row_number, the partition count, and both bound picks all ride the
+    same hash-partition by event_type; the final groupBy reuses that
+    partitioning (no second exchange), and the clamped sum is exact
+    integer cents. At 100 TB the per-group sort is the cost — the same
+    cost any exact-percentile requires; for sketch-based bounds at scale
+    see q63 (KLL quantiles)."""
+    ev = load(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type", "event_id", cents(F.col("value")).alias("cents")
+    )
+    wo = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wp = Window.partitionBy("event_type")
+    r = r.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count(F.lit(1)).over(wp)
+    )
+    lo_idx = F.floor(0.01 * (F.col("n") - 1)).cast("long") + 1
+    hi_idx = F.floor(0.99 * (F.col("n") - 1)).cast("long") + 1
+    r = r.withColumn(
+        "lo_cents",
+        F.max(F.when(F.col("rn") == lo_idx, F.col("cents"))).over(wp),
+    ).withColumn(
+        "hi_cents",
+        F.max(F.when(F.col("rn") == hi_idx, F.col("cents"))).over(wp),
+    )
+    clamped = F.least(
+        F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+    )
+    return (
+        r.groupBy("event_type", "lo_cents", "hi_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean_cents"),
+        )
+        .select(
+            "event_type", "n", "lo_cents", "hi_cents", "winsorized_mean_cents"
+        )
+    )
+
+
+@register(
+    "q156_embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT UNNEST(range(len(embedding))) AS dim,
+             -- cast BEFORE the multiply: DuckDB would otherwise compute
+             -- float32 * int in float32, rounding differently from the
+             -- Spark side's float->double->multiply path
+             CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS mean_micro,
+           ROUND(SQRT(GREATEST(
+             (CAST(SUM(CAST(q AS HUGEINT) * q) AS DOUBLE)
+              - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*))
+             / COUNT(*), 0)), 6) AS std_micro
+    FROM e GROUP BY dim
+    """,
+)
+def q156_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    mean/std a whitening or PCA-prep step needs before similarity work
+    (a dimension with near-zero variance is dead weight in every cosine).
+    posexplode turns vectors into (dim, component) rows; components are
+    quantized to exact integer micro-units so the sums are
+    order-independent, the square-sums accumulate in DECIMAL(38,0)
+    (HUGEINT on the oracle side) to dodge 64-bit overflow at corpus
+    scale, and mean/std are derived from those exact moments at the end.
+    One explode + one hash-shuffle on dim (64 keys); partial aggregation
+    reduces each partition to |dims| rows before the exchange, so at
+    100 TB the shuffle moves kilobytes."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    s_d = F.sum("q").cast("double")
+    sq_d = F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).cast("double")
+    n = F.count(F.lit(1))
+    return e.groupBy("dim").agg(
+        n.cast("long").alias("n"),
+        F.round(s_d / n, 6).alias("mean_micro"),
+        F.round(
+            F.sqrt(F.greatest((sq_d - s_d * s_d / n) / n, F.lit(0.0))), 6
+        ).alias("std_micro"),
+    )
+
+
+@register(
+    "q157_profile_report",
+    oracle="""
+    SELECT 'o_custkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+    FROM orders
+    """,
+)
+def q157_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column-profile report (row count, null count, exact
+    distinct count per column) in long format — the first thing a data
+    platform computes on an unfamiliar 100 TB drop, and the statistics
+    the q125 expectations engine's thresholds are calibrated from. All
+    columns profile in ONE scan: the multi-column COUNT(DISTINCT ...)
+    lowers to a single Expand (k row-replicas, one per column) feeding
+    one partial+final aggregate — k× shuffle rows but each partition
+    pre-reduces to its distinct set, vs k full scans for the naive
+    per-column loop. The wide 1-row result is unpivoted driver-side-free
+    via an inline array+explode. For approximate profiles at petabyte
+    scale swap COUNT(DISTINCT) for approx_count_distinct (q63's sketch
+    path) — same plan minus the Expand."""
+    cols = [
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}"))
+    wide = o.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select(
+        "p.column_name", "p.n_rows", "p.n_nulls", "p.n_distinct"
+    )
+
+
+@register(
+    "q158_ewma_baseline",
+    oracle="""
+    WITH recent AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_recent,
+           list_reduce(
+             list_prepend(0.0,
+               list(CAST(cents AS DOUBLE) ORDER BY ts, event_id)),
+             (acc, x) -> acc / 2 + x / 2) AS ewma_cents
+    FROM recent WHERE rn <= 16
+    GROUP BY user_id
+    """,
+)
+def q158_ewma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average over the 16 most
+    recent events (alpha = 1/2, zero-seeded) — the anomaly baseline a
+    monitoring pipeline keeps per entity: the next value is compared
+    against this decayed history. The fold is a higher-order array
+    expression (F.aggregate), entirely JVM-side — no UDF, no state
+    store; the bounded-window + ordered-fold shape is exactly what a
+    transformWithState handler would do incrementally (q110), computed
+    here as a batch backfill. Determinism: alpha = 1/2 keeps every
+    partial sum an exact dyadic rational (integer cents x 2^-k, k <= 17
+    mantissa bits + 16 shift bits < 53), so the unrounded double is
+    bit-identical across engines and fold orders are pinned by the
+    sorted (ts, event_id) array. One shuffle on user_id; the per-user
+    state is 16 rows regardless of history length."""
+    ev = load(spark, sf_dir, "events")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        ev.select(
+            "user_id", "ts", "event_id", cents(F.col("value")).alias("cents")
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 16)
+    )
+    arr = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", F.col("cents")))
+        ),
+        lambda s: s["cents"].cast("double"),
+    )
+    folded = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc / 2 + x / 2
+    )
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recent"),
+        folded.alias("ewma_cents"),
+    )
