@@ -6708,3 +6708,240 @@ def q158_ewma_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_recent"),
         folded.alias("ewma_cents"),
     )
+
+
+@register(
+    "q159_label_centroid_dist",
+    oracle="""
+    WITH e AS (
+      SELECT label, UNNEST(range(len(embedding))) AS dim,
+             CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ), cent AS (
+      SELECT label, dim,
+             CAST(ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cm
+      FROM e GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SQRT(CAST(SUM((a.cm - b.cm) * (a.cm - b.cm)) AS DOUBLE)),
+                 6) AS dist_micro
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    """,
+)
+def q159_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise L2 distances between per-label embedding centroids — the
+    class-separation diagnostic behind SemDeDup-style semantic dedup
+    (q64) and stratified mixture design (q105): labels whose centroids
+    nearly coincide are candidates for merging or re-labeling. Centroid
+    components are rounded to exact integer micro-units at the reduce, so
+    the pairwise stage is pure integer arithmetic until the final sqrt.
+    Scale shape: the only corpus-sized stage is the (label, dim) partial
+    aggregate — map-side combine reduces each partition to
+    |labels|x|dims| rows before the shuffle; the self-join runs on that
+    tiny centroid table (|labels|x|dims| rows), never on the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    cent = e.groupBy("label", "dim").agg(
+        F.round(F.sum("q").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cm")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("cm").alias("cm_a")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("cm").alias("cm_b"),
+    )
+    d = F.col("cm_a") - F.col("cm_b")
+    return (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(F.sqrt(F.sum(d * d).cast("double")), 6).alias(
+                "dist_micro"
+            )
+        )
+    )
+
+
+@register(
+    "q160_inverted_index",
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), g AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             (list_sort(list(doc_id)))[1:20] AS postings
+      FROM t GROUP BY tok
+    )
+    SELECT tok, df, postings FROM g ORDER BY df DESC, tok LIMIT 50
+    """,
+)
+def q160_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token -> document-frequency + (capped,
+    sorted) posting list, top-50 tokens by df — the keyword-search /
+    corpus-exploration structure a curation team queries to find "all
+    docs mentioning X" without a rescan. (doc, token) pairs are
+    DISTINCTed before the index reduce (presence, not term frequency —
+    q92's TF-IDF covers weighting), posting lists are built with
+    collect_set + sort_array and capped with slice() so a stopword's
+    postings can't blow up a reduce task; df keeps the full count.
+    Map-side combine on the distinct + count; top-k is a TakeOrdered,
+    no global sort. At 100 TB the cap is what makes the reduce safe —
+    uncapped boilerplate-token postings are the classic index hot key."""
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    g = t.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20).alias(
+            "postings"
+        ),
+    )
+    return g.orderBy(F.desc("df"), "tok").limit(50)
+
+
+@register(
+    "q161_user_deciles",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS spend_cents
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT user_id, spend_cents,
+             NTILE(10) OVER (ORDER BY spend_cents DESC, user_id) AS decile
+      FROM u
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(spend_cents) AS BIGINT) AS decile_cents,
+           CAST(MIN(spend_cents) AS BIGINT) AS floor_cents,
+           ROUND(CAST(SUM(spend_cents) AS DOUBLE)
+                 / (SELECT SUM(spend_cents) FROM u), 6) AS revenue_share
+    FROM d GROUP BY decile
+    """,
+)
+def q161_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation: users ranked by lifetime spend, cut into ten
+    equal-count bands, each with its population, revenue, entry floor,
+    and share of total revenue — the whale-curve report behind every
+    "top 10% of users drive X% of revenue" decision. Two-stage: the
+    corpus-sized groupBy(user_id) pre-reduces with map-side combine;
+    NTILE then runs over the |users|-sized aggregate (a single-partition
+    window — bounded by the entity count, and NTILE is rank-arithmetic
+    that cannot be hash-partitioned; at 10^9 users swap in q63's KLL
+    quantile cuts and a range join). The revenue-share denominator rides
+    a 1-row scalar subquery (broadcast on the Spark side via a window
+    total over the 10-row result). Ties are broken by user_id so the
+    decile assignment is total and the hash check deterministic."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).alias("spend_cents")
+    )
+    wd = Window.orderBy(F.desc("spend_cents"), "user_id")
+    d = u.withColumn("decile", F.ntile(10).over(wd))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("spend_cents").cast("long").alias("decile_cents"),
+        F.min("spend_cents").cast("long").alias("floor_cents"),
+    )
+    wt = Window.partitionBy()
+    return g.select(
+        "decile",
+        "n_users",
+        "decile_cents",
+        "floor_cents",
+        F.round(
+            F.col("decile_cents").cast("double")
+            / F.sum("decile_cents").over(wt),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "q162_daily_autocorr",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+      FROM events GROUP BY 1
+    ), p AS (
+      SELECT total_cents AS y,
+             LAG(total_cents) OVER (ORDER BY day) AS x
+      FROM d
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM p WHERE x IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * SQRT(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS r_lag1
+    FROM m
+    """,
+)
+def q162_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily-revenue series — the
+    seasonality/momentum screen a forecasting pipeline runs before
+    choosing model structure (high r_lag1 -> trend-following models;
+    near zero -> treat days as independent). Two-stage: the corpus-sized
+    groupBy(day) reduces to |days| rows with map-side combine; the lag +
+    Pearson moments then run on that tiny series (the single-partition
+    window is |days| rows — bounded by calendar length, not data scale).
+    All moments are exact integer sums of cents products; the one
+    floating-point expression is the final closed-form r, written
+    identically on both engines."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(cents(F.col("value"))).alias("total_cents")
+    )
+    w = Window.orderBy("day")
+    p = d.select(
+        F.col("total_cents").alias("y"),
+        F.lag("total_cents").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            (n_d * F.col("sxy") - sx_d * F.col("sy"))
+            / (
+                F.sqrt(n_d * F.col("sxx") - sx_d * F.col("sx"))
+                * F.sqrt(n_d * F.col("syy") - sy_d * F.col("sy"))
+            ),
+            6,
+        ).alias("r_lag1"),
+    )
