@@ -6945,3 +6945,279 @@ def q162_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_lag1"),
     )
+
+
+@register(
+    "q163_pareto_frontier",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS spend_cents
+      FROM events GROUP BY user_id
+    ), b AS (
+      SELECT n_events, MAX(spend_cents) AS best
+      FROM u GROUP BY n_events
+    ), f AS (
+      SELECT n_events, best,
+             MAX(best) OVER (ORDER BY n_events
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prior_best
+      FROM b
+    )
+    SELECT u.user_id, u.n_events, u.spend_cents
+    FROM u JOIN f ON u.n_events = f.n_events AND u.spend_cents = f.best
+    WHERE f.prior_best IS NULL OR f.best > f.prior_best
+    """,
+)
+def q163_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (skyline) frontier: users not dominated on the
+    (fewer-events, higher-spend) trade-off — the multi-objective data-
+    selection operator behind "highest quality per token" corpus picks
+    and efficiency frontiers generally. Instead of the O(n²)
+    dominance self-join, the skyline reduces to a cumulative-max window:
+    collapse to the per-x best y (map-side combinable), sort the
+    |distinct x| frontier candidates once, keep x-values whose best y
+    strictly exceeds every smaller-x best, then join winners back
+    (broadcast — the frontier is tiny by construction). The corpus-sized
+    stages are the two aggregates; the window touches |distinct x| rows
+    only. Ties on the frontier keep all attaining users, so the result
+    is set-deterministic with no arbitrary tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("spend_cents"),
+    )
+    b = u.groupBy("n_events").agg(F.max("spend_cents").alias("best"))
+    wf = Window.orderBy("n_events").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    f = (
+        b.withColumn("prior_best", F.max("best").over(wf))
+        .filter(
+            F.col("prior_best").isNull()
+            | (F.col("best") > F.col("prior_best"))
+        )
+        # disambiguate: b derives from u, so the join below is a self-join
+        # by lineage — rename the frontier's key columns outright
+        .select(
+            F.col("n_events").alias("f_n_events"), F.col("best").alias("f_best")
+        )
+    )
+    return u.join(
+        F.broadcast(f),
+        (F.col("n_events") == F.col("f_n_events"))
+        & (F.col("spend_cents") == F.col("f_best")),
+    ).select("user_id", "n_events", "spend_cents")
+
+
+@register(
+    "q164_lexical_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT source, tok, COUNT(*) AS n FROM t GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS type_token_ratio,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_fraction
+    FROM c GROUP BY source
+    """,
+)
+def q164_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: token count, vocabulary
+    size, hapax legomena (once-only tokens) and the derived type-token /
+    hapax ratios — the corpus-QA screen that separates natural prose
+    (high diversity) from boilerplate and template spam (low TTR, low
+    hapax fraction) before documents reach training. Two-stage
+    aggregation: (source, token) counts pre-reduce map-side so the
+    shuffle carries one row per distinct term per partition — never per
+    occurrence — and the per-source reduce is |vocab|-sized. The same
+    two-level shape as q91's vocabulary; the ratios are exact-count
+    divisions rendered once at the end."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+    c = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        hapax.cast("long").alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("n"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            hapax.cast("double") / F.count(F.lit(1)), 6
+        ).alias("hapax_fraction"),
+    )
+
+
+@register(
+    "q165_embedding_norm_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             CAST(ROUND(SQRT(CAST(list_sum(list_transform(
+               list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+               q -> q * q)) AS DOUBLE))) AS BIGINT) AS norm_micro
+      FROM embeddings
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(norm_micro) AS s,
+             SUM(CAST(norm_micro AS HUGEINT) * norm_micro) AS sq
+      FROM v
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_vecs,
+           ROUND(CAST(m.s AS DOUBLE) / m.n, 6) AS mean_norm_micro,
+           ROUND(SQRT(GREATEST(
+             (CAST(m.sq AS DOUBLE) - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+              / m.n) / m.n, 0)), 6) AS std_norm_micro,
+           CAST((SELECT COUNT(*) FROM v, m
+                 WHERE ABS(CAST(v.norm_micro AS DOUBLE)
+                           - CAST(m.s AS DOUBLE) / m.n)
+                       > 3 * SQRT(GREATEST(
+                           (CAST(m.sq AS DOUBLE)
+                            - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n)
+                           / m.n, 0))) AS BIGINT) AS n_outliers_3sigma
+    FROM m
+    """,
+)
+def q165_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm audit: the L2-norm distribution of the corpus
+    vectors plus a 3-sigma outlier count — the first sanity check on any
+    embedding drop (a cluster of near-zero or huge norms means a broken
+    encoder batch; cosine pipelines silently degrade on them). Norms are
+    computed row-local from integer micro components (one array fold, no
+    shuffle), quantized to integer micro-units so the moment sums are
+    exact, and the outlier pass re-uses the same tiny (n, s, sq) scalar
+    via a broadcast — two scans of a row-local projection, zero
+    corpus-sized shuffles; the only reduce carries three numbers."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    v = emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    q, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("norm_micro"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("norm_micro").alias("s"),
+        F.sum(
+            F.col("norm_micro").cast("decimal(38,0)") * F.col("norm_micro")
+        ).alias("sq"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    sq_d = F.col("sq").cast("double")
+    mean = s_d / F.col("n")
+    std = F.sqrt(F.greatest((sq_d - s_d * s_d / F.col("n")) / F.col("n"), F.lit(0.0)))
+    stats = m.select(
+        F.col("n").cast("long").alias("n_vecs"),
+        F.round(mean, 6).alias("mean_norm_micro"),
+        F.round(std, 6).alias("std_norm_micro"),
+        mean.alias("_mean"),
+        std.alias("_std"),
+    )
+    out = (
+        v.crossJoin(F.broadcast(stats))
+        .filter(
+            F.abs(F.col("norm_micro").cast("double") - F.col("_mean"))
+            > 3 * F.col("_std")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outliers_3sigma"))
+    )
+    return stats.select(
+        "n_vecs", "mean_norm_micro", "std_norm_micro"
+    ).crossJoin(F.broadcast(out))
+
+
+@register(
+    "q166_source_vocab_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), sz AS (
+      SELECT source, COUNT(*) AS n FROM t GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(sa.n AS BIGINT) AS vocab_a,
+           CAST(sb.n AS BIGINT) AS vocab_b,
+           CAST(i.n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(i.n_shared AS DOUBLE)
+                 / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.source = i.source_a
+    JOIN sz sb ON sb.source = i.source_b
+    """,
+)
+def q166_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap (Jaccard) between sources — the
+    mixture-design diagnostic telling you whether two corpus slices are
+    redundant (near-identical vocabularies) or complementary before
+    weighting them (q105). The (source, token) presence set is
+    DISTINCTed map-side; the only corpus-sized shuffle is that distinct.
+    The overlap self-join is keyed on token — an equi-join over
+    |vocab|x|sources| rows, NOT documents — and source< ordering halves
+    the pair space; vocabulary sizes broadcast back onto the
+    |source-pairs| result. At web scale the token join inherits the
+    stopword hot keys, which is exactly what q107's skew audit flags and
+    a salt (operators/skew.py) spreads."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).distinct()
+    sz = t.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = t.select(F.col("source").alias("source_a"), "tok")
+    b = t.select(F.col("source").alias("source_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("vocab_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

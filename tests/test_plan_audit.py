@@ -37,6 +37,10 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the distinct-user-count
     # scalar attached to the |type-pairs|-sized affinity table
     "q144_type_affinity",
+    # deliberate SINGLE-ROW broadcast cross joins: the (mean, std) moment
+    # scalar attached to the row-local norm projection, and the 1-row
+    # outlier count attached to the 1-row stats report
+    "q165_embedding_norm_audit",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
