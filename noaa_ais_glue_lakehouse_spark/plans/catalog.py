@@ -7221,3 +7221,224 @@ def q166_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes not yet in the catalog: Q19 disjunctive predicates, Q13
+# count-distribution, Q11 scalar-subquery HAVING, Q22 anti-join + global
+# average gate (X94-X97)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q167_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+       OR (p_type  = 'PROMO'   AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 30 AND 50)
+    """,
+)
+def q167_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicate spanning both join sides.
+
+    Catalyst cannot push the full disjunction below the join (each arm
+    references both tables), so the classic manual rewrite applies: the
+    part-side projection of the disjunction IS pushable, and prefiltering
+    part before the broadcast join shrinks the build side to the union of
+    the three arms. The residual disjunction is evaluated post-join as a
+    single codegen'd predicate. At 100 TB the fact side streams through
+    one broadcast join with no shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    part_side = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50))
+    )
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(15, 35)
+    )
+    arm3 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(30, 50)
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(part_side)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0)
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q168_custdist",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q168_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of per-customer order counts,
+    including zero-order customers (the left join keeps them; COUNT of a
+    nullable column counts only matches).
+
+    Two aggregations: the first shuffles on c_custkey (the join key, so
+    AQE reuses the exchange), the second is over |customers| rows and
+    collapses to |distinct counts| — tiny. The join-side filter on
+    o_orderpriority is part of the JOIN condition, not a WHERE (a WHERE
+    would turn the left join into an inner one).
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q169_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS value_cents
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           CAST(value_cents AS DOUBLE)/100.0 AS part_value
+    FROM pv
+    WHERE CAST(value_cents AS DOUBLE)
+          > CAST((SELECT SUM(value_cents) FROM pv) AS DOUBLE)
+            / (SELECT COUNT(*) FROM pv) * 1.3
+    """,
+)
+def q169_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — groups whose value exceeds a threshold derived
+    from a GLOBAL aggregate (scalar subquery in HAVING; here 1.3x the
+    mean per-part value, which is scale-invariant where Q11's fixed
+    fraction would select everything or nothing as |parts| grows).
+
+    One shuffle builds the per-part rollup; the global total is an
+    aggregate of that |parts|-sized result, broadcast back as a
+    single-row cross join — the rollup is computed once and reused for
+    both sides (cache-free: Catalyst's ReuseExchange dedups the scan).
+    Value arithmetic is exact integer cents; only the final comparison is
+    double.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("value_cents")
+    )
+    total = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") / F.col("n_parts") * 1.3
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_cents").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q170_rich_inactive_customers",
+    oracle="""
+    WITH gate AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, length(c_name)-1, 2) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_bal
+    FROM customer, gate
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def q170_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — above-global-average balance AND no urgent
+    orders (scalar-subquery gate + anti-join), grouped by a derived code
+    (last two digits of the customer name, standing in for Q22's country
+    code; the urgency filter stands in for Q22's 7-year recency window,
+    which this dataset's 30-day span can't express).
+
+    The global average is exact (integer-cents sum / count, one double
+    division both engines perform identically) and broadcast as a
+    single row; the NOT EXISTS is a left-anti hash join on c_custkey.
+    At scale: one shuffle for the anti-join (or none if orders' custkey
+    projection is small enough to broadcast), then a tiny group-by on
+    the 2-digit code.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    gate = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                (F.sum(cents(F.col("c_acctbal"))).cast("double") / 100.0)
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(gate))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(
+            F.substring(F.col("c_name"), -2, 2).alias("code")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            (F.sum(cents(F.col("c_acctbal"))) / 100.0).alias("total_bal"),
+        )
+    )
