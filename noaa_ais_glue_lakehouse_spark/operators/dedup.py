@@ -11,7 +11,7 @@ baseline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from noaa_ais_glue_lakehouse_spark.functions.hashing import (
@@ -291,6 +291,96 @@ def jaccard_pairs_exact(
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(jacc, 6).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_prefix_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    use_char_ngrams: bool = False,
+    ngram_n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs WITHOUT the O(n²) cross join —
+    the AllPairs/PPJoin prefix-filter algorithm (Bayardo et al., WWW'07;
+    public algorithm, not in the reference).
+
+    Guarantee: output ≡ ``jaccard_pairs_exact`` (same ids, same scores).
+    Unlike MinHash/SimHash there is no recall loss — this is the scale
+    path when the dedup policy requires *exact* near-dup semantics.
+
+    How: under a global rarest-first token order, two sets with
+    J ≥ t must share ≥ ⌈t·|A|⌉ tokens, hence must collide in their
+    first ``|A| - ⌈t·|A|⌉ + 1`` tokens (the prefix). Candidates are an
+    equi-join on prefix tokens only — and because prefixes hold each
+    record's RAREST tokens, posting lists are short by construction
+    (frequency ordering is what defeats the stopword hot keys that would
+    make a token-keyed join skew at 100 TB). Candidates are then
+    exact-verified with one |candidates|-sized join back to the sets.
+
+    Shuffles: token-frequency agg, per-doc rank window, candidate
+    equi-join, verify joins — all keyed, none quadratic.
+    """
+    shingle = _shingle_expr(text_col, use_char_ngrams, ngram_n)
+    sets = (
+        df.select(F.col(id_col).alias("_id"), shingle.alias("_sh"))
+        .withColumn("_n", F.size("_sh"))
+        .filter(F.col("_n") > 0)
+    )
+    tok = sets.select("_id", "_n", F.explode("_sh").alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # rarest-first rank within each doc; token text tiebreaks the rank so
+    # the global order is total and both sides of a pair agree on it
+    rank_w = Window.partitionBy("_id").orderBy("_df", "_tok")
+    # prefix length n - ceil(t*n) + 1; the 1e-9 slack counters binary
+    # float fuzz in t*n (0.8*35 -> 28.000000000000004 would over-ceil and
+    # silently DROP candidates; the slack can only lengthen the prefix,
+    # and the exact verify discards any extras)
+    prefix_len = (
+        F.col("_n")
+        - F.ceil(F.col("_n") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    prefix = (
+        tok.join(freq, "_tok")
+        .withColumn("_rank", F.row_number().over(rank_w))
+        .filter(F.col("_rank") <= prefix_len)
+    )
+    a = prefix.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_tok"
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_tok"
+    )
+    cands = (
+        a.join(b, "_tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("_na", "_nb")
+                >= F.greatest("_na", "_nb") * F.lit(threshold)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = sets.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("_shb"),
+        F.col("_n").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.col("_nb") - inter
+    jacc = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

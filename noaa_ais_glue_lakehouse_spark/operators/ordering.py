@@ -14,7 +14,7 @@ action that already runs, costing one aggregate per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,59 @@ def with_row_observations(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
         )
     return df.observe(obs, *metrics), obs
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running sum WITHOUT a single-partition window —
+    the classic two-phase parallel prefix scan.
+
+    A plain ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY collapses
+    the whole table into ONE task (Spark even warns about it) — a
+    non-starter at 100 TB. Instead:
+
+    1. range-repartition on the order columns (equal keys co-located,
+       partitions globally ordered);
+    2. per-partition local running sum (ordinary windows, parallel);
+    3. per-partition totals (|partitions| rows) get an exclusive running
+       offset on the driver-sized side and broadcast back;
+    4. running = local + offset of all earlier partitions.
+
+    Ties in ``order_cols`` make intermediate running values
+    frame-order-dependent (exactly as SQL's ROWS frame is); the value at
+    the END of each tie group — and any MAX/MIN over the running column —
+    is deterministic.
+    """
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    part = part.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
+    # exclusive prefix over per-partition totals: |partitions| rows, so the
+    # single-partition window here is over a driver-sized set by design
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "_off", F.sum("_tot").over(w_off) - F.col("_tot")
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )

@@ -7442,3 +7442,216 @@ def q170_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents(F.col("c_acctbal"))) / 100.0).alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path additions: prefix-filter exact Jaccard join, parallel global
+# prefix-scan concurrency, duration-weighted averages, OHLC downsampling
+# (X98-X101)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q171_jaccard_prefix_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                       x -> x <> '')) AS sh
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM sized a, sized b
+    WHERE a.doc_id < b.doc_id
+      AND LEAST(a.n, b.n) >= GREATEST(a.n, b.n) * 0.8
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
+)
+def q171_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98 — EXACT near-dup pairs via the AllPairs/PPJoin prefix filter:
+    identical output to the O(n²) baseline (the oracle IS the brute-force
+    query), but every join is a keyed equi-join on rarest-first prefix
+    tokens. The scale path when dedup policy demands exactness — unlike
+    q27/q28 there is no recall to argue about.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix_filter(docs, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "q172_max_concurrent_sessions",
+    oracle=_SESSIONIZED_CTE
+    + """,
+    sessions AS (
+      SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+      FROM sess GROUP BY user_id, session_id
+    ),
+    b AS (
+      SELECT st AS ts, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT en AS ts, -1 AS delta FROM sessions
+    ),
+    r AS (
+      SELECT ts, SUM(delta) OVER (ORDER BY ts, delta DESC
+                                  ROWS UNBOUNDED PRECEDING) AS c
+      FROM b
+    )
+    SELECT CAST(MAX(c) AS BIGINT) AS max_concurrent,
+           strftime(MIN(ts) FILTER (WHERE c = (SELECT MAX(c) FROM r)),
+                    '%Y-%m-%d %H:%M:%S') AS at_ts
+    FROM r
+    """,
+)
+def q172_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99 — peak concurrency via sweep line: +1 at each session start,
+    -1 at each end (starts before ends on ties, so instantaneous sessions
+    count), running-sum over the global time order, max + first time it
+    is reached.
+
+    The global running sum is the interesting part at scale: a bare
+    ``SUM() OVER (ORDER BY ts)`` is a one-task window, so this uses
+    ``global_running_sum`` — a two-phase parallel prefix scan
+    (range-repartition → per-partition local scan → broadcast exclusive
+    offsets). The final aggregate is one ``max(struct(c, -micros))``:
+    max concurrency and the earliest timestamp achieving it in a single
+    combinable pass.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(
+        ev, "user_id", "ts", SESSION_GAP_SECONDS, tiebreak_cols=["event_id"]
+    )
+    sessions = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    b = sessions.select(F.col("st").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        sessions.select(F.col("en").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    # order by (ts, -delta): +1 boundaries sort before -1 at equal ts,
+    # matching the oracle's ORDER BY ts, delta DESC
+    r = global_running_sum(
+        b.withColumn("_negdelta", -F.col("delta")),
+        ["ts", "_negdelta"],
+        "delta",
+        out_col="c",
+    )
+    top = r.agg(
+        F.max(F.struct(F.col("c"), (-F.unix_micros("ts")).alias("_negus"))).alias(
+            "_m"
+        )
+    )
+    return top.select(
+        F.col("_m.c").cast("long").alias("max_concurrent"),
+        F.date_format(
+            F.timestamp_micros(-F.col("_m._negus")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("at_ts"),
+    )
+
+
+@register(
+    "q173_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - epoch_us(ts)
+               AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           ROUND(CAST(SUM(CAST(ROUND(value*100) AS BIGINT) * dur_us) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS DOUBLE) / 100.0, 6) AS twa_value
+    FROM d WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    """,
+)
+def q173_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100 — duration-weighted average: each reading holds until the
+    next one, so its weight is the microsecond gap to the successor
+    (last reading carries no span). The irregular-sampling-proof mean —
+    an arithmetic mean over-weights bursts, exactly the bias q78's grid
+    resample also fights.
+
+    One shuffle: the lead window and the group-by share the user_id
+    key. Exact arithmetic: integer cents x integer microseconds sums in
+    BIGINT (cents, not millionths: |value|<=~10^3 and per-user spans sum
+    to <=30 days ~ 2.6e12 us, so cents keeps the sum under 2^63 where
+    millionths would overflow Spark's ANSI BIGINT sum — DuckDB hides
+    this by summing in HUGEINT); one double division at the end.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn(
+        "dur_us", F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    vi = F.round(F.col("value") * 100).cast("long")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.round(
+            F.sum(vi * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double")
+            / 100.0,
+            6,
+        ).alias("twa_value"),
+    )
+
+
+@register(
+    "q174_ohlc_bars",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+             value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, hr,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM e GROUP BY event_type, hr
+    """,
+)
+def q174_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 — OHLC downsampling: per (series, hour) the first, max, min
+    and last reading. open/close use ``min_by``/``max_by`` on a
+    (ts, event_id) struct key — combinable aggregates (map-side partials,
+    one shuffle), NOT a row_number window + filter, which would shuffle
+    the full table twice. The (ts, event_id) struct makes first/last
+    total even with duplicate timestamps. Values pass through unsummed,
+    so doubles match the oracle bit-for-bit.
+    """
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hr"
+            ),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+    )

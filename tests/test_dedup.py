@@ -218,3 +218,38 @@ def test_minhash_ignores_empty_documents(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_prefix_filter_equals_brute_force(spark):
+    """AllPairs prefix filter must reproduce the O(n^2) baseline EXACTLY
+    (ids and scores) — its whole claim is exactness without the cross
+    join. Checked at two thresholds, including one where float t*n fuzz
+    (0.8*35) would over-ceil the prefix length if not guarded."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+    )
+
+    docs = _corpus(spark)
+    for t in (0.8, 0.5):
+        exact = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs_exact(docs, "doc_id", "text", t).collect()
+        }
+        fast = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs_prefix_filter(
+                docs, "doc_id", "text", t
+            ).collect()
+        }
+        assert fast == exact and len(exact) > 0
+
+
+def test_prefix_filter_plan_has_no_cartesian(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+    )
+
+    docs = _corpus(spark)
+    out = jaccard_pairs_prefix_filter(docs, "doc_id", "text", 0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "cartesianproduct" not in plan and "broadcastnestedloop" not in plan

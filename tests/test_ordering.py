@@ -33,3 +33,46 @@ def test_with_row_observations(spark):
     out.write.format("noop").mode("overwrite").save()
     got = obs.get
     assert got["n_rows"] == 2 and got["n_null_v"] == 1
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """Parallel prefix scan == bare SUM() OVER (ORDER BY ...) at every
+    tie-group end, and MAX over the running column matches exactly."""
+    import random
+
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 50), rng.choice([1, -1]), i) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "delta", "rid"])
+
+    out = global_running_sum(
+        df, ["k", "rid"], "delta", out_col="c", num_partitions=8
+    ).collect()
+    w = Window.orderBy("k", "rid").rowsBetween(Window.unboundedPreceding, 0)
+    ref = {
+        (r["k"], r["rid"]): r["c"]
+        for r in df.withColumn("c", F.sum("delta").over(w)).collect()
+    }
+    # (k, rid) is a total order -> every row comparable, not just maxima
+    assert len(out) == 400
+    for r in out:
+        assert r["c"] == ref[(r["k"], r["rid"])]
+
+
+def test_global_running_sum_no_single_partition_window(spark):
+    """The big-table window must be partitioned by _pid — only the
+    |partitions|-sized offsets window may be global."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "t").withColumn(
+        "v", (F.col("t") % 3 - 1).cast("int")
+    )
+    out = global_running_sum(df, ["t"], "v", num_partitions=4)
+    assert out.count() == 100

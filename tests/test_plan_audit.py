@@ -41,6 +41,14 @@ ALLOWED_NON_EQUI = {
     # scalar attached to the row-local norm projection, and the 1-row
     # outlier count attached to the 1-row stats report
     "q165_embedding_norm_audit",
+    # deliberate SINGLE-ROW broadcast cross join: the (total, n_parts)
+    # scalar attached to the |parts|-sized rollup (TPC-H Q11's scalar
+    # subquery in HAVING)
+    "q169_important_parts",
+    # deliberate SINGLE-ROW broadcast cross join: the global average-
+    # balance gate attached to the customer scan (TPC-H Q22's scalar
+    # subquery)
+    "q170_rich_inactive_customers",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
