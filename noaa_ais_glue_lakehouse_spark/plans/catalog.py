@@ -7655,3 +7655,378 @@ def q174_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_ticks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Replication parity, trend, information-theoretic drift, graph rank,
+# throttling (X102-X107)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q175_table_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT md5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source,
+                           CAST(n_chars AS VARCHAR))) AS md
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT md) AS BIGINT) AS n_distinct_rows,
+           CAST(bit_xor(CAST(concat('0x', substr(md, 1, 15)) AS BIGINT))
+                AS BIGINT) AS xor_checksum
+    FROM h
+    """,
+)
+def q175_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 — order-independent whole-table fingerprint for replication /
+    migration parity checks (did the copy land bit-identical?): XOR of a
+    per-row md5-derived 60-bit integer plus row and distinct-row counts.
+
+    XOR is commutative+associative, so the checksum is independent of
+    row order AND partitioning — comparable across engines, file layouts
+    and cluster sizes, with map-side partial aggregation (one scalar per
+    partition, one 1-row shuffle). md5 (not xxhash64) because the
+    fingerprint must be engine-portable — this query IS the cross-engine
+    proof, the same value computed by Spark and DuckDB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    md = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("doc_id").cast("string"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    h = docs.select(
+        md.alias("md"),
+        F.conv(F.substring(md, 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("md").cast("long").alias("n_distinct_rows"),
+        F.bit_xor("h").cast("long").alias("xor_checksum"),
+    )
+
+
+@register(
+    "q176_week_over_week",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type,
+             strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(LAG(n) OVER (PARTITION BY event_type ORDER BY week_start)
+                AS BIGINT) AS prev_week,
+           ROUND((n - LAG(n) OVER (PARTITION BY event_type ORDER BY week_start))
+                 * 100.0
+                 / LAG(n) OVER (PARTITION BY event_type ORDER BY week_start),
+                 6) AS growth_pct
+    FROM wk
+    """,
+)
+def q176_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 — period-over-period trend: weekly volumes per series with
+    the previous period and percent growth (NULL on each series' first
+    week — no fabricated baseline). The windows run over the
+    |series x weeks| rollup, not the raw table; Monday-start
+    ``date_trunc('week')`` agrees between Spark and DuckDB.
+    """
+    ev = load(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "event_type",
+        "week_start",
+        F.col("n").cast("long").alias("n_events"),
+        prev.cast("long").alias("prev_week"),
+        F.round((F.col("n") - prev) * 100.0 / prev, 6).alias("growth_pct"),
+    )
+
+
+@register(
+    "q177_source_token_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2
+    ), s AS (
+      SELECT source, SUM(n) AS tot FROM c GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(MAX(s.tot) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(-SUM((n / CAST(s.tot AS DOUBLE))
+                      * ln(n / CAST(s.tot AS DOUBLE))) / ln(2.0), 6)
+             AS entropy_bits
+    FROM c JOIN s ON c.source = s.source
+    GROUP BY c.source
+    """,
+)
+def q177_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 — Shannon entropy (bits) of each source's unigram
+    distribution: the one-number diversity/repetitiveness signal per
+    corpus slice (boilerplate-heavy sources score low — prime dedup /
+    downweight candidates before mixing, complementing q137's
+    per-document LM score with a per-slice view).
+
+    Two keyed shuffles: (source, token) counts, then per-source
+    aggregation; per-source totals ride along as max(tot) instead of a
+    second join. Entropy terms are exact count ratios; only the final
+    sum is float (round 6 absorbs association-order noise).
+    """
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("source"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.withColumn("tot", tot)
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+@register(
+    "q178_source_js_divergence",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2
+    ), s AS (
+      SELECT source, SUM(n) AS tot FROM c GROUP BY 1
+    ), p AS (
+      SELECT c.source, c.tok, c.n / CAST(s.tot AS DOUBLE) AS p
+      FROM c JOIN s ON c.source = s.source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM(a.p * ln(2.0 * a.p / (a.p + b.p))) AS s1,
+             SUM(b.p * ln(2.0 * b.p / (a.p + b.p))) AS s2,
+             SUM(a.p) AS ma, SUM(b.p) AS mb
+      FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           ROUND((0.5 * (s1 + (1.0 - ma) * ln(2.0))
+                  + 0.5 * (s2 + (1.0 - mb) * ln(2.0))) / ln(2.0), 6)
+             AS jsd_bits
+    FROM shared
+    """,
+)
+def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 — Jensen-Shannon divergence (bits) between every pair of
+    source unigram distributions: the distribution-aware complement to
+    q166's vocabulary Jaccard (two slices can share vocab yet use it
+    with very different frequencies) and the principled mixture-design /
+    drift metric (symmetric, bounded [0,1] in bits).
+
+    The trick that keeps it one INNER equi-join on token: for tokens
+    present only in P, the JSD integrand collapses to p·ln2 — so each
+    side's exclusive mass contributes (1 − shared_mass)·ln2 in closed
+    form, and only shared tokens need the pairwise term. No full-outer
+    join, no union of vocabularies; the join is |vocab|x|sources|-sized,
+    never document-sized, and inherits q166's skew note on stopword keys.
+    """
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pcol = (F.col("n") / F.sum("n").over(Window.partitionBy("source"))).alias(
+        "p"
+    )
+    p = c.select("source", "tok", pcol)
+    a = p.select(
+        F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("p").alias("pb"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    shared = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.col("pa")
+                * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
+            ).alias("s1"),
+            F.sum(
+                F.col("pb")
+                * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("s2"),
+            F.sum("pa").alias("ma"),
+            F.sum("pb").alias("mb"),
+        )
+    )
+    return shared.select(
+        "source_a",
+        "source_b",
+        F.round(
+            (
+                0.5 * (F.col("s1") + (1.0 - F.col("ma")) * ln2)
+                + 0.5 * (F.col("s2") + (1.0 - F.col("mb")) * ln2)
+            )
+            / ln2,
+            6,
+        ).alias("jsd_bits"),
+    )
+
+
+@register(
+    "q179_event_type_pagerank",
+    oracle="""
+    WITH lg AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), e AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM lg WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM e
+    ), nodes AS (
+      SELECT src AS node FROM t UNION SELECT dst FROM t
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (
+      SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+    ),
+    pr1 AS (
+      SELECT v.node, 0.15 / (SELECT n FROM nn)
+             + 0.85 * COALESCE((SELECT SUM(r.rank * t.p) FROM pr0 r
+                                JOIN t ON t.src = r.node
+                                WHERE t.dst = v.node), 0.0) AS rank
+      FROM nodes v
+    ),
+    pr2 AS (
+      SELECT v.node, 0.15 / (SELECT n FROM nn)
+             + 0.85 * COALESCE((SELECT SUM(r.rank * t.p) FROM pr1 r
+                                JOIN t ON t.src = r.node
+                                WHERE t.dst = v.node), 0.0) AS rank
+      FROM nodes v
+    ),
+    pr3 AS (
+      SELECT v.node, 0.15 / (SELECT n FROM nn)
+             + 0.85 * COALESCE((SELECT SUM(r.rank * t.p) FROM pr2 r
+                                JOIN t ON t.src = r.node
+                                WHERE t.dst = v.node), 0.0) AS rank
+      FROM nodes v
+    )
+    SELECT node AS event_type, ROUND(rank, 6) AS pagerank FROM pr3
+    """,
+)
+def q179_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106 — weighted PageRank over the event-type transition graph
+    (the Markov edges of q97), 3 fixed iterations, d=0.85. On web-crawl
+    corpora the same operator ranks domain authority for crawl-frontier
+    and quality filtering; the graph here is tiny but the operator is
+    the generic DataFrame-join iteration (two keyed shuffles per round,
+    no driver state — see operators/graph.py). The oracle unrolls the
+    identical recurrence as chained CTEs (DuckDB's recursive CTEs don't
+    allow the aggregate in the recursive term).
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.graph import pagerank
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", "w", iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 6).alias("pagerank"),
+    )
+
+
+@register(
+    "q180_event_throttle",
+    oracle="""
+    WITH lg AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE gap_us IS NULL OR gap_us >= 1800000000)
+                AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE gap_us < 1800000000)
+                AS BIGINT) AS n_dropped
+    FROM lg GROUP BY user_id
+    """,
+)
+def q180_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 — per-(user, type) throttle audit: an event is dropped when
+    it follows the previous RAW event of the same stream by under 30
+    minutes. One-pass lag semantics (gap measured to the raw
+    predecessor, not the last KEPT event — true debounce is inherently
+    sequential; the one-pass form is the standard distributed
+    approximation and is stated, not hidden). One shuffle: lag window
+    and rollup share the user key.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    lim = 1800 * 1000000
+    d = ev.withColumn("gap_us", gap)
+    return d.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") >= lim), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("gap_us") < lim, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )

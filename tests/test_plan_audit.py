@@ -65,6 +65,8 @@ BUILD_TIME_EXECUTION = {
     # connected components iterate at plan build; the final report also
     # carries a deliberate 1-row violations-count broadcast cross join
     "q138_leakage_safe_split",
+    # pagerank counts |V| once at plan build to seed the uniform vector
+    "q179_event_type_pagerank",
 }
 
 
