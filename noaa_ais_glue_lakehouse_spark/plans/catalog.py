@@ -8030,3 +8030,262 @@ def q180_event_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment, bigram LM scoring, zone-map skipping audit,
+# mixture temperature (X108-X111)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q181_stream_static_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS DOUBLE)/100.0
+             AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q181_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join under the correctness gate: the event stream
+    enriched with a static dimension (customer segment) and aggregated,
+    drained with availableNow and hash-checked against the batch join.
+
+    The static side is a plain batch DataFrame — Spark broadcasts it
+    into every microbatch with NO join state at all (unlike q96's
+    stream-stream state store); this is the canonical streaming
+    dimension-enrichment shape. Complete-mode aggregation makes the
+    final table equal the batch result exactly.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix="q181_")
+    os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+    stream = spark.readStream.schema(file_schema).parquet(d)
+
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+    name = f"q181_sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q181_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "segment", "event_type", "n_events", "total_value"
+    )
+
+
+@register(
+    "q182_bigram_logprob",
+    oracle="""
+    WITH lst AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, UNNEST(l) AS tok,
+             UNNEST(range(1, len(l) + 1)) AS pos
+      FROM lst
+    ), bg AS (
+      SELECT doc_id, tok AS w2,
+             LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM toks
+    ), bgn AS (SELECT doc_id, w1, w2 FROM bg WHERE w1 IS NOT NULL),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bgn GROUP BY 1, 2),
+    c1 AS (SELECT tok AS w1, COUNT(*) AS n1 FROM toks GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vocab FROM toks)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(ln((c2.n2 + 1.0) / (c1.n1 + (SELECT vocab FROM v))))
+                 / COUNT(*), 6) AS avg_logprob
+    FROM bgn d
+    JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+    JOIN c1 ON c1.w1 = d.w1
+    GROUP BY d.doc_id
+    """,
+)
+def q182_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109 — corpus-bigram LM quality score: each document's mean
+    add-one-smoothed conditional bigram log-probability
+    ln((C(w1,w2)+1)/(C(w1)+|V|)) under the corpus's own statistics —
+    the sequence-aware upgrade of q137's unigram score (word-salad text
+    with plausible unigrams scores low here).
+
+    Shape: one doc-keyed lag window extracts bigrams; corpus bigram and
+    unigram tables are built once and equi-joined back (the n-gram keyed
+    joins carry stopword-pair hot keys — q107's skew audit applies).
+    Every count is exact-integer; only the final mean is float.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w2"),
+            F.lag("tok").over(w).alias("w1"),
+        )
+        .where(F.col("w1").isNotNull())
+    )
+    c2 = bgn.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = toks.groupBy(F.col("tok").alias("w1")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    v = toks.agg(
+        F.countDistinct("tok").cast("double").alias("vocab")
+    )
+    return (
+        bgn.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n2") + 1.0)
+                        / (F.col("n1") + F.col("vocab"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@register(
+    "q183_zone_map_audit",
+    oracle="""
+    WITH z AS (
+      SELECT CAST(FLOOR(event_id / 2048) AS BIGINT) AS zone,
+             MIN(ts) AS min_ts, MAX(ts) AS max_ts, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT zone,
+           strftime(min_ts, '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS max_ts,
+           CAST(n AS BIGINT) AS n_rows,
+           max_ts < TIMESTAMP '2024-01-25 00:00:00' AS skippable
+    FROM z
+    """,
+)
+def q183_zone_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110 — zone-map (data-skipping) effectiveness audit: per
+    2048-row ingestion zone (the row-group/file proxy — event_id is
+    ~perfectly ingestion-time ordered in this data, exactly the layout
+    the Morton writer in sources/writers.py produces for 2-D keys),
+    min/max statistics on the SECONDARY predicate column and whether a
+    ``ts >= cutoff`` scan could skip the zone entirely.
+
+    This is the planner's-eye view of q109's compaction work: zone
+    min/max on a well-clustered layout is what turns a full scan into a
+    tail read at 100 TB. The audit itself is one hash aggregation.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("event_id") / 2048).cast("long").alias("zone")
+        )
+        .agg(
+            F.min("ts").alias("_min_ts"),
+            F.max("ts").alias("_max_ts"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(
+            "zone",
+            F.date_format("_min_ts", "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+            F.date_format("_max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+            "n_rows",
+            (
+                F.col("_max_ts") < F.to_timestamp(F.lit("2024-01-25 00:00:00"))
+            ).alias("skippable"),
+        )
+    )
+
+
+@register(
+    "q184_mixture_temperature",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             SUM(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> ''))) AS n_tokens
+      FROM documents GROUP BY 1
+    ), p AS (
+      SELECT source, n_tokens,
+             CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM n) AS share,
+             pow(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM n), 0.7)
+               AS raw_w
+      FROM n
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(share, 6) AS natural_share,
+           ROUND(raw_w / (SELECT SUM(raw_w) FROM p), 6) AS sampled_share,
+           ROUND(raw_w / (SELECT SUM(raw_w) FROM p) / share, 6) AS upweight
+    FROM p
+    """,
+)
+def q184_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111 — temperature-based mixture reweighting (alpha=0.7, the
+    standard multilingual/multi-source sampling exponent): each slice's
+    natural token share is flattened to share^alpha and renormalized,
+    up-weighting small sources without letting any source dominate.
+    Feeds q105's budgeted sampler with principled per-source budgets
+    instead of hand-set ones.
+
+    All heavy work is one per-source token-count aggregation; the
+    normalizations are single-row broadcasts over a |sources|-sized
+    table.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(tokenize(F.col("text")))).alias("n_tokens")
+    )
+    tot = n.agg(F.sum("n_tokens").alias("_tot"))
+    p = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_tot")).alias("share"),
+        F.pow(
+            F.col("n_tokens").cast("double") / F.col("_tot"), F.lit(0.7)
+        ).alias("raw_w"),
+    )
+    wtot = p.agg(F.sum("raw_w").alias("_wtot"))
+    return p.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("share", 6).alias("natural_share"),
+        F.round(F.col("raw_w") / F.col("_wtot"), 6).alias("sampled_share"),
+        F.round(F.col("raw_w") / F.col("_wtot") / F.col("share"), 6).alias(
+            "upweight"
+        ),
+    )

@@ -49,6 +49,12 @@ ALLOWED_NON_EQUI = {
     # balance gate attached to the customer scan (TPC-H Q22's scalar
     # subquery)
     "q170_rich_inactive_customers",
+    # deliberate SINGLE-ROW broadcast cross join: the vocab-size scalar
+    # attached to the bigram stream for add-one smoothing
+    "q182_bigram_logprob",
+    # deliberate SINGLE-ROW broadcast cross joins: the token-total and
+    # weight-total scalars attached to the |sources|-sized mixture table
+    "q184_mixture_temperature",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
