@@ -8289,3 +8289,168 @@ def q184_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "upweight"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time SCD2 lookup and K-step ordered funnel (X112-X113)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q185_scd2_point_in_time",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS valid_to
+      FROM changes
+    ),
+    f AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_id % 10 = 7
+    )
+    SELECT f.event_id, f.user_id,
+           d.event_type AS state_at_event,
+           CAST(ROUND(f.value*100) AS BIGINT) AS value_cents
+    FROM f JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def q185_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112 — point-in-time (temporal) lookup against the SCD2 dimension
+    q108 builds: each fact row enriched with the dimension state whose
+    validity interval [valid_from, valid_to) contains its timestamp.
+
+    The oracle states it as the natural interval join; the Spark plan
+    deliberately does NOT — an inequality join would be a broadcast
+    nested loop (or range-bucket dance). Instead: union dimension
+    starts and facts, one per-entity window pass, ``last_value(state,
+    ignorenulls)`` carries the in-effect state onto every fact row —
+    one hash shuffle total, O(n log n) in the partition, no join at
+    all. Dim rows sort before facts at equal (ts, event_id) keys so a
+    fact at exactly valid_from sees the NEW state, matching the
+    oracle's half-open intervals.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("ts"),
+            "event_id",
+            F.lit(0).alias("_src"),
+            F.col("event_type").alias("_state"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    facts = ev.filter(F.col("event_id") % 10 == 7).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("_src"),
+        F.lit(None).cast("string").alias("_state"),
+        "value",
+    )
+    tagged = dim.unionByName(facts)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id", "_src")
+    carried = tagged.withColumn(
+        "state_at_event",
+        F.last("_state", ignorenulls=True).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return carried.filter(F.col("_src") == 1).select(
+        "event_id",
+        "user_id",
+        "state_at_event",
+        cents(F.col("value")).alias("value_cents"),
+    )
+
+
+@register(
+    "q186_ordered_funnel",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(rn) AS r1 FROM o
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT o.user_id, MIN(rn) AS r2 FROM o JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND rn > r1 GROUP BY 1),
+    s3 AS (SELECT o.user_id, MIN(rn) AS r3 FROM o JOIN s2 USING (user_id)
+           WHERE event_type = 'signup' AND rn > r2 GROUP BY 1),
+    s4 AS (SELECT o.user_id, MIN(rn) AS r4 FROM o JOIN s3 USING (user_id)
+           WHERE event_type = 'purchase' AND rn > r3 GROUP BY 1)
+    SELECT u.user_id,
+           CAST(CASE WHEN r4 IS NOT NULL THEN 4
+                     WHEN r3 IS NOT NULL THEN 3
+                     WHEN r2 IS NOT NULL THEN 2
+                     WHEN r1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps_completed,
+           r4 IS NOT NULL AS converted
+    FROM (SELECT DISTINCT user_id FROM o) u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    LEFT JOIN s4 ON s4.user_id = u.user_id
+    """,
+)
+def q186_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113 — K-step STRICTLY-ORDERED funnel (view → click → signup →
+    purchase, each step after the previous one) — the general form of
+    q98's 2-step funnel. A greedy scan of each user's time-ordered
+    events is equivalent to the nested first-match-after-previous-step
+    definition, so the whole state machine is ONE ``aggregate`` fold
+    over a per-user sorted event array: one shuffle, no K-way self-join
+    (the oracle does the 4-chained-subquery form). Array size is one
+    user's history — bounded per the same per-entity-cardinality
+    argument as sessionization; for unbounded entities the K-pass
+    conditional-min window form trades K plan passes for O(1) memory.
+    """
+    ev = load(spark, sf_dir, "events")
+    arr = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("y"),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    steps = F.aggregate(
+        F.col("evs"),
+        F.lit(0),
+        lambda acc, x: F.when((acc == 0) & (x["y"] == "view"), 1)
+        .when((acc == 1) & (x["y"] == "click"), 2)
+        .when((acc == 2) & (x["y"] == "signup"), 3)
+        .when((acc == 3) & (x["y"] == "purchase"), 4)
+        .otherwise(acc),
+    )
+    return arr.select(
+        "user_id",
+        steps.cast("long").alias("steps_completed"),
+        (steps == 4).alias("converted"),
+    )
