@@ -64,6 +64,8 @@ def pagerank(
         .distinct()
     )
     n_nodes = nodes.count()  # scalar |V|: one tiny job, not per-iteration
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty (node, rank)
     base = (1.0 - damping) / n_nodes
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

@@ -117,3 +117,32 @@ def test_mixture_sample_empty_and_missing_class(spark):
     df = spark.createDataFrame([(1, "xx", 3), (2, "xx", 3)], "doc_id bigint, lang string, n bigint")
     got = mixture_sample_to_budget(df, "doc_id", "lang", "n", {"en": 100}, 4)
     assert got.count() == 2  # 3 < 4 for both preceding sums (0 and 3)
+
+
+def test_prefix_filter_empty_and_all_empty_docs(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        jaccard_pairs_prefix_filter,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert jaccard_pairs_prefix_filter(empty, "doc_id", "text", 0.8).count() == 0
+    blank = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    assert jaccard_pairs_prefix_filter(blank, "doc_id", "text", 0.8).count() == 0
+
+
+def test_global_running_sum_empty(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    empty = spark.createDataFrame([], "t bigint, v bigint")
+    assert global_running_sum(empty, ["t"], "v", num_partitions=3).count() == 0
+
+
+def test_pagerank_empty_edges(spark):
+    from noaa_ais_glue_lakehouse_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string, w double")
+    # no nodes at all -> empty rank vector (division by |V| never runs
+    # because the loop body operates on empty frames)
+    assert pagerank(empty, "src", "dst", "w", iterations=2).count() == 0

@@ -141,3 +141,67 @@ def test_sessionize_invariants(spark, offsets):
     for i in range(1, len(sids)):
         expected_inc = 1 if (times[i] - times[i - 1]).total_seconds() > gap else 0
         assert sids[i] - sids[i - 1] == expected_inc, (i, times, sids)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.5, 0.7, 0.8]),
+)
+def test_prefix_filter_jaccard_equals_brute_force(spark, texts, threshold):
+    """AllPairs prefix filter ≡ O(n²) brute force on arbitrary text —
+    including empty docs, duplicate docs and tiny two-letter vocabularies
+    where prefixes collapse to one token and every posting list is hot."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        jaccard_pairs_prefix_filter,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs_exact(df, "doc_id", "text", threshold).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs_prefix_filter(
+            df, "doc_id", "text", threshold
+        ).collect()
+    }
+    assert fast == exact
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-5, 5)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_global_running_sum_property(spark, rows):
+    """Parallel prefix scan ≡ sequential cumsum under the same total
+    order, for arbitrary keys/values and a partition count that forces
+    multi-partition offsets."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["k", "v", "rid"])
+    got = {
+        (r["k"], r["rid"]): r["c"]
+        for r in global_running_sum(
+            df, ["k", "rid"], "v", out_col="c", num_partitions=5
+        ).collect()
+    }
+    acc = 0
+    for k, v, rid in sorted(data, key=lambda t: (t[0], t[2])):
+        acc += v
+        assert got[(k, rid)] == acc
