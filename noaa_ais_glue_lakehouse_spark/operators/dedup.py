@@ -325,7 +325,10 @@ def jaccard_pairs_prefix_filter(
     """
     shingle = _shingle_expr(text_col, use_char_ngrams, ngram_n)
     sets = (
-        df.select(F.col(id_col).alias("_id"), shingle.alias("_sh"))
+        # spread first: a single-file read is one partition, and the
+        # shingle/explode stage below would otherwise run on one core
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), shingle.alias("_sh"))
         .withColumn("_n", F.size("_sh"))
         .filter(F.col("_n") > 0)
     )
@@ -349,10 +352,35 @@ def jaccard_pairs_prefix_filter(
         .filter(F.col("_rank") <= prefix_len)
     )
     a = prefix.select(
-        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_tok"
+        F.col("_id").alias("id_a"),
+        F.col("_n").alias("_na"),
+        F.col("_rank").alias("_ra"),
+        "_tok",
     )
     b = prefix.select(
-        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_tok"
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_rank").alias("_rb"),
+        "_tok",
+    )
+    # Same AQE trap as _band_pairs: candidate rows are ~16 bytes, so the
+    # post-distinct exchange would coalesce to a couple of partitions by
+    # byte size and the compute-bound array_intersect verify would run
+    # near-serial (measured 149 s -> ~8 s at sf0.1 on the dup-heavy
+    # corpus). A user-specified numeric repartition is exempt.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # PPJoin positional filter: a shared prefix token at ranks (ra, rb)
+    # caps the achievable overlap at 1 + min(na-ra, nb-rb); pairs whose
+    # cap is below the required overlap α = ⌈t/(1+t)·(na+nb)⌉ can't
+    # reach J ≥ t and are pruned BEFORE the distinct shuffle.
+    alpha = F.ceil(
+        F.lit(threshold)
+        / (1.0 + threshold)
+        * (F.col("_na") + F.col("_nb"))
+        - F.lit(1e-9)
+    )
+    pos_cap = 1 + F.least(
+        F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb")
     )
     cands = (
         a.join(b, "_tok")
@@ -362,9 +390,11 @@ def jaccard_pairs_prefix_filter(
                 F.least("_na", "_nb")
                 >= F.greatest("_na", "_nb") * F.lit(threshold)
             )
+            & (pos_cap >= alpha)
         )
         .select("id_a", "id_b")
         .distinct()
+        .repartition(parallelism, "id_a", "id_b")
     )
     sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
     sb = sets.select(
