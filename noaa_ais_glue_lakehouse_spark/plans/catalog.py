@@ -8454,3 +8454,250 @@ def q186_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps.cast("long").alias("steps_completed"),
         (steps == 4).alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution profiling, mode, ties, Benford audit, weighted sampling
+# (X114-X118)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q187_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q187_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 — exact equi-depth (equi-height) histogram: 10 buckets of
+    equal row count with their value boundaries — the histogram a
+    cost-based optimizer actually wants (equi-WIDTH q89 starves on
+    skewed data; equi-depth adapts bucket width to density).
+
+    NTILE over a total order needs a global sort — acceptable here
+    because the input is the |orders| rollup side, and the oracle pins
+    the exact semantics. The at-scale variant for raw facts is
+    approx_percentile boundaries (q63) + one hash-agg; this query is the
+    exact reference for that sketch. Boundary values pass through
+    un-summed, so doubles match bit-for-bit.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "q188_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_events
+    FROM r WHERE rk = 1
+    """,
+)
+def q188_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115 — mode (most frequent value) per group with a deterministic
+    tiebreak (higher count wins, then lexicographically smaller value).
+
+    Two-level combinable aggregation: (user, type) counts, then ONE
+    ``min_by`` over the ordering struct (-n, type) — negating the count
+    turns "highest count, then smallest string" into a single ascending
+    struct comparison, so the whole tiebreak is one map-side-combinable
+    aggregate instead of the row_number window the oracle uses.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # min_by over (-n, event_type): highest count first, then smallest
+    # type string — single combinable aggregate, no window
+    key = F.struct((-F.col("n")).alias("negn"), F.col("event_type"))
+    return c.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("mode_type"),
+        F.min_by("n", key).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "q189_topk_with_ties",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS spend_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT nationkey, o_custkey, spend_cents,
+             RANK() OVER (PARTITION BY nationkey
+                          ORDER BY spend_cents DESC) AS rk
+      FROM s
+    )
+    SELECT nationkey, o_custkey AS custkey,
+           CAST(spend_cents AS DOUBLE)/100.0 AS spend,
+           CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q189_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116 — top-k WITH TIES per group (``RANK() <= k``, the FETCH
+    FIRST k ROWS WITH TIES semantics): every customer tied at the k-th
+    spend boundary is kept, unlike row_number top-k (q08/q120) which
+    cuts ties arbitrarily — the difference matters whenever the ranking
+    key is coarse (integer cents here can tie).
+
+    The rank window rides the same nationkey shuffle as the rollup
+    — and the rollup itself pre-shrinks the window input to
+    |customers| rows.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    s = (
+        orders.join(
+            F.broadcast(
+                cust.select("c_custkey", "c_nationkey")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), F.col("o_custkey")
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("spend_cents"))
+    )
+    w = Window.partitionBy("nationkey").orderBy(F.col("spend_cents").desc())
+    return (
+        s.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "nationkey",
+            F.col("o_custkey").alias("custkey"),
+            (F.col("spend_cents").cast("double") / 100.0).alias("spend"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@register(
+    "q190_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n_values,
+           ROUND(n / CAST((SELECT tot FROM t) AS DOUBLE), 6) AS observed_p,
+           ROUND(ln(1.0 + 1.0/digit) / ln(10.0), 6) AS benford_p,
+           ROUND(ABS(n / CAST((SELECT tot FROM t) AS DOUBLE)
+                     - ln(1.0 + 1.0/digit) / ln(10.0)), 6) AS abs_dev
+    FROM c
+    """,
+)
+def q190_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 — Benford's-law first-digit audit: the distribution of
+    leading significant digits vs log10(1+1/d) — the classic
+    fabricated-data / broken-generator detector for financial columns
+    (synthetic uniform generators fail it loudly, which is itself the
+    signal here).
+
+    First digit extracted from the DECIMAL(18,2) string form (exact —
+    no float-format drift between engines); one 9-row aggregation after
+    a row-local projection, total attached as a single-row broadcast.
+    """
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    obs = F.col("n") / F.col("tot").cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_values"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "q191_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             -ln((CAST(CAST(concat('0x', substr(md5(concat('es|', CAST(doc_id AS VARCHAR))), 1, 13))
+                       AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)
+             / n_chars AS key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM k ORDER BY key, doc_id LIMIT 100
+    """,
+)
+def q191_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118 — deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ExpJ form): each row draws u from a seeded
+    md5 hash of its id (uniform in (0,1), identical in any engine),
+    gets key = -ln(u)/w, and the k smallest keys are the sample —
+    inclusion probability proportional to weight (n_chars: longer
+    documents sampled more, the token-budget-aware doc sampler).
+
+    Fully distributed: the per-row key is a row-local projection and
+    the k smallest are a TakeOrdered (per-partition heaps + driver
+    merge of k·|partitions| rows) — no global sort, no RNG state, and
+    re-running on any partitioning returns the identical sample.
+    """
+    docs = load(spark, sf_dir, "documents")
+    # 13 hex chars = 52 bits -> exact double; +0.5 keeps u in (0,1)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("es|"), F.col("doc_id").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 0.5) / F.lit(float(1 << 52))
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").cast("long").alias("weight"),
+                key.alias("_key"))
+        .orderBy("_key", "doc_id")
+        .limit(100)
+        .drop("_key")
+    )

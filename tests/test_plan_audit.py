@@ -55,6 +55,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross joins: the token-total and
     # weight-total scalars attached to the |sources|-sized mixture table
     "q184_mixture_temperature",
+    # deliberate SINGLE-ROW broadcast cross join: the value-count total
+    # attached to the 9-row digit table
+    "q190_benford_audit",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
