@@ -52,6 +52,11 @@ HEADLINE = [
     "q108_scd2_dim",            # SCD2 dimension build (one shuffle)
     "q112_merge_upsert",        # MERGE INTO semantics (anti-join + union)
     "q116_training_corpus_assembly",  # full corpus-assembly funnel
+    "q172_max_concurrent_sessions",   # parallel global prefix scan
+    "q175_table_checksum",      # order-independent table fingerprint
+    "q178_source_js_divergence",  # distribution drift (token equi-join)
+    "q185_scd2_point_in_time",  # temporal lookup via union+window carry
+    "q186_ordered_funnel",      # K-step funnel as one array fold
 ]
 
 

@@ -8701,3 +8701,152 @@ def q191_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental recompute planning, sequence completeness, cross-source dups
+# (X119-X121)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_affected_partition_recompute",
+    oracle="""
+    WITH late AS (
+      SELECT * FROM events WHERE event_id % 17 = 3
+    ),
+    affected AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM late
+    )
+    SELECT CAST(e.ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS DOUBLE)/100.0
+             AS total_value
+    FROM events e JOIN affected a ON CAST(e.ts AS DATE) = a.day
+    GROUP BY 1
+    """,
+)
+def q192_affected_partition_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119 — incremental-maintenance planning: given a late-arriving
+    batch (here: events with id % 17 = 3 standing in for a CDC delta),
+    derive the set of affected day-partitions and recompute the daily
+    rollup for ONLY those partitions — the partition-pruned alternative
+    to a full-table rebuild, and exactly the logic T5's monthly runner
+    applies at file level.
+
+    The affected-day set (|days| rows) broadcasts; on a date-partitioned
+    table the semi-join collapses to partition pruning at the scan (the
+    pin in test_readers.py::test_partition_pruning). Equal by
+    construction to the full rollup restricted to those days, which is
+    what the oracle states.
+    """
+    ev = load(spark, sf_dir, "events")
+    late = ev.filter(F.col("event_id") % 17 == 3)
+    affected = late.select(
+        F.to_date("ts").alias("day")
+    ).distinct()
+    return (
+        ev.join(F.broadcast(affected), F.to_date(F.col("ts")) == F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q193_sequence_gap_audit",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             LEAD(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS next_id
+      FROM events
+    )
+    SELECT user_id,
+           event_id + 1 AS gap_start,
+           next_id - 1 AS gap_end,
+           CAST(next_id - event_id - 1 AS BIGINT) AS n_missing
+    FROM s
+    WHERE next_id - event_id > 1
+      AND next_id - event_id - 1 <= 50
+    """,
+)
+def q193_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120 — sequence-completeness audit: missing-id ranges within each
+    entity's event-id stream (the CDC/replication "did we drop rows?"
+    check). One lead window per entity emits each gap as a closed range
+    [gap_start, gap_end]; ranges wider than 50 are excluded as expected
+    inter-entity striding rather than loss (the threshold is the audit's
+    sensitivity knob). One shuffle on the entity key.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        F.lead("event_id").over(w).alias("next_id"),
+    )
+    width = F.col("next_id") - F.col("event_id")
+    return s.filter((width > 1) & (width - 1 <= 50)).select(
+        "user_id",
+        (F.col("event_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (width - 1).cast("long").alias("n_missing"),
+    )
+
+
+@register(
+    "q194_cross_source_dups",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT
+             md5(array_to_string(
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '')[1:8], ' ')) AS f,
+             source
+      FROM documents
+    ),
+    g AS (
+      SELECT f,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             list_sort(list(source)) AS sources
+      FROM fp GROUP BY f
+    )
+    SELECT f AS fingerprint, n_sources,
+           array_to_string(sources, ',') AS sources
+    FROM g WHERE n_sources >= 2
+    """,
+)
+def q194_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121 — cross-slice contamination audit: document-HEAD
+    fingerprints (md5 of the first 8 tokens — the shared-boilerplate /
+    template detector; whole-text md5 finds only byte-identical copies,
+    which near-dup corpora rarely contain across slices) appearing in
+    TWO OR MORE sources, with the sorted source list. This is the
+    slice-level leakage check run before mixture weighting (q184) or
+    split assignment (q138): if a benchmark slice shares text with a
+    train slice, downweighting one of them doesn't deduplicate it.
+
+    One distinct on (fingerprint, source) — map-side combinable — then
+    a fingerprint-keyed rollup; the sorted-list column uses the q87
+    deterministic array_agg shape, emitted as a joined string so the
+    hash compare is collation-stable.
+    """
+    docs = load(spark, sf_dir, "documents")
+    head = F.array_join(
+        F.slice(tokenize(F.col("text")), 1, 8), " "
+    )
+    fp = docs.select(
+        F.md5(head).alias("f"), "source"
+    ).distinct()
+    g = fp.groupBy("f").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.array_join(F.array_sort(F.collect_list("source")), ",").alias(
+            "sources"
+        ),
+    )
+    return g.filter(F.col("n_sources") >= 2).select(
+        F.col("f").alias("fingerprint"), "n_sources", "sources"
+    )
