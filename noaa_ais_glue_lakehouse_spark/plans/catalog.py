@@ -8850,3 +8850,339 @@ def q194_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(F.col("n_sources") >= 2).select(
         F.col("f").alias("fingerprint"), "n_sources", "sources"
     )
+
+
+# ---------------------------------------------------------------------------
+# Search, privacy release, diversity audit (X122-X124)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q195_conjunctive_search",
+    oracle="""
+    WITH post AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    q(qid, tok) AS (
+      VALUES (1, 'batch'), (1, 'scan'),
+             (2, 'data'), (2, 'join'),
+             (3, 'hash'), (3, 'merge'), (3, 'filter')
+    ),
+    hits AS (
+      SELECT q.qid, post.doc_id, COUNT(*) AS n_matched
+      FROM q JOIN post ON post.tok = q.tok
+      GROUP BY 1, 2
+    ),
+    need AS (SELECT qid, COUNT(*) AS n_terms FROM q GROUP BY 1)
+    SELECT h.qid AS query_id, h.doc_id
+    FROM hits h JOIN need n ON n.qid = h.qid AND h.n_matched = n.n_terms
+    """,
+)
+def q195_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 — conjunctive (boolean-AND) search over the q160 inverted
+    index: a document matches a query iff it contains EVERY query term.
+    The standard distributed evaluation — postings equi-join on token,
+    count matched terms per (query, doc), keep docs where the count
+    equals the query's term count — never intersects posting lists
+    pairwise and never touches documents that match no term. The query
+    table broadcasts; the only corpus-sized work is the (doc, token)
+    distinct that q160 already materializes at scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).distinct()
+    q = spark.createDataFrame(
+        [
+            (1, "batch"), (1, "scan"),
+            (2, "data"), (2, "join"),
+            (3, "hash"), (3, "merge"), (3, "filter"),
+        ],
+        ["qid", "tok"],
+    )
+    hits = (
+        post.join(F.broadcast(q), "tok")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    need = q.groupBy("qid").agg(F.count(F.lit(1)).alias("n_terms"))
+    return (
+        hits.join(
+            F.broadcast(need),
+            (hits["qid"] == need["qid"]) & (F.col("n_matched") == F.col("n_terms")),
+        )
+        .select(hits["qid"].alias("query_id"), "doc_id")
+    )
+
+
+@register(
+    "q196_dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT event_type, day, n,
+             (CAST(CAST(concat('0x', substr(md5(concat('dp|', event_type, '|',
+                    CAST(day AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) + 0.5)
+               / 4503599627370496.0 AS uu
+      FROM c
+    )
+    SELECT event_type, day,
+           ROUND(n + (CASE WHEN uu < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * ln(1.0 - 2.0*ABS(uu - 0.5)), 6) AS noisy_count
+    FROM u
+    """,
+)
+def q196_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 — ε-differential-privacy histogram release (ε=1, Laplace
+    mechanism): per-(type, day) counts plus Laplace(1/ε) noise drawn by
+    inverse-CDF from a SEEDED hash-uniform — the release is reproducible
+    across engines and re-runs (the determinism is for the correctness
+    gate; a production release would swap the seed per publication).
+    The true counts never leave the aggregation: noise is applied in the
+    same projection that would be written out.
+
+    Note sign convention: u<0.5 maps to +ln(1-2|u-0.5|)·(+1)... the
+    inverse-CDF here is the symmetric form noise = -b·sgn(u-0.5)·
+    ln(1-2|u-0.5|), b=1 — identical expression both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("dp|"),
+                    F.col("event_type"),
+                    F.lit("|"),
+                    F.col("day").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 0.5) / F.lit(float(1 << 52))
+    noise = (
+        F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return c.select(
+        "event_type",
+        "day",
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    )
+
+
+@register(
+    "q197_l_diversity_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT) AS l_distinct
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, class_size, l_distinct,
+           l_distinct < 3 AS below_l3
+    FROM cls
+    """,
+)
+def q197_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124 — l-diversity audit, the companion to q151's k-anonymity:
+    within each quasi-identifier class (lang, source), how many DISTINCT
+    values of the sensitive attribute (length bucket standing in for a
+    sensitive column) appear — a class can be k-anonymous yet leak
+    everything if all its members share one sensitive value. Classes
+    with fewer than l=3 distinct values are flagged for suppression or
+    generalization. One aggregation; COUNT(DISTINCT) expands via Expand
+    exactly as q157's profiler does.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sens = F.floor(F.col("n_chars") / 100)
+    cls = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.countDistinct(sens).cast("long").alias("l_distinct"),
+    )
+    return cls.select(
+        "lang",
+        "source",
+        "class_size",
+        "l_distinct",
+        (F.col("l_distinct") < 3).alias("below_l3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adoption, churn, stickiness (X125-X127)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q198_adoption_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY 1
+    )
+    SELECT day,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def q198_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 — cumulative adoption curve: per day, how many users appear
+    for the FIRST time, and the running total of users ever seen — the
+    cumulative-DISTINCT metric, made combinable by reducing to each
+    user's first-seen day (min per user, map-side partials) so the
+    cumulative sum runs over the |days|-sized rollup, not the fact
+    table. The unpartitioned window here is over ~30 rows by
+    construction; at unbounded day counts it swaps for
+    ``global_running_sum`` (q172) unchanged.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@register(
+    "q199_weekly_churn",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    nxt AS (
+      SELECT user_id, wk,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+      FROM uw
+    ),
+    mx AS (SELECT MAX(wk) AS max_wk FROM uw)
+    SELECT strftime(wk, '%Y-%m-%d') AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(*) FILTER (WHERE next_wk IS NULL
+                                    OR next_wk > wk + INTERVAL 7 DAY)
+                AS BIGINT) AS n_churned,
+           ROUND(COUNT(*) FILTER (WHERE next_wk IS NULL
+                                     OR next_wk > wk + INTERVAL 7 DAY)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate
+    FROM nxt, mx
+    WHERE wk < max_wk
+    GROUP BY 1
+    """,
+)
+def q199_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126 — weekly churn: of the users active in week w, how many do
+    NOT return in week w+1 (their next active week is later or never).
+    The final observed week is excluded — churn there is not yet
+    observable, and silently reporting it as 100% is the classic
+    retention-dashboard bug. One shuffle: the distinct (user, week)
+    reduction and the lead window share the user key; the max-week
+    gate is a single-row broadcast.
+    """
+    ev = load(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    nxt = uw.withColumn("next_wk", F.lead("wk").over(w))
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    churned = F.col("next_wk").isNull() | (
+        F.col("next_wk") > F.col("wk") + F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        nxt.crossJoin(F.broadcast(mx))
+        .filter(F.col("wk") < F.col("max_wk"))
+        .groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(churned, 1).otherwise(0))
+            .cast("long")
+            .alias("n_churned"),
+            F.round(
+                F.sum(F.when(churned, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@register(
+    "q200_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1),
+    contrib AS (
+      SELECT user_id, day + CAST(x AS INTEGER) AS day
+      FROM du, UNNEST(range(0, 7)) AS t(x)
+    ),
+    wau AS (
+      SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+      FROM contrib c JOIN dau d ON d.day = c.day
+      GROUP BY 1
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           ROUND(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def q200_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127 — DAU/WAU stickiness ratio per day: what fraction of the
+    trailing week's actives showed up today. Composes q139's
+    explode-based sliding DISTINCT (no range join) with the plain daily
+    distinct; both reduce the fact table to (day, user) pairs first, so
+    every stage after the first distinct is |pairs|-sized. Day spine =
+    days that actually have actives (inner join), matching the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = (
+        contrib.join(F.broadcast(dau.select("day")), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(
+                F.col("dau") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

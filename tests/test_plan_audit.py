@@ -58,6 +58,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the value-count total
     # attached to the 9-row digit table
     "q190_benford_audit",
+    # deliberate SINGLE-ROW broadcast cross join: the max-observed-week
+    # gate attached to the |user-weeks| table
+    "q199_weekly_churn",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
