@@ -9186,3 +9186,30 @@ def q200_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register("q201_audio_features")  # rows-only: per-sample PCM math is not SQL-expressible
+def q201_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128 — multimodal audio path: document bytes stand in for raw
+    PCM16 payloads; per-frame RMS energy + zero-crossing rate extracted
+    with the REAL numpy feature math (PCM needs no codec — this is the
+    one multimodal decode that runs fully, not as a stub) inside
+    Arrow-batched mapInPandas. Known-waveform values are pinned in
+    tests/test_multimodal.py; the per-frame explode happens inside the
+    Arrow batch and payloads never reach the driver.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = extract_audio_features(docs, "doc_id", "payload", frame_samples=64)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    )

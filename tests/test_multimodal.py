@@ -81,3 +81,53 @@ def test_decode_arrow_matches_pandas_stub(spark):
     a = sorted(decode_images_arrow(df, "id", "payload").collect())
     p = sorted(decode_images(df, "id", "payload", use_stub=True).collect())
     assert a == p
+
+
+def test_audio_features_known_waveforms(spark):
+    """Real PCM16 math, not a stub: silence -> rms 0 / zcr 0; a
+    full-scale alternating-sign square wave -> rms ~1.0 and zcr 1.0."""
+    import struct
+
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    silence = struct.pack("<256h", *([0] * 256))
+    # +A,-A alternating: every adjacent pair flips sign
+    amp = 32767
+    square = struct.pack(
+        "<256h", *([amp if i % 2 == 0 else -amp for i in range(256)])
+    )
+    df = spark.createDataFrame(
+        [(1, silence), (2, square), (3, None), (4, b"")],
+        "id long, payload binary",
+    )
+    rows = {
+        (r["id"], r["frame_idx"]): r
+        for r in extract_audio_features(df, "id", "payload", 256).collect()
+    }
+    assert set(rows) == {(1, 0), (2, 0)}  # null/empty payloads emit nothing
+    assert rows[(1, 0)]["rms"] == 0.0 and rows[(1, 0)]["zcr"] == 0.0
+    assert abs(rows[(2, 0)]["rms"] - amp / 32768.0) < 1e-9
+    assert rows[(2, 0)]["zcr"] == 1.0
+    assert rows[(2, 0)]["n_samples"] == 256
+
+
+def test_audio_features_framing_and_odd_bytes(spark):
+    import struct
+
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    # 300 samples -> frames of 256 and 44; plus a trailing odd byte that
+    # must be truncated, not crash
+    pcm = struct.pack("<300h", *([1000] * 300)) + b"\x7f"
+    df = spark.createDataFrame([(9, pcm)], "id long, payload binary")
+    rows = sorted(
+        extract_audio_features(df, "id", "payload", 256).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["n_samples"]) for r in rows] == [(0, 256), (1, 44)]
+    for r in rows:
+        assert abs(r["rms"] - 1000 / 32768.0) < 1e-9 and r["zcr"] == 0.0
