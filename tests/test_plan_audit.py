@@ -177,3 +177,29 @@ def test_rowlocal_curation_ops_never_shuffle(spark):
     for q in ("q103_scrub_pii", "q104_quantize_embeddings", "q106_gopher_quality"):
         plan = _plan(catalog.queries()[q](spark, SF_DIR))
         assert "Exchange" not in plan, f"{q} shuffles"
+
+
+def test_mode_per_group_has_no_window(spark):
+    # mode via combinable min_by struct: two hash aggregations, zero
+    # window passes (the oracle's row_number form would add one)
+    plan = _plan(catalog.queries()["q188_mode_per_group"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # Efraimidis-Spirakis top-k: per-partition heaps + driver merge, no
+    # global sort exchange, no window
+    plan = _plan(catalog.queries()["q191_weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_scd2_point_in_time_is_two_exchanges_no_join(spark):
+    # union + last_value carry: the temporal lookup compiles to window
+    # passes on the entity key — no join operator at all (the naive
+    # interval join would be a BroadcastNestedLoopJoin)
+    plan = _plan(catalog.queries()["q185_scd2_point_in_time"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
