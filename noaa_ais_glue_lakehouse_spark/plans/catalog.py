@@ -9213,3 +9213,198 @@ def q201_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         F.round("zcr", 6).alias("zcr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical audits: KS drift, Gini, HHI (X129-X131)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q202_ks_drift_test",
+    oracle="""
+    WITH tagged AS (
+      SELECT value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 0 ELSE 1 END AS half
+      FROM events
+    ),
+    n AS (
+      SELECT SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+      FROM tagged
+    ),
+    cdf AS (
+      SELECT value,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+               OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1
+      FROM tagged
+    )
+    SELECT CAST((SELECT n0 FROM n) AS BIGINT) AS n_first_half,
+           CAST((SELECT n1 FROM n) AS BIGINT) AS n_second_half,
+           ROUND(MAX(ABS(c0 / CAST((SELECT n0 FROM n) AS DOUBLE)
+                         - c1 / CAST((SELECT n1 FROM n) AS DOUBLE))), 6)
+             AS ks_statistic
+    FROM cdf
+    """,
+)
+def q202_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129 — exact two-sample Kolmogorov–Smirnov statistic between the
+    first and second half of the month: sup |F1(x) − F2(x)| over the
+    pooled sample — the nonparametric companion to q140's binned PSI
+    (KS needs no bin choice and catches shape drift PSI's bins smear).
+
+    Tie handling is the correctness subtlety: at a value present in
+    both halves, the CDF comparison is only valid AFTER both halves'
+    counts at that value have accumulated — so the running sums here
+    run over the per-VALUE count rollup (exact integers), not raw rows,
+    which also makes the sup deterministic. The global CDF ordering
+    runs over |distinct values|; at unbounded cardinality it becomes
+    the q172 two-phase scan, here a plain window on the rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.select(
+        "value",
+        F.when(
+            F.col("ts") < F.to_timestamp(F.lit("2024-01-16 00:00:00")), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    per_val = tagged.groupBy("value").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("d1"),
+    )
+    n = tagged.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = per_val.select(
+        "value",
+        F.sum("d0").over(w).alias("c0"),
+        F.sum("d1").over(w).alias("c1"),
+    )
+    return cdf.crossJoin(F.broadcast(n)).agg(
+        F.max("n0").cast("long").alias("n_first_half"),
+        F.max("n1").cast("long").alias("n_second_half"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c0") / F.col("n0").cast("double")
+                    - F.col("c1") / F.col("n1").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_statistic"),
+    )
+
+
+@register(
+    "q203_gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM spend
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(cents) AS tot, SUM(i * cents) AS weighted
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(CAST(tot AS DOUBLE)/100.0 AS DOUBLE) AS total_spend,
+           ROUND(2.0 * weighted / (n * CAST(tot AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+)
+def q203_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130 — Gini coefficient of customer spend (inequality /
+    concentration of the revenue base): the exact rank formula
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over integer-cents totals, with
+    an id tiebreak making ranks total (ties in x leave G unchanged —
+    the formula is tie-invariant — but determinism wants a total
+    order anyway).
+
+    The global rank runs over the |customers| rollup, not raw orders;
+    at an unbounded entity count the rank becomes the q172 two-phase
+    scan. Everything before the final division is exact integers.
+    """
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "cents", F.row_number().over(w).alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("cents").cast("double") / 100.0).alias("total_spend"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("cents"))
+            / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q204_hhi_concentration",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT segment, SUM(cents) AS seg_total FROM seg GROUP BY 1)
+    SELECT s.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(POW(s.cents / CAST(t.seg_total AS DOUBLE), 2)) * 10000.0,
+                 6) AS hhi
+    FROM seg s JOIN tot t ON t.segment = s.segment
+    GROUP BY s.segment
+    """,
+)
+def q204_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131 — Herfindahl–Hirschman concentration index per market
+    segment (Σ share² × 10000, the antitrust scale): does one customer
+    dominate a segment's revenue? The within-segment share denominator
+    rides along as a window sum over the |segment × customer| rollup —
+    no second join, one shuffle keyed on the segment after the rollup's
+    customer-key shuffle.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    seg = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey")
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    share = F.col("cents") / F.sum("cents").over(
+        Window.partitionBy("segment")
+    ).cast("double")
+    return (
+        seg.withColumn("share", share)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum(F.pow("share", 2)) * 10000.0, 6).alias("hhi"),
+        )
+    )

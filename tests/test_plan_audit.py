@@ -61,6 +61,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the max-observed-week
     # gate attached to the |user-weeks| table
     "q199_weekly_churn",
+    # deliberate SINGLE-ROW broadcast cross join: the (n0, n1) half-size
+    # scalar attached to the |distinct-values| CDF table
+    "q202_ks_drift_test",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
