@@ -9408,3 +9408,54 @@ def q204_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.pow("share", 2)) * 10000.0, 6).alias("hhi"),
         )
     )
+
+
+@register(
+    "q205_custom_stream_source",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0
+             AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q205_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132 — CUSTOM PYTHON STREAMING SOURCE under the correctness gate:
+    the row-group connector's streaming face (offsets = row-group
+    cursor, executor-side Arrow reads, rate-limited microbatches via
+    rowGroupsPerBatch) drained into a complete-mode aggregation and
+    hash-checked against the batch SQL over the native reader. This is
+    the queue/CDC-log source contract end-to-end: durable offsets,
+    deterministic replay between offsets, per-split executor reads.
+    """
+    import tempfile
+    import uuid
+
+    from noaa_ais_glue_lakehouse_spark.sources import pysource
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pysource.register(spark)
+    # no rowGroupsPerBatch here: availableNow snapshots latestOffset
+    # once, so rate limiting belongs to processing-time triggers (the
+    # multi-batch path is pinned in test_pysource.py)
+    stream = (
+        spark.readStream.format("pyrowgroup")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum(cents(F.col("value"))) / 100.0).alias("total_value"),
+    )
+    name = f"q205_css_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q205_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

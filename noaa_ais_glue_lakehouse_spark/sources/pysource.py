@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -82,8 +83,63 @@ class _RowGroupReader(DataSourceReader):
             yield batch
 
 
+class _RowGroupStreamReader(DataSourceStreamReader):
+    """Streaming face of the row-group connector: the file's row groups
+    are an append-only queue; the stream offset is simply the next
+    unread row-group index — the same durable-cursor contract a queue
+    or CDC-log source implements.
+
+    Reads happen on EXECUTORS (``partitions`` plans one input split per
+    row group; ``read`` serves Arrow batches), unlike the
+    SimpleDataSourceStreamReader convenience base whose reads run on
+    the driver — the wrong place for data at scale. ``rowGroupsPerBatch``
+    caps each microbatch (rate limiting) — use it ONLY with
+    processing-time triggers: Trigger.AvailableNow snapshots
+    ``latestOffset`` once and would stop after the first capped batch
+    (the Python stream-reader API exposes no ReadLimit hook). Offsets
+    are plain dicts; ``commit`` re-syncs the cursor so a
+    checkpoint-restarted query resumes from the committed offset rather
+    than rate-limiting from zero.
+    """
+
+    def __init__(self, options):
+        import pyarrow.parquet as pq
+
+        self._path = options["path"]
+        self._per_batch = int(options.get("rowGroupsPerBatch", "0") or 0)
+        self._n = pq.ParquetFile(self._path).num_row_groups
+        self._cursor = 0
+
+    def initialOffset(self):
+        return {"rg": 0}
+
+    def latestOffset(self):
+        if self._per_batch > 0:
+            self._cursor = min(self._cursor + self._per_batch, self._n)
+            return {"rg": self._cursor}
+        return {"rg": self._n}
+
+    def partitions(self, start, end):
+        return [
+            _RowGroupPartition(self._path, i)
+            for i in range(start["rg"], end["rg"])
+        ]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(partition.path)
+        for batch in f.read_row_group(partition.row_group).to_batches():
+            yield batch
+
+    def commit(self, end):
+        self._cursor = max(self._cursor, end["rg"])
+
+
 class RowGroupParquetSource(DataSource):
-    """``spark.read.format("pyrowgroup").option("path", …)``."""
+    """``spark.read.format("pyrowgroup").option("path", …)`` — and the
+    same format under ``spark.readStream`` (row groups as microbatches).
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -97,6 +153,9 @@ class RowGroupParquetSource(DataSource):
 
     def reader(self, schema):
         return _RowGroupReader(self.options)
+
+    def streamReader(self, schema):
+        return _RowGroupStreamReader(self.options)
 
 
 def register(spark) -> None:

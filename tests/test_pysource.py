@@ -73,3 +73,59 @@ def test_jsonl_sink_round_trip(spark, tmp_path):
     back = spark.read.json(os.path.join(out, "*.jsonl"))
     assert back.count() == 500
     assert back.agg({"dbl": "sum"}).collect()[0][0] == df.agg({"dbl": "sum"}).collect()[0][0]
+
+
+def test_stream_source_drains_in_rate_limited_microbatches(spark, tmp_path):
+    """The streaming face must (a) reproduce the batch read exactly and
+    (b) actually advance the row-group cursor incrementally when
+    rowGroupsPerBatch caps each microbatch — the rate-limit path a
+    single-row-group file never exercises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from noaa_ais_glue_lakehouse_spark.sources.pysource import register
+
+    path = str(tmp_path / "multi_rg.parquet")
+    tbl = pa.table(
+        {"k": list(range(1000)), "grp": [i % 7 for i in range(1000)]}
+    )
+    pq.write_table(tbl, path, row_group_size=100)  # 10 row groups
+    assert pq.ParquetFile(path).num_row_groups == 10
+
+    register(spark)
+    stream = (
+        spark.readStream.format("pyrowgroup")
+        .option("path", path)
+        .option("rowGroupsPerBatch", "3")
+        .load()
+    )
+    import uuid
+
+    name = f"t_stream_{uuid.uuid4().hex[:8]}"
+    # processing-time trigger, NOT availableNow: availableNow snapshots
+    # latestOffset once, which caps a rate-limited source at its first
+    # batch — the limitation pysource.py documents
+    q = (
+        stream.groupBy("grp")
+        .count()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    got = {r["grp"]: r["count"] for r in spark.table(name).collect()}
+    want = {
+        r["grp"]: r["count"]
+        for r in spark.read.parquet(path).groupBy("grp").count().collect()
+    }
+    assert got == want
+    # 10 row groups at <=3/batch -> at least 4 non-empty microbatches
+    assert len(batches) >= 4, [p["numInputRows"] for p in q.recentProgress]
