@@ -96,3 +96,27 @@ def simhash64(tokens: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit longs via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Seeded deterministic uniform draw in the OPEN interval (0, 1) —
+    the cross-engine RNG substitute behind weighted sampling (q191's
+    Efraimidis–Spirakis keys) and noise generation (q196's Laplace
+    inverse-CDF).
+
+    Recipe (each piece matters):
+    - md5 (not xxhash64): portable — DuckDB computes the identical hash;
+    - first 13 hex chars = 52 bits: fits a double's mantissa EXACTLY, so
+      the int→double cast is lossless in both engines;
+    - +0.5 before dividing by 2^52: maps {0,…,2^52−1} into (0,1) open —
+      ln(u) and ln(1−2|u−0.5|) never see 0.
+
+    DuckDB equivalent (keep in sync with any oracle using it)::
+
+        (CAST(CAST(concat('0x', substr(md5(<salt> || key), 1, 13))
+              AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 13), 16, 10
+    ).cast("double")
+    return (h + 0.5) / F.lit(float(1 << 52))

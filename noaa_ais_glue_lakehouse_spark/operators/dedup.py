@@ -302,6 +302,7 @@ def jaccard_pairs_prefix_filter(
     threshold: float,
     use_char_ngrams: bool = False,
     ngram_n: int = 3,
+    materialize_sets: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard ≥ threshold pairs WITHOUT the O(n²) cross join —
     the AllPairs/PPJoin prefix-filter algorithm (Bayardo et al., WWW'07;
@@ -332,6 +333,17 @@ def jaccard_pairs_prefix_filter(
         .withColumn("_n", F.size("_sh"))
         .filter(F.col("_n") > 0)
     )
+    if materialize_sets:
+        # sets feeds THREE consumers (prefix-token stream, verify side
+        # a, verify side b) whose exchanges hash different keys, so
+        # ReuseExchange can't dedup them and the corpus is re-shingled
+        # once per consumer. Opt-in, not default: on short-document
+        # corpora the re-shingle is cheaper than materializing the
+        # cache (measured 23 s -> 35 s cold at sf0.1, ~23 tokens/doc);
+        # turn it on when shingling dominates (long docs / char
+        # n-grams), the same regime where minhash's materialize_index
+        # pays for itself.
+        sets = sets.cache()
     tok = sets.select("_id", "_n", F.explode("_sh").alias("_tok"))
     freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     # rarest-first rank within each doc; token text tiebreaks the rank so

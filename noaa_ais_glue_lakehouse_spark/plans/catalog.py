@@ -7835,12 +7835,22 @@ def q177_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(a.p) AS ma, SUM(b.p) AS mb
       FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
       GROUP BY 1, 2
+    ), spine AS (
+      -- every source pair, even ones sharing ZERO tokens: the inner
+      -- token join emits nothing for them, and absence would read as
+      -- "no drift" for exactly the maximally-diverged (JSD = 1) pairs
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM s a JOIN s b ON a.source < b.source
     )
-    SELECT source_a, source_b,
-           ROUND((0.5 * (s1 + (1.0 - ma) * ln(2.0))
-                  + 0.5 * (s2 + (1.0 - mb) * ln(2.0))) / ln(2.0), 6)
-             AS jsd_bits
-    FROM shared
+    SELECT sp.source_a, sp.source_b,
+           ROUND((0.5 * (COALESCE(sh.s1, 0.0)
+                         + (1.0 - COALESCE(sh.ma, 0.0)) * ln(2.0))
+                  + 0.5 * (COALESCE(sh.s2, 0.0)
+                           + (1.0 - COALESCE(sh.mb, 0.0)) * ln(2.0)))
+                 / ln(2.0), 6) AS jsd_bits
+    FROM spine sp
+    LEFT JOIN shared sh
+      ON sh.source_a = sp.source_a AND sh.source_b = sp.source_b
     """,
 )
 def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7856,6 +7866,9 @@ def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     form, and only shared tokens need the pairwise term. No full-outer
     join, no union of vocabularies; the join is |vocab|x|sources|-sized,
     never document-sized, and inherits q166's skew note on stopword keys.
+    A |sources|²-row pair spine left-joins the shared aggregate so pairs
+    with fully disjoint vocabularies still report (JSD = 1) instead of
+    silently vanishing from the drift report.
     """
     docs = load(spark, sf_dir, "documents")
     c = (
@@ -7896,13 +7909,26 @@ def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pb").alias("mb"),
         )
     )
-    return shared.select(
+    # pair spine over the |sources|-sized distinct list: pairs sharing
+    # no token at all must still appear (their JSD is exactly 1 bit) —
+    # a tiny broadcast theta self-join, |sources|² rows
+    srcs = docs.select("source").distinct()
+    spine = srcs.select(F.col("source").alias("source_a")).join(
+        F.broadcast(srcs.select(F.col("source").alias("source_b"))),
+        F.col("source_a") < F.col("source_b"),
+    )
+    j = spine.join(shared, ["source_a", "source_b"], "left")
+    s1 = F.coalesce("s1", F.lit(0.0))
+    s2 = F.coalesce("s2", F.lit(0.0))
+    ma = F.coalesce("ma", F.lit(0.0))
+    mb = F.coalesce("mb", F.lit(0.0))
+    return j.select(
         "source_a",
         "source_b",
         F.round(
             (
-                0.5 * (F.col("s1") + (1.0 - F.col("ma")) * ln2)
-                + 0.5 * (F.col("s2") + (1.0 - F.col("mb")) * ln2)
+                0.5 * (s1 + (1.0 - ma) * ln2)
+                + 0.5 * (s2 + (1.0 - mb) * ln2)
             )
             / ln2,
             6,
@@ -8338,7 +8364,7 @@ def q185_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts and facts, one per-entity window pass, ``last_value(state,
     ignorenulls)`` carries the in-effect state onto every fact row —
     one hash shuffle total, O(n log n) in the partition, no join at
-    all. Dim rows sort before facts at equal (ts, event_id) keys so a
+    all. Dim rows sort before facts at equal timestamps so a
     fact at exactly valid_from sees the NEW state, matching the
     oracle's half-open intervals.
     """
@@ -8367,7 +8393,12 @@ def q185_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     tagged = dim.unionByName(facts)
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id", "_src")
+    # _src BEFORE event_id: ALL dim changes at time T must precede any
+    # fact at T regardless of their event ids — the oracle's interval
+    # predicate (valid_from <= ts) compares timestamps only, so a fact
+    # whose event_id is lower than a same-instant change event still
+    # sees the NEW state
+    w2 = Window.partitionBy("user_id").orderBy("ts", "_src", "event_id")
     carried = tagged.withColumn(
         "state_at_event",
         F.last("_state", ignorenulls=True).over(
@@ -8680,18 +8711,10 @@ def q191_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge of k·|partitions| rows) — no global sort, no RNG state, and
     re-running on any partitioning returns the identical sample.
     """
+    from noaa_ais_glue_lakehouse_spark.functions.hashing import hash_uniform
+
     docs = load(spark, sf_dir, "documents")
-    # 13 hex chars = 52 bits -> exact double; +0.5 keeps u in (0,1)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("es|"), F.col("doc_id").cast("string"))),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + 0.5) / F.lit(float(1 << 52))
+    u = hash_uniform(F.col("doc_id").cast("string"), "es|")
     key = -F.log(u) / F.col("n_chars")
     return (
         docs.filter(F.col("n_chars") > 0)
@@ -8951,27 +8974,16 @@ def q196_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverse-CDF here is the symmetric form noise = -b·sgn(u-0.5)·
     ln(1-2|u-0.5|), b=1 — identical expression both engines.
     """
+    from noaa_ais_glue_lakehouse_spark.functions.hashing import hash_uniform
+
     ev = load(spark, sf_dir, "events")
     c = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("dp|"),
-                    F.col("event_type"),
-                    F.lit("|"),
-                    F.col("day").cast("string"),
-                )
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + 0.5) / F.lit(float(1 << 52))
+    u = hash_uniform(
+        F.concat(F.col("event_type"), F.lit("|"), F.col("day").cast("string")),
+        "dp|",
+    )
     noise = (
         F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
         * F.log(1.0 - 2.0 * F.abs(u - 0.5))
@@ -9234,13 +9246,22 @@ def q201_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
       FROM tagged
     ),
+    per_val AS (
+      -- per-VALUE rollup BEFORE the running sums: with tied values the
+      -- raw-row CDF would be intra-tie-order dependent (rows of both
+      -- halves interleave arbitrarily under ORDER BY value alone),
+      -- making MAX(|F1-F2|) nondeterministic; the rollup matches the
+      -- Spark side exactly
+      SELECT value,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS d0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS d1
+      FROM tagged GROUP BY value
+    ),
     cdf AS (
       SELECT value,
-             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
-               OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c0,
-             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
-               OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1
-      FROM tagged
+             SUM(d0) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c0,
+             SUM(d1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1
+      FROM per_val
     )
     SELECT CAST((SELECT n0 FROM n) AS BIGINT) AS n_first_half,
            CAST((SELECT n1 FROM n) AS BIGINT) AS n_second_half,

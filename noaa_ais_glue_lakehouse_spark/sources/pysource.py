@@ -103,21 +103,27 @@ class _RowGroupStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options):
-        import pyarrow.parquet as pq
-
         self._path = options["path"]
         self._per_batch = int(options.get("rowGroupsPerBatch", "0") or 0)
-        self._n = pq.ParquetFile(self._path).num_row_groups
         self._cursor = 0
+
+    def _num_row_groups(self) -> int:
+        # re-read per poll, NOT cached from __init__: the queue contract
+        # is append-only, so row groups added after stream start must
+        # become visible to later latestOffset calls
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self._path).num_row_groups
 
     def initialOffset(self):
         return {"rg": 0}
 
     def latestOffset(self):
+        n = self._num_row_groups()
         if self._per_batch > 0:
-            self._cursor = min(self._cursor + self._per_batch, self._n)
+            self._cursor = min(self._cursor + self._per_batch, n)
             return {"rg": self._cursor}
-        return {"rg": self._n}
+        return {"rg": n}
 
     def partitions(self, start, end):
         return [

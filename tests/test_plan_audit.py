@@ -64,6 +64,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the (n0, n1) half-size
     # scalar attached to the |distinct-values| CDF table
     "q202_ks_drift_test",
+    # deliberate |sources|² pair-spine theta self-join (tiny broadcast):
+    # disjoint-vocabulary pairs must appear with JSD = 1
+    "q178_source_js_divergence",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
