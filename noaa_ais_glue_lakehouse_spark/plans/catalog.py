@@ -9480,3 +9480,68 @@ def q205_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "q206_rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS DOUBLE)/100.0 AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q206_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133 — RFM (recency / frequency / monetary) segmentation, the
+    canonical customer-value grid: per-customer stats scored into
+    quintiles (recency reversed — most RECENT gets the highest score),
+    rolled up per (r, f, m) cell. Per-customer rollup is combinable on
+    one shuffle; the three NTILEs run over the |customers| reduction
+    with id tiebreaks making quintile boundaries total. The global-max
+    anchor date is a single-row broadcast.
+    """
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("_anchor")
+    )
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents(F.col("o_totalprice"))).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("_anchor", "_last"))
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), "o_custkey")
+    f_w = Window.orderBy("frequency", "o_custkey")
+    m_w = Window.orderBy("monetary_cents", "o_custkey")
+    scored = rfm.select(
+        "monetary_cents",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("monetary_cents").cast("double") / 100.0).alias(
+            "segment_value"
+        ),
+    )

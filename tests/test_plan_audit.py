@@ -67,6 +67,9 @@ ALLOWED_NON_EQUI = {
     # deliberate |sources|² pair-spine theta self-join (tiny broadcast):
     # disjoint-vocabulary pairs must appear with JSD = 1
     "q178_source_js_divergence",
+    # deliberate SINGLE-ROW broadcast cross join: the global max-order-
+    # date anchor attached to the |customers| RFM rollup
+    "q206_rfm_segmentation",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
