@@ -147,11 +147,15 @@ def dedup_by_components(
     scored = comp.join(
         df.select(F.col(id_col).alias("id"), F.col(quality_col).alias("_q")), "id"
     )
-    # one survivor per component: max quality, ties broken by min id —
-    # a single max_by aggregation on a (quality desc, id asc) sort key
-    key = F.struct(F.col("_q").alias("q"), (-F.col("id")).alias("neg_id"))
+    # one survivor per component: max quality, ties broken by MIN id.
+    # min_by over (-quality, id) instead of max_by over (quality, -id):
+    # negating the id would break (ANSI) or NULL out (non-ANSI) for
+    # string ids, which every other dedup path supports; negating the
+    # numeric quality keeps the single combinable aggregate id-type-
+    # agnostic.
+    key = F.struct((-F.col("_q")).alias("negq"), F.col("id"))
     winners = scored.groupBy("component").agg(
-        F.max_by(F.col("id"), key).alias("winner_id")
+        F.min_by(F.col("id"), key).alias("winner_id")
     )
     losers = (
         scored.join(winners, "component")

@@ -141,6 +141,11 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 "n_rows",
             )
         )
+    if not reports:
+        raise ValueError(
+            "check() needs at least one rule — an empty rule list would "
+            "silently report nothing as verified"
+        )
     out = reports[0]
     for rep in reports[1:]:
         out = out.unionByName(rep)

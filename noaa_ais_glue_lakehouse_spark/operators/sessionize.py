@@ -117,17 +117,20 @@ def session_bounds(
 
 def latest_per_entity(
     df: DataFrame,
-    entity_col: str,
+    entity_col: str | list[str],
     ts_col: str,
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """W6 — top-1 most-recent row per entity (state-snapshot seed).
 
     Reference: ``utils/state_io.py:52-59`` (row_number desc, keep rn==1).
-    Deterministic via tiebreak columns on equal timestamps.
+    Deterministic via tiebreak columns on equal timestamps. ``entity_col``
+    accepts a list for composite keys — partitioning on only the first
+    component would silently drop same-first-component rows.
     """
+    parts = [entity_col] if isinstance(entity_col, str) else list(entity_col)
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
-    w = Window.partitionBy(entity_col).orderBy(*order)
+    w = Window.partitionBy(*parts).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )

@@ -134,10 +134,21 @@ def apply_cdc(
     combinable — a key changed 10⁶ times reduces to one row before the
     shuffle) plus the same anti-join + union as :func:`merge_upsert`.
     """
-    seq = F.struct(*[F.col(c) for c in seq_cols])
     value_cols = [c for c in changes.columns if c not in keys]
+    # ONE max_by of the whole payload struct, ordered by (seq, payload):
+    # per-column max_by calls would each break seq ties independently and
+    # could stitch a "frankenrow" mixing columns from different tied
+    # changes (op from one, values from another). The payload inside the
+    # ordering struct IS the documented full-tuple tiebreak.
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    order_key = F.struct(
+        *[F.col(c) for c in seq_cols], *[F.col(c) for c in value_cols]
+    )
     latest = changes.groupBy(*keys).agg(
-        *[F.max_by(c, seq).alias(c) for c in value_cols]
+        F.max_by(payload, order_key).alias("_p")
+    )
+    latest = latest.select(
+        *keys, *[F.col(f"_p.{c}").alias(c) for c in value_cols]
     )
     live = latest.filter(F.col(op_col).isin(*upsert_ops)).drop(op_col, *seq_cols)
     dropped_keys = latest.select(*keys)  # any changed key leaves the snapshot row
@@ -164,12 +175,15 @@ def snapshot_diff(
     key; bucket both versions and the exchange disappears.
     """
     value_cols = [c for c in new.columns if c not in keys]
-    o = old.alias("o")
-    n = new.alias("n")
+    # presence markers, NOT key-isNotNull: the join matches NULL keys via
+    # eqNullSafe, so a NULL-key row present on both sides would read as
+    # "absent from old" under an isNotNull test and be mislabeled 'added'
+    o = old.withColumn("_in_o", F.lit(True)).alias("o")
+    n = new.withColumn("_in_n", F.lit(True)).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"o.{keys[0]}").isNotNull()
-    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    in_old = F.col("o._in_o").isNotNull()
+    in_new = F.col("n._in_n").isNotNull()
     same = F.lit(True)
     for c in value_cols:
         same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))

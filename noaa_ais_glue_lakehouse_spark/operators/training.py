@@ -26,13 +26,25 @@ from pyspark.sql import functions as F
 _KNUTH = 2654435761
 
 
+def _low_bits_times_knuth(id_col: str) -> F.Column:
+    """``(id mod 2^31) * K mod 2^32`` — the 2^31 reduction BEFORE the
+    multiply keeps the product under 2^62 (2^31 x ~2.65e9), so the BIGINT
+    arithmetic can't overflow Spark's ANSI mode at any id (a raw
+    ``id * K`` aborts for ids >= ~3.5e9 — real at corpus scale — while
+    DuckDB would silently promote to HUGEINT and diverge). Ids 2^31 apart
+    collide; acceptable for sampling, documented here.
+    """
+    return F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(1 << 31)) * F.lit(_KNUTH),
+        F.lit(1 << 32),
+    )
+
+
 def _id_fraction(id_col: str) -> F.Column:
     """Deterministic pseudo-uniform fraction in [0, 1) from an integer id:
-    multiplicative hashing on the low 32 bits (pmod keeps negatives out).
+    multiplicative hashing on the low 31 bits (pmod keeps negatives out).
     """
-    return (
-        F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(1 << 32))
-    ).cast("double") / F.lit(float(1 << 32))
+    return _low_bits_times_knuth(id_col).cast("double") / F.lit(float(1 << 32))
 
 
 def deterministic_stratified_sample(
@@ -140,7 +152,7 @@ def pack_sequences(
     ``["split"]`` so train/val/test each pack their own windows and a
     val document can never share a context window with a train one.
     """
-    shard = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH), F.lit(1 << 32)) % F.lit(
+    shard = _low_bits_times_knuth(id_col) % F.lit(
         n_shards
     )
     part_cols = [*(group_cols or []), shard_col]

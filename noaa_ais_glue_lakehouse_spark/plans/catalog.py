@@ -2085,7 +2085,7 @@ def q65_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, event_type
     FROM events
-    WHERE CAST((event_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+    WHERE CAST(((event_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
           < CASE event_type WHEN 'view' THEN 0.1 WHEN 'click' THEN 0.5 ELSE 1.0 END
     """,
 )
@@ -2109,7 +2109,7 @@ def q66_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             CAST((doc_id * 2654435761) % 4294967296 % 32 AS INT) AS shard,
+             CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 32 AS INT) AS shard,
              len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                              x -> x <> '')) AS n_tokens
       FROM documents
@@ -4366,14 +4366,14 @@ def q115_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN frac < 0.10 THEN 'test'
                   ELSE 'train' END AS split
       FROM (
-        SELECT *, CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        SELECT *, CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
                     / 4294967296.0 AS frac
         FROM kept
       )
     ),
     binned AS (
       SELECT split, n_tokens,
-             CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard,
+             CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 8 AS INT) AS shard,
              doc_id
       FROM sp
     ),
@@ -5540,10 +5540,10 @@ def q137_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), assigned AS (
       SELECT d.doc_id,
              COALESCE(r.component, d.doc_id) AS rep_id,
-             CASE WHEN CAST((COALESCE(r.component, d.doc_id) * 2654435761)
+             CASE WHEN CAST(((COALESCE(r.component, d.doc_id) % 2147483648) * 2654435761)
                             % 4294967296 AS DOUBLE) / 4294967296.0 < 0.05
                     THEN 'val'
-                  WHEN CAST((COALESCE(r.component, d.doc_id) * 2654435761)
+                  WHEN CAST(((COALESCE(r.component, d.doc_id) % 2147483648) * 2654435761)
                             % 4294967296 AS DOUBLE) / 4294967296.0 < 0.10
                     THEN 'test'
                   ELSE 'train' END AS split
@@ -6162,15 +6162,11 @@ def q148_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     index shape as contamination checking (q83), pointed at the corpus
     itself."""
     docs = load(spark, sf_dir, "documents")
-    w = tokenize(F.col("text"))
-    idx = F.when(
-        F.size(w) >= 5, F.sequence(F.lit(1), F.size(w) - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    grams_arr = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(w, i, 5), " "))
-    )
     grams = docs.select(
-        "doc_id", F.explode(grams_arr).alias("g")
+        "doc_id",
+        F.explode(
+            F.array_distinct(_word_ngrams(tokenize(F.col("text")), 5))
+        ).alias("g"),
     )
     counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     joined = grams.join(counts, "g")

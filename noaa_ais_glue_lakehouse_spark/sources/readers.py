@@ -37,7 +37,13 @@ def read_parquet_table(spark: SparkSession, path: str, ns_ts_cols: tuple[str, ..
     # LongType instead of an error — which this reader normalizes anyway.
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except Exception as e:
+        # only the nanos schema error earns the conf flip: a missing path
+        # or corrupt file must propagate unchanged, NOT mutate the
+        # externally-owned session before re-raising
+        msg = str(e)
+        if "NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     for c in ns_ts_cols:

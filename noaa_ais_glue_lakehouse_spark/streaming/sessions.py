@@ -277,12 +277,18 @@ def start_merge_upsert_sink(
         import os
         import shutil
 
-        latest = latest_per_entity(batch_df, keys[0], ts_col, tiebreak_cols)
+        # collapse on the FULL key list: partitioning on keys[0] alone
+        # would keep one row per first component and silently drop
+        # updates for composite keys
+        latest = latest_per_entity(batch_df, keys, ts_col, tiebreak_cols)
         base = target_dir.rstrip("/")
-        try:
+        if os.path.exists(base):
+            # target exists: a read/merge failure here must PROPAGATE —
+            # swallowing it would fall through to merged=latest and
+            # overwrite the accumulated snapshot with one batch
             target = spark.read.parquet(target_dir)
             merged = merge_upsert(target, latest, keys)
-        except Exception:  # first batch: no target yet
+        else:  # genuinely the first batch: no target yet
             merged = latest
         # stage-then-swap: the merged plan READS the files it replaces, so
         # write to a staging dir (distributed, never collected) and swap

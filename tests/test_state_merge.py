@@ -123,3 +123,46 @@ def test_snapshot_diff_statuses(spark):
     assert got == {2: "changed", 4: "removed", 5: "added"}
     row = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}[2]
     assert (row["old_s"], row["new_s"]) == ("b", "b2")
+
+
+def test_apply_cdc_tied_sequence_never_mixes_columns(spark):
+    """Two changes with IDENTICAL sequence values must resolve to ONE of
+    the two rows intact — never a per-column mix ('frankenrow')."""
+    from noaa_ais_glue_lakehouse_spark.operators.state import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "old", 1.0)], "k int, status string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "U", "a", 100.0),
+            (1, 10, "U", "b", 200.0),  # same seq=10: full-tuple tiebreak
+        ],
+        "k int, seq int, op string, status string, v double",
+    )
+    out = apply_cdc(snap, changes, keys=["k"], seq_cols=["seq"]).collect()
+    assert len(out) == 1
+    row = (out[0]["status"], out[0]["v"])
+    # full-tuple max picks ('b', 200.0) deterministically; the essential
+    # property is that it is one of the REAL rows
+    assert row == ("b", 200.0)
+
+
+def test_snapshot_diff_null_key_rows(spark):
+    """NULL-key rows present and unchanged on both sides must NOT be
+    reported; a changed NULL-key row must be 'changed', not 'added'."""
+    from noaa_ais_glue_lakehouse_spark.operators.state import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0)], "k int, v double"
+    )
+    new_same = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0)], "k int, v double"
+    )
+    assert snapshot_diff(old, new_same, ["k"]).count() == 0
+    new_changed = spark.createDataFrame(
+        [(None, 9.0), (1, 2.0)], "k int, v double"
+    )
+    rows = snapshot_diff(old, new_changed, ["k"]).collect()
+    assert len(rows) == 1 and rows[0]["change"] == "changed"
+    assert rows[0]["k"] is None

@@ -221,3 +221,42 @@ def test_foreach_batch_merge_sink(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: (r["v"], r["s"]) for r in spark.read.parquet(target).collect()}
     assert got == {1: (11, "a2"), 2: (22, "b2"), 3: (30, "c")}
+
+
+def test_merge_sink_composite_keys_keep_all_key_tuples(spark, tmp_path):
+    """Composite merge keys: a batch with two rows sharing the first key
+    component must upsert BOTH (partitioning on keys[0] alone would
+    silently drop one)."""
+    import os
+
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import (
+        start_merge_upsert_sink,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10, 1.0),
+            (1, "b", 10, 2.0),
+            (2, "a", 10, 3.0),
+        ],
+        "tenant int, user string, ts int, v double",
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    target = str(tmp_path / "target")
+    q = start_merge_upsert_sink(
+        stream,
+        target,
+        str(tmp_path / "ckpt"),
+        keys=["tenant", "user"],
+        ts_col="ts",
+        tiebreak_cols=["v"],
+    )
+    q.awaitTermination()
+    assert os.path.exists(target)
+    got = {
+        (r["tenant"], r["user"]): r["v"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {(1, "a"): 1.0, (1, "b"): 2.0, (2, "a"): 3.0}
