@@ -9541,3 +9541,141 @@ def q206_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-slice generalization and change detection (X134-X135)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q207_heldout_cross_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2
+    ), g AS (
+      SELECT tok, SUM(n) AS gn FROM c GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS grand,
+             CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vocab
+      FROM c
+    ), st AS (
+      SELECT source, SUM(n) AS sn FROM c GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(st.sn AS BIGINT) AS n_tokens,
+           ROUND(-SUM((c.n / CAST(st.sn AS DOUBLE))
+                      * ln((g.gn - c.n + 1.0)
+                           / ((SELECT grand FROM tot) - st.sn
+                              + (SELECT vocab FROM tot))))
+                 / ln(2.0), 6) AS cross_entropy_bits
+    FROM c
+    JOIN g ON g.tok = c.tok
+    JOIN st ON st.source = c.source
+    GROUP BY c.source, st.sn
+    """,
+)
+def q207_heldout_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134 — held-out cross-entropy per corpus slice: each source's
+    unigram distribution scored under the add-one-smoothed model of the
+    REST of the corpus (leave-one-slice-out). The data-valuation signal
+    behind mixture design: a slice scoring near the corpus entropy is
+    redundant with the rest; a high-scoring slice carries novel
+    distribution mass (and a suspiciously LOW one is likely duplicated
+    wholesale into other slices). Complements q178's symmetric JSD with
+    the directional, model-based view.
+
+    The complement model needs no second pass: per-token complement
+    count = global − own, so one (source, token) rollup plus a
+    token-keyed join to the |vocab| global table covers every slice's
+    held-out model simultaneously. Exact integer counts everywhere;
+    logs only at the end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = c.groupBy("tok").agg(F.sum("n").alias("gn"))
+    tot = c.agg(
+        F.sum("n").alias("grand"),
+        F.countDistinct("tok").cast("double").alias("vocab"),
+    )
+    st = F.sum("n").over(Window.partitionBy("source"))
+    scored = (
+        c.withColumn("sn", st)
+        .join(g, "tok")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_own = F.col("n") / F.col("sn").cast("double")
+    p_comp = (F.col("gn") - F.col("n") + 1.0) / (
+        F.col("grand") - F.col("sn") + F.col("vocab")
+    )
+    return scored.groupBy("source").agg(
+        F.max("sn").cast("long").alias("n_tokens"),
+        F.round(
+            -F.sum(p_own * F.log(p_comp)) / F.log(F.lit(2.0)), 6
+        ).alias("cross_entropy_bits"),
+    )
+
+
+@register(
+    "q208_cusum_changepoints",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+             COUNT(*) AS n_days
+      FROM d
+    ),
+    c AS (
+      SELECT day, n,
+             SUM(n - (SELECT mu FROM m)) OVER (ORDER BY day
+                                               ROWS UNBOUNDED PRECEDING)
+               AS cusum
+      FROM d
+    )
+    SELECT day, CAST(n AS BIGINT) AS n_events,
+           ROUND(cusum, 6) AS cusum,
+           ABS(cusum) = (SELECT MAX(ABS(cusum)) FROM c) AS is_peak
+    FROM c
+    """,
+)
+def q208_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135 — CUSUM change-point signal: the running sum of deviations
+    from the global mean daily volume, with the maximal-|CUSUM| day
+    flagged — the classic single-change-point estimator (the peak of
+    the CUSUM curve is where the level shift happened). Complements
+    q158's EWMA (local anomaly) with the global-shift view.
+
+    One |days|-sized rollup carries everything; the global mean is a
+    single-row broadcast and the running sum is a window over ~30 rows
+    (the q172 scan at unbounded day counts). Exact integer counts; the
+    mean subtraction is the only float, identical in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = d.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.crossJoin(F.broadcast(m)).withColumn(
+        "cusum", F.sum(F.col("n") - F.col("mu")).over(w)
+    )
+    peak = c.agg(F.max(F.abs("cusum")).alias("peak"))
+    return c.crossJoin(F.broadcast(peak)).select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("cusum", 6).alias("cusum"),
+        (F.abs("cusum") == F.col("peak")).alias("is_peak"),
+    )

@@ -70,6 +70,12 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the global max-order-
     # date anchor attached to the |customers| RFM rollup
     "q206_rfm_segmentation",
+    # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
+    # scalar attached to the |vocab x sources| token table
+    "q207_heldout_cross_entropy",
+    # deliberate SINGLE-ROW broadcast cross joins: the global-mean and
+    # peak scalars attached to the |days|-sized CUSUM table
+    "q208_cusum_changepoints",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
