@@ -9679,3 +9679,244 @@ def q208_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cusum", 6).alias("cusum"),
         (F.abs("cusum") == F.col("peak")).alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution and survival analysis (X136-X137)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q209_touch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts,
+             CAST(ROUND(value*100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, event_id AS click_id, ts FROM events
+      WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.purchase_id, p.user_id, p.cents, c.click_id,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts, c.click_id) AS rn_first,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts DESC, c.click_id DESC) AS rn_last
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+    )
+    SELECT purchase_id, user_id,
+           CAST(MAX(cents) AS DOUBLE)/100.0 AS revenue,
+           MAX(CASE WHEN rn_first = 1 THEN click_id END) AS first_click,
+           MAX(CASE WHEN rn_last = 1 THEN click_id END) AS last_click
+    FROM ranked GROUP BY purchase_id, user_id
+    """,
+)
+def q209_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136 — first-touch / last-touch revenue attribution: each
+    purchase credited to the first and last click in its trailing 24 h
+    window. The oracle states the range join; the Spark plan avoids it —
+    purchases and clicks union into ONE per-user time-ordered stream,
+    a last_value carry gives the most recent click at each purchase
+    (last-touch), and a window min over the purchase's trailing range
+    gives first-touch — all on a single user-key shuffle, O(n log n)
+    per user instead of |purchases|x|clicks|.
+
+    Purchases with no qualifying click are excluded (matching the
+    oracle's inner join): unattributed revenue is a different report,
+    not a NULL row here.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        cents(F.col("value")).alias("cents_i"),
+    )
+    tagged = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_src"),
+        "click_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(None).cast("long").alias("cents_i"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("_src"),
+            F.lit(None).cast("long").alias("click_id"),
+            "purchase_id",
+            "cents_i",
+        )
+    )
+    order = [F.col("ts"), F.col("_src"), F.coalesce("click_id", "purchase_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lim = 86400 * 1000000
+    us = F.unix_micros("ts")
+    # last-touch: most recent click at-or-before the purchase
+    last_click = F.last(F.col("click_id"), ignorenulls=True).over(run)
+    last_click_us = F.last(
+        F.when(F.col("_src") == 0, us), ignorenulls=True
+    ).over(run)
+    # first-touch inside the 24h window: min (click_us, click_id) among
+    # clicks in the trailing range — a RANGE frame over microseconds
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(us.cast("long"))
+        .rangeBetween(-lim, 0)
+    )
+    first_struct = F.min(
+        F.when(
+            F.col("_src") == 0,
+            F.struct(us.alias("u"), F.col("click_id").alias("i")),
+        )
+    ).over(wr)
+    out = (
+        tagged.withColumn("_last", last_click)
+        .withColumn("_last_us", last_click_us)
+        .withColumn("_first", first_struct)
+        .filter(
+            (F.col("_src") == 1)
+            & F.col("_last").isNotNull()
+            & (F.col("_last_us") >= us - lim)
+        )
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        (F.col("cents_i").cast("double") / 100.0).alias("revenue"),
+        F.col("_first.i").alias("first_click"),
+        F.col("_last").alias("last_click"),
+    )
+
+
+@register(
+    "q210_kaplan_meier",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, session_id,
+             (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 60000000
+               AS dur_min,
+             MAX(ts) = MAX(MAX(ts)) OVER () AS censored
+      FROM (
+        SELECT user_id, ts, event_id,
+               SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events
+        )
+      ) GROUP BY user_id, session_id
+    ),
+    risk AS (
+      SELECT dur_min,
+             SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+             COUNT(*) AS ended_here
+      FROM sess GROUP BY dur_min
+    ),
+    km AS (
+      SELECT dur_min, d,
+             (SELECT COUNT(*) FROM sess) -
+               COALESCE(SUM(ended_here) OVER (ORDER BY dur_min
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM risk
+    )
+    SELECT dur_min, CAST(d AS BIGINT) AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CASE WHEN MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY dur_min ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(ln(CASE WHEN d < n_at_risk
+                                      THEN 1.0 - d / CAST(n_at_risk AS DOUBLE)
+                                      ELSE 1.0 END))
+                           OVER (ORDER BY dur_min ROWS UNBOUNDED PRECEDING)), 6)
+           END AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def q210_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137 — Kaplan–Meier product-limit survival curve over session
+    durations (minutes), with right-censoring: sessions still open at
+    the observation horizon (their last event is the corpus's last
+    event) count in the risk set but never as deaths — the estimator
+    churn/retention analyses should use instead of a plain ECDF, which
+    treats cut-off sessions as ended.
+
+    The product over risk sets is exp(Σ ln(1−d/n)) — a running-sum
+    window over the |distinct durations| rollup, so the whole curve is
+    two tiny window passes after the sessionize shuffle. The
+    at-risk count is total minus the exclusive prefix of endings, all
+    exact integers.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(
+        ev, "user_id", "ts", SESSION_GAP_SECONDS, tiebreak_cols=["event_id"]
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        (
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            / F.lit(60000000)
+        )
+        .cast("long")
+        .alias("dur_min"),
+        F.max("ts").alias("_end"),
+    )
+    horizon = sess.agg(F.max("_end").alias("_h"))
+    sess = sess.crossJoin(F.broadcast(horizon)).withColumn(
+        "censored", F.col("_end") == F.col("_h")
+    )
+    risk = sess.groupBy("dur_min").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("ended_here"),
+    )
+    total = sess.agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy("dur_min")
+    prior = F.coalesce(
+        F.sum("ended_here").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    km = (
+        risk.crossJoin(F.broadcast(total))
+        .withColumn("n_at_risk", F.col("_n") - prior)
+        .filter(F.col("d") > 0)
+    )
+    # guard the ln at the curve's terminal drop: when a risk set empties
+    # (d == n_at_risk) the survival factor is exactly 0 and every later
+    # point stays 0 — ln would blow up, so flag the prefix instead
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    hit_zero = (
+        F.max(
+            F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0)
+        ).over(run)
+        == 1
+    )
+    safe_factor = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        1.0 - F.col("d") / F.col("n_at_risk").cast("double"),
+    ).otherwise(F.lit(1.0))
+    surv = F.when(hit_zero, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(F.log(safe_factor)).over(run)), 6)
+    )
+    return km.select(
+        "dur_min",
+        F.col("d").cast("long").alias("n_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        surv.alias("survival"),
+    )

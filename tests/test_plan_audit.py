@@ -76,6 +76,10 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross joins: the global-mean and
     # peak scalars attached to the |days|-sized CUSUM table
     "q208_cusum_changepoints",
+    # deliberate SINGLE-ROW broadcast cross joins: the observation
+    # horizon and the total-sessions scalar attached to the
+    # |durations|-sized risk table
+    "q210_kaplan_meier",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
