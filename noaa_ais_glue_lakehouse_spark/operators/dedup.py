@@ -152,8 +152,11 @@ def dedup_by_components(
     # negating the id would break (ANSI) or NULL out (non-ANSI) for
     # string ids, which every other dedup path supports; negating the
     # numeric quality keeps the single combinable aggregate id-type-
-    # agnostic.
-    key = F.struct((-F.col("_q")).alias("negq"), F.col("id"))
+    # agnostic. NULL quality coalesces to -inf BEFORE negation: structs
+    # order nulls-first, so a bare -NULL field would make a NULL-quality
+    # member WIN the min_by instead of losing to any scored member.
+    negq = -F.coalesce(F.col("_q").cast("double"), F.lit(float("-inf")))
+    key = F.struct(negq.alias("negq"), F.col("id"))
     winners = scored.groupBy("component").agg(
         F.min_by(F.col("id"), key).alias("winner_id")
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def prepare_seeded_union(
@@ -139,10 +140,21 @@ def apply_cdc(
     # per-column max_by calls would each break seq ties independently and
     # could stitch a "frankenrow" mixing columns from different tied
     # changes (op from one, values from another). The payload inside the
-    # ordering struct IS the documented full-tuple tiebreak.
+    # ordering struct IS the documented full-tuple tiebreak — restricted
+    # to ORDERABLE column types (maps/arrays-of-maps can ride in the
+    # payload but not the sort key); ties identical on every orderable
+    # column resolve to ONE intact row either way, just not a pinned one.
+    orderable = {
+        c
+        for c in value_cols
+        if not isinstance(
+            changes.schema[c].dataType, T.MapType
+        )
+    }
     payload = F.struct(*[F.col(c) for c in value_cols])
     order_key = F.struct(
-        *[F.col(c) for c in seq_cols], *[F.col(c) for c in value_cols]
+        *[F.col(c) for c in seq_cols],
+        *[F.col(c) for c in value_cols if c in orderable],
     )
     latest = changes.groupBy(*keys).agg(
         F.max_by(payload, order_key).alias("_p")

@@ -28,7 +28,8 @@ _KNUTH = 2654435761
 
 def _low_bits_times_knuth(id_col: str) -> F.Column:
     """``(id mod 2^31) * K mod 2^32`` — the 2^31 reduction BEFORE the
-    multiply keeps the product under 2^62 (2^31 x ~2.65e9), so the BIGINT
+    multiply caps the product at ~5.7e18 (2^31 x ~2.65e9), under the
+    2^63-1 ~ 9.2e18 BIGINT ceiling with ~1.6x headroom, so the BIGINT
     arithmetic can't overflow Spark's ANSI mode at any id (a raw
     ``id * K`` aborts for ids >= ~3.5e9 — real at corpus scale — while
     DuckDB would silently promote to HUGEINT and diverge). Ids 2^31 apart

@@ -7907,8 +7907,11 @@ def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pair spine over the |sources|-sized distinct list: pairs sharing
     # no token at all must still appear (their JSD is exactly 1 bit) —
-    # a tiny broadcast theta self-join, |sources|² rows
-    srcs = docs.select("source").distinct()
+    # a tiny broadcast theta self-join, |sources|² rows. Derived from
+    # the COUNTS table, not documents: a source whose texts all tokenize
+    # to nothing has no distribution to diverge from and is absent from
+    # the oracle's CTEs too.
+    srcs = c.select("source").distinct()
     spine = srcs.select(F.col("source").alias("source_a")).join(
         F.broadcast(srcs.select(F.col("source").alias("source_b"))),
         F.col("source_a") < F.col("source_b"),
@@ -9730,7 +9733,10 @@ def q209_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's inner join): unattributed revenue is a different report,
     not a NULL row here.
     """
-    ev = load(spark, sf_dir, "events")
+    # NULL users are excluded up front: the oracle's equality join never
+    # matches NULL = NULL, while a window PARTITION BY would group the
+    # NULL users together and fabricate attributions for them
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",

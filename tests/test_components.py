@@ -61,3 +61,26 @@ def test_dedup_by_components(spark):
     out = dedup_by_components(docs, pairs, "doc_id")
     # components {0,1,2} -> keep 0; {4,5} -> keep 4; 3 untouched
     assert {r["doc_id"] for r in out.collect()} == {0, 3, 4}
+
+
+def test_quality_survivor_null_quality_loses(spark):
+    """A NULL-quality member must never beat a scored member (struct
+    ordering is nulls-first, so the negated key needs the -inf
+    coalesce)."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        dedup_by_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 1.0)], "doc_id bigint, q double"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    kept = [
+        r["doc_id"]
+        for r in dedup_by_components(
+            df, pairs, "doc_id", quality_col="q"
+        ).collect()
+    ]
+    assert kept == [2]

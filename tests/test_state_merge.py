@@ -166,3 +166,22 @@ def test_snapshot_diff_null_key_rows(spark):
     rows = snapshot_diff(old, new_changed, ["k"]).collect()
     assert len(rows) == 1 and rows[0]["change"] == "changed"
     assert rows[0]["k"] is None
+
+
+def test_apply_cdc_handles_map_payload_columns(spark):
+    """Map-typed payload columns can't join the ordering struct (maps
+    aren't orderable) but must still ride in the carried payload."""
+    from noaa_ais_glue_lakehouse_spark.operators.state import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, {"a": "1"})], "k int, props map<string,string>"
+    )
+    changes = spark.createDataFrame(
+        [(1, 5, "U", {"b": "2"}), (2, 6, "I", {"c": "3"})],
+        "k int, seq int, op string, props map<string,string>",
+    )
+    out = {
+        r["k"]: dict(r["props"])
+        for r in apply_cdc(snap, changes, keys=["k"], seq_cols=["seq"]).collect()
+    }
+    assert out == {1: {"b": "2"}, 2: {"c": "3"}}
