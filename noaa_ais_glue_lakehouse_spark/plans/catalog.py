@@ -7222,7 +7222,7 @@ def q166_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # TPC-H shapes not yet in the catalog: Q19 disjunctive predicates, Q13
 # count-distribution, Q11 scalar-subquery HAVING, Q22 anti-join + global
-# average gate (X94-X97)
+# average gate (SURVEY 2.12 X97)
 # ---------------------------------------------------------------------------
 
 
