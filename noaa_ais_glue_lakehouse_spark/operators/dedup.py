@@ -756,3 +756,86 @@ def simhash_near_duplicates(
     return cands.select(
         "id_a", "id_b", hamming64(F.col("_ha"), F.col("_hb")).alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def drop_boilerplate_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 8,
+    max_df: int = 2,
+) -> DataFrame:
+    """C4-style LINE-level dedup (Raffel et al. 2020 dropped any line
+    occurring ≥3 times in the corpus), generalized to fixed
+    ``seg_tokens``-token segments for unpunctuated text: a segment whose
+    exact text appears in more than ``max_df`` documents is boilerplate
+    (headers, navigation, license blocks) and is removed from EVERY
+    document; survivors are reassembled in original order.
+
+    Returns (id, n_segments, n_kept, cleaned_text). Scale shape: one
+    posexplode, one map-side-combinable document-frequency count on the
+    segment hash, one join back, one ordered re-aggregation — all keyed
+    equi-joins; the df table is |distinct segments| and can broadcast
+    when small. Empty documents survive with empty cleaned_text.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.when(F.size(toks) > 0, segs)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_segs"),
+    )
+    exploded = base.select(
+        "_id", F.posexplode_outer("_segs").alias("_pos", "_seg")
+    )
+    seg_df = (
+        exploded.where(F.col("_seg").isNotNull())
+        .select("_seg", "_id")
+        .distinct()
+        .groupBy("_seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    tagged = exploded.join(seg_df, "_seg", "left")
+    kept = F.when(
+        F.col("_seg").isNotNull() & (F.col("_df") <= max_df), F.col("_seg")
+    )
+    return (
+        tagged.groupBy("_id")
+        .agg(
+            F.sum(F.when(F.col("_seg").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_segments"),
+            F.sum(F.when(kept.isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                kept.isNotNull(),
+                                F.struct(
+                                    F.col("_pos").alias("p"),
+                                    kept.alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_segments", "n_kept", "cleaned_text"
+        )
+    )

@@ -9926,3 +9926,51 @@ def q210_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
         surv.alias("survival"),
     )
+
+
+@register(
+    "q211_line_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, x AS seg_idx,
+             array_to_string(l[(x*8+1):(x*8+8)], ' ') AS seg
+      FROM toks, UNNEST(range(0, CAST(ceil(len(l)/8.0) AS BIGINT))) AS t(x)
+      WHERE len(l) > 0
+    ),
+    df AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS d FROM segs GROUP BY 1
+    ),
+    tagged AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, df.d FROM segs s JOIN df USING (seg)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(s.seg_idx) AS BIGINT) AS n_segments,
+           CAST(COUNT(CASE WHEN s.d <= 2 THEN 1 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN s.d <= 2 THEN s.seg END, ' '
+                               ORDER BY s.seg_idx), '') AS cleaned_text
+    FROM toks t LEFT JOIN tagged s ON s.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def q211_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138 — C4-style line-level dedup over 8-token segments: any
+    segment appearing in MORE than 2 documents is corpus boilerplate and
+    is stripped from every document, survivors reassembled in order —
+    the within-document complement to whole-document dedup (a doc can be
+    globally unique yet 80% navigation chrome). The cleaned_text
+    hash-compare pins the full reassembly, not just counts.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        drop_boilerplate_segments,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return drop_boilerplate_segments(
+        docs, "doc_id", "text", seg_tokens=8, max_df=2
+    )

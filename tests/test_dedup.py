@@ -253,3 +253,35 @@ def test_prefix_filter_plan_has_no_cartesian(spark):
     out = jaccard_pairs_prefix_filter(docs, "doc_id", "text", 0.8)
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
     assert "cartesianproduct" not in plan and "broadcastnestedloop" not in plan
+
+
+def test_drop_boilerplate_segments_c4_rule(spark):
+    """Segments shared by >max_df docs vanish from every doc; unique
+    segments survive in original order; empty docs survive empty."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        drop_boilerplate_segments,
+    )
+
+    boiler = "nav home about contact terms privacy login search"  # 8 toks
+    rows = [
+        (1, boiler + " " + "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + " " + "one two three four five six seven eight"),
+        (3, boiler + " " + "red green blue cyan magenta yellow black white"),
+        (4, "totally unique content nine ten eleven twelve thirteen"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in drop_boilerplate_segments(
+            df, "doc_id", "text", seg_tokens=8, max_df=2
+        ).collect()
+    }
+    assert len(out) == 5
+    # the shared header is gone from all three docs, tails survive
+    assert out[1]["cleaned_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert boiler not in out[3]["cleaned_text"]
+    # unique doc untouched (its single 8-token segment has df=1)
+    assert out[4]["cleaned_text"] == rows[3][1]
+    assert out[5]["n_segments"] == 0 and out[5]["cleaned_text"] == ""
