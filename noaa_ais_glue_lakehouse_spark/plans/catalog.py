@@ -9974,3 +9974,68 @@ def q211_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_boilerplate_segments(
         docs, "doc_id", "text", seg_tokens=8, max_df=2
     )
+
+
+@register(
+    "q212_quantile_normalize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, UNNEST(embedding) AS val,
+             UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT vec_id, dim,
+             PERCENT_RANK() OVER (PARTITION BY dim ORDER BY val) AS q
+      FROM ex
+    )
+    SELECT vec_id,
+           string_agg(CAST(CAST(ROUND(q, 6) AS DECIMAL(8,6)) AS VARCHAR),
+                      ',' ORDER BY dim) AS normalized
+    FROM pr GROUP BY vec_id
+    """,
+)
+def q212_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139 — per-dimension quantile (rank) normalization of embeddings:
+    each coordinate replaced by its percent rank within that dimension —
+    the distribution-free rescaling that makes dimensions with wildly
+    different scales comparable before distance-based work (q32/q47),
+    immune to the outliers that break min-max scaling.
+
+    Shape: one posexplode to (vec, dim, val) — |vecs|x|dims| rows — a
+    percent_rank window per dimension (dims are the partition key, so
+    all 64 rank passes are ONE shuffle), and an ordered re-aggregation.
+    percent_rank gives ties equal ranks, so the output is total-order-
+    free and deterministic; emitted as a fixed-point DECIMAL(8,6) CSV
+    string (the q104 pattern) so the hash compare pins every coordinate
+    — raw double-to-string would print small ranks as scientific
+    notation in Spark ('2.0E-4') but decimal in DuckDB ('0.0002').
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    w = Window.partitionBy("dim").orderBy("val")
+    pr = ex.withColumn("q", F.percent_rank().over(w))
+    return (
+        pr.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("dim").alias("d"),
+                                F.round("q", 6)
+                                .cast("decimal(8,6)")
+                                .cast("string")
+                                .alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                ",",
+            ).alias("normalized")
+        )
+    )
