@@ -10039,3 +10039,108 @@ def q212_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("normalized")
         )
     )
+
+
+@register(
+    "q213_data_card",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    flat AS (SELECT UNNEST(l) AS tok FROM toks),
+    langs AS (
+      SELECT lang, COUNT(*) AS n FROM toks GROUP BY 1
+    ),
+    top_lang AS (
+      SELECT lang FROM langs ORDER BY n DESC, lang LIMIT 1
+    ),
+    dups AS (
+      SELECT COUNT(*) - COUNT(DISTINCT md5(array_to_string(l, ' ')))
+        AS n_dup_docs
+      FROM toks
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(l)) AS BIGINT) AS total_tokens,
+           CAST((SELECT COUNT(DISTINCT tok) FROM flat) AS BIGINT)
+             AS vocab_size,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           (SELECT lang FROM top_lang) AS top_lang,
+           CAST((SELECT n_dup_docs FROM dups) AS BIGINT) AS n_dup_docs,
+           ROUND(CAST(SUM(len(l)) AS DOUBLE) / COUNT(*), 6)
+             AS mean_doc_tokens,
+           ROUND(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS short_doc_rate
+    FROM toks
+    """,
+)
+def q213_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140 — one-row corpus data card (the Datasheets-for-Datasets /
+    data-card summary a curation run publishes next to its output):
+    document and token volumes, vocabulary size, language spread with
+    the dominant language, normalized-content duplicate count, mean
+    document length and short-document rate.
+
+    Everything reduces in two passes over the documents scan: one doc-
+    grain aggregate (counts, sums, lang distinct, duplicate
+    fingerprints) and one token-grain distinct for the vocabulary; the
+    mode-of-language and scalar attachments are |langs|- and 1-row
+    broadcasts. The duplicate count is over tokenized-normalized text
+    (same canonicalization as q25's fingerprint), so byte-level noise
+    doesn't hide duplicates.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        tokenize(F.col("text")).alias("l"),
+    )
+    vocab = (
+        toks.select(F.explode("l").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    top_lang = (
+        toks.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.min_by(
+                "lang", F.struct((-F.col("n")).alias("negn"), F.col("lang"))
+            ).alias("top_lang")
+        )
+    )
+    base = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("l")).cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.md5(F.array_join("l", " ")))
+        )
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.round(
+            F.sum(F.size("l")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_doc_tokens"),
+        F.round(
+            F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("short_doc_rate"),
+    )
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(top_lang))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            "n_langs",
+            "top_lang",
+            "n_dup_docs",
+            "mean_doc_tokens",
+            "short_doc_rate",
+        )
+    )

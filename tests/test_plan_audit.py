@@ -80,6 +80,9 @@ ALLOWED_NON_EQUI = {
     # horizon and the total-sessions scalar attached to the
     # |durations|-sized risk table
     "q210_kaplan_meier",
+    # deliberate 1-row x 1-row cross joins: the vocab-size and top-lang
+    # scalars attached to the 1-row data-card aggregate
+    "q213_data_card",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
