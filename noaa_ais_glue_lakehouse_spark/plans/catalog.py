@@ -10144,3 +10144,113 @@ def q213_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "short_doc_rate",
         )
     )
+
+
+@register(
+    "q214_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id_a AS a, doc_id_b AS b FROM (
+        SELECT f.doc_id AS doc_id_a, g.doc_id AS doc_id_b
+        FROM (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '')[1:8], ' ')) AS f
+          FROM documents
+        ) f
+        JOIN (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '')[1:8], ' ')) AS f
+          FROM documents
+        ) g ON f.f = g.f AND f.doc_id < g.doc_id
+      )
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs
+      ) GROUP BY 1
+    ),
+    oriented AS (
+      SELECT CASE WHEN (da.d, p.a) < (db.d, p.b) THEN p.a ELSE p.b END AS lo,
+             CASE WHEN (da.d, p.a) < (db.d, p.b) THEN p.b ELSE p.a END AS hi
+      FROM pairs p
+      JOIN deg da ON da.v = p.a
+      JOIN deg db ON db.v = p.b
+    ),
+    wedges AS (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM oriented e1 JOIN oriented e2
+        ON e1.lo = e2.lo AND e1.hi < e2.hi
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM wedges w
+    JOIN oriented e3
+      ON (e3.lo = w.y AND e3.hi = w.z) OR (e3.lo = w.z AND e3.hi = w.y)
+    """,
+)
+def q214_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141 — distributed triangle counting on the duplicate graph (the
+    clustering-coefficient numerator: high triangle density means dup
+    CLUSTERS, not chains — evidence the near-dup threshold is finding
+    real families rather than transitive noise). Edges are the
+    deterministic document-head fingerprint collisions (q194's
+    fingerprint).
+
+    The classic degree-oriented algorithm: orient each edge from its
+    lower-(degree, id) endpoint, enumerate wedges by joining oriented
+    edges on their source — each wedge's apex is responsible only for
+    its O(sqrt(|E|))-bounded out-neighborhood, which is what kills the
+    quadratic hub blowup a naive neighbor join has — then close wedges
+    against the oriented edge set. Every step is a keyed equi-join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    head = F.md5(F.array_join(F.slice(tokenize(F.col("text")), 1, 8), " "))
+    fp = docs.select(head.alias("f"), "doc_id").distinct()
+    pairs = (
+        fp.alias("x")
+        .join(
+            fp.alias("y"),
+            (F.col("x.f") == F.col("y.f"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+    )
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    key_a = F.struct(F.col("da").alias("d"), F.col("a").alias("v"))
+    key_b = F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
+    oriented = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(key_a < key_b, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(key_a < key_b, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+    )
+    e1 = oriented.select(F.col("lo"), F.col("hi").alias("y"))
+    e2 = oriented.select(F.col("lo"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "lo").filter(F.col("y") < F.col("z"))
+    e3a = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    e3b = oriented.select(F.col("hi").alias("y"), F.col("lo").alias("z"))
+    closing = e3a.unionAll(e3b)
+    tris = wedges.join(closing, ["y", "z"])
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"), "n_triangles"
+        )
+    )

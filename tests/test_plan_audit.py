@@ -83,6 +83,9 @@ ALLOWED_NON_EQUI = {
     # deliberate 1-row x 1-row cross joins: the vocab-size and top-lang
     # scalars attached to the 1-row data-card aggregate
     "q213_data_card",
+    # deliberate 1-row x 1-row cross join: the edge-count scalar attached
+    # to the 1-row triangle-count aggregate
+    "q214_triangle_count",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
