@@ -10254,3 +10254,71 @@ def q214_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_edges").cast("long").alias("n_edges"), "n_triangles"
         )
     )
+
+
+@register(
+    "q215_zipf_slope",
+    oracle="""
+    WITH c AS (
+      SELECT source, tok, COUNT(*) AS n FROM (
+        SELECT source,
+               UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                      x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT source, n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n DESC, tok) AS rk
+      FROM c
+    ),
+    pts AS (
+      SELECT source, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+      FROM ranked WHERE rk <= 100
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 6) AS zipf_slope
+    FROM pts GROUP BY source
+    """,
+)
+def q215_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142 — Zipf-law fit per source: OLS slope of log-frequency on
+    log-rank over each slice's top-100 tokens. Natural language sits
+    near −1; machine-generated, template or keyword-stuffed slices
+    deviate hard — a one-number distribution-shape screen that catches
+    what per-document quality scores (q30/q106) miss at the slice
+    level.
+
+    The rank window runs over the |vocab x sources| rollup (same key as
+    the counting shuffle); the regression is the exact closed-form
+    moment ratio (q130's pattern) over ≤100 points per source. Slope
+    only — the intercept is scale and adds nothing to the diagnostic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "tok")
+    pts = (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select(
+            "source",
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return pts.groupBy("source").agg(
+        cnt.cast("long").alias("n_points"),
+        F.round(
+            (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")),
+            6,
+        ).alias("zipf_slope"),
+    )
