@@ -778,9 +778,7 @@ def drop_boilerplate_segments(
     equi-joins; the df table is |distinct segments| and can broadcast
     when small. Empty documents survive with empty cleaned_text.
     """
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
+    toks = tokenize(F.col(text_col))
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),

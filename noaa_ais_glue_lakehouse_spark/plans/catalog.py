@@ -10242,9 +10242,12 @@ def q214_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = oriented.select(F.col("lo"), F.col("hi").alias("y"))
     e2 = oriented.select(F.col("lo"), F.col("hi").alias("z"))
     wedges = e1.join(e2, "lo").filter(F.col("y") < F.col("z"))
-    e3a = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    e3b = oriented.select(F.col("hi").alias("y"), F.col("lo").alias("z"))
-    closing = e3a.unionAll(e3b)
+    # wedges enforce y < z by doc_id, so one id-normalized projection of
+    # the edge set (|E| rows) closes them — unioning both orientations
+    # would double the join's build volume for no semantic difference
+    closing = oriented.select(
+        F.least("lo", "hi").alias("y"), F.greatest("lo", "hi").alias("z")
+    )
     tris = wedges.join(closing, ["y", "z"])
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
