@@ -10325,3 +10325,157 @@ def q215_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension round 3 batch 2 (X143-X150): substring-level dedup, fuzzy
+# linkage, ranked retrieval + eval, spatial KNN, model-eval statistics
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # tokens per repeated-span shingle (Lee et al. 2022 use 50;
+# the synthetic docs average ~54 tokens, so 8 keeps spans sub-document)
+
+
+@register(
+    "q216_repeated_ngram_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             md5(array_to_string(ts[i:i+7], ' ')) AS g
+      FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)
+      WHERE len(ts) >= 8
+    ),
+    shared AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hit AS (SELECT doc_id, source, g FROM grams JOIN shared USING (g)),
+    base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(f.c, 0) AS BIGINT) AS n_docs_with_shared_span,
+           CAST(COALESCE(sg.c, 0) AS BIGINT) AS n_shared_grams
+    FROM base b
+    LEFT JOIN (SELECT source, COUNT(DISTINCT doc_id) AS c FROM hit
+               GROUP BY source) f USING (source)
+    LEFT JOIN (SELECT source, COUNT(DISTINCT g) AS c FROM hit
+               GROUP BY source) sg USING (source)
+    """,
+)
+def q216_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143 — substring-level duplication audit (the Lee et al. 2022
+    "Deduplicating Training Data" signal): positional 8-token shingles,
+    flag every gram appearing in >= 2 distinct documents, report per
+    source how many docs carry at least one cross-document repeated span
+    and how many distinct shared grams touch the source. Complements
+    q194 (document-HEAD fingerprints only) and q27/q211 (whole-doc /
+    line-level): this catches verbatim spans at ANY offset.
+
+    Plan shape: gram generation is a pure projection (sequence +
+    transform + slice, all codegen — no shuffle, no Python); the only
+    shuffles are the hash aggregation on the gram key and the semi-join
+    back on the same key. At 100 TB you would swap md5 for xxhash64 to
+    shrink the shuffle payload 4x; md5 is kept here because the DuckDB
+    oracle must compute the identical key.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    # sequence(1, 0) would yield [1, 0] (negative step), so guard short docs
+    starts = F.when(
+        F.size(toks) >= _SPAN_N,
+        F.sequence(F.lit(1), F.size(toks) - (_SPAN_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_N))),
+            )
+        ).alias("g"),
+    ).distinct()
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hit = grams.join(shared, "g")
+    f = hit.select("doc_id", "source").distinct().groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_with_shared_span")
+    )
+    sg = hit.select("source", "g").distinct().groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_grams")
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        base.join(f, "source", "left")
+        .join(sg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_docs_with_shared_span", F.lit(0)).alias(
+                "n_docs_with_shared_span"
+            ),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        )
+    )
+
+
+@register(
+    "q217_fuzzy_blocked_linkage",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blocked AS (
+      SELECT name, string_split(name, ' ')[-1] AS block FROM names
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def q217_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144 — fuzzy record linkage: blocking + edit-distance verify, the
+    classic entity-resolution pattern (Fellegi-Sunter style candidate
+    generation). Block key = last name token; candidates are an
+    equi-join WITHIN blocks only (never the O(n^2) cross product);
+    verify = Levenshtein <= 3, JVM-side ``levenshtein`` expression.
+
+    Runs on the DISTINCT name set — the dimension-sized side — so block
+    sizes are bounded by name-space cardinality, not row count; at
+    100 TB the distinct-project is the only full-data shuffle and the
+    pair join stays dimension-sized. A skewed block (one very common
+    token) would be salted; here blocks are the ~16 part nouns.
+    """
+    part = load(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.select(
+        "name", F.element_at(F.split(F.col("name"), " "), -1).alias("block")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )
