@@ -10479,3 +10479,236 @@ def q217_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 3)
     )
+
+
+_BM25_TERMS = ("spark", "join", "window")
+
+# Shared CTE: per-doc length + per-query-term term frequencies, then the
+# corpus scalars (N, sum_dl, per-term df). Mirrored exactly by _bm25_base.
+_BM25_SQL_BASE = """
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS dl,
+             CAST(len(list_filter(ts, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+             CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf_join,
+             CAST(len(list_filter(ts, x -> x = 'window')) AS BIGINT) AS tf_window
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+      )
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+             CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+             CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+             CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, tf_spark, tf_join, tf_window,
+             CAST(ROUND(ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                  * CAST(tf_spark AS DOUBLE) * 2.2
+                  / (CAST(tf_spark AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+                  * 1000000) AS BIGINT)
+             + CAST(ROUND(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                  * CAST(tf_join AS DOUBLE) * 2.2
+                  / (CAST(tf_join AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+                  * 1000000) AS BIGINT)
+             + CAST(ROUND(ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                  * CAST(tf_window AS DOUBLE) * 2.2
+                  / (CAST(tf_window AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * dl / (sum_dl / n_docs)))
+                  * 1000000) AS BIGINT) AS score_micro
+      FROM base, stats
+    )
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) for the fixed query ``_BM25_TERMS``
+    over ``documents`` — shared by q218 (retrieval) and q223 (NDCG eval).
+
+    Everything is a per-row projection: tf via ``filter`` on the token
+    array, dl via ``size`` — no explode, no per-term shuffle. The corpus
+    scalars (N, Σdl, per-term df) are ONE scalar aggregate broadcast
+    back with a 1-row cross join. Cross-engine determinism: each term's
+    contribution is rounded to integer micros BEFORE the (order-free)
+    integer sum, so float addition order can never flip a rank.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+
+    # closure FACTORY, not a defaulted lambda: a 2-parameter lambda would be
+    # interpreted by Spark's higher-order-function binder as (element, index)
+    def _eq(term: str):
+        return lambda t: t == F.lit(term)
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(term)))
+            .cast("long")
+            .alias(f"tf_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+
+    def contrib(t: str) -> F.Column:
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}")
+        idf = F.log(
+            (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        c = (
+            idf
+            * tf
+            * F.lit(2.2)
+            / (
+                tf
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+            )
+        )
+        return F.round(c * 1000000).cast("long")
+
+    score = contrib("spark") + contrib("join") + contrib("window")
+    return j.select(
+        "doc_id",
+        *[F.col(f"tf_{t}") for t in _BM25_TERMS],
+        score.alias("score_micro"),
+    )
+
+
+@register(
+    "q218_bm25_topk",
+    oracle=_BM25_SQL_BASE
+    + """
+    SELECT doc_id, score_micro,
+           ROUND(score_micro / 1000000.0, 6) AS bm25
+    FROM scored ORDER BY score_micro DESC, doc_id LIMIT 20
+    """,
+)
+def q218_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145 — BM25 ranked retrieval, top-20 for a fixed 3-term query.
+    orderBy+limit compiles to TakeOrderedAndProject (parallel partial
+    top-k per partition, k-row merge on the driver — never a global
+    sort). Tiebreak doc_id makes rank 20's cut deterministic.
+    """
+    scored = _bm25_scored(spark, sf_dir)
+    return (
+        scored.orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "score_micro",
+            F.round(F.col("score_micro") / 1000000.0, 6).alias("bm25"),
+        )
+    )
+
+
+@register(
+    "q223_ndcg_eval",
+    oracle=_BM25_SQL_BASE
+    + """
+    , rel AS (
+      SELECT doc_id, score_micro,
+             CAST((CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rel
+      FROM scored
+    ),
+    sys AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+      FROM rel
+    ),
+    ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+      FROM rel
+    ),
+    dcg AS (
+      SELECT SUM(CAST(ROUND(1000000.0 * rel / log2(CAST(rk + 1 AS DOUBLE))
+                 ) AS BIGINT)) AS dcg_micro
+      FROM sys WHERE rk <= 10
+    ),
+    idcg AS (
+      SELECT SUM(CAST(ROUND(1000000.0 * rel / log2(CAST(rk + 1 AS DOUBLE))
+                 ) AS BIGINT)) AS idcg_micro
+      FROM ideal WHERE rk <= 10
+    )
+    SELECT CAST(dcg_micro AS BIGINT) AS dcg_micro,
+           CAST(idcg_micro AS BIGINT) AS idcg_micro,
+           ROUND(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+             AS ndcg
+    FROM dcg, idcg
+    """,
+)
+def q223_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150 — NDCG@10 of the BM25 ranking (q218) against graded
+    relevance = number of distinct query terms present (0-3). The two
+    top-10s (system by score, ideal by relevance) come from
+    orderBy+limit (TakeOrdered, parallel); the rank index is then a
+    window over the 10 SURVIVING rows — a bounded-by-k single partition,
+    not a global sort. Per-rank DCG terms are rounded to integer micros
+    before summation so the result is addition-order-free and
+    hash-matches the oracle exactly.
+    """
+    rel = _bm25_scored(spark, sf_dir).select(
+        "doc_id",
+        "score_micro",
+        (
+            (F.col("tf_spark") > 0).cast("long")
+            + (F.col("tf_join") > 0).cast("long")
+            + (F.col("tf_window") > 0).cast("long")
+        ).alias("rel"),
+    )
+
+    def dcg10(df: DataFrame, order_cols, out: str) -> DataFrame:
+        top = df.orderBy(*order_cols).limit(10)
+        # window over <=10 rows (post-limit): bounded by k, by design
+        w = Window.orderBy(*order_cols)
+        return (
+            top.withColumn("rk", F.row_number().over(w))
+            .select(
+                F.round(
+                    F.lit(1000000.0)
+                    * F.col("rel")
+                    / F.log2((F.col("rk") + 1).cast("double"))
+                )
+                .cast("long")
+                .alias("term")
+            )
+            .agg(F.sum("term").cast("long").alias(out))
+        )
+
+    sys_dcg = dcg10(rel, [F.col("score_micro").desc(), F.col("doc_id")], "dcg_micro")
+    ideal_dcg = dcg10(rel, [F.col("rel").desc(), F.col("doc_id")], "idcg_micro")
+    return (
+        sys_dcg.crossJoin(F.broadcast(ideal_dcg))
+        .select(
+            "dcg_micro",
+            "idcg_micro",
+            F.round(
+                F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro").cast("double"),
+                6,
+            ).alias("ndcg"),
+        )
+    )
