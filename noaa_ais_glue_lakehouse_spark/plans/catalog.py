@@ -10712,3 +10712,185 @@ def q223_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+_KNN_R = 6.0  # degrees; also the grid cell size, which makes 3x3 exact
+_KNN_K = 3
+
+
+@register(
+    "q219_grid_knn_join",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, event_type,
+             CAST(event_id % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+             CAST((event_id * 7) % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
+      FROM events
+    ),
+    refs AS (
+      SELECT event_id AS ref_id, lat AS rlat, lon AS rlon
+      FROM pts WHERE event_id % 97 = 0
+    ),
+    qs AS (SELECT event_id, lat, lon FROM pts WHERE event_type = 'click'),
+    cand AS (
+      SELECT q.event_id, r.ref_id,
+             (q.lat - r.rlat)*(q.lat - r.rlat)
+             + (q.lon - r.rlon)*(q.lon - r.rlon) AS dist2
+      FROM qs q, refs r
+      WHERE (q.lat - r.rlat)*(q.lat - r.rlat)
+            + (q.lon - r.rlon)*(q.lon - r.rlon) <= 36.0
+    ),
+    ranked AS (
+      SELECT event_id, ref_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY dist2, ref_id) AS knn_rank
+      FROM cand
+    )
+    SELECT event_id, CAST(knn_rank AS BIGINT) AS knn_rank, ref_id,
+           ROUND(sqrt(dist2), 6) AS dist_deg
+    FROM ranked WHERE knn_rank <= 3
+    """,
+)
+def q219_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146 — radius-bounded exact K-nearest-neighbor join via grid
+    neighborhoods: for every 'click' event-point, its 3 nearest landmark
+    points within R=6 degrees (Euclidean in degree space). The oracle
+    is the BRUTE-FORCE cross join — this query's grid pruning must
+    reproduce it exactly, which it does because cell size == R: any
+    point within Euclidean R of q lies within one cell of q's cell on
+    each axis, so the 3x3 neighborhood is a complete candidate set.
+
+    Plan shape: the landmark side is exploded x9 into (cell_y, cell_x)
+    neighbor keys and BROADCAST (it is a modulus-sampled, dimension-
+    sized set); candidates come from an equi-join on the cell key — no
+    cross product anywhere on the big side; the final top-k is a window
+    partitioned by the query point (bounded fan-in: one 3x3 neighborhood
+    of landmarks). At 100 TB this is the standard spatial-bin KNN: scan-
+    shaped work on the big side, one window shuffle on event_id.
+    """
+    ev = load(spark, sf_dir, "events")
+    pts = _with_coords(ev.filter(F.col("event_type") == "click"))
+    refs = _with_coords(ev).filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("ref_id"),
+        F.col("lat").alias("rlat"),
+        F.col("lon").alias("rlon"),
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    ref_cells = (
+        refs.withColumn("dy", F.explode(off))
+        .withColumn("dx", F.explode(off))
+        .select(
+            (F.floor(F.col("rlat") / _KNN_R) + F.col("dy")).alias("cy"),
+            (F.floor(F.col("rlon") / _KNN_R) + F.col("dx")).alias("cx"),
+            "ref_id",
+            "rlat",
+            "rlon",
+        )
+    )
+    q = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / _KNN_R).alias("cy"),
+        F.floor(F.col("lon") / _KNN_R).alias("cx"),
+    )
+    dist2 = (F.col("lat") - F.col("rlat")) * (F.col("lat") - F.col("rlat")) + (
+        F.col("lon") - F.col("rlon")
+    ) * (F.col("lon") - F.col("rlon"))
+    cand = (
+        q.join(F.broadcast(ref_cells), ["cy", "cx"])
+        .select("event_id", "ref_id", dist2.alias("dist2"))
+        .filter(F.col("dist2") <= F.lit(_KNN_R * _KNN_R))
+    )
+    w = Window.partitionBy("event_id").orderBy("dist2", "ref_id")
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= _KNN_K)
+        .select(
+            "event_id",
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+            "ref_id",
+            F.round(F.sqrt(F.col("dist2")), 6).alias("dist_deg"),
+        )
+    )
+
+
+@register(
+    "q220_auc_rank_sum",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(list_sum(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+             AS BIGINT) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ),
+    g AS (
+      SELECT score, SUM(pos) AS n_pos, SUM(1 - pos) AS n_neg
+      FROM s GROUP BY score
+    ),
+    r AS (
+      SELECT score, n_pos, n_neg,
+             SUM(n_neg) OVER (ORDER BY score) AS cum_neg
+      FROM g
+    )
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           CAST(SUM(n_pos * (2*(cum_neg - n_neg) + n_neg)) AS BIGINT)
+             AS auc_num,
+           ROUND(CAST(SUM(n_pos * (2*(cum_neg - n_neg) + n_neg)) AS DOUBLE)
+                 / (2.0 * SUM(n_pos) * SUM(n_neg)), 6) AS auc
+    FROM r
+    """,
+)
+def q220_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147 — exact ROC-AUC by the Mann-Whitney rank-sum identity,
+    WITHOUT a global single-partition rank window: AUC equals
+    sum over distinct scores s of  n_pos(s) * (n_neg_below(s) + n_neg(s)/2)
+    normalized by n_pos*n_neg (ties get the half credit — equivalent to
+    average ranks). Scorer = squared L2 norm of the embedding in integer
+    micros (exact, order-free); positive class = label < 5.
+
+    Plan shape: one hash aggregation per distinct score, then the
+    running count of negatives comes from the repo's two-phase parallel
+    prefix scan (``global_running_sum``) — range partition + local
+    window + driver-sized offset broadcast — so the global ordering
+    never collapses to one task. The numerator is kept doubled (auc_num
+    = 2U) so every intermediate is an exact integer.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("long"),
+    )
+    score = F.aggregate(
+        micro, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    labeled = emb.select(
+        score.alias("score"),
+        (F.col("label") < 5).cast("long").alias("pos"),
+    )
+    g = labeled.groupBy("score").agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
+    )
+    run = global_running_sum(g, ["score"], "n_neg", out_col="cum_neg")
+    u2 = F.sum(
+        F.col("n_pos")
+        * (2 * (F.col("cum_neg") - F.col("n_neg")) + F.col("n_neg"))
+    )
+    return run.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        u2.cast("long").alias("auc_num"),
+        F.round(
+            u2.cast("double")
+            / (F.lit(2.0) * F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+    )
