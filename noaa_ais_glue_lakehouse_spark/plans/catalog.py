@@ -10894,3 +10894,147 @@ def q220_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "q221_lagged_cross_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST(generate_series(-3, 3)) AS lag),
+    j AS (
+      SELECT l.lag, da.a, db.b
+      FROM daily da
+      CROSS JOIN lags l
+      JOIN daily db ON db.d = da.d + CAST(l.lag AS INTEGER)
+    ),
+    m AS (
+      SELECT lag, COUNT(*) AS n,
+             SUM(a) AS sx, SUM(b) AS sy,
+             SUM(a*a) AS sxx, SUM(b*b) AS syy, SUM(a*b) AS sxy
+      FROM j GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                        * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS xcorr
+    FROM m
+    """,
+)
+def q221_lagged_cross_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X148 — lagged cross-correlation between two daily series (clicks
+    leading purchases): Pearson r of (clicks on day t, purchases on day
+    t+lag) for lag in -3..+3. The lead/lag diagnostic that q162's lag-1
+    AUTOcorrelation can't answer — does one series predict the other,
+    and at what offset?
+
+    Plan shape: ONE pass builds both daily series as conditional sums
+    (|days| rows); the 7 lags are a broadcast literal cross join on the
+    day-level rollup, re-joined to itself on the shifted date — all
+    joins are day-keyed equi-joins on dimension-sized data after the
+    single big aggregation. Moments are exact integers; only the final
+    normalization touches floats, mirrored operation-for-operation in
+    the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("a"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("b"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    da = daily.select("d", "a")
+    db = daily.select(F.col("d").alias("d2"), "b")
+    j = da.crossJoin(F.broadcast(lags)).join(
+        db, F.date_add(F.col("d"), F.col("lag")) == F.col("d2")
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("a"), F.sum("b")
+    sxx = F.sum(F.col("a") * F.col("a"))
+    syy = F.sum(F.col("b") * F.col("b"))
+    sxy = F.sum(F.col("a") * F.col("b"))
+    return j.groupBy("lag").agg(
+        n.cast("long").alias("n_days"),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            ),
+            6,
+        ).alias("xcorr"),
+    )
+
+
+@register(
+    "q222_maxsim_late_interaction",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM m WHERE vec_id < 3),
+    dots AS (
+      SELECT d.label, d.vec_id, q.qid,
+             list_sum(list_transform(generate_series(1, len(q.qv)),
+                      i -> q.qv[i] * d.v[i])) AS dot
+      FROM m d, q
+    ),
+    mx AS (
+      SELECT label, qid, MAX(dot) AS best FROM dots GROUP BY label, qid
+    )
+    SELECT label,
+           CAST(SUM(best) AS BIGINT) AS maxsim_milli2,
+           ROUND(CAST(SUM(best) AS DOUBLE) / 1000000.0, 6) AS maxsim
+    FROM mx GROUP BY label
+    """,
+)
+def q222_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X149 — ColBERT-style late-interaction retrieval (MaxSim): score a
+    candidate GROUP of vectors against a multi-vector query by, for each
+    query vector, taking the max dot product over the group's vectors,
+    then summing over query vectors. Groups = embedding labels (each
+    label's vectors play the role of one document's token embeddings);
+    query = vectors 0-2.
+
+    Plan shape: the query side is 3 rows — broadcast; the corpus side is
+    scanned once; dot products are an integer ``zip_with`` +
+    ``aggregate`` fold in milli units (exact, order-free); the two
+    reductions (max per label x query-vec, sum per label) share the
+    label shuffle key so the second agg is map-side-combinable on the
+    first's output. No pairwise corpus x corpus work anywhere. At
+    100 TB with a real query batch you shard queries into the broadcast
+    in batches; the corpus-side cost stays one scan per batch.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), milli.alias("qv")
+    )
+    corpus = emb.select("label", "vec_id", milli.alias("dv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("dv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dots = corpus.crossJoin(F.broadcast(qs)).select(
+        "label", "qid", dot.alias("dot")
+    )
+    mx = dots.groupBy("label", "qid").agg(F.max("dot").alias("best"))
+    return mx.groupBy("label").agg(
+        F.sum("best").cast("long").alias("maxsim_milli2"),
+        F.round(F.sum("best").cast("double") / 1000000.0, 6).alias("maxsim"),
+    )
