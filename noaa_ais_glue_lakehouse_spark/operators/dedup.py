@@ -837,3 +837,35 @@ def drop_boilerplate_segments(
             F.col("_id").alias(id_col), "n_segments", "n_kept", "cleaned_text"
         )
     )
+
+
+def repeated_span_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Positional n-token shingles per document, distinct per (id, gram) —
+    the candidate unit of SUBSTRING-level deduplication (Lee et al. 2022):
+    a gram held by >= 2 distinct ids is a verbatim repeated span at some
+    offset, which whole-document (q25), head-fingerprint (q194) and
+    line-level (drop_boilerplate_segments) dedup all miss.
+
+    Output: (id_col, g) where g = md5 of the space-joined n-gram. Pure
+    projection (sequence + transform + slice, all codegen); the caller
+    owns the group-by on g. md5 rather than xxhash64 so a SQL oracle can
+    reproduce the key; at 100 TB swap to xxhash64 to shrink the shuffle.
+    """
+    toks = tokenize(F.col(text_col))
+    # sequence(1, 0) would yield [1, 0] (negative step), so guard short docs
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n)))
+            )
+        ).alias("g"),
+    ).distinct()

@@ -561,3 +561,67 @@ def ivf_topk(
             "query_id", "neighbor_id", "score", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def grid_knn_join(
+    points: DataFrame,
+    refs: DataFrame,
+    k: int = 3,
+    radius: float = 6.0,
+    id_col: str = "event_id",
+    ref_id_col: str = "ref_id",
+) -> DataFrame:
+    """Radius-bounded EXACT k-nearest-neighbor join via grid
+    neighborhoods. ``points`` has (id_col, lat, lon); ``refs`` has
+    (ref_id_col, rlat, rlon) and must be the dimension-sized side (it is
+    broadcast). Returns (id_col, knn_rank, ref_id_col, dist_deg) for the
+    k nearest refs within Euclidean ``radius`` in degree space.
+
+    Exactness: cell size == radius, so any ref within Euclidean radius
+    of a point lies within one cell of the point's cell on each axis —
+    the 3x3 neighborhood is a complete candidate set (standard spatial
+    binning argument). The refs are exploded x9 into neighbor cell keys
+    and broadcast; candidate generation is an equi-join on the cell key
+    — no cross product touches the big side; the top-k window is
+    partitioned per point with bounded fan-in.
+    """
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    ref_cells = (
+        refs.withColumn("dy", F.explode(off))
+        .withColumn("dx", F.explode(off))
+        .select(
+            (F.floor(F.col("rlat") / radius) + F.col("dy")).alias("cy"),
+            (F.floor(F.col("rlon") / radius) + F.col("dx")).alias("cx"),
+            ref_id_col,
+            "rlat",
+            "rlon",
+        )
+    )
+    q = points.select(
+        id_col,
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / radius).alias("cy"),
+        F.floor(F.col("lon") / radius).alias("cx"),
+    )
+    dist2 = (F.col("lat") - F.col("rlat")) * (F.col("lat") - F.col("rlat")) + (
+        F.col("lon") - F.col("rlon")
+    ) * (F.col("lon") - F.col("rlon"))
+    cand = (
+        q.join(F.broadcast(ref_cells), ["cy", "cx"])
+        .select(id_col, ref_id_col, dist2.alias("dist2"))
+        .filter(F.col("dist2") <= F.lit(radius * radius))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("dist2", ref_id_col)
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            id_col,
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+            ref_id_col,
+            F.round(F.sqrt(F.col("dist2")), 6).alias("dist_deg"),
+        )
+    )

@@ -10383,30 +10383,22 @@ def q216_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink the shuffle payload 4x; md5 is kept here because the DuckDB
     oracle must compute the identical key.
     """
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        repeated_span_grams,
+    )
+
     docs = load(spark, sf_dir, "documents")
-    toks = tokenize(F.col("text"))
-    # sequence(1, 0) would yield [1, 0] (negative step), so guard short docs
-    starts = F.when(
-        F.size(toks) >= _SPAN_N,
-        F.sequence(F.lit(1), F.size(toks) - (_SPAN_N - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_N))),
-            )
-        ).alias("g"),
-    ).distinct()
+    src = docs.select("doc_id", "source")
+    grams = repeated_span_grams(docs, "doc_id", "text", n=_SPAN_N)
     shared = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("g")
     )
-    hit = grams.join(shared, "g")
+    # attach source AFTER the shared-gram semi-join: hit is the reduced
+    # set, and the doc_id equi-join needs no broadcast assumption at scale
+    hit = grams.join(shared, "g").join(src, "doc_id")
     f = hit.select("doc_id", "source").distinct().groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_with_shared_span")
     )
@@ -10768,6 +10760,10 @@ def q219_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of landmarks). At 100 TB this is the standard spatial-bin KNN: scan-
     shaped work on the big side, one window shuffle on event_id.
     """
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        grid_knn_join,
+    )
+
     ev = load(spark, sf_dir, "events")
     pts = _with_coords(ev.filter(F.col("event_type") == "click"))
     refs = _with_coords(ev).filter(F.col("event_id") % 97 == 0).select(
@@ -10775,44 +10771,7 @@ def q219_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat").alias("rlat"),
         F.col("lon").alias("rlon"),
     )
-    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    ref_cells = (
-        refs.withColumn("dy", F.explode(off))
-        .withColumn("dx", F.explode(off))
-        .select(
-            (F.floor(F.col("rlat") / _KNN_R) + F.col("dy")).alias("cy"),
-            (F.floor(F.col("rlon") / _KNN_R) + F.col("dx")).alias("cx"),
-            "ref_id",
-            "rlat",
-            "rlon",
-        )
-    )
-    q = pts.select(
-        "event_id",
-        "lat",
-        "lon",
-        F.floor(F.col("lat") / _KNN_R).alias("cy"),
-        F.floor(F.col("lon") / _KNN_R).alias("cx"),
-    )
-    dist2 = (F.col("lat") - F.col("rlat")) * (F.col("lat") - F.col("rlat")) + (
-        F.col("lon") - F.col("rlon")
-    ) * (F.col("lon") - F.col("rlon"))
-    cand = (
-        q.join(F.broadcast(ref_cells), ["cy", "cx"])
-        .select("event_id", "ref_id", dist2.alias("dist2"))
-        .filter(F.col("dist2") <= F.lit(_KNN_R * _KNN_R))
-    )
-    w = Window.partitionBy("event_id").orderBy("dist2", "ref_id")
-    return (
-        cand.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= _KNN_K)
-        .select(
-            "event_id",
-            F.col("knn_rank").cast("long").alias("knn_rank"),
-            "ref_id",
-            F.round(F.sqrt(F.col("dist2")), 6).alias("dist_deg"),
-        )
-    )
+    return grid_knn_join(pts, refs, k=_KNN_K, radius=_KNN_R)
 
 
 @register(
@@ -10859,9 +10818,7 @@ def q220_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     never collapses to one task. The numerator is kept doubled (auc_num
     = 2U) so every intermediate is an exact integer.
     """
-    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
-        global_running_sum,
-    )
+    from noaa_ais_glue_lakehouse_spark.operators.evaluation import exact_auc
 
     emb = load(spark, sf_dir, "embeddings")
     micro = F.transform(
@@ -10875,25 +10832,7 @@ def q220_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (F.col("label") < 5).cast("long").alias("pos"),
     )
-    g = labeled.groupBy("score").agg(
-        F.sum("pos").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("pos")).alias("n_neg"),
-    )
-    run = global_running_sum(g, ["score"], "n_neg", out_col="cum_neg")
-    u2 = F.sum(
-        F.col("n_pos")
-        * (2 * (F.col("cum_neg") - F.col("n_neg")) + F.col("n_neg"))
-    )
-    return run.agg(
-        F.sum("n_pos").cast("long").alias("n_pos"),
-        F.sum("n_neg").cast("long").alias("n_neg"),
-        u2.cast("long").alias("auc_num"),
-        F.round(
-            u2.cast("double")
-            / (F.lit(2.0) * F.sum("n_pos") * F.sum("n_neg")),
-            6,
-        ).alias("auc"),
-    )
+    return exact_auc(labeled, "score", "pos")
 
 
 @register(

@@ -86,6 +86,17 @@ ALLOWED_NON_EQUI = {
     # deliberate 1-row x 1-row cross join: the edge-count scalar attached
     # to the 1-row triangle-count aggregate
     "q214_triangle_count",
+    # deliberate SINGLE-ROW broadcast cross join: the corpus (N, Σdl,
+    # per-term df) scalar attached to the per-doc BM25 projection
+    "q218_bm25_topk",
+    # same BM25 scalar cross join, plus the 1-row DCG x 1-row IDCG pairing
+    "q223_ndcg_eval",
+    # deliberate 7-row broadcast literal cross join: the lag spine
+    # attached to the |days|-sized daily rollup
+    "q221_lagged_cross_correlation",
+    # deliberate 3-row broadcast cross join: the multi-vector query side
+    # of MaxSim attached to the corpus scan (bounded by query size)
+    "q222_maxsim_late_interaction",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means

@@ -1,0 +1,163 @@
+"""Retrieval + model-eval batch (q216-q223): hand-computed pins for the
+operator extractions and formula-level cross-checks for the catalog
+queries the DuckDB oracle can only verify end-to-end.
+"""
+
+from __future__ import annotations
+
+import math
+
+from noaa_ais_glue_lakehouse_spark.operators.dedup import repeated_span_grams
+from noaa_ais_glue_lakehouse_spark.operators.evaluation import exact_auc
+from noaa_ais_glue_lakehouse_spark.operators.similarity import grid_knn_join
+from noaa_ais_glue_lakehouse_spark.plans import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_repeated_span_grams_flags_planted_span(spark):
+    span = "a b c d e f g h"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"x y {span} z w"),
+            (2, f"{span} q r s t u v"),
+            (3, "entirely different tokens with no overlap at all here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    grams = repeated_span_grams(docs, "doc_id", "text", n=8)
+    shared = (
+        grams.groupBy("g").count().filter("count >= 2").join(grams, "g")
+    )
+    flagged = {r["doc_id"] for r in shared.select("doc_id").distinct().collect()}
+    assert flagged == {1, 2}
+
+
+def test_repeated_span_grams_short_doc_yields_no_grams(spark):
+    docs = spark.createDataFrame([(1, "only three tokens")], ["doc_id", "text"])
+    assert repeated_span_grams(docs, n=8).count() == 0
+
+
+def test_exact_auc_hand_computed_with_ties(spark):
+    # scores: pos={3, 2}, neg={2, 1}. Pairs: (3>2)=1, (3>1)=1, (2==2)=.5,
+    # (2>1)=1 -> U=3.5, AUC = 3.5/4 = 0.875
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (2, 0), (1, 0)], ["score", "pos"]
+    )
+    row = exact_auc(df, "score", "pos").collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (2, 2)
+    assert row["auc_num"] == 7  # 2U
+    assert abs(row["auc"] - 0.875) < 1e-9
+
+
+def test_exact_auc_perfect_and_inverted(spark):
+    perfect = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], ["score", "pos"]
+    )
+    assert exact_auc(perfect, "score", "pos").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 0), (10, 0)], ["score", "pos"]
+    )
+    assert exact_auc(inverted, "score", "pos").collect()[0]["auc"] == 0.0
+
+
+def test_grid_knn_join_matches_brute_force(spark):
+    # deterministic pseudo-random points; refs on a coarse lattice
+    pts = spark.createDataFrame(
+        [(i, (i * 37 % 180) - 90.0, (i * 53 % 360) - 180.0) for i in range(200)],
+        ["event_id", "lat", "lon"],
+    )
+    refs = spark.createDataFrame(
+        [(j, (j * 61 % 180) - 90.0, (j * 29 % 360) - 180.0) for j in range(25)],
+        ["ref_id", "rlat", "rlon"],
+    )
+    got = {
+        (r["event_id"], r["knn_rank"]): (r["ref_id"], r["dist_deg"])
+        for r in grid_knn_join(pts, refs, k=2, radius=10.0).collect()
+    }
+    # brute force in python
+    P = {r["event_id"]: (r["lat"], r["lon"]) for r in pts.collect()}
+    R = {r["ref_id"]: (r["rlat"], r["rlon"]) for r in refs.collect()}
+    for eid, (la, lo) in P.items():
+        cands = sorted(
+            (
+                ((la - ra) ** 2 + (lo - ro) ** 2, rid)
+                for rid, (ra, ro) in R.items()
+                if (la - ra) ** 2 + (lo - ro) ** 2 <= 100.0
+            )
+        )
+        for rank, (d2, rid) in enumerate(cands[:2], start=1):
+            assert got[(eid, rank)][0] == rid, (eid, rank)
+            assert abs(got[(eid, rank)][1] - round(math.sqrt(d2), 6)) < 1e-9
+        assert (eid, len(cands[:2]) + 1) not in got
+
+
+def test_bm25_top1_matches_python_recompute(spark):
+    rows = catalog.queries()["q218_bm25_topk"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    # scores must be non-increasing with doc_id tiebreak
+    keys = [(-r["score_micro"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    # recompute the winner's score from raw tokens
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in docs.values()) / n
+    terms = ("spark", "join", "window")
+    df = {t: float(sum(1 for toks in docs.values() if t in toks)) for t in terms}
+    top = rows[0]
+    expect = 0
+    for t in terms:
+        tf = float(docs[top["doc_id"]].count(t))
+        idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        dl = float(len(docs[top["doc_id"]]))
+        c = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        expect += int(round(c * 1e6))
+    assert top["score_micro"] == expect
+
+
+def test_ndcg_bounded_and_consistent(spark):
+    row = catalog.queries()["q223_ndcg_eval"](spark, SF_DIR).collect()[0]
+    assert 0 < row["dcg_micro"] <= row["idcg_micro"]
+    assert 0.0 < row["ndcg"] <= 1.0
+    assert abs(row["ndcg"] - round(row["dcg_micro"] / row["idcg_micro"], 6)) < 1e-12
+
+
+def test_cross_correlation_is_bounded_and_full_lag_spine(spark):
+    rows = catalog.queries()["q221_lagged_cross_correlation"](
+        spark, SF_DIR
+    ).collect()
+    lags = sorted(r["lag"] for r in rows)
+    assert lags == list(range(-3, 4))
+    for r in rows:
+        assert -1.0 <= r["xcorr"] <= 1.0
+        assert r["n_days"] >= 1
+
+
+def test_maxsim_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    milli = {
+        r["vec_id"]: np.round(
+            np.array(r["embedding"], dtype=np.float64) * 1000
+        ).astype(np.int64)
+        for r in emb
+    }
+    labels = {r["vec_id"]: r["label"] for r in emb}
+    queries = {i: milli[i] for i in (0, 1, 2) if i in milli}
+    expect: dict[int, int] = {}
+    for lbl in set(labels.values()):
+        group = [v for vid, v in milli.items() if labels[vid] == lbl]
+        expect[lbl] = sum(
+            int(max(int(q @ d) for d in group)) for q in queries.values()
+        )
+    got = {
+        r["label"]: r["maxsim_milli2"]
+        for r in catalog.queries()["q222_maxsim_late_interaction"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expect
