@@ -10977,3 +10977,341 @@ def q222_maxsim_late_interaction(
         F.sum("best").cast("long").alias("maxsim_milli2"),
         F.round(F.sum("best").cast("double") / 1000000.0, 6).alias("maxsim"),
     )
+
+
+@register(
+    "q225_sorted_neighborhood_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    r AS (SELECT name, ROW_NUMBER() OVER (ORDER BY name) AS idx FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(b.idx - a.idx AS BIGINT) AS idx_gap,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+    FROM r a JOIN r b ON b.idx > a.idx AND b.idx - a.idx < 3
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+)
+def q225_sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X152 — sorted-neighborhood record linkage (Hernandez-Stolfo): sort
+    keys, compare each record only with its w-1 successors in sort order,
+    verify with Levenshtein. The OTHER classic candidate generator next
+    to q217's blocking — catches near-matches that straddle block
+    boundaries (e.g. a typo in the blocking token itself would defeat
+    q217; sort order keeps the pair adjacent).
+
+    Scale shape: the global sort POSITION comes from the two-phase
+    parallel prefix scan (global_running_sum of 1 — range partition +
+    local window + offset broadcast), never a single-partition
+    ROW_NUMBER; neighborhood candidates are an equi-join on
+    floor(idx/w) bucket keys (each row probes its own and the next
+    bucket — any pair with idx gap < w differs by at most one bucket),
+    so the candidate volume is |rows| x w with no sort-order self-join.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    w = 3
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    idx = global_running_sum(
+        names.withColumn("_one", F.lit(1)), ["name"], "_one", out_col="idx"
+    ).drop("_one")
+    b = idx.withColumn("bkt", F.floor((F.col("idx") - 1) / w))
+    probe = b.select(
+        F.col("name").alias("name_a"),
+        F.col("idx").alias("ia"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("jb"),
+    )
+    build = b.select(
+        F.col("name").alias("name_b"),
+        F.col("idx").alias("ib"),
+        F.col("bkt").alias("jb"),
+    )
+    return (
+        probe.join(build, "jb")
+        .filter(
+            (F.col("ib") > F.col("ia")) & (F.col("ib") - F.col("ia") < w)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            (F.col("ib") - F.col("ia")).cast("long").alias("idx_gap"),
+            F.levenshtein(F.col("name_a"), F.col("name_b"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+@register(
+    "q226_two_proportion_ztest",
+    oracle="""
+    WITH c AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS success
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN grp = 0 THEN success ELSE 0 END) AS x_a,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN grp = 1 THEN success ELSE 0 END) AS x_b
+      FROM c
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+           ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+    FROM m
+    """,
+)
+def q226_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153 — pooled two-proportion z-test (the A/B-test primitive):
+    among click/purchase events, does the purchase share differ between
+    the even/odd user-id cohorts? Completes the hypothesis-testing
+    family (chi-square q143 for independence, KS q202 for distributions
+    — this one for binomial rates). Event-level trials rather than
+    user-level conversion because in this synthetic corpus every user
+    eventually purchases (user-level p would be exactly 1 and the
+    pooled variance exactly 0).
+
+    Plan shape: the whole statistic is ONE conditional-sum scalar
+    aggregate over a pushed-down dictionary filter — no join, no
+    intermediate rollup; the z formula is a closed-form expression over
+    exact integers, mirrored operation-for-operation in the oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        (F.col("user_id") % 2).alias("grp"),
+        (F.col("event_type") == "purchase").cast("long").alias("success"),
+    )
+    m = c.agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("success")).otherwise(0)).alias(
+            "x_a"
+        ),
+        F.sum((F.col("grp") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("success")).otherwise(0)).alias(
+            "x_b"
+        ),
+    )
+    na, xa = F.col("n_a"), F.col("x_a")
+    nb, xb = F.col("n_b"), F.col("x_b")
+    pool = (xa + xb).cast("double") / (na + nb)
+    z = (xa.cast("double") / na - xb.cast("double") / nb) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    return m.select(
+        na.cast("long").alias("n_a"),
+        xa.cast("long").alias("x_a"),
+        nb.cast("long").alias("n_b"),
+        xb.cast("long").alias("x_b"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+@register(
+    "q227_reciprocal_rank_fusion",
+    oracle=_BM25_SQL_BASE
+    + """
+    , r1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk1
+      FROM scored
+    ),
+    r2 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk2
+      FROM documents
+    ),
+    fused AS (
+      SELECT r1.doc_id,
+             CAST(ROUND(1000000.0 / (60.0 + rk1)) AS BIGINT)
+             + CAST(ROUND(1000000.0 / (60.0 + rk2)) AS BIGINT) AS rrf_micro
+      FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id
+    )
+    SELECT doc_id, rrf_micro,
+           ROUND(rrf_micro / 1000000.0, 6) AS rrf
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def q227_reciprocal_rank_fusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X154 — hybrid-search rank fusion: RRF(d) = sum over rankers of
+    1/(60 + rank_r(d)), here fusing the BM25 ranking (q218) with a
+    document-length prior ranking. The standard way to combine lexical
+    and secondary signals without score calibration.
+
+    Scale shape: each GLOBAL ranking is a two-phase parallel prefix scan
+    (running count of 1 over the ranking's total order — range
+    partition + local window + broadcast offsets), NEVER a
+    single-partition ROW_NUMBER over the corpus; the fusion is a
+    doc_id equi-join; per-ranker RRF terms are rounded to integer
+    micros before the order-free sum; final top-20 is TakeOrdered.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    scored = _bm25_scored(spark, sf_dir).select(
+        "doc_id", (-F.col("score_micro")).alias("neg_score")
+    )
+    r1 = global_running_sum(
+        scored.withColumn("_one", F.lit(1)),
+        ["neg_score", "doc_id"],
+        "_one",
+        out_col="rk1",
+    ).select("doc_id", "rk1")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (-F.col("n_chars")).alias("neg_len")
+    )
+    r2 = global_running_sum(
+        docs.withColumn("_one", F.lit(1)),
+        ["neg_len", "doc_id"],
+        "_one",
+        out_col="rk2",
+    ).select("doc_id", "rk2")
+    term = lambda rk: F.round(F.lit(1000000.0) / (F.lit(60.0) + F.col(rk))).cast(  # noqa: E731
+        "long"
+    )
+    fused = r1.join(r2, "doc_id").select(
+        "doc_id", (term("rk1") + term("rk2")).alias("rrf_micro")
+    )
+    return (
+        fused.orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "rrf_micro",
+            F.round(F.col("rrf_micro") / 1000000.0, 6).alias("rrf"),
+        )
+    )
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One BPE round of the oracle: pair counts over the current symbol
+    strings, deterministic argmax, 4-pass non-overlapping merge."""
+    prev = f"r{i}"
+    merged = "s"
+    for _ in range(4):
+        merged = (
+            f"replace({merged}, ' '||m{i}.a||' '||m{i}.b||' ', "
+            f"' '||m{i}.a||m{i}.b||' ')"
+        )
+    return f"""
+    p{i} AS (
+      SELECT t[j] AS a, t[j+1] AS b, SUM(c) AS cnt
+      FROM (SELECT c, list_filter(string_split(trim(s), ' '),
+                                  x -> x <> '') AS t FROM {prev}),
+           UNNEST(generate_series(1, len(t) - 1)) AS u(j)
+      WHERE len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    m{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    r{i + 1} AS (SELECT w, c, {merged} AS s FROM {prev}, m{i})
+    """
+
+
+@register(
+    "q224_bpe_merges",
+    oracle="""
+    WITH wf AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST(list_filter(string_split_regex(lower(trim(text)),
+                     '\\s+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    r1 AS (
+      SELECT w, c,
+             ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+      FROM wf
+    ),
+    """
+    + _bpe_round_sql(1)
+    + ","
+    + _bpe_round_sql(2)
+    + ","
+    + _bpe_round_sql(3)
+    + """
+    SELECT CAST(1 AS INTEGER) AS merge_rank, a AS sym_a, b AS sym_b,
+           CAST(cnt AS BIGINT) AS pair_count FROM m1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), a, b, CAST(cnt AS BIGINT) FROM m2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), a, b, CAST(cnt AS BIGINT) FROM m3
+    """,
+)
+def q224_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151 — BPE tokenizer training, first 3 merge rounds: the
+    byte-pair-encoding vocabulary-induction loop every modern tokenizer
+    starts from. Each round counts adjacent symbol pairs weighted by
+    word frequency, picks the most frequent pair (tiebreak: count desc,
+    then pair lexicographic), and fuses it everywhere.
+
+    Scale shape: BPE statistics live on the WORD-FREQUENCY table, not
+    the corpus — the one corpus-sized shuffle is the initial word count;
+    every round after that runs on the vocabulary (dimension-sized, here
+    ~40 rows, in practice ~10^6 — still thousands of times smaller than
+    the corpus). The per-round argmax is a 1-row collect by design
+    (bounded driver work, like q55's k-means sample); the merge itself
+    is 4 fixed non-overlapping ``replace`` passes over the padded
+    symbol string — enough to reach the greedy-BPE fixpoint for any
+    realistic word, and mirrored pass-for-pass in the oracle so both
+    engines compute the identical (if pathological-repeat-inexact)
+    semantics.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    sym = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    cur = wf.select("w", "c", sym.alias("s"))
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(3):
+        toks = F.split(F.trim(F.col("s")), " ")
+        # sequence(1, 0) would yield [1, 0] (negative step): guard 1-symbol words
+        idxs = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            "c",
+            F.explode(
+                F.transform(
+                    idxs,
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + F.lit(1)).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        pc = pairs.groupBy("p.a", "p.b").agg(F.sum("c").alias("cnt"))
+        top = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
+        merges.append((r + 1, top["a"], top["b"], int(top["cnt"])))
+        needle = F.lit(f" {top['a']} {top['b']} ")
+        repl = F.lit(f" {top['a']}{top['b']} ")
+        s2 = F.col("s")
+        for _ in range(4):  # fixed pass count, mirrored in the oracle
+            s2 = F.replace(s2, needle, repl)
+        cur = cur.select("w", "c", s2.alias("s"))
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, pair_count long"
+    )

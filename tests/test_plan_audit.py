@@ -115,6 +115,8 @@ BUILD_TIME_EXECUTION = {
     "q138_leakage_safe_split",
     # pagerank counts |V| once at plan build to seed the uniform vector
     "q179_event_type_pagerank",
+    # each BPE round's argmax pair is a 1-row collect at plan build
+    "q224_bpe_merges",
 }
 
 
