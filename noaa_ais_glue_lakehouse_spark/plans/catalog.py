@@ -11315,3 +11315,276 @@ def q224_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, sym_a string, sym_b string, pair_count long"
     )
+
+
+@register(
+    "q228_seasonal_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT d, n, (isodow(d) - 1) AS wd,
+             SUM(n) OVER w7 AS s7, COUNT(*) OVER w7 AS c7
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    w AS (
+      SELECT (isodow(d) - 1) AS wd, SUM(n) AS swd, COUNT(*) AS cwd
+      FROM daily GROUP BY 1
+    ),
+    g AS (SELECT SUM(n) AS tot, COUNT(*) AS nd FROM daily)
+    SELECT t.d, CAST(t.n AS BIGINT) AS n,
+           ROUND(s7 / 7.0, 6) AS trend,
+           ROUND(CAST(swd AS DOUBLE) / cwd - CAST(tot AS DOUBLE) / nd, 6)
+             AS seasonal,
+           ROUND(t.n - s7 / 7.0
+                 - (CAST(swd AS DOUBLE) / cwd - CAST(tot AS DOUBLE) / nd), 6)
+             AS resid
+    FROM t JOIN w ON w.wd = t.wd, g
+    WHERE c7 = 7
+    """,
+)
+def q228_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X155 — naive additive seasonal decomposition of the daily volume
+    series: trend = 7-day centered moving average (complete windows
+    only), seasonal = weekday mean minus grand mean, resid = n - trend
+    - seasonal. The classic first look at any daily operational series
+    — "is Monday really down, or is the whole week trending down?".
+
+    Plan shape: ONE corpus-sized shuffle (the daily rollup); everything
+    after runs on the |days| table — the centered-MA window is a
+    single-partition window over the day-level rollup BY DESIGN (like
+    q208's CUSUM: the post-aggregation series is driver-sized), the
+    weekday means join on a 7-row key, and the grand mean is a 1-row
+    broadcast cross join. Means are exact-integer sums over counts; the
+    only float ops are the mirrored final divisions.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    t = daily.select(
+        "d",
+        "n",
+        F.expr("weekday(d)").alias("wd"),
+        F.sum("n").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    wdm = daily.groupBy(F.expr("weekday(d)").alias("wd")).agg(
+        F.sum("n").alias("swd"), F.count(F.lit(1)).alias("cwd")
+    )
+    g = daily.agg(F.sum("n").alias("tot"), F.count(F.lit(1)).alias("nd"))
+    seasonal = (
+        F.col("swd").cast("double") / F.col("cwd")
+        - F.col("tot").cast("double") / F.col("nd")
+    )
+    trend = F.col("s7") / F.lit(7.0)
+    return (
+        t.join(F.broadcast(wdm), "wd")
+        .crossJoin(F.broadcast(g))
+        .filter(F.col("c7") == 7)
+        .select(
+            "d",
+            F.col("n").cast("long").alias("n"),
+            F.round(trend, 6).alias("trend"),
+            F.round(seasonal, 6).alias("seasonal"),
+            F.round(F.col("n") - trend - seasonal, 6).alias("resid"),
+        )
+    )
+
+
+@register(
+    "q229_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(LEAST(FLOOR(value / 50.0), 9) AS INTEGER) AS bin,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 50000.0, 6)
+             AS mean_score,
+           ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+           ROUND(abs(CAST(SUM(pos) AS DOUBLE) / COUNT(*)
+                     - CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 50000.0), 6)
+             AS gap
+    FROM s GROUP BY bin
+    """,
+)
+def q229_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 — calibration / reliability diagram: treat value/500 as a
+    predicted purchase probability, bin into deciles, and compare each
+    bin's mean prediction against its observed purchase rate; ``gap``
+    is the per-bin |confidence - accuracy| whose n-weighted sum is the
+    Expected Calibration Error. The standard diagnostic before trusting
+    any model-score column as a probability.
+
+    Plan shape: one hash aggregation on the 10-key bin column (fully
+    map-side combinable); mean scores go through exact integer cents so
+    the only floats are the mirrored final divisions.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    n = F.count(F.lit(1))
+    mean_score = F.sum("cents").cast("double") / n / F.lit(50000.0)
+    frac = F.sum("pos").cast("double") / n
+    return s.groupBy("bin").agg(
+        n.cast("long").alias("n"),
+        F.round(mean_score, 6).alias("mean_score"),
+        F.round(frac, 6).alias("frac_pos"),
+        F.round(F.abs(frac - mean_score), 6).alias("gap"),
+    )
+
+
+@register("q230_spectral_features")  # rows-only: FFT floats are
+# library/platform-specific; known-waveform values pinned in pytest
+def q230_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157 — multimodal frequency-domain path: per-frame spectral
+    centroid + octave-band energy split over PCM16 payloads (document
+    bytes stand in, as in q201), REAL numpy.fft math inside
+    Arrow-batched mapInPandas. Complements q201's time-domain RMS/ZCR;
+    together they are the standard pre-codec audio quality screen.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        extract_spectral_features,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = extract_spectral_features(docs, "doc_id", "payload", frame_samples=64)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        F.round("centroid", 6).alias("centroid"),
+        F.round("band_0", 6).alias("band_0"),
+        F.round("band_1", 6).alias("band_1"),
+        F.round("band_2", 6).alias("band_2"),
+        F.round("band_3", 6).alias("band_3"),
+    )
+
+
+@register(
+    "q231_embedding_covariance",
+    oracle="""
+    WITH m AS (
+      SELECT list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    marg AS (
+      SELECT i, SUM(v[i]) AS s
+      FROM m, UNNEST(generate_series(1, len(v))) AS u(i)
+      GROUP BY i
+    ),
+    pairs AS (
+      SELECT i, j, SUM(vi * vj) AS sij FROM (
+        SELECT u.i AS i, w.j AS j, v[u.i] AS vi, v[w.j] AS vj
+        FROM m,
+             UNNEST(generate_series(1, len(v))) AS u(i),
+             UNNEST(generate_series(1, len(v))) AS w(j)
+        WHERE w.j >= u.i
+      ) GROUP BY i, j
+    ),
+    g AS (SELECT COUNT(*) AS n FROM m)
+    SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+           CAST(n * sij - ma.s * mb.s AS BIGINT) AS cov_num,
+           ROUND(CAST(n * sij - ma.s * mb.s AS DOUBLE)
+                 / (n * (n - 1.0)) / 1000000.0, 6) AS cov
+    FROM pairs p
+    JOIN marg ma ON ma.i = p.i
+    JOIN marg mb ON mb.i = p.j, g
+    """,
+)
+def q231_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 — distributed covariance matrix of the embedding columns
+    (upper triangle, sample covariance): the input to PCA/whitening and
+    the redundancy screen for learned representations. cov_ij =
+    (n*S_ij - S_i*S_j) / (n*(n-1)) over integer-milli components, so
+    every term before the mirrored final division is an exact integer.
+
+    Plan shape: the CORRECT 100 TB decomposition — the data is huge but
+    the matrix is tiny (64x64), so each row emits its d(d+1)/2 = 2080
+    upper-triangle products and ONE hash aggregation reduces them; the
+    marginal sums ride a 64-key aggregation and join back broadcast.
+    No driver-side matrix math, no per-row Python. (At bigger n than
+    ~10^9 the milli-int products approach int64 range — swap to DECIMAL
+    sums or per-partition float Welford then.)
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    rows = emb.select(v.alias("v"))
+    d = F.size(F.col("v"))
+    idx = F.sequence(F.lit(1), d)
+    marg = (
+        rows.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("i"), F.element_at(F.col("v"), i).alias("x")
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.i").alias("i"))
+        .agg(F.sum("e.x").alias("s"))
+    )
+    pairs = (
+        rows.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        idx,
+                        lambda i: F.transform(
+                            F.sequence(i, d),
+                            lambda j: F.struct(
+                                i.alias("i"),
+                                j.alias("j"),
+                                (
+                                    F.element_at(F.col("v"), i)
+                                    * F.element_at(F.col("v"), j)
+                                ).alias("p"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").alias("sij"))
+    )
+    g = rows.agg(F.count(F.lit(1)).alias("n"))
+    ma = marg.select(F.col("i"), F.col("s").alias("sa"))
+    mb = marg.select(F.col("i").alias("j"), F.col("s").alias("sb"))
+    num = F.col("n") * F.col("sij") - F.col("sa") * F.col("sb")
+    return (
+        pairs.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            num.cast("long").alias("cov_num"),
+            F.round(
+                num.cast("double")
+                / (F.col("n") * (F.col("n") - F.lit(1.0)))
+                / F.lit(1000000.0),
+                6,
+            ).alias("cov"),
+        )
+    )

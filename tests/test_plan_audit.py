@@ -97,6 +97,12 @@ ALLOWED_NON_EQUI = {
     # deliberate 3-row broadcast cross join: the multi-vector query side
     # of MaxSim attached to the corpus scan (bounded by query size)
     "q222_maxsim_late_interaction",
+    # deliberate SINGLE-ROW broadcast cross join: the grand-mean scalar
+    # attached to the |days|-sized decomposition table
+    "q228_seasonal_decomposition",
+    # deliberate SINGLE-ROW broadcast cross join: the corpus row count
+    # attached to the 2080-row covariance triangle
+    "q231_embedding_covariance",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means

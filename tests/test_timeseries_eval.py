@@ -1,0 +1,135 @@
+"""Seasonal decomposition, calibration, spectral features, covariance
+(q228-q231): Python/numpy recompute parity at sf0.001 plus a
+known-waveform pin for the FFT path.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+    extract_spectral_features,
+)
+from noaa_ais_glue_lakehouse_spark.plans import catalog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_seasonal_decomposition_matches_python(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    daily = Counter(r["ts"].date() for r in ev)
+    days = sorted(daily)
+    grand = sum(daily.values()) / len(days)
+    wd_mean = defaultdict(list)
+    for d in days:
+        wd_mean[d.weekday()].append(daily[d])
+    expect = {}
+    for k, d in enumerate(days):
+        if k < 3 or k >= len(days) - 3:
+            continue
+        trend = sum(daily[days[k + o]] for o in range(-3, 4)) / 7.0
+        seas = sum(wd_mean[d.weekday()]) / len(wd_mean[d.weekday()]) - grand
+        expect[d] = (
+            daily[d],
+            round(trend, 6),
+            round(seas, 6),
+            round(daily[d] - trend - seas, 6),
+        )
+    got = {
+        r["d"]: (r["n"], r["trend"], r["seasonal"], r["resid"])
+        for r in catalog.queries()["q228_seasonal_decomposition"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for d in expect:
+        for a, b in zip(got[d], expect[d]):
+            assert abs(a - b) < 1e-9, (d, got[d], expect[d])
+
+
+def test_calibration_bins_match_python(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0])  # n, cents, pos
+    for r in ev:
+        b = min(int(r["value"] // 50.0), 9)
+        agg[b][0] += 1
+        agg[b][1] += int(round(r["value"] * 100))
+        agg[b][2] += r["event_type"] == "purchase"
+    got = {
+        r["bin"]: r
+        for r in catalog.queries()["q229_calibration_bins"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for b, (n, cents, pos) in agg.items():
+        assert got[b]["n"] == n
+        assert abs(got[b]["mean_score"] - round(cents / n / 50000.0, 6)) < 1e-9
+        assert abs(got[b]["frac_pos"] - round(pos / n, 6)) < 1e-9
+
+
+def test_spectral_features_pure_tone(spark):
+    import numpy as np
+
+    n = 64
+    cycles = 8  # tone at normalized frequency 8/64 = 0.125
+    t = np.arange(n * 4)
+    wave = (10000 * np.sin(2 * math.pi * cycles * t / n)).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(wave.tobytes()))], ["doc_id", "payload"]
+    )
+    rows = extract_spectral_features(
+        df, "doc_id", "payload", frame_samples=n
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # centroid at the tone frequency; for N=64 the tone's rfft bin 8
+        # lands in band_2 = [N/8, N/4) = bins [8, 16)
+        assert abs(r["centroid"] - cycles / n) < 0.01
+        assert r["band_2"] > 0.95
+        assert r["band_0"] < 0.05 and r["band_3"] < 0.05
+
+
+def test_spectral_silence_and_short_payloads(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x00" * 256)),  # 128 zero samples -> 2 frames of 64
+            (2, bytearray(b"\x01")),  # shorter than one frame -> no rows
+        ],
+        ["doc_id", "payload"],
+    )
+    rows = extract_spectral_features(
+        df, "doc_id", "payload", frame_samples=64
+    ).collect()
+    assert {r["id"] for r in rows} == {1}
+    for r in rows:
+        assert r["centroid"] == 0.0
+        assert r["band_0"] == r["band_1"] == r["band_2"] == r["band_3"] == 0.0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    M = np.array(
+        [
+            np.round(np.array(r["embedding"], dtype=np.float64) * 1000)
+            for r in emb
+        ],
+        dtype=np.int64,
+    )
+    n, d = M.shape
+    S = M.sum(axis=0)
+    G = M.T @ M
+    got = {
+        (r["i"], r["j"]): (r["cov_num"], r["cov"])
+        for r in catalog.queries()["q231_embedding_covariance"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), (num, cov) in got.items():
+        expect_num = int(n * G[i - 1, j - 1] - S[i - 1] * S[j - 1])
+        assert num == expect_num
+        assert abs(cov - round(expect_num / (n * (n - 1.0)) / 1e6, 6)) < 1e-9
