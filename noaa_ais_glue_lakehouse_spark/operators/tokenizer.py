@@ -1,0 +1,79 @@
+"""BPE tokenizer training on the word-frequency table.
+
+The byte-pair-encoding loop every modern tokenizer (GPT-2 BPE,
+SentencePiece-BPE) starts from, restructured for Spark's execution
+model: statistics live on the VOCABULARY table, not the corpus — the
+caller pays one corpus-sized shuffle to build word frequencies, and
+every merge round after that is dimension-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bpe_merges(
+    spark: SparkSession,
+    word_freq: DataFrame,
+    rounds: int = 3,
+    replace_passes: int = 4,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges from a (word, count) table; returns a
+    DataFrame (merge_rank int, sym_a, sym_b string, pair_count long).
+
+    Each round counts adjacent symbol pairs weighted by word frequency,
+    picks the most frequent pair (tiebreak: count desc, then pair
+    lexicographic) and fuses it everywhere. The per-round argmax is a
+    deliberate 1-ROW collect (bounded driver work — the same class as
+    the k-means training sample in similarity.py); everything else is
+    hash aggregation over the vocabulary. The merge application is
+    ``replace_passes`` fixed non-overlapping ``replace`` passes over the
+    space-padded symbol string — enough to reach the greedy-BPE fixpoint
+    for any realistic word, and a pass count an external SQL oracle can
+    mirror exactly.
+    """
+    sym = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    cur = word_freq.select(
+        F.col(word_col).alias("w"), F.col(count_col).alias("c"), sym.alias("s")
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(rounds):
+        toks = F.split(F.trim(F.col("s")), " ")
+        # sequence(1, 0) would yield [1, 0] (negative step): guard 1-symbol words
+        idxs = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            "c",
+            F.explode(
+                F.transform(
+                    idxs,
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("a"),
+                        F.element_at(toks, i + F.lit(1)).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        pc = pairs.groupBy("p.a", "p.b").agg(F.sum("c").alias("cnt"))
+        top_rows = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top_rows:  # vocabulary fully merged into single symbols
+            break
+        top = top_rows[0]
+        merges.append((r + 1, top["a"], top["b"], int(top["cnt"])))
+        needle = F.lit(f" {top['a']} {top['b']} ")
+        repl = F.lit(f" {top['a']}{top['b']} ")
+        s2 = F.col("s")
+        for _ in range(replace_passes):
+            s2 = F.replace(s2, needle, repl)
+        cur = cur.select("w", "c", s2.alias("s"))
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, pair_count long"
+    )

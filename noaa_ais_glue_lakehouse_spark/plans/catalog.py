@@ -11272,49 +11272,15 @@ def q224_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics.
     """
     docs = load(spark, sf_dir, "documents")
+    from noaa_ais_glue_lakehouse_spark.operators.tokenizer import bpe_merges
+
     wf = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .cache()
     )
-    sym = F.concat(
-        F.lit(" "),
-        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")),
-        F.lit(" "),
-    )
-    cur = wf.select("w", "c", sym.alias("s"))
-    merges: list[tuple[int, str, str, int]] = []
-    for r in range(3):
-        toks = F.split(F.trim(F.col("s")), " ")
-        # sequence(1, 0) would yield [1, 0] (negative step): guard 1-symbol words
-        idxs = F.when(
-            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pairs = cur.select(
-            "c",
-            F.explode(
-                F.transform(
-                    idxs,
-                    lambda i: F.struct(
-                        F.element_at(toks, i).alias("a"),
-                        F.element_at(toks, i + F.lit(1)).alias("b"),
-                    ),
-                )
-            ).alias("p"),
-        )
-        pc = pairs.groupBy("p.a", "p.b").agg(F.sum("c").alias("cnt"))
-        top = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()[0]
-        merges.append((r + 1, top["a"], top["b"], int(top["cnt"])))
-        needle = F.lit(f" {top['a']} {top['b']} ")
-        repl = F.lit(f" {top['a']}{top['b']} ")
-        s2 = F.col("s")
-        for _ in range(4):  # fixed pass count, mirrored in the oracle
-            s2 = F.replace(s2, needle, repl)
-        cur = cur.select("w", "c", s2.alias("s"))
-    return spark.createDataFrame(
-        merges, "merge_rank int, sym_a string, sym_b string, pair_count long"
-    )
+    return bpe_merges(spark, wf, rounds=3, replace_passes=4)
 
 
 @register(

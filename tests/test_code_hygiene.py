@@ -11,9 +11,14 @@ import re
 PKG = pathlib.Path(__file__).resolve().parents[1] / "noaa_ais_glue_lakehouse_spark"
 
 # Documented bounded collects: broadcast-matrix build (|corpus| vectors,
-# caller-bounded memory regime), 10k-row k-means training sample, and the
-# partition-tuple listing for dynamic-overwrite bookkeeping.
-ALLOWED_COLLECT_FILES = {"operators/similarity.py", "sources/writers.py"}
+# caller-bounded memory regime), 10k-row k-means training sample, the
+# partition-tuple listing for dynamic-overwrite bookkeeping, and the
+# 1-row-per-round BPE argmax.
+ALLOWED_COLLECT_FILES = {
+    "operators/similarity.py",
+    "sources/writers.py",
+    "operators/tokenizer.py",
+}
 
 
 def _sources():

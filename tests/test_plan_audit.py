@@ -91,6 +91,8 @@ ALLOWED_NON_EQUI = {
     "q218_bm25_topk",
     # same BM25 scalar cross join, plus the 1-row DCG x 1-row IDCG pairing
     "q223_ndcg_eval",
+    # inherits the BM25 single-row stats cross join via _bm25_scored
+    "q227_reciprocal_rank_fusion",
     # deliberate 7-row broadcast literal cross join: the lag spine
     # attached to the |days|-sized daily rollup
     "q221_lagged_cross_correlation",
