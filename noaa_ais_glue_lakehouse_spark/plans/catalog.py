@@ -11554,3 +11554,246 @@ def q231_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+@register(
+    "q232_prf_expansion",
+    oracle=_BM25_SQL_BASE
+    + """
+    , top10 AS (
+      SELECT doc_id FROM scored ORDER BY score_micro DESC, doc_id LIMIT 10
+    ),
+    toks AS (
+      SELECT d.doc_id,
+             list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents d JOIN top10 USING (doc_id)
+    ),
+    inst AS (
+      SELECT doc_id, UNNEST(ts) AS tok, len(ts) AS dl FROM toks
+    ),
+    w AS (
+      SELECT tok,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             SUM(CAST(ROUND(1000000.0 / dl) AS BIGINT)) AS weight_micro
+      FROM inst
+      WHERE tok NOT IN ('spark', 'join', 'window')
+      GROUP BY tok
+    )
+    SELECT tok, n_docs, weight_micro,
+           ROUND(weight_micro / 1000000.0, 6) AS weight
+    FROM w ORDER BY weight_micro DESC, tok LIMIT 10
+    """,
+)
+def q232_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159 — pseudo-relevance feedback (RM1-style query expansion): take
+    the BM25 top-10 (q218), weight every non-query term by its relative
+    frequency mass across those docs (sum of tf/dl == sum of 1/dl over
+    token INSTANCES — the instance form needs no per-doc-term rollup),
+    emit the 10 strongest expansion terms. The classic second-pass
+    retrieval step when the raw query underspecifies.
+
+    Plan shape: the feedback set is 10 doc ids — broadcast back onto the
+    documents scan as an equi-semi-join; instance weights are rounded to
+    integer micros per token instance so the term sum is order-free; the
+    final cut is TakeOrdered. Corpus-sized work: one scan + one
+    |feedback-tokens| aggregation.
+    """
+    scored = _bm25_scored(spark, sf_dir)
+    top10 = (
+        scored.orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.join(F.broadcast(top10), "doc_id").select(
+        "doc_id", tokenize(F.col("text")).alias("ts")
+    )
+    inst = toks.select(
+        "doc_id", F.explode("ts").alias("tok"), F.size("ts").alias("dl")
+    )
+    w = (
+        inst.filter(~F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum(
+                F.round(F.lit(1000000.0) / F.col("dl")).cast("long")
+            ).alias("weight_micro"),
+        )
+    )
+    return (
+        w.orderBy(F.col("weight_micro").desc(), "tok")
+        .limit(10)
+        .select(
+            "tok",
+            "n_docs",
+            "weight_micro",
+            F.round(F.col("weight_micro") / 1000000.0, 6).alias("weight"),
+        )
+    )
+
+
+@register(
+    "q233_conformal_interval",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+      FROM events GROUP BY event_type
+    ),
+    s AS (
+      SELECT e.event_type,
+             abs(CAST(ROUND(e.value * 100) AS BIGINT) * m.n - m.sum_cents)
+               AS score
+      FROM events e JOIN m USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, score, COUNT(*) AS c FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, score,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY score) AS cc
+      FROM r
+    ),
+    q AS (
+      SELECT cum.event_type, MIN(score) AS q_scaled
+      FROM cum JOIN m ON m.event_type = cum.event_type
+      WHERE cc >= (9 * n + 9) // 10
+      GROUP BY cum.event_type
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           ROUND(CAST(m.sum_cents AS DOUBLE) / m.n / 100.0, 6) AS mu,
+           ROUND(CAST(q_scaled AS DOUBLE) / (m.n * 100.0), 6) AS q90_abs_resid
+    FROM m JOIN q USING (event_type)
+    """,
+)
+def q233_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160 — split-conformal prediction interval: per event type,
+    predict value by the group mean and report the exact 90th-percentile
+    absolute residual — the half-width of a distribution-free 90%
+    prediction interval (the modern uncertainty wrapper for any point
+    predictor). EXACT integer arithmetic throughout: the conformity
+    score is |cents*n - sum_cents| (the absolute residual scaled by
+    100n, monotone-equivalent within a group), and the quantile is the
+    smallest score whose cumulative count reaches ceil(0.9n) — computed
+    by rank logic, not an engine quantile function whose interpolation
+    convention could differ.
+
+    Plan shape: one 5-key scalar rollup broadcast back onto the scan,
+    one (type, score) hash aggregation, then the cumulative window runs
+    on the ROLLUP (|distinct scores| rows, partitioned per type) — the
+    standard two-pass counting quantile that replaces a memory-bounded
+    exact-percentile aggregate at scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents")
+    )
+    s = ev.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.abs(cents * F.col("n") - F.col("sum_cents")).alias("score"),
+    )
+    r = s.groupBy("event_type", "score").agg(F.count(F.lit(1)).alias("c"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = r.withColumn("cc", F.sum("c").over(win))
+    q = (
+        cum.join(F.broadcast(m.select("event_type", "n")), "event_type")
+        .filter(F.col("cc") >= F.expr("(9 * n + 9) div 10"))
+        .groupBy("event_type")
+        .agg(F.min("score").alias("q_scaled"))
+    )
+    return m.join(q, "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("sum_cents").cast("double") / F.col("n") / F.lit(100.0), 6
+        ).alias("mu"),
+        F.round(
+            F.col("q_scaled").cast("double") / (F.col("n") * F.lit(100.0)), 6
+        ).alias("q90_abs_resid"),
+    )
+
+
+@register(
+    "q234_linear_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    anchored AS (
+      SELECT event_type, y,
+             date_diff('day', MIN(d) OVER (PARTITION BY event_type), d) AS t
+      FROM daily
+    ),
+    mo AS (
+      SELECT event_type, COUNT(*) AS k, SUM(t) AS st, SUM(y) AS sy,
+             SUM(t * t) AS stt, SUM(t * y) AS sty, MAX(t) AS tmax
+      FROM anchored GROUP BY event_type
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS n_days,
+           ROUND(CAST(k * sty - st * sy AS DOUBLE)
+                 / (k * stt - st * st), 6) AS slope,
+           ROUND((sy - CAST(k * sty - st * sy AS DOUBLE)
+                       / (k * stt - st * st) * st) / k, 6) AS intercept,
+           ROUND((sy - CAST(k * sty - st * sy AS DOUBLE)
+                       / (k * stt - st * st) * st) / k
+                 + CAST(k * sty - st * sy AS DOUBLE)
+                   / (k * stt - st * st) * (tmax + 1), 6) AS forecast
+    FROM mo
+    """,
+)
+def q234_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161 — per-group linear trend forecast: OLS of daily event volume
+    on the day index per event type, extrapolated one day past the end
+    of the series (the simplest defensible capacity-planning forecast,
+    and the trend leg q228's decomposition smooths rather than
+    projects). Moments are exact integers; slope/intercept/forecast are
+    the closed-form ratios, mirrored operation-for-operation.
+
+    Plan shape: one corpus-sized rollup to (type, day); the day-index
+    anchor is a per-type MIN window over the |type x days| rollup, and
+    the regression is one 5-key moment aggregation. No joins on the big
+    side at all.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    wmin = Window.partitionBy("event_type")
+    anchored = daily.select(
+        "event_type",
+        "y",
+        F.datediff(F.col("d"), F.min("d").over(wmin)).alias("t"),
+    )
+    k = F.count(F.lit(1))
+    st, sy = F.sum("t"), F.sum("y")
+    stt = F.sum(F.col("t") * F.col("t"))
+    sty = F.sum(F.col("t") * F.col("y"))
+    mo = anchored.groupBy("event_type").agg(
+        k.alias("k"),
+        st.alias("st"),
+        sy.alias("sy"),
+        stt.alias("stt"),
+        sty.alias("sty"),
+        F.max("t").alias("tmax"),
+    )
+    slope = (
+        F.col("k") * F.col("sty") - F.col("st") * F.col("sy")
+    ).cast("double") / (
+        F.col("k") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    intercept = (F.col("sy") - slope * F.col("st")) / F.col("k")
+    return mo.select(
+        "event_type",
+        F.col("k").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(intercept + slope * (F.col("tmax") + 1), 6).alias("forecast"),
+    )

@@ -93,6 +93,7 @@ ALLOWED_NON_EQUI = {
     "q223_ndcg_eval",
     # inherits the BM25 single-row stats cross join via _bm25_scored
     "q227_reciprocal_rank_fusion",
+    "q232_prf_expansion",
     # deliberate 7-row broadcast literal cross join: the lag spine
     # attached to the |days|-sized daily rollup
     "q221_lagged_cross_correlation",

@@ -145,3 +145,84 @@ def test_rrf_fuses_bm25_and_length_rankings(spark):
         ).collect()
     ]
     assert got == expect
+
+
+def test_prf_expansion_matches_python(spark):
+    bm25 = {
+        r["doc_id"]: r["score_micro"]
+        for r in catalog._bm25_scored(spark, SF_DIR).collect()
+    }
+    top10 = sorted(bm25, key=lambda d: (-bm25[d], d))[:10]
+    texts = {r["doc_id"]: r["text"].lower().split() for r in _docs(spark)}
+    w: dict[str, list] = {}
+    for d in top10:
+        toks = texts[d]
+        for t in toks:
+            if t in ("spark", "join", "window"):
+                continue
+            e = w.setdefault(t, [set(), 0])
+            e[0].add(d)
+            e[1] += int(round(1e6 / len(toks)))
+    expect = sorted(
+        ((t, len(e[0]), e[1]) for t, e in w.items()),
+        key=lambda x: (-x[2], x[0]),
+    )[:10]
+    got = [
+        (r["tok"], r["n_docs"], r["weight_micro"])
+        for r in catalog.queries()["q232_prf_expansion"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == expect
+
+
+def test_conformal_interval_matches_python(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type: dict[str, list[int]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            int(round(r["value"] * 100))
+        )
+    got = {
+        r["event_type"]: r
+        for r in catalog.queries()["q233_conformal_interval"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for t, cents in by_type.items():
+        n, sc = len(cents), sum(cents)
+        scores = sorted(abs(c * n - sc) for c in cents)
+        q = scores[(9 * n + 9) // 10 - 1]
+        assert got[t]["n"] == n
+        assert abs(got[t]["mu"] - round(sc / n / 100.0, 6)) < 1e-9
+        assert abs(got[t]["q90_abs_resid"] - round(q / (n * 100.0), 6)) < 1e-9
+
+
+def test_linear_forecast_matches_python(spark):
+    from collections import Counter
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    daily = Counter((r["event_type"], r["ts"].date()) for r in ev)
+    got = {
+        r["event_type"]: r
+        for r in catalog.queries()["q234_linear_forecast"](
+            spark, SF_DIR
+        ).collect()
+    }
+    types = {t for t, _ in daily}
+    for typ in types:
+        pts = sorted((d, y) for (t, d), y in daily.items() if t == typ)
+        d0 = pts[0][0]
+        xy = [((d - d0).days, y) for d, y in pts]
+        k = len(xy)
+        st = sum(t for t, _ in xy)
+        sy = sum(y for _, y in xy)
+        stt = sum(t * t for t, _ in xy)
+        sty = sum(t * y for t, y in xy)
+        slope = (k * sty - st * sy) / (k * stt - st * st)
+        intercept = (sy - slope * st) / k
+        fc = intercept + slope * (max(t for t, _ in xy) + 1)
+        assert got[typ]["n_days"] == k
+        assert abs(got[typ]["slope"] - round(slope, 6)) < 1e-9
+        assert abs(got[typ]["intercept"] - round(intercept, 6)) < 1e-9
+        assert abs(got[typ]["forecast"] - round(fc, 6)) < 1e-9
