@@ -11797,3 +11797,247 @@ def q234_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round(intercept + slope * (F.col("tmax") + 1), 6).alias("forecast"),
     )
+
+
+# Shared dup-graph edge set (q214's head-fingerprint collisions), as a
+# reusable CTE/helper for the graph-analytics family q235-q237.
+_DUP_EDGES_CTE = """
+    WITH fp AS (
+      SELECT DISTINCT
+             md5(array_to_string(list_filter(string_split_regex(
+                  lower(trim(text)), '\\s+'), x -> x <> '')[1:8], ' ')) AS f,
+             doc_id
+      FROM documents
+    ),
+    edges AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL
+      SELECT b AS src, a AS dst FROM edges
+    )
+"""
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected dup-graph edges (a < b): 8-token document-head
+    fingerprint collisions — the same graph q214 counts triangles on."""
+    docs = load(spark, sf_dir, "documents")
+    head = F.md5(F.array_join(F.slice(tokenize(F.col("text")), 1, 8), " "))
+    fp = docs.select(head.alias("f"), "doc_id").distinct()
+    return (
+        fp.alias("x")
+        .join(
+            fp.alias("y"),
+            (F.col("x.f") == F.col("y.f"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+
+
+def _sym_edges(edges: DataFrame) -> DataFrame:
+    return edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+def _lpa_round_sql(i: int) -> str:
+    """One deterministic label-propagation round: each node adopts its
+    neighbors' most frequent label (count desc, label asc tiebreak),
+    keeping its own label when isolated."""
+    return f"""
+    nl{i} AS (
+      SELECT s.dst AS v, l.lab, COUNT(*) AS c
+      FROM sym s JOIN lab{i} l ON l.v = s.src
+      GROUP BY 1, 2
+    ),
+    pick{i} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+        FROM nl{i}
+      ) WHERE rn = 1
+    ),
+    lab{i + 1} AS (
+      SELECT l.v, COALESCE(p.lab, l.lab) AS lab
+      FROM lab{i} l LEFT JOIN pick{i} p USING (v)
+    )
+    """
+
+
+@register(
+    "q235_label_propagation",
+    oracle=_DUP_EDGES_CTE
+    + """
+    , nodes AS (SELECT DISTINCT src AS v FROM sym),
+    lab1 AS (SELECT v, v AS lab FROM nodes),
+    """
+    + _lpa_round_sql(1)
+    + ","
+    + _lpa_round_sql(2)
+    + ","
+    + _lpa_round_sql(3)
+    + """
+    SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM lab4 GROUP BY lab
+    """,
+)
+def q235_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162 — community detection by label propagation (Raghavan et al.),
+    3 synchronous rounds with a DETERMINISTIC update (most frequent
+    neighbor label, tiebreak count desc then label asc — vanilla LPA's
+    random tie flip makes results unreproducible, which is useless for
+    a data-dedup audit). Complements connected components (q62): LPA
+    splits bridge-connected families that CC would glue together.
+
+    Plan shape: each round is (edge join labels) -> per-node mode via a
+    count aggregation + per-node top-1 window — all hash-partitioned on
+    the node key, no driver-side iteration state (3 rounds compose
+    lazily into one plan). Isolated nodes keep their label via the left
+    join.
+    """
+    edges = _dup_edges(spark, sf_dir)
+    sym = _sym_edges(edges)
+    nodes = sym.select(F.col("src").alias("v")).distinct()
+    lab = nodes.select("v", F.col("v").alias("lab"))
+    for _ in range(3):
+        nl = (
+            sym.join(lab.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("v").orderBy(F.col("c").desc(), "lab")
+        pick = (
+            nl.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("lab").alias("new_lab"))
+        )
+        lab = lab.join(pick, "v", "left").select(
+            "v", F.coalesce("new_lab", "lab").alias("lab")
+        )
+    return lab.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+
+
+def _kcore_round_sql(i: int, k: int = 2) -> str:
+    return f"""
+    deg{i} AS (SELECT src AS v, COUNT(*) AS d FROM sym{i} GROUP BY src),
+    keep{i} AS (SELECT v FROM deg{i} WHERE d >= {k}),
+    sym{i + 1} AS (
+      SELECT s.src, s.dst FROM sym{i} s
+      JOIN keep{i} ka ON ka.v = s.src
+      JOIN keep{i} kb ON kb.v = s.dst
+    )
+    """
+
+
+@register(
+    "q236_kcore_decomposition",
+    oracle=_DUP_EDGES_CTE
+    + """
+    , sym1 AS (SELECT src, dst FROM sym),
+    """
+    + _kcore_round_sql(1)
+    + ","
+    + _kcore_round_sql(2)
+    + ","
+    + _kcore_round_sql(3)
+    + """
+    SELECT CAST((SELECT COUNT(DISTINCT src) FROM sym4) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM sym4) / 2 AS BIGINT) AS n_edges
+    """,
+)
+def q236_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163 — k-core peeling (3 rounds toward the 2-core): repeatedly
+    drop nodes with degree < 2 and re-count. The dup-graph's 2-core is
+    the set of documents in genuinely DENSE duplication structures —
+    pendant one-off matches (the usual false positives of head
+    fingerprints) peel away. Three fixed rounds compose lazily into one
+    plan; each round is a degree aggregation + two semi-shaped joins on
+    the node key.
+    """
+    sym = _sym_edges(_dup_edges(spark, sf_dir))
+    for _ in range(3):
+        deg = sym.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
+        keep = deg.filter(F.col("d") >= 2).select("v")
+        sym = (
+            sym.join(keep.withColumnRenamed("v", "src"), "src")
+            .join(keep.withColumnRenamed("v", "dst"), "dst")
+            .select("src", "dst")
+        )
+    n_nodes = sym.select("src").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    n_edges = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+    return n_nodes.crossJoin(F.broadcast(n_edges))
+
+
+@register(
+    "q237_degree_assortativity",
+    oracle=_DUP_EDGES_CTE
+    + """
+    , deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY src),
+    ep AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym s JOIN deg da ON da.v = s.src JOIN deg db ON db.v = s.dst
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM ep
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def q237_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X164 — degree assortativity of the dup graph: Pearson correlation
+    of endpoint degrees over all directed edge instances (the standard
+    Newman definition; using both orientations makes it symmetric).
+    Positive = dup families are degree-stratified hubs-with-hubs;
+    negative = star-shaped boilerplate centers. One number that
+    distinguishes template explosions from mutual near-dup clusters.
+
+    Plan shape: degree aggregation, two broadcast-able joins back onto
+    the edge list, one exact-integer moment aggregation — the same
+    closed-form Pearson machinery as q221/q234.
+    """
+    sym = _sym_edges(_dup_edges(spark, sf_dir))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ep = (
+        sym.join(
+            deg.select(F.col("v").alias("src"), F.col("d").alias("x")), "src"
+        )
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    return ep.agg(
+        (n / 2).cast("long").alias("n_edges"),
+        F.round(
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            ),
+            6,
+        ).alias("assortativity"),
+    )
