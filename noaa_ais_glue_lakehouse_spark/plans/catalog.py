@@ -12041,3 +12041,215 @@ def q237_degree_assortativity(
             6,
         ).alias("assortativity"),
     )
+
+
+@register(
+    "q238_token_pmi",
+    oracle="""
+    WITH inc AS (
+      SELECT DISTINCT doc_id, UNNEST(list_filter(string_split_regex(
+               lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    n_a AS (SELECT tok, COUNT(*) AS na FROM inc GROUP BY tok),
+    g AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM inc),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS nab
+      FROM inc a JOIN inc b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, CAST(nab AS BIGINT) AS n_ab,
+           CAST(ROUND(1000000.0 * ln(CAST(nab * nd AS DOUBLE)
+                / (ma.na * mb.na))) AS BIGINT) AS pmi_micro
+    FROM pairs
+    JOIN n_a ma ON ma.tok = pairs.tok_a
+    JOIN n_a mb ON mb.tok = pairs.tok_b, g
+    WHERE nab >= 5
+    ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 50
+    """,
+)
+def q238_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165 — pointwise mutual information of token pairs by document
+    co-occurrence (presence-based): PMI = ln(P(a,b)/(P(a)P(b))), the
+    classic distributional-semantics association score (the PPMI matrix
+    underlying pre-neural word vectors) and a collocation detector for
+    template mining. Top-50 associated pairs with support >= 5.
+
+    Plan shape: the pair counts come from an equi-self-join on doc_id
+    over the DISTINCT (doc, token) incidence — fan-out per doc is
+    C(per-doc vocab, 2), bounded by document length, never |vocab|^2;
+    marginals ride a token-key aggregation and join back broadcast-
+    sized. PMI is rounded to integer micros so the top-50 order is
+    engine-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    inc = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).distinct()
+    na = inc.groupBy("tok").agg(F.count(F.lit(1)).alias("na"))
+    g = inc.agg(F.countDistinct("doc_id").alias("nd"))
+    pairs = (
+        inc.alias("a")
+        .join(
+            inc.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 5)
+    )
+    ma = na.select(F.col("tok").alias("tok_a"), F.col("na").alias("na_a"))
+    mb = na.select(F.col("tok").alias("tok_b"), F.col("na").alias("na_b"))
+    pmi = F.round(
+        F.lit(1000000.0)
+        * F.log(
+            (F.col("nab") * F.col("nd")).cast("double")
+            / (F.col("na_a") * F.col("na_b"))
+        )
+    ).cast("long")
+    return (
+        pairs.join(F.broadcast(ma), "tok_a")
+        .join(F.broadcast(mb), "tok_b")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("nab").cast("long").alias("n_ab"),
+            pmi.alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+@register(
+    "q239_token_burstiness",
+    oracle="""
+    WITH dc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id, UNNEST(list_filter(string_split_regex(
+                 lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    g AS (SELECT COUNT(*) AS nd FROM documents),
+    t AS (
+      SELECT tok, SUM(c) AS sc, SUM(c * c) AS scc, COUNT(*) AS docs_with
+      FROM dc GROUP BY tok
+    )
+    SELECT tok, CAST(sc AS BIGINT) AS n_total,
+           CAST(docs_with AS BIGINT) AS n_docs,
+           ROUND(CAST(nd * scc - sc * sc AS DOUBLE) / (nd * sc), 6)
+             AS fano
+    FROM t, g
+    WHERE sc >= 50
+    """,
+)
+def q239_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166 — token burstiness via the Fano factor (variance-to-mean
+    ratio of per-document counts, zeros included): content words burst
+    (Fano >> 1 — when they appear, they appear repeatedly), function
+    words and template filler spread evenly (Fano ~ 1, the Poisson
+    line). A corpus-quality signal Zipf slope (q215) and TTR (q164)
+    can't see: it distinguishes topical concentration from uniform
+    keyword stuffing.
+
+    The zero-count documents never materialize: with Z zero docs,
+    var = (sum c^2 - (sum c)^2 / N) / N needs only the nonzero rollup
+    plus the document count N — so fano = (N*scc - sc^2)/(N*sc) is
+    exact integer arithmetic over the (doc, token) rollup. One explode
+    + two stacked aggregations sharing the token key.
+    """
+    docs = load(spark, sf_dir, "documents")
+    dc = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = docs.agg(F.count(F.lit(1)).alias("nd"))
+    t = dc.groupBy("tok").agg(
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.count(F.lit(1)).alias("docs_with"),
+    )
+    return (
+        t.crossJoin(F.broadcast(g))
+        .filter(F.col("sc") >= 50)
+        .select(
+            "tok",
+            F.col("sc").cast("long").alias("n_total"),
+            F.col("docs_with").cast("long").alias("n_docs"),
+            F.round(
+                (F.col("nd") * F.col("scc") - F.col("sc") * F.col("sc"))
+                .cast("double")
+                / (F.col("nd") * F.col("sc")),
+                6,
+            ).alias("fano"),
+        )
+    )
+
+
+@register(
+    "q240_heaps_law",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab
+      FROM (
+        SELECT source, UNNEST(list_filter(string_split_regex(
+                 lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY source
+    ),
+    pts AS (
+      SELECT ln(CAST(n_tokens AS DOUBLE)) AS x,
+             ln(CAST(vocab AS DOUBLE)) AS y
+      FROM per_src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)), 6) AS heaps_beta,
+           ROUND((SUM(y) - (COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                           / (COUNT(*) * SUM(x*x) - SUM(x) * SUM(x))
+                           * SUM(x)) / COUNT(*), 6) AS log_k
+    FROM pts
+    """,
+)
+def q240_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167 — Heaps'-law fit: vocabulary growth V = K * n^beta across
+    corpus slices, estimated by log-log OLS over the per-source
+    (token count, vocab size) points. Natural text sits near beta ~
+    0.4-0.6; beta near 0 means a closed template vocabulary, near 1
+    means id-like token churn. The companion corpus-law screen to
+    Zipf's slope (q215) — together they characterize the frequency
+    distribution AND its growth.
+
+    Plan shape: one explode + per-source count/distinct aggregation
+    (the only corpus-sized work), then the regression is the exact
+    closed-form moment ratio over |sources| points.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("vocab"),
+        )
+    )
+    pts = per_src.select(
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    cnt = F.count(F.lit(1))
+    slope = (cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        cnt.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6).alias("log_k"),
+    )

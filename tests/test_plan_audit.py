@@ -106,6 +106,10 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the corpus row count
     # attached to the 2080-row covariance triangle
     "q231_embedding_covariance",
+    # deliberate SINGLE-ROW broadcast cross joins: the document-count
+    # scalar attached to the PMI pair table / burstiness token table
+    "q238_token_pmi",
+    "q239_token_burstiness",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means

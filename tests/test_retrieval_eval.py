@@ -161,3 +161,83 @@ def test_maxsim_matches_numpy(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_token_pmi_matches_python(spark):
+    import math
+    from itertools import combinations
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    incidence = {r["doc_id"]: set(r["text"].lower().split()) for r in docs}
+    nd = len(incidence)
+    na: dict[str, int] = {}
+    nab: dict[tuple, int] = {}
+    for toks in incidence.values():
+        for t in toks:
+            na[t] = na.get(t, 0) + 1
+        for a, b in combinations(sorted(toks), 2):
+            nab[(a, b)] = nab.get((a, b), 0) + 1
+    scored = [
+        (a, b, c, int(round(1e6 * math.log(c * nd / (na[a] * na[b])))))
+        for (a, b), c in nab.items()
+        if c >= 5
+    ]
+    expect = sorted(scored, key=lambda x: (-x[3], x[0], x[1]))[:50]
+    got = [
+        (r["tok_a"], r["tok_b"], r["n_ab"], r["pmi_micro"])
+        for r in catalog.queries()["q238_token_pmi"](spark, SF_DIR).collect()
+    ]
+    assert got == expect
+
+
+def test_burstiness_matches_python(spark):
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    nd = len(docs)
+    sc: dict[str, int] = {}
+    scc: dict[str, int] = {}
+    dw: dict[str, int] = {}
+    for r in docs:
+        for t, c in Counter(r["text"].lower().split()).items():
+            sc[t] = sc.get(t, 0) + c
+            scc[t] = scc.get(t, 0) + c * c
+            dw[t] = dw.get(t, 0) + 1
+    got = {
+        r["tok"]: r
+        for r in catalog.queries()["q239_token_burstiness"](
+            spark, SF_DIR
+        ).collect()
+    }
+    expect_toks = {t for t, s in sc.items() if s >= 50}
+    assert set(got) == expect_toks
+    for t in expect_toks:
+        fano = (nd * scc[t] - sc[t] * sc[t]) / (nd * sc[t])
+        assert got[t]["n_total"] == sc[t] and got[t]["n_docs"] == dw[t]
+        assert abs(got[t]["fano"] - round(fano, 6)) < 1e-9
+
+
+def test_heaps_law_matches_python(spark):
+    import math
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    per_src: dict[str, list] = {}
+    for r in docs:
+        e = per_src.setdefault(r["source"], [0, set()])
+        toks = r["text"].lower().split()
+        e[0] += len(toks)
+        e[1].update(toks)
+    pts = [
+        (math.log(n), math.log(len(v))) for n, v in per_src.values()
+    ]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    logk = (sy - slope * sx) / k
+    row = catalog.queries()["q240_heaps_law"](spark, SF_DIR).collect()[0]
+    assert row["n_points"] == k
+    assert abs(row["heaps_beta"] - round(slope, 6)) < 1e-6
+    assert abs(row["log_k"] - round(logk, 6)) < 1e-6
