@@ -12253,3 +12253,195 @@ def q240_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("heaps_beta"),
         F.round((F.sum("y") - slope * F.sum("x")) / cnt, 6).alias("log_k"),
     )
+
+
+@register(
+    "q241_next_event_accuracy",
+    oracle="""
+    WITH tr AS (
+      SELECT event_type AS cur,
+             LEAD(event_type) OVER w AS nxt,
+             LEAD(CAST(ts AS DATE)) OVER w AS nd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t2 AS (SELECT cur, nxt, nd FROM tr WHERE nxt IS NOT NULL),
+    train AS (
+      SELECT cur, nxt, COUNT(*) AS c FROM t2
+      WHERE nd < DATE '2024-01-21' GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT cur, nxt AS p FROM (
+        SELECT cur, nxt,
+               ROW_NUMBER() OVER (PARTITION BY cur
+                                  ORDER BY c DESC, nxt) AS rn
+        FROM train
+      ) WHERE rn = 1
+    )
+    SELECT t2.cur AS cur_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t2.nxt = p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN t2.nxt = p THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM t2 JOIN pred ON pred.cur = t2.cur
+    WHERE t2.nd >= DATE '2024-01-21'
+    GROUP BY t2.cur
+    """,
+)
+def q241_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168 — sequence-model evaluation: train a first-order Markov
+    next-event predictor (argmax transition count, deterministic
+    tiebreak) on the first 20 days, score top-1 accuracy per current
+    event type on the rest. The time-based split is the leakage-safe
+    one for sequences (q138's hash split would leak future transitions
+    into train).
+
+    Plan shape: ONE user-partitioned window pass builds every
+    transition; the train matrix and the predictions are 25-key /
+    5-key aggregations broadcast back onto the test transitions. The
+    temporal split is a filter on the SAME transition set, so train and
+    test can never disagree about sessionization.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead(F.to_date("ts")).over(w).alias("nd"),
+    ).filter(F.col("nxt").isNotNull())
+    split = F.lit("2024-01-21").cast("date")
+    train = (
+        tr.filter(F.col("nd") < split)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("cur").orderBy(F.col("c").desc(), "nxt")
+    pred = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("p"))
+    )
+    test = tr.filter(F.col("nd") >= split)
+    hit = F.sum((F.col("nxt") == F.col("p")).cast("long"))
+    return (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("cur_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            hit.cast("long").alias("n_correct"),
+            F.round(hit.cast("double") / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+@register(
+    "q242_woe_iv_encoding",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) % 10
+               AS bucket,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    c AS (
+      SELECT bucket, SUM(pos) AS p, SUM(1 - pos) AS q FROM f GROUP BY bucket
+    ),
+    g AS (SELECT SUM(p) AS pt, SUM(q) AS qt FROM c)
+    SELECT bucket, CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+           ROUND(ln((CAST(p AS DOUBLE) / pt) / (CAST(q AS DOUBLE) / qt)), 6)
+             AS woe,
+           ROUND((CAST(p AS DOUBLE) / pt - CAST(q AS DOUBLE) / qt)
+                 * ln((CAST(p AS DOUBLE) / pt) / (CAST(q AS DOUBLE) / qt)), 6)
+             AS iv_contrib
+    FROM c, g
+    """,
+)
+def q242_woe_iv_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169 — weight-of-evidence encoding + information value (the
+    credit-scoring feature screen): per feature bucket (the JSON prop
+    ``k`` mod 10 — parsed with a mirrored regexp, no engine JSON
+    divergence), WoE = ln((pos share)/(neg share)); the IV contribution
+    sums to the feature's predictive-power score. The standard
+    categorical encoding when a model needs monotone, target-aware
+    numeric features.
+
+    Plan shape: one 10-key conditional rollup; totals are a 1-row
+    broadcast; all shares are exact-integer ratios inside mirrored
+    float expressions.
+    """
+    ev = load(spark, sf_dir, "events")
+    f = ev.select(
+        (
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+            % 10
+        ).alias("bucket"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    c = f.groupBy("bucket").agg(
+        F.sum("pos").alias("p"), F.sum(F.lit(1) - F.col("pos")).alias("q")
+    )
+    g = c.agg(F.sum("p").alias("pt"), F.sum("q").alias("qt"))
+    ps = F.col("p").cast("double") / F.col("pt")
+    qs = F.col("q").cast("double") / F.col("qt")
+    woe = F.log(ps / qs)
+    return c.crossJoin(F.broadcast(g)).select(
+        "bucket",
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("q").cast("long").alias("n_neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round((ps - qs) * woe, 6).alias("iv_contrib"),
+    )
+
+
+@register(
+    "q243_loo_target_encoding",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(cents) AS sc
+      FROM e GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(CAST(m.sc - e.cents AS DOUBLE) / ((m.n - 1) * 100.0), 6)
+             AS loo_mean
+    FROM e JOIN m USING (event_type)
+    """,
+)
+def q243_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170 — leave-one-out target encoding: replace each row's category
+    with the mean target of all OTHER rows in the category,
+    (sum_cat - y_i) / (n_cat - 1) — the standard high-cardinality
+    categorical encoding that avoids leaking each row's own label into
+    its feature (plain target encoding overfits exactly this way).
+
+    Plan shape: the encoding needs only the per-category (count, sum)
+    rollup broadcast back onto the scan — one aggregation + one
+    broadcast equi-join, NO self-join and no window, which is what
+    makes LOO encoding viable on 10^11-row fact tables. Integer cents
+    until the mirrored final division.
+    """
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc")
+    )
+    return e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("sc") - F.col("cents")).cast("double")
+            / ((F.col("n") - 1) * F.lit(100.0)),
+            6,
+        ).alias("loo_mean"),
+    )

@@ -6,7 +6,7 @@ known-waveform pin for the FFT path.
 from __future__ import annotations
 
 import math
-from collections import Counter, defaultdict
+from collections import Counter, defaultdict  # noqa: F401
 
 from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
     extract_spectral_features,
@@ -133,3 +133,92 @@ def test_embedding_covariance_matches_numpy(spark):
         expect_num = int(n * G[i - 1, j - 1] - S[i - 1] * S[j - 1])
         assert num == expect_num
         assert abs(cov - round(expect_num / (n * (n - 1.0)) / 1e6, 6)) < 1e-9
+
+
+def test_next_event_accuracy_matches_python(spark):
+    from datetime import date
+
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    split = date(2024, 1, 21)
+    trans = []
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            trans.append((a["event_type"], b["event_type"], b["ts"].date()))
+    train = defaultdict(Counter)
+    for cur, nxt, nd in trans:
+        if nd < split:
+            train[cur][nxt] += 1
+    pred = {
+        cur: min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for cur, cnt in train.items()
+    }
+    stats = defaultdict(lambda: [0, 0])
+    for cur, nxt, nd in trans:
+        if nd >= split and cur in pred:
+            stats[cur][0] += 1
+            stats[cur][1] += nxt == pred[cur]
+    got = {
+        r["cur_type"]: (r["n_test"], r["n_correct"], r["accuracy"])
+        for r in catalog.queries()["q241_next_event_accuracy"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(stats)
+    for cur, (n, c) in stats.items():
+        assert got[cur][0] == n and got[cur][1] == c
+        assert abs(got[cur][2] - round(c / n, 6)) < 1e-9
+
+
+def test_woe_iv_matches_python(spark):
+    import math
+    import re
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in ev:
+        b = int(re.search(r'"k":\s*(\d+)', r["props"]).group(1)) % 10
+        if r["event_type"] == "purchase":
+            agg[b][0] += 1
+        else:
+            agg[b][1] += 1
+    pt = sum(v[0] for v in agg.values())
+    qt = sum(v[1] for v in agg.values())
+    got = {
+        r["bucket"]: r
+        for r in catalog.queries()["q242_woe_iv_encoding"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for b, (p, q) in agg.items():
+        woe = math.log((p / pt) / (q / qt))
+        assert got[b]["n_pos"] == p and got[b]["n_neg"] == q
+        assert abs(got[b]["woe"] - round(woe, 6)) < 1e-9
+        assert (
+            abs(got[b]["iv_contrib"] - round((p / pt - q / qt) * woe, 6))
+            < 1e-9
+        )
+
+
+def test_loo_target_encoding_matches_python(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    m = defaultdict(lambda: [0, 0])
+    for r in ev:
+        c = int(round(r["value"] * 100))
+        m[r["event_type"]][0] += 1
+        m[r["event_type"]][1] += c
+    got = {
+        r["event_id"]: r["loo_mean"]
+        for r in catalog.queries()["q243_loo_target_encoding"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert len(got) == len(ev)
+    for r in ev:
+        n, sc = m[r["event_type"]]
+        c = int(round(r["value"] * 100))
+        expect = round((sc - c) / ((n - 1) * 100.0), 6)
+        assert abs(got[r["event_id"]] - expect) < 1e-9
