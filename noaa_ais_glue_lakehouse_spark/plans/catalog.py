@@ -12445,3 +12445,63 @@ def q243_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("loo_mean"),
     )
+
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@register("q244_parquet_footer_audit")  # rows-only: filesystem metadata
+# has no SQL-oracle form; per-row-group facts pinned by pytest instead
+def q244_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 — table-maintenance audit: per-row-group parquet footer
+    statistics for every table in the scale-factor directory, read on
+    the executors (mapInPandas over the path list — the driver opens no
+    files). The input to row-group sizing and compaction decisions; at
+    100 TB this is the same operator pointed at a 100k-file table
+    listing.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.maintenance import (
+        parquet_footer_stats,
+    )
+
+    paths = [f"{sf_dir}/{t}.parquet" for t in _TABLES]
+    out = parquet_footer_stats(spark, paths)
+    return out.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file"),
+        "rg_idx",
+        "n_rows",
+        "n_cols",
+        "compressed_bytes",
+        "uncompressed_bytes",
+    )
+
+
+@register("q245_compaction_plan")  # rows-only: consumes q244's
+# filesystem metadata; packing determinism pinned by pytest
+def q245_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172 — small-file compaction planner: next-fit bin packing of the
+    sf directory's files into ~4 MiB output groups via an
+    exclusive-prefix-sum bucket (two-phase prefix scan — planning never
+    single-tasks). Demonstrated over the 10 table files; the operator
+    is the one a nightly OPTIMIZE job would run over a streaming
+    table's commit log.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.maintenance import (
+        parquet_footer_stats,
+        plan_compaction,
+    )
+
+    paths = [f"{sf_dir}/{t}.parquet" for t in _TABLES]
+    stats = parquet_footer_stats(spark, paths)
+    plan = plan_compaction(stats, target_bytes=4 * 1024 * 1024)
+    return plan.select(
+        "bin",
+        "n_files",
+        "total_bytes",
+        F.transform(
+            F.col("files"), lambda p: F.element_at(F.split(p, "/"), -1)
+        ).alias("files"),
+    )

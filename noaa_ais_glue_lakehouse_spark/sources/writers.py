@@ -192,3 +192,71 @@ def register_table_views(
 
     for t in tables:
         read_parquet_table(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def delete_keys_partition_scoped(
+    spark,
+    path: str,
+    key_col: str,
+    keys: list,
+    partition_cols: list[str],
+) -> int:
+    """Targeted hard delete (right-to-be-forgotten): remove every row
+    whose ``key_col`` is in ``keys`` from a partitioned parquet dataset,
+    rewriting ONLY the partitions that actually contain those keys.
+
+    The two-step shape is what makes this viable on a 100 TB table:
+
+    1. a key-filtered scan (predicate pushdown on key_col) finds the
+       DISTINCT affected partition tuples — a driver-sized list;
+    2. only those partitions are re-read, anti-filtered, and replaced
+       via dynamic partition overwrite. Untouched partitions' files are
+       never opened, never rewritten.
+
+    An affected partition whose every row matches the keys would be
+    left stale by dynamic overwrite (nothing to write back), so those
+    are rewritten through an explicit empty-partition guard: the
+    replacement frame always carries the partition tuple. Returns the
+    number of affected partitions. (With a transactional table format
+    this is ``DELETE WHERE``; this is the parquet-native equivalent,
+    non-atomic across partitions by nature — run it like any
+    maintenance job, serialized per table.)
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    affected = (
+        df.filter(F.col(key_col).isin(keys))
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return 0
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pred = None
+    for row in affected:
+        clause = F.lit(True)
+        for c in partition_cols:
+            clause = clause & (F.col(c) == F.lit(row[c]))
+        pred = clause if pred is None else (pred | clause)
+    kept = df.filter(pred).filter(~F.col(key_col).isin(keys))
+    # dynamic overwrite only replaces partitions present in the output;
+    # fully-deleted partitions must still be replaced (with zero rows) —
+    # write them explicitly as empty partition directories
+    kept_parts = {tuple(r[c] for c in partition_cols) for r in
+                  kept.select(*partition_cols).distinct().collect()}
+    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    emptied = [tuple(r[c] for c in partition_cols) for r in affected
+               if tuple(r[c] for c in partition_cols) not in kept_parts]
+    if emptied:
+        schema = df.schema
+        empty = spark.createDataFrame([], schema)
+        for tup in emptied:
+            frag = "/".join(
+                f"{c}={v}" for c, v in zip(partition_cols, tup)
+            )
+            empty.drop(*partition_cols).write.mode("overwrite").parquet(
+                f"{path}/{frag}"
+            )
+    return len(affected)

@@ -111,3 +111,77 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     # correctness of the pruned read (inputFiles() reflects the relation
     # pre-pruning, so the plan's PartitionFilters is the pruning evidence)
     assert read.count() == 20
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        delete_keys_partition_scoped,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(uid, day, uid * 100 + day) for uid in range(6) for day in (1, 2, 3)],
+        ["user_id", "day", "v"],
+    )
+    df.write.partitionBy("day").parquet(path)
+    # user 1 exists in all 3 day-partitions; capture day=2's files BEFORE
+    before = {
+        f: os.path.getmtime(f"{path}/day=2/{f}")
+        for f in os.listdir(f"{path}/day=2")
+        if f.endswith(".parquet")
+    }
+    n = delete_keys_partition_scoped(
+        spark, path, "user_id", [1], ["day"]
+    )
+    assert n == 3
+    out = spark.read.parquet(path)
+    assert out.filter(F.col("user_id") == 1).count() == 0
+    assert out.count() == 15  # 18 - 3 deleted rows
+    # remaining users untouched
+    assert out.filter(F.col("user_id") == 2).count() == 3
+
+
+def test_delete_keys_untouched_partitions_not_rewritten(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        delete_keys_partition_scoped,
+    )
+
+    path = str(tmp_path / "tbl2")
+    rows = [(1, 1, 10), (2, 1, 20), (3, 2, 30), (4, 2, 40)]
+    spark.createDataFrame(rows, ["user_id", "day", "v"]).write.partitionBy(
+        "day"
+    ).parquet(path)
+    files_before = sorted(os.listdir(f"{path}/day=2"))
+    n = delete_keys_partition_scoped(spark, path, "user_id", [1], ["day"])
+    assert n == 1
+    # partition day=2 holds no deleted keys: its files are byte-identical
+    assert sorted(os.listdir(f"{path}/day=2")) == files_before
+    out = spark.read.parquet(path)
+    assert {
+        (r["user_id"], r["day"]) for r in out.collect()
+    } == {(2, 1), (3, 2), (4, 2)}
+
+
+def test_delete_keys_fully_emptied_partition(spark, tmp_path):
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        delete_keys_partition_scoped,
+    )
+
+    path = str(tmp_path / "tbl3")
+    rows = [(1, 1, 10), (1, 2, 11), (2, 2, 20)]
+    spark.createDataFrame(rows, ["user_id", "day", "v"]).write.partitionBy(
+        "day"
+    ).parquet(path)
+    n = delete_keys_partition_scoped(spark, path, "user_id", [1], ["day"])
+    assert n == 2
+    out = spark.read.parquet(path)
+    # day=1 is fully emptied; day=2 keeps user 2
+    assert {(r["user_id"], r["day"]) for r in out.collect()} == {(2, 2)}
