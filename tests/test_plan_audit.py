@@ -110,6 +110,11 @@ ALLOWED_NON_EQUI = {
     # scalar attached to the PMI pair table / burstiness token table
     "q238_token_pmi",
     "q239_token_burstiness",
+    # deliberate 1-row x 1-row cross join: node-count x edge-count report
+    "q236_kcore_decomposition",
+    # deliberate SINGLE-ROW broadcast cross join: the (pos, neg) totals
+    # scalar attached to the 10-row WoE table
+    "q242_woe_iv_encoding",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
