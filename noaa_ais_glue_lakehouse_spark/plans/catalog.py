@@ -12505,3 +12505,197 @@ def q245_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("files"), lambda p: F.element_at(F.split(p, "/"), -1)
         ).alias("files"),
     )
+
+
+@register(
+    "q246_doremi_reweight",
+    oracle="""
+    WITH tc AS (
+      SELECT source, tok, COUNT(*) AS n FROM (
+        SELECT source, UNNEST(list_filter(string_split_regex(
+                 lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    st AS (SELECT source, SUM(n) AS ns FROM tc GROUP BY source),
+    ct AS (SELECT tok, SUM(n) AS nt FROM tc GROUP BY tok),
+    g AS (SELECT SUM(n) AS nn FROM tc),
+    ce AS (
+      SELECT tc.source,
+             SUM(CAST(ROUND(1000000.0 * tc.n
+                  * (-ln(CAST(nt AS DOUBLE) / nn)) / ns) AS BIGINT))
+               AS ce_micro
+      FROM tc JOIN st USING (source) JOIN ct USING (tok), g
+      GROUP BY tc.source
+    ),
+    m AS (
+      SELECT CAST(SUM(ce_micro) AS DOUBLE) / COUNT(*) AS mean_ce_micro,
+             COUNT(*) AS n_src
+      FROM ce
+    ),
+    raw AS (
+      SELECT ce.source, ce.ce_micro,
+             CAST(ROUND(1000000000.0 * (CAST(ns AS DOUBLE) / nn)
+                  * exp((ce_micro - mean_ce_micro) / 1000000.0))
+               AS BIGINT) AS raw_nano
+      FROM ce JOIN st USING (source), g, m
+    ),
+    tot AS (SELECT SUM(raw_nano) AS traw FROM raw)
+    SELECT source,
+           ROUND(ce_micro / 1000000.0, 6) AS cross_entropy,
+           ROUND(CAST(raw_nano AS DOUBLE) / traw, 6) AS new_weight
+    FROM raw, tot
+    """,
+)
+def q246_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174 — DoReMi-flavored mixture reweighting: each source's new
+    sampling weight is its token share scaled by exp(excess loss),
+    where loss is the source's cross-entropy against the CORPUS unigram
+    distribution — sources that diverge from the mixture get upweighted
+    (eta = 1), the one-step form of the DoReMi group-DRO update. The
+    companion to q184's temperature reweighting: that one only sees
+    sizes, this one sees distributions.
+
+    Determinism: every float SUM is pre-rounded to integer micros/nanos
+    per term (CE terms, raw weights) so accumulation order can never
+    change the output; ln/exp appear only inside mirrored per-row
+    expressions. Plan shape: one (source, token) rollup feeds source
+    totals, corpus totals and the CE join — all token-key equi-joins;
+    scalars ride 1-row broadcasts.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = tc.groupBy("source").agg(F.sum("n").alias("ns"))
+    ct = tc.groupBy("tok").agg(F.sum("n").alias("nt"))
+    g = tc.agg(F.sum("n").alias("nn"))
+    term = F.round(
+        F.lit(1000000.0)
+        * F.col("n")
+        * (-F.log(F.col("nt").cast("double") / F.col("nn")))
+        / F.col("ns")
+    ).cast("long")
+    ce = (
+        tc.join(F.broadcast(st), "source")
+        .join(F.broadcast(ct), "tok")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source")
+        .agg(F.sum(term).alias("ce_micro"))
+    )
+    m = ce.agg(
+        (F.sum("ce_micro").cast("double") / F.count(F.lit(1))).alias(
+            "mean_ce_micro"
+        )
+    )
+    raw = (
+        ce.join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "ce_micro",
+            F.round(
+                F.lit(1000000000.0)
+                * (F.col("ns").cast("double") / F.col("nn"))
+                * F.exp(
+                    (F.col("ce_micro") - F.col("mean_ce_micro"))
+                    / F.lit(1000000.0)
+                )
+            )
+            .cast("long")
+            .alias("raw_nano"),
+        )
+    )
+    tot = raw.agg(F.sum("raw_nano").alias("traw"))
+    return raw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(F.col("ce_micro") / 1000000.0, 6).alias("cross_entropy"),
+        F.round(F.col("raw_nano").cast("double") / F.col("traw"), 6).alias(
+            "new_weight"
+        ),
+    )
+
+
+@register(
+    "q247_benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, doc_id % 97 = 0 AS is_bench,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source, is_bench,
+             md5(array_to_string(ts[i:i+7], ' ')) AS g
+      FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)
+      WHERE len(ts) >= 8
+    ),
+    bench_grams AS (SELECT DISTINCT g FROM grams WHERE is_bench),
+    contaminated AS (
+      SELECT DISTINCT doc_id, source
+      FROM grams JOIN bench_grams USING (g)
+      WHERE NOT is_bench
+    ),
+    base AS (
+      SELECT source, COUNT(*) AS n_docs
+      FROM documents WHERE doc_id % 97 <> 0 GROUP BY source
+    )
+    SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / b.n_docs, 6)
+             AS contamination_rate
+    FROM base b
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM contaminated
+               GROUP BY source) c USING (source)
+    """,
+)
+def q247_benchmark_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X175 — benchmark-contamination screen (the decontamination step
+    of every serious pretraining pipeline): flag corpus documents that
+    share an 8-token span with any document in the held-out benchmark
+    set (here the doc_id % 97 sample stands in for the benchmark), and
+    report the contamination rate per source. Same span machinery as
+    q216 but an ASYMMETRIC question — corpus vs a designated eval set —
+    which is what you actually run before training.
+
+    Plan shape: spans come from the shared ``repeated_span_grams``
+    projection; the benchmark gram set is corpus-fraction-sized and the
+    contamination test is one semi-join on the gram key.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        repeated_span_grams,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id", "source", (F.col("doc_id") % 97 == 0).alias("is_bench")
+    )
+    grams = repeated_span_grams(docs, "doc_id", "text", n=8).join(meta, "doc_id")
+    bench_grams = grams.filter(F.col("is_bench")).select("g").distinct()
+    contaminated = (
+        grams.filter(~F.col("is_bench"))
+        .join(bench_grams, "g")
+        .select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return base.join(contaminated, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.round(
+            F.coalesce("n", F.lit(0)).cast("double") / F.col("n_docs"), 6
+        ).alias("contamination_rate"),
+    )

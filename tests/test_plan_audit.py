@@ -115,6 +115,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the (pos, neg) totals
     # scalar attached to the 10-row WoE table
     "q242_woe_iv_encoding",
+    # deliberate SINGLE-ROW broadcast cross joins: corpus token total /
+    # mean-CE / weight-total scalars on the |sources|-sized tables
+    "q246_doremi_reweight",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means

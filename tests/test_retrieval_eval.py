@@ -241,3 +241,80 @@ def test_heaps_law_matches_python(spark):
     assert row["n_points"] == k
     assert abs(row["heaps_beta"] - round(slope, 6)) < 1e-6
     assert abs(row["log_k"] - round(logk, 6)) < 1e-6
+
+
+def test_doremi_reweight_matches_python(spark):
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    tc: dict[tuple, int] = Counter()
+    for r in docs:
+        for t in r["text"].lower().split():
+            tc[(r["source"], t)] += 1
+    ns = Counter()
+    nt = Counter()
+    for (s, t), n in tc.items():
+        ns[s] += n
+        nt[t] += n
+    nn = sum(tc.values())
+    ce = {
+        s: sum(
+            int(round(1e6 * n * (-math.log(nt[t] / nn)) / ns[s]))
+            for (s2, t), n in tc.items()
+            if s2 == s
+        )
+        for s in ns
+    }
+    mean_ce = sum(ce.values()) / len(ce)
+    raw = {
+        s: int(
+            round(1e9 * (ns[s] / nn) * math.exp((ce[s] - mean_ce) / 1e6))
+        )
+        for s in ns
+    }
+    traw = sum(raw.values())
+    got = {
+        r["source"]: r
+        for r in catalog.queries()["q246_doremi_reweight"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(ns)
+    wsum = 0.0
+    for s in ns:
+        assert abs(got[s]["cross_entropy"] - round(ce[s] / 1e6, 6)) < 1e-9
+        assert abs(got[s]["new_weight"] - round(raw[s] / traw, 6)) < 1e-9
+        wsum += got[s]["new_weight"]
+    assert abs(wsum - 1.0) < 1e-4  # weights normalize
+
+
+def test_contamination_screen_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    bench_grams = set()
+    grams_by_doc = {}
+    for r in docs:
+        toks = r["text"].lower().split()
+        gs = {
+            " ".join(toks[i : i + 8]) for i in range(len(toks) - 7)
+        }
+        grams_by_doc[r["doc_id"]] = gs
+        if r["doc_id"] % 97 == 0:
+            bench_grams |= gs
+    n_docs = {}
+    n_cont = {}
+    for r in docs:
+        if r["doc_id"] % 97 == 0:
+            continue
+        n_docs[r["source"]] = n_docs.get(r["source"], 0) + 1
+        if grams_by_doc[r["doc_id"]] & bench_grams:
+            n_cont[r["source"]] = n_cont.get(r["source"], 0) + 1
+    got = {
+        r["source"]: (r["n_docs"], r["n_contaminated"])
+        for r in catalog.queries()["q247_benchmark_contamination"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {
+        s: (n, n_cont.get(s, 0)) for s, n in n_docs.items()
+    }
