@@ -12699,3 +12699,238 @@ def q247_benchmark_contamination(
             F.coalesce("n", F.lit(0)).cast("double") / F.col("n_docs"), 6
         ).alias("contamination_rate"),
     )
+
+
+_DAILY_PAIRS_CTE = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.d AS d1, b.d AS d2, a.y AS y1, b.y AS y2,
+             date_diff('day', a.d, b.d) AS dt
+      FROM daily a JOIN daily b ON b.d > a.d
+    )
+"""
+
+
+@register(
+    "q248_theil_sen_slope",
+    oracle=_DAILY_PAIRS_CTE
+    + """
+    , slopes AS (
+      SELECT CAST(y2 - y1 AS DOUBLE) / dt AS s, d1, d2 FROM pairs
+    ),
+    ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, d1, d2) AS rn,
+             COUNT(*) OVER () AS m
+      FROM slopes
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(m AS BIGINT) AS n_pairs,
+           ROUND(s, 6) AS theil_sen_slope
+    FROM ranked WHERE rn = (m + 1) // 2
+    """,
+)
+def q248_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 — Theil-Sen robust trend estimator: the (lower) median of
+    all pairwise slopes of the daily-volume series. Unlike q234's OLS
+    it shrugs off outlier days (29% breakdown point) — the robust
+    companion the MAD outlier screen (q145) pairs with for trends.
+
+    Plan shape: the pair spine is a |days|^2 theta self-join ON THE
+    DAY-LEVEL ROLLUP — dimension-sized by construction (435 pairs for a
+    month), never the event table; the median is rank-selected with a
+    total (slope, d1, d2) order so ties can't make it nondeterministic.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("s"),
+    )
+    w = Window.orderBy("s", "d1", "d2")
+    ranked = pairs.select(
+        "s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(m + 1) div 2"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            F.col("m").cast("long").alias("n_pairs"),
+            F.round(F.col("s"), 6).alias("theil_sen_slope"),
+        )
+    )
+
+
+@register(
+    "q249_mann_kendall",
+    oracle=_DAILY_PAIRS_CTE
+    + """
+    , s AS (
+      SELECT SUM(CASE WHEN y2 > y1 THEN 1 WHEN y2 < y1 THEN -1 ELSE 0 END)
+               AS mk_s
+      FROM pairs
+    ),
+    n AS (SELECT COUNT(*) AS n FROM daily),
+    ties AS (
+      SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+      FROM (SELECT y, COUNT(*) AS t FROM daily GROUP BY y HAVING COUNT(*) > 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(mk_s AS BIGINT) AS mk_s,
+           ROUND((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term)
+                 / 18.0, 6) AS var_s,
+           ROUND(CASE WHEN mk_s = 0 THEN 0.0
+                 ELSE (mk_s - CASE WHEN mk_s > 0 THEN 1 ELSE -1 END)
+                      / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                              - tie_term) / 18.0) END, 6) AS z
+    FROM s, n, ties
+    """,
+)
+def q249_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 — Mann-Kendall trend test with tie correction: S = sum of
+    pairwise signs over the daily series, continuity-corrected Z
+    against the tie-adjusted variance. The nonparametric "is there a
+    monotone trend at all" gate that belongs in front of any slope
+    estimate (q234 OLS / q248 Theil-Sen) — it needs no distributional
+    assumption the synthetic series would violate.
+
+    Same dimension-sized day-pair spine as q248; the tie term is a
+    second tiny aggregation on the day rollup; every input to the final
+    mirrored float expression is an exact integer.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = F.when(F.col("b.y") > F.col("a.y"), 1).when(
+        F.col("b.y") < F.col("a.y"), -1
+    ).otherwise(0)
+    s = a.join(b, F.col("b.d") > F.col("a.d")).agg(
+        F.sum(sgn).alias("mk_s")
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / F.lit(18.0)
+    z = F.when(F.col("mk_s") == 0, F.lit(0.0)).otherwise(
+        (
+            F.col("mk_s")
+            - F.when(F.col("mk_s") > 0, F.lit(1)).otherwise(F.lit(-1))
+        )
+        / F.sqrt(var_s)
+    )
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("mk_s").cast("long").alias("mk_s"),
+            F.round(var_s, 6).alias("var_s"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+@register(
+    "q250_fuzzy_entity_clusters",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blocked AS (
+      SELECT name, string_split(name, ' ')[-1] AS block FROM names
+    ),
+    e AS (
+      SELECT a.name AS na, b.name AS nb
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3
+    ),
+    sym AS (
+      SELECT na AS src, nb AS dst FROM e
+      UNION ALL SELECT nb, na FROM e
+    ),
+    rec AS (
+      WITH RECURSIVE cc(v, rep) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.dst, cc.rep FROM cc JOIN sym s ON s.src = cc.v
+        WHERE cc.rep < s.dst OR cc.rep < s.src
+      )
+      SELECT v, MIN(rep) AS rep FROM cc GROUP BY v
+    )
+    SELECT rep AS entity, CAST(COUNT(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list(v)), '|') AS members
+    FROM rec GROUP BY rep
+    """,
+)
+def q250_fuzzy_entity_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X178 — end-to-end entity resolution: fuzzy candidate pairs
+    (q217's blocking + Levenshtein verify) closed into transitive
+    entity clusters by the repo's pointer-doubling connected
+    components, with the lexicographically smallest member as the
+    canonical entity id. The pairs→groups→canonical step every master-
+    data pipeline needs; composes three existing operators rather than
+    reimplementing any.
+
+    The components run on STRING labels (min-label propagation is
+    ordering-generic); the oracle closes the same graph with a
+    recursive CTE. Isolated names (no fuzzy match) are not entities and
+    are excluded by both sides.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    part = load(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.select(
+        "name", F.element_at(F.split(F.col("name"), " "), -1).alias("block")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 3)
+        .select(F.col("a.name").alias("id_a"), F.col("b.name").alias("id_b"))
+    )
+    cc = connected_components(pairs)
+    return cc.groupBy(F.col("component").alias("entity")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.array_join(F.array_sort(F.collect_list("id")), "|").alias(
+            "members"
+        ),
+    )

@@ -118,6 +118,10 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross joins: corpus token total /
     # mean-CE / weight-total scalars on the |sources|-sized tables
     "q246_doremi_reweight",
+    # deliberate |days|^2 theta self-joins ON THE DAY ROLLUP (dimension-
+    # sized pair spines for robust trend statistics) + 1-row scalars
+    "q248_theil_sen_slope",
+    "q249_mann_kendall",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
@@ -138,6 +142,8 @@ BUILD_TIME_EXECUTION = {
     "q179_event_type_pagerank",
     # each BPE round's argmax pair is a 1-row collect at plan build
     "q224_bpe_merges",
+    # connected components iterate at plan build (fuzzy entity closure)
+    "q250_fuzzy_entity_clusters",
 }
 
 

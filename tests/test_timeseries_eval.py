@@ -222,3 +222,61 @@ def test_loo_target_encoding_matches_python(spark):
         c = int(round(r["value"] * 100))
         expect = round((sc - c) / ((n - 1) * 100.0), 6)
         assert abs(got[r["event_id"]] - expect) < 1e-9
+
+
+def _daily_counts(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    return Counter(r["ts"].date() for r in ev)
+
+
+def test_theil_sen_matches_python(spark):
+    daily = _daily_counts(spark)
+    days = sorted(daily)
+    slopes = []
+    for i, d1 in enumerate(days):
+        for d2 in days[i + 1 :]:
+            slopes.append(
+                ((daily[d2] - daily[d1]) / (d2 - d1).days, d1, d2)
+            )
+    slopes.sort()
+    m = len(slopes)
+    med = slopes[(m + 1) // 2 - 1][0]
+    row = catalog.queries()["q248_theil_sen_slope"](spark, SF_DIR).collect()[0]
+    assert row["n_days"] == len(days) and row["n_pairs"] == m
+    assert abs(row["theil_sen_slope"] - round(med, 6)) < 1e-9
+
+
+def test_mann_kendall_matches_python(spark):
+    daily = _daily_counts(spark)
+    days = sorted(daily)
+    n = len(days)
+    s = 0
+    for i, d1 in enumerate(days):
+        for d2 in days[i + 1 :]:
+            diff = daily[d2] - daily[d1]
+            s += (diff > 0) - (diff < 0)
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(daily.values()).values()
+        if t > 1
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
+    row = catalog.queries()["q249_mann_kendall"](spark, SF_DIR).collect()[0]
+    assert (row["n_days"], row["mk_s"]) == (n, s)
+    assert abs(row["var_s"] - round(var, 6)) < 1e-9
+    assert abs(row["z"] - round(z, 6)) < 1e-9
+
+
+def test_fuzzy_entity_clusters_transitive(spark):
+    rows = catalog.queries()["q250_fuzzy_entity_clusters"](
+        spark, SF_DIR
+    ).collect()
+    for r in rows:
+        members = r["members"].split("|")
+        assert r["n_members"] == len(members) >= 2
+        assert r["entity"] == min(members)  # canonical = lexicographic min
+        assert sorted(members) == members
+    # every name appears in at most one cluster
+    all_members = [m for r in rows for m in r["members"].split("|")]
+    assert len(all_members) == len(set(all_members))
