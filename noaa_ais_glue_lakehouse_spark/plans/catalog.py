@@ -12934,3 +12934,255 @@ def q250_fuzzy_entity_clusters(
             "members"
         ),
     )
+
+
+@register(
+    "q251_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id) AS c
+      FROM d
+    ),
+    binned AS (
+      SELECT doc_id, n_tokens, (c - n_tokens) // 512 AS bin FROM cum
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 512.0, 6) AS fill_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def q251_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179 — training sequence packing: pack documents (in stable
+    doc_id order) into 512-token context windows by next-fit on the
+    exclusive prefix sum — the step that turns a cleaned corpus into
+    dense training batches, with fill_rate the packing-efficiency
+    number the training team actually asks for. The same prefix-scan
+    bucket algebra as the compaction planner (q245), applied to tokens
+    instead of bytes — one mechanism, two maintenance surfaces.
+
+    Plan shape: one projection for token counts, one two-phase parallel
+    prefix scan (never a single-task window at scale — mirrored here by
+    the oracle's window over the same total order), one bin rollup.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    run = global_running_sum(d, ["doc_id"], "n_tokens", out_col="c")
+    binned = run.select(
+        "n_tokens",
+        F.expr("(c - n_tokens) div 512").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / F.lit(512.0), 6).alias(
+            "fill_rate"
+        ),
+    )
+
+
+@register(
+    "q252_budgeted_selection",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, ts AS toks FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+      )
+    ),
+    scored AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             CAST(ROUND(1000000.0 * len(list_distinct(toks)) / len(toks))
+               AS BIGINT) AS quality_micro
+      FROM d WHERE len(toks) > 0
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens, quality_micro,
+             SUM(n_tokens) OVER (ORDER BY quality_micro DESC, doc_id) AS c
+      FROM scored
+    ),
+    sel AS (SELECT * FROM cum WHERE c <= 10000)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+           ROUND(CAST(SUM(quality_micro) AS DOUBLE) / COUNT(*) / 1000000.0,
+                 6) AS mean_quality
+    FROM sel GROUP BY source
+    """,
+)
+def q252_budgeted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180 — data selection under a token budget: rank documents by a
+    quality score (here lexical diversity = distinct/total tokens, in
+    integer micros) and greedily take the best until a 10k-token budget
+    is exhausted (the rows whose running token total stays inside the
+    budget). The curation step between quality scoring (q30/q106) and
+    training-set assembly (q116): "given 10k tokens of budget, which
+    docs make the cut and what does each source contribute?"
+
+    Plan shape: per-doc scores are a pure projection; the greedy
+    cutoff is the two-phase prefix scan over the (quality desc, doc_id)
+    total order; reporting is a per-source rollup of the selected set.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1000000.0)
+            * F.size(F.array_distinct(toks))
+            / F.size(toks)
+        )
+        .cast("long")
+        .alias("quality_micro"),
+    ).filter(F.col("n_tokens") > 0)
+    run = global_running_sum(
+        scored.withColumn("neg_q", -F.col("quality_micro")),
+        ["neg_q", "doc_id"],
+        "n_tokens",
+        out_col="c",
+    )
+    sel = run.filter(F.col("c") <= 10000)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.sum("n_tokens").cast("long").alias("tokens_selected"),
+        F.round(
+            F.sum("quality_micro").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_quality"),
+    )
+
+
+@register(
+    "q253_rank_biased_overlap",
+    oracle=_BM25_SQL_BASE
+    + """
+    , r1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk1
+      FROM scored
+    ),
+    r2 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk2
+      FROM documents
+    ),
+    j AS (SELECT r1.rk1, r2.rk2 FROM r1 JOIN r2 USING (doc_id)),
+    depths AS (SELECT UNNEST(generate_series(1, 20)) AS depth),
+    ov AS (
+      SELECT depth,
+             SUM(CASE WHEN rk1 <= depth AND rk2 <= depth THEN 1 ELSE 0 END)
+               AS o
+      FROM depths, j GROUP BY depth
+    ),
+    terms AS (
+      SELECT depth, o,
+             CAST(ROUND(1000000.0 * 0.1 * (CAST(o AS DOUBLE) / depth)
+                  * power(0.9, depth - 1)) AS BIGINT) AS term_micro
+      FROM ov
+    )
+    SELECT CAST(SUM(CASE WHEN depth = 20 THEN o END) AS BIGINT)
+             AS overlap_at_20,
+           CAST(SUM(term_micro) AS BIGINT) AS rbo_micro,
+           ROUND(SUM(term_micro) / 1000000.0, 6) AS rbo
+    FROM terms
+    """,
+)
+def q253_rank_biased_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X181 — rank-biased overlap (Webber et al.) between the BM25
+    ranking and the length-prior ranking, truncated at depth 20 with
+    persistence p=0.9: RBO = (1-p) * sum_d (overlap@d / d) * p^(d-1).
+    The top-weighted way to ask "do two rankers agree where it
+    matters?" — Kendall/Spearman weight rank 1 and rank 5000 equally,
+    which is wrong for retrieval.
+
+    Plan shape: both global ranks come from single window passes in the
+    oracle and, on the Spark side, from TakeOrdered-limited top-k sets
+    (only ranks <= 20 can contribute, so the full global rank is never
+    materialized — top-k each side, join, and a 20-row depth spine
+    cross join). Per-depth terms are rounded to integer micros before
+    the order-free sum.
+    """
+    scored = _bm25_scored(spark, sf_dir)
+    # windows run over the 20 SURVIVING rows post-limit (bounded by k),
+    # ordered by the same keys as the TakeOrdered so ranks are exact
+    top1 = (
+        scored.orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+        .withColumn(
+            "rk1",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rk1")
+    )
+    docs = load(spark, sf_dir, "documents")
+    top2 = (
+        docs.orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(20)
+        .withColumn(
+            "rk2",
+            F.row_number().over(
+                Window.orderBy(F.col("n_chars").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rk2")
+    )
+    j = top1.join(top2, "doc_id").select("rk1", "rk2")
+    depths = spark.range(1, 21).select(F.col("id").cast("int").alias("depth"))
+    # left-join back onto the depth spine: when the two top-20s are
+    # DISJOINT, j is empty and every depth must still report overlap 0
+    # (the oracle's cross join keeps all-docs rank pairs, so its o=0
+    # rows survive; without this the Spark side would aggregate nothing
+    # and emit NULLs)
+    ov = depths.join(
+        depths.crossJoin(F.broadcast(j))
+        .groupBy("depth")
+        .agg(
+            F.sum(
+                (
+                    (F.col("rk1") <= F.col("depth"))
+                    & (F.col("rk2") <= F.col("depth"))
+                ).cast("long")
+            ).alias("o")
+        ),
+        "depth",
+        "left",
+    ).withColumn("o", F.coalesce("o", F.lit(0)))
+    term = F.round(
+        F.lit(1000000.0)
+        * F.lit(0.1)
+        * (F.col("o").cast("double") / F.col("depth"))
+        * F.pow(F.lit(0.9), F.col("depth") - 1)
+    ).cast("long")
+    return ov.select("depth", "o", term.alias("term_micro")).agg(
+        F.sum(F.when(F.col("depth") == 20, F.col("o")))
+        .cast("long")
+        .alias("overlap_at_20"),
+        F.sum("term_micro").cast("long").alias("rbo_micro"),
+        F.round(F.sum("term_micro") / 1000000.0, 6).alias("rbo"),
+    )

@@ -94,6 +94,8 @@ ALLOWED_NON_EQUI = {
     # inherits the BM25 single-row stats cross join via _bm25_scored
     "q227_reciprocal_rank_fusion",
     "q232_prf_expansion",
+    # BM25 stats cross join + the bounded 20-row depth-spine cross join
+    "q253_rank_biased_overlap",
     # deliberate 7-row broadcast literal cross join: the lag spine
     # attached to the |days|-sized daily rollup
     "q221_lagged_cross_correlation",

@@ -318,3 +318,96 @@ def test_contamination_screen_matches_python(spark):
     assert got == {
         s: (n, n_cont.get(s, 0)) for s, n in n_docs.items()
     }
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+
+
+def test_sequence_packing_matches_python(spark):
+    docs = sorted(_docs(spark), key=lambda r: r["doc_id"])
+    bins: dict[int, list[int]] = {}
+    cum = 0
+    for r in docs:
+        n = len(r["text"].lower().split())
+        b = cum // 512
+        bins.setdefault(b, []).append(n)
+        cum += n
+    got = {
+        r["bin"]: (r["n_docs"], r["n_tokens"])
+        for r in catalog.queries()["q251_sequence_packing"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == {b: (len(v), sum(v)) for b, v in bins.items()}
+    # next-fit fill rates hover around 1: a bin can undershoot only by
+    # less than one document (the straddling doc lands in the next bin)
+    max_doc = max(n for v in bins.values() for n in v)
+    for r in catalog.queries()["q251_sequence_packing"](
+        spark, SF_DIR
+    ).collect():
+        if r["bin"] != max(bins):
+            assert r["n_tokens"] > 512 - max_doc
+
+
+def test_budgeted_selection_matches_python(spark):
+    docs = _docs(spark)
+    scored = []
+    for r in docs:
+        toks = r["text"].lower().split()
+        if not toks:
+            continue
+        q = int(round(1e6 * len(set(toks)) / len(toks)))
+        scored.append((r["doc_id"], r["source"], len(toks), q))
+    scored.sort(key=lambda x: (-x[3], x[0]))
+    cum, sel = 0, []
+    for doc_id, src, n, q in scored:
+        cum += n
+        if cum <= 10000:
+            sel.append((src, n, q))
+    expect: dict[str, list] = {}
+    for src, n, q in sel:
+        e = expect.setdefault(src, [0, 0, 0])
+        e[0] += 1
+        e[1] += n
+        e[2] += q
+    got = {
+        r["source"]: r
+        for r in catalog.queries()["q252_budgeted_selection"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for src, (n_sel, toks, qsum) in expect.items():
+        assert got[src]["n_selected"] == n_sel
+        assert got[src]["tokens_selected"] == toks
+        assert (
+            abs(got[src]["mean_quality"] - round(qsum / n_sel / 1e6, 6))
+            < 1e-9
+        )
+
+
+def test_rbo_matches_python(spark):
+    bm25 = {
+        r["doc_id"]: r["score_micro"]
+        for r in catalog._bm25_scored(spark, SF_DIR).collect()
+    }
+    lens = {r["doc_id"]: r["n_chars"] for r in _docs(spark)}
+    r1 = {
+        d: i + 1
+        for i, d in enumerate(sorted(bm25, key=lambda d: (-bm25[d], d)))
+    }
+    r2 = {
+        d: i + 1
+        for i, d in enumerate(sorted(lens, key=lambda d: (-lens[d], d)))
+    }
+    rbo_micro = 0
+    for depth in range(1, 21):
+        o = sum(1 for d in bm25 if r1[d] <= depth and r2[d] <= depth)
+        rbo_micro += int(round(1e6 * 0.1 * (o / depth) * 0.9 ** (depth - 1)))
+    o20 = sum(1 for d in bm25 if r1[d] <= 20 and r2[d] <= 20)
+    row = catalog.queries()["q253_rank_biased_overlap"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["overlap_at_20"] == o20
+    assert row["rbo_micro"] == rbo_micro
