@@ -13186,3 +13186,148 @@ def q253_rank_biased_overlap(
         F.sum("term_micro").cast("long").alias("rbo_micro"),
         F.round(F.sum("term_micro") / 1000000.0, 6).alias("rbo"),
     )
+
+
+@register(
+    "q254_conversion_latency",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_us
+      FROM events
+    ),
+    lat AS (
+      SELECT epoch_us(ts) - last_click_us AS us
+      FROM seq
+      WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    ),
+    r AS (SELECT us, COUNT(*) AS c FROM lat GROUP BY us),
+    cum AS (
+      SELECT us, SUM(c) OVER (ORDER BY us) AS cc FROM r
+    ),
+    n AS (SELECT COUNT(*) AS n FROM lat)
+    SELECT CAST(n AS BIGINT) AS n_conversions,
+           ROUND((SELECT MIN(us) FROM cum, n WHERE cc >= (5*n + 9) // 10)
+                 / 1000000.0, 6) AS p50_seconds,
+           ROUND((SELECT MIN(us) FROM cum, n WHERE cc >= (9*n + 9) // 10)
+                 / 1000000.0, 6) AS p90_seconds
+    FROM n
+    """,
+)
+def q254_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182 — conversion-latency distribution: for every purchase, the
+    time since the SAME user's most recent preceding click (a running
+    conditional max — the single-pass form of a per-row as-of join),
+    then exact rank-based p50/p90 over the latency population. The
+    product-analytics question behind every funnel: not whether users
+    convert (q186) but how long conversion takes.
+
+    Plan shape: ONE user-partitioned window pass attaches the last
+    click; the quantiles use the two-pass counting method (distinct-
+    value rollup + cumulative window on the rollup), not a memory-bound
+    percentile aggregate — q233's machinery on a new population. The
+    ceil thresholds are exact integer arithmetic.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros(F.col("ts")))
+    ).over(w)
+    lat = (
+        ev.select(
+            "event_type",
+            (F.unix_micros(F.col("ts")) - last_click).alias("us"),
+        )
+        .filter((F.col("event_type") == "purchase") & F.col("us").isNotNull())
+        .select("us")
+    )
+    r = lat.groupBy("us").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("us").rowsBetween(Window.unboundedPreceding, 0)
+    cum = r.withColumn("cc", F.sum("c").over(wc))
+    n = lat.agg(F.count(F.lit(1)).alias("n"))
+    qc = cum.crossJoin(F.broadcast(n))
+
+    def q_at(mult: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("cc") >= F.expr(f"({mult} * n + 9) div 10"),
+                F.col("us"),
+            )
+        )
+
+    return qc.agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        F.round(q_at(5) / 1000000.0, 6).alias("p50_seconds"),
+        F.round(q_at(9) / 1000000.0, 6).alias("p90_seconds"),
+    )
+
+
+@register(
+    "q255_hill_tail_index",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
+      FROM events WHERE value > 0
+    ),
+    topk AS (
+      SELECT cents FROM c ORDER BY cents DESC, event_id LIMIT 100
+    ),
+    xk AS (SELECT MIN(cents) AS mk FROM topk),
+    terms AS (
+      SELECT CAST(ROUND(1000000.0
+               * ln(CAST(cents AS DOUBLE) / mk)) AS BIGINT) AS t
+      FROM topk, xk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+             AS hill_estimate,
+           ROUND(CASE WHEN SUM(t) > 0
+                 THEN 1.0 / (CAST(SUM(t) AS DOUBLE) / COUNT(*) / 1000000.0)
+                 ELSE NULL END, 6) AS tail_alpha
+    FROM terms
+    """,
+)
+def q255_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183 — Hill estimator of the tail index over the top-100 order
+    statistics of event value: hill = mean ln(x_i / x_k), alpha =
+    1/hill. The standard "how heavy is this tail" number — whether
+    revenue concentration (q203 Gini) comes from a power law (alpha <
+    2: variance infinite, sampling plans must change) or merely a
+    skewed-but-tame distribution.
+
+    Plan shape: the order statistics are one TakeOrdered top-k (never a
+    sort); x_k is a 1-row broadcast; per-term logs are rounded to
+    integer micros before the order-free sum.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("value") > 0).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"), "event_id"
+    )
+    topk = c.orderBy(F.col("cents").desc(), "event_id").limit(100).select(
+        "cents"
+    )
+    xk = topk.agg(F.min("cents").alias("mk"))
+    terms = topk.crossJoin(F.broadcast(xk)).select(
+        F.round(
+            F.lit(1000000.0)
+            * F.log(F.col("cents").cast("double") / F.col("mk"))
+        )
+        .cast("long")
+        .alias("t")
+    )
+    hill = F.sum("t").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.round(hill, 6).alias("hill_estimate"),
+        F.round(
+            F.when(F.sum("t") > 0, F.lit(1.0) / hill).otherwise(F.lit(None)),
+            6,
+        ).alias("tail_alpha"),
+    )

@@ -350,3 +350,28 @@ def start_partitioned_stream_sink(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key's fingerprint only
+    until the watermark passes it, so duplicate deliveries inside the
+    lateness bound are suppressed while state stays finite — the
+    at-least-once → effectively-once repair every ingest topology needs
+    (plain ``dropDuplicates`` on a stream grows state forever).
+
+    Mode-agnostic like the rest of this module: on a batch DataFrame it
+    degrades to plain ``dropDuplicates`` over the same keys (batch
+    inputs are finite, so unbounded state is not a concern and the
+    semantics coincide when duplicates fall inside the watermark).
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)

@@ -124,6 +124,9 @@ ALLOWED_NON_EQUI = {
     # sized pair spines for robust trend statistics) + 1-row scalars
     "q248_theil_sen_slope",
     "q249_mann_kendall",
+    # deliberate 1-row broadcast scalars: total-count / x_k order stat
+    "q254_conversion_latency",
+    "q255_hill_tail_index",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means

@@ -260,3 +260,58 @@ def test_merge_sink_composite_keys_keep_all_key_tuples(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got == {(1, "a"): 1.0, (1, "b"): 2.0, (2, "a"): 3.0}
+
+
+def test_dedup_within_watermark_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivered event in a later
+    microbatch (inside the watermark) must be suppressed; the memory
+    sink sees each event_id exactly once."""
+    import datetime as dt
+
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import (
+        dedup_within_watermark,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    b1 = [(1, t0, "a"), (2, t0 + dt.timedelta(minutes=1), "b")]
+    # batch 2 redelivers event 1 (dup within watermark) + one new event
+    b2 = [(1, t0, "a"), (3, t0 + dt.timedelta(minutes=2), "c")]
+    src = str(tmp_path / "dedup_src")
+    schema = "event_id long, ts timestamp, payload string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]  # event 1 exactly once
+
+
+def test_dedup_within_watermark_batch_degrades_to_dropduplicates(spark):
+    import datetime as dt
+
+    from noaa_ais_glue_lakehouse_spark.streaming.sessions import (
+        dedup_within_watermark,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, "a"), (1, t0, "a"), (2, t0, "b")],
+        "event_id long, ts timestamp, payload string",
+    )
+    out = dedup_within_watermark(df, ["event_id"], "ts")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
