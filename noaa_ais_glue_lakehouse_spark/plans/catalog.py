@@ -22,6 +22,8 @@ O=sorts, U=set-ops, D=dedup, T=stateful, Q=SQL corpus).
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -13330,4 +13332,138 @@ def q255_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.sum("t") > 0, F.lit(1.0) / hill).otherwise(F.lit(None)),
             6,
         ).alias("tail_alpha"),
+    )
+
+
+@register(
+    "q256_join_cardinality_estimate",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS k, COUNT(*) AS na FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT c_custkey AS k, COUNT(*) AS nb FROM customer GROUP BY 1
+    ),
+    tru AS (
+      SELECT SUM(na * nb) AS true_size FROM a JOIN b USING (k)
+    ),
+    est AS (
+      SELECT SUM(na * nb) * 100 AS est_size
+      FROM a JOIN b USING (k) WHERE k % 100 = 0
+    )
+    SELECT CAST(true_size AS BIGINT) AS true_size,
+           CAST(COALESCE(est_size, 0) AS BIGINT) AS est_size,
+           ROUND(abs(CAST(COALESCE(est_size, 0) AS DOUBLE) - true_size)
+                 / true_size, 6) AS rel_error
+    FROM tru, est
+    """,
+)
+def q256_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X185 — join-cardinality estimation, the optimizer statistic:
+    |A join B| = sum over keys of n_a(k)*n_b(k), estimated from a
+    deterministic 1% key sample (k % 100 — same keys sampled on BOTH
+    sides, which is the trick: uniform row sampling underestimates
+    joins badly, synchronized KEY sampling is unbiased) and compared
+    against the exact size. The audit you run before trusting a join
+    reorder on a new table pair.
+
+    Plan shape: two key-count rollups (the only big shuffles), a
+    key equi-join of the |keys|-sized count tables, and the sampled
+    estimate rides the same join with a pushed-down key predicate.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = customer.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    j = a.join(b, "k").select(
+        "k", (F.col("na") * F.col("nb")).alias("prod")
+    )
+    tru = j.agg(F.sum("prod").alias("true_size"))
+    est = j.filter(F.col("k") % 100 == 0).agg(
+        (F.sum("prod") * 100).alias("est_size")
+    )
+    return tru.crossJoin(F.broadcast(est)).select(
+        F.col("true_size").cast("long").alias("true_size"),
+        F.coalesce("est_size", F.lit(0)).cast("long").alias("est_size"),
+        F.round(
+            F.abs(
+                F.coalesce("est_size", F.lit(0)).cast("double")
+                - F.col("true_size")
+            )
+            / F.col("true_size"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+@register(
+    "q257_acf_periodicity",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y FROM events GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST(generate_series(1, 14)) AS lag),
+    j AS (
+      SELECT l.lag, a.y AS x, b.y AS z
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+    ),
+    m AS (
+      SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(z) AS sz,
+             SUM(x*x) AS sxx, SUM(z*z) AS szz, SUM(x*z) AS sxz
+      FROM j GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n*sxz - sx*sz AS DOUBLE)
+                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                        * CAST(n*szz - sz*sz AS DOUBLE)), 6) AS acf
+    FROM m
+    """,
+)
+def q257_acf_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186 — full autocorrelation function of the daily volume series
+    at lags 1..14: the periodicity detector (Wiener-Khinchin: the ACF
+    carries the same periodicity information as the power spectrum,
+    but — unlike a cross-engine DFT, whose cos/sin differ between
+    engines in the last ulp, measured 4/1000 angles here — it is exact
+    integer moments end to end). A peak at lag 7 confirms the weekly
+    cycle q228's decomposition assumes; q162 computes only lag 1.
+
+    Plan shape: one corpus-sized daily rollup; the 14 lags are a
+    broadcast literal spine; each lag's Pearson r is the closed-form
+    integer-moment ratio (q221's machinery, self-joined on the shifted
+    date key).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("d", F.col("y").alias("x"))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("z"))
+    j = a.crossJoin(F.broadcast(lags)).join(
+        b, F.date_add(F.col("d"), F.col("lag")) == F.col("d2")
+    )
+    n = F.count(F.lit(1))
+    sx, sz = F.sum("x"), F.sum("z")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    szz = F.sum(F.col("z") * F.col("z"))
+    sxz = F.sum(F.col("x") * F.col("z"))
+    return j.groupBy("lag").agg(
+        n.cast("long").alias("n_pairs"),
+        F.round(
+            (n * sxz - sx * sz).cast("double")
+            / F.sqrt(
+                (n * sxx - sx * sx).cast("double")
+                * (n * szz - sz * sz).cast("double")
+            ),
+            6,
+        ).alias("acf"),
     )

@@ -127,6 +127,8 @@ ALLOWED_NON_EQUI = {
     # deliberate 1-row broadcast scalars: total-count / x_k order stat
     "q254_conversion_latency",
     "q255_hill_tail_index",
+    # deliberate 1-row x 1-row cross join: exact vs sampled join size
+    "q256_join_cardinality_estimate",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means

@@ -280,3 +280,57 @@ def test_fuzzy_entity_clusters_transitive(spark):
     # every name appears in at most one cluster
     all_members = [m for r in rows for m in r["members"].split("|")]
     assert len(all_members) == len(set(all_members))
+
+
+def test_join_cardinality_estimate_matches_python(spark):
+    from collections import Counter
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    na = Counter(r["o_custkey"] for r in orders)
+    nb = Counter(r["c_custkey"] for r in cust)
+    true_size = sum(na[k] * nb[k] for k in na if k in nb)
+    est = 100 * sum(
+        na[k] * nb[k] for k in na if k in nb and k % 100 == 0
+    )
+    row = catalog.queries()["q256_join_cardinality_estimate"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert (row["true_size"], row["est_size"]) == (true_size, est)
+    assert (
+        abs(row["rel_error"] - round(abs(est - true_size) / true_size, 6))
+        < 1e-9
+    )
+
+
+def test_acf_periodicity_matches_python(spark):
+    daily = _daily_counts(spark)
+    days = sorted(daily)
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in catalog.queries()["q257_acf_periodicity"](
+            spark, SF_DIR
+        ).collect()
+    }
+    import datetime as dt
+
+    for lag in range(1, 15):
+        pts = [
+            (daily[d], daily[d + dt.timedelta(days=lag)])
+            for d in days
+            if d + dt.timedelta(days=lag) in daily
+        ]
+        if not pts:
+            assert lag not in got
+            continue
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sz = sum(z for _, z in pts)
+        sxx = sum(x * x for x, _ in pts)
+        szz = sum(z * z for _, z in pts)
+        sxz = sum(x * z for x, z in pts)
+        r = (n * sxz - sx * sz) / math.sqrt(
+            (n * sxx - sx * sx) * (n * szz - sz * sz)
+        )
+        assert got[lag][0] == n
+        assert abs(got[lag][1] - round(r, 6)) < 1e-9
