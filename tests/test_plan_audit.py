@@ -99,6 +99,7 @@ ALLOWED_NON_EQUI = {
     # deliberate 7-row broadcast literal cross join: the lag spine
     # attached to the |days|-sized daily rollup
     "q221_lagged_cross_correlation",
+    "q257_acf_periodicity",
     # deliberate 3-row broadcast cross join: the multi-vector query side
     # of MaxSim attached to the corpus scan (bounded by query size)
     "q222_maxsim_late_interaction",
