@@ -85,6 +85,26 @@ SHOWCASE = {
         "only ORDER BY-without-PARTITION window runs over |partitions| "
         "rows.",
     ),
+    "q220_auc_rank_sum": (
+        r"Exchange|Window|HashAggregate",
+        "Exact AUC with NO single-partition rank window: per-score hash "
+        "aggregation, then the two-phase parallel prefix scan (range "
+        "partition + local window + broadcast offsets) supplies the "
+        "running negative count.",
+    ),
+    "q219_grid_knn_join": (
+        r"BroadcastHashJoin|Exchange|Window|Generate",
+        "Exact radius-bounded KNN: landmarks exploded x9 into neighbor "
+        "cells and BROADCAST; candidates come from a cell-key equi-join "
+        "(no cross product on the big side); per-point top-k window has "
+        "bounded fan-in.",
+    ),
+    "q251_sequence_packing": (
+        r"Exchange|Window|HashAggregate",
+        "Training sequence packing: next-fit bucket = exclusive prefix "
+        "sum via the two-phase scan; bin rollup is one hash aggregation. "
+        "Never a global single-task window.",
+    ),
     "q185_scd2_point_in_time": (
         r"Exchange|Window|Union",
         "Point-in-time SCD2 lookup as union + last_value carry: one "
