@@ -13467,3 +13467,73 @@ def q257_acf_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+@register(
+    "q258_waiting_supplier",
+    oracle="""
+    WITH j AS (
+      SELECT l_orderkey, l_suppkey,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) > 365 AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM j l1
+    WHERE late
+      AND EXISTS (SELECT 1 FROM j l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM j l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 10
+    """,
+)
+def q258_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-corpus — TPC-H Q21's shape (suppliers who kept orders waiting):
+    late lines on multi-supplier orders where NO other supplier was
+    late. The oracle states it in the literal correlated
+    EXISTS / NOT EXISTS form; this side is the DECORRELATED rewrite a
+    100 TB plan needs — both quantifiers collapse into one per-order
+    aggregate:
+
+      EXISTS(other supplier)        <=> n_suppliers(order) >= 2
+      NOT EXISTS(other late suppl.) <=> n_late_suppliers(order) = 1
+                                        (given this line is late)
+
+    so instead of two correlated self-joins over lineitem the plan is
+    ONE per-order aggregation joined back on the order key — the same
+    shuffle the lines already need. "Late" = shipped > 365 days after
+    the order date (this synthetic corpus has no commit/receipt dates).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            > 365
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    qual = (
+        j.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qual.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+        .limit(10)
+    )
