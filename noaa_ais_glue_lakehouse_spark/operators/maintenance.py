@@ -31,6 +31,8 @@ def parquet_footer_stats(spark: SparkSession, paths: list[str]) -> DataFrame:
     count, compressed/uncompressed byte sizes — the raw material for
     compaction and row-group-sizing decisions.
     """
+    if not paths:  # a brand-new table has no files yet; audit is empty
+        return spark.createDataFrame([], FOOTER_SCHEMA)
     src = spark.createDataFrame([(p,) for p in paths], "path string")
     # many small footer reads per task: spread paths across tasks
     src = src.repartition(min(len(paths), 32))

@@ -10209,20 +10209,9 @@ def q214_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic hub blowup a naive neighbor join has — then close wedges
     against the oriented edge set. Every step is a keyed equi-join.
     """
-    docs = load(spark, sf_dir, "documents")
-    head = F.md5(F.array_join(F.slice(tokenize(F.col("text")), 1, 8), " "))
-    fp = docs.select(head.alias("f"), "doc_id").distinct()
-    pairs = (
-        fp.alias("x")
-        .join(
-            fp.alias("y"),
-            (F.col("x.f") == F.col("y.f"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
-        )
-    )
+    # shared edge construction with the q235-q237 graph family (defined
+    # below; resolved at call time)
+    pairs = _dup_edges(spark, sf_dir)
     deg = (
         pairs.select(F.col("a").alias("v"))
         .unionAll(pairs.select(F.col("b").alias("v")))
@@ -10424,33 +10413,29 @@ def q216_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q217_fuzzy_blocked_linkage",
-    oracle="""
+# Shared fuzzy-linkage candidate machinery for q217 (pair audit) and
+# q250 (transitive entity clusters): block on the last name token, verify
+# with Levenshtein <= 3. ONE definition per engine — tune the blocking
+# key or threshold here and both queries (and both oracles) follow.
+_FUZZY_PAIRS_CTE = """
     WITH names AS (SELECT DISTINCT p_name AS name FROM part),
     blocked AS (
       SELECT name, string_split(name, ' ')[-1] AS block FROM names
+    ),
+    fuzzy AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3
     )
-    SELECT a.name AS name_a, b.name AS name_b,
-           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
-    FROM blocked a JOIN blocked b
-      ON a.block = b.block AND a.name < b.name
-    WHERE levenshtein(a.name, b.name) <= 3
-    """,
-)
-def q217_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X144 — fuzzy record linkage: blocking + edit-distance verify, the
-    classic entity-resolution pattern (Fellegi-Sunter style candidate
-    generation). Block key = last name token; candidates are an
-    equi-join WITHIN blocks only (never the O(n^2) cross product);
-    verify = Levenshtein <= 3, JVM-side ``levenshtein`` expression.
+"""
 
-    Runs on the DISTINCT name set — the dimension-sized side — so block
-    sizes are bounded by name-space cardinality, not row count; at
-    100 TB the distinct-project is the only full-data shuffle and the
-    pair join stays dimension-sized. A skewed block (one very common
-    token) would be salted; here blocks are the ~16 part nouns.
-    """
+
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate fuzzy-match pairs over the DISTINCT part names:
+    equi-join within last-token blocks, Levenshtein <= 3 verify.
+    Returns (name_a, name_b, edit_dist) with name_a < name_b."""
     part = load(spark, sf_dir, "part")
     names = part.select(F.col("p_name").alias("name")).distinct()
     blocked = names.select(
@@ -10473,6 +10458,29 @@ def q217_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 3)
     )
+
+
+@register(
+    "q217_fuzzy_blocked_linkage",
+    oracle=_FUZZY_PAIRS_CTE
+    + """
+    SELECT name_a, name_b, edit_dist FROM fuzzy
+    """,
+)
+def q217_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144 — fuzzy record linkage: blocking + edit-distance verify, the
+    classic entity-resolution pattern (Fellegi-Sunter style candidate
+    generation). Block key = last name token; candidates are an
+    equi-join WITHIN blocks only (never the O(n^2) cross product);
+    verify = Levenshtein <= 3, JVM-side ``levenshtein`` expression.
+
+    Runs on the DISTINCT name set — the dimension-sized side — so block
+    sizes are bounded by name-space cardinality, not row count; at
+    100 TB the distinct-project is the only full-data shuffle and the
+    pair join stays dimension-sized. A skewed block (one very common
+    token) would be salted; here blocks are the ~16 part nouns.
+    """
+    return _fuzzy_name_pairs(spark, sf_dir)
 
 
 _BM25_TERMS = ("spark", "join", "window")
@@ -10755,12 +10763,16 @@ def q219_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     each axis, so the 3x3 neighborhood is a complete candidate set.
 
     Plan shape: the landmark side is exploded x9 into (cell_y, cell_x)
-    neighbor keys and BROADCAST (it is a modulus-sampled, dimension-
-    sized set); candidates come from an equi-join on the cell key — no
-    cross product anywhere on the big side; the final top-k is a window
-    partitioned by the query point (bounded fan-in: one 3x3 neighborhood
-    of landmarks). At 100 TB this is the standard spatial-bin KNN: scan-
-    shaped work on the big side, one window shuffle on event_id.
+    neighbor keys and BROADCAST; candidates come from an equi-join on
+    the cell key — no cross product anywhere on the big side; the final
+    top-k is a window partitioned by the query point (bounded fan-in:
+    one 3x3 neighborhood of landmarks). NOTE the broadcast precondition:
+    the 1% modulus sample here stands in for a genuinely dimension-sized
+    landmark table (ports, geofences); a corpus-FRACTION landmark set
+    grows with the fact table and would blow the broadcast at 100 TB —
+    at scale pass a bounded landmark dim, or swap grid_knn_join's
+    broadcast for a shuffle equi-join on the cell key (same exactness
+    argument, one extra exchange).
     """
     from noaa_ais_glue_lakehouse_spark.operators.similarity import (
         grid_knn_join,
@@ -10886,30 +10898,51 @@ def q221_lagged_cross_correlation(
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.sum((F.col("event_type") == "click").cast("long")).alias("a"),
-        F.sum((F.col("event_type") == "purchase").cast("long")).alias("b"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("z"),
     )
     lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
-    da = daily.select("d", "a")
-    db = daily.select(F.col("d").alias("d2"), "b")
-    j = da.crossJoin(F.broadcast(lags)).join(
-        db, F.date_add(F.col("d"), F.col("lag")) == F.col("d2")
+    return _lagged_pearson(
+        daily.select("d", "x"),
+        daily.select(F.col("d").alias("d2"), "z"),
+        lags,
+        n_alias="n_days",
+        r_alias="xcorr",
+    )
+
+
+def _lagged_pearson(
+    left: DataFrame,
+    right: DataFrame,
+    lags: DataFrame,
+    n_alias: str = "n_pairs",
+    r_alias: str = "r",
+) -> DataFrame:
+    """Per-lag exact-integer Pearson correlation between two daily
+    series: ``left(d, x)`` joined to ``right(d2, z)`` on the lag-shifted
+    date for every lag in the (broadcast, literal) ``lags`` spine —
+    shared by q221 (cross-correlation of two series) and q257 (ACF of
+    one series). Moments are exact integers; the closed-form r is the
+    one float expression, mirrored by both oracles.
+    """
+    j = left.crossJoin(F.broadcast(lags)).join(
+        right, F.date_add(F.col("d"), F.col("lag")) == F.col("d2")
     )
     n = F.count(F.lit(1))
-    sx, sy = F.sum("a"), F.sum("b")
-    sxx = F.sum(F.col("a") * F.col("a"))
-    syy = F.sum(F.col("b") * F.col("b"))
-    sxy = F.sum(F.col("a") * F.col("b"))
+    sx, sz = F.sum("x"), F.sum("z")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    szz = F.sum(F.col("z") * F.col("z"))
+    sxz = F.sum(F.col("x") * F.col("z"))
     return j.groupBy("lag").agg(
-        n.cast("long").alias("n_days"),
+        n.cast("long").alias(n_alias),
         F.round(
-            (n * sxy - sx * sy).cast("double")
+            (n * sxz - sx * sz).cast("double")
             / F.sqrt(
                 (n * sxx - sx * sx).cast("double")
-                * (n * syy - sy * sy).cast("double")
+                * (n * szz - sz * sz).cast("double")
             ),
             6,
-        ).alias("xcorr"),
+        ).alias(r_alias),
     )
 
 
@@ -12865,20 +12898,11 @@ def q249_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q250_fuzzy_entity_clusters",
-    oracle="""
-    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
-    blocked AS (
-      SELECT name, string_split(name, ' ')[-1] AS block FROM names
-    ),
-    e AS (
-      SELECT a.name AS na, b.name AS nb
-      FROM blocked a JOIN blocked b
-        ON a.block = b.block AND a.name < b.name
-      WHERE levenshtein(a.name, b.name) <= 3
-    ),
-    sym AS (
-      SELECT na AS src, nb AS dst FROM e
-      UNION ALL SELECT nb, na FROM e
+    oracle=_FUZZY_PAIRS_CTE
+    + """
+    , sym AS (
+      SELECT name_a AS src, name_b AS dst FROM fuzzy
+      UNION ALL SELECT name_b, name_a FROM fuzzy
     ),
     rec AS (
       WITH RECURSIVE cc(v, rep) AS (
@@ -12914,20 +12938,8 @@ def q250_fuzzy_entity_clusters(
         connected_components,
     )
 
-    part = load(spark, sf_dir, "part")
-    names = part.select(F.col("p_name").alias("name")).distinct()
-    blocked = names.select(
-        "name", F.element_at(F.split(F.col("name"), " "), -1).alias("block")
-    )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.name") < F.col("b.name")),
-        )
-        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 3)
-        .select(F.col("a.name").alias("id_a"), F.col("b.name").alias("id_b"))
+    pairs = _fuzzy_name_pairs(spark, sf_dir).select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
     )
     cc = connected_components(pairs)
     return cc.groupBy(F.col("component").alias("entity")).agg(
@@ -13264,10 +13276,20 @@ def q254_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return qc.agg(
-        F.max("n").cast("long").alias("n_conversions"),
+    quants = qc.agg(
         F.round(q_at(5) / 1000000.0, 6).alias("p50_seconds"),
         F.round(q_at(9) / 1000000.0, 6).alias("p90_seconds"),
+    )
+    # n rides its own scalar aggregate (always exactly one row) so that
+    # with ZERO conversions the result is (0, NULL, NULL) like the
+    # oracle — aggregating n out of the empty qc frame would yield NULL
+    return (
+        n.crossJoin(F.broadcast(quants))
+        .select(
+            F.col("n").cast("long").alias("n_conversions"),
+            "p50_seconds",
+            "p90_seconds",
+        )
     )
 
 
@@ -13446,26 +13468,12 @@ def q257_acf_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("y")
     )
     lags = spark.range(1, 15).select(F.col("id").cast("int").alias("lag"))
-    a = daily.select("d", F.col("y").alias("x"))
-    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("z"))
-    j = a.crossJoin(F.broadcast(lags)).join(
-        b, F.date_add(F.col("d"), F.col("lag")) == F.col("d2")
-    )
-    n = F.count(F.lit(1))
-    sx, sz = F.sum("x"), F.sum("z")
-    sxx = F.sum(F.col("x") * F.col("x"))
-    szz = F.sum(F.col("z") * F.col("z"))
-    sxz = F.sum(F.col("x") * F.col("z"))
-    return j.groupBy("lag").agg(
-        n.cast("long").alias("n_pairs"),
-        F.round(
-            (n * sxz - sx * sz).cast("double")
-            / F.sqrt(
-                (n * sxx - sx * sx).cast("double")
-                * (n * szz - sz * sz).cast("double")
-            ),
-            6,
-        ).alias("acf"),
+    return _lagged_pearson(
+        daily.select("d", F.col("y").alias("x")),
+        daily.select(F.col("d").alias("d2"), F.col("y").alias("z")),
+        lags,
+        n_alias="n_pairs",
+        r_alias="acf",
     )
 
 

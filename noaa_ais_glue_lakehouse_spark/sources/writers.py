@@ -207,56 +207,88 @@ def delete_keys_partition_scoped(
 
     The two-step shape is what makes this viable on a 100 TB table:
 
-    1. a key-filtered scan (predicate pushdown on key_col) finds the
-       DISTINCT affected partition tuples — a driver-sized list;
-    2. only those partitions are re-read, anti-filtered, and replaced
-       via dynamic partition overwrite. Untouched partitions' files are
+    1. the key set rides a BROADCAST semi-join (a DataFrame, never an
+       ``isin`` literal list — a million-key GDPR batch would otherwise
+       inflate the plan tree and defeat parquet filter pushdown) to find
+       the DISTINCT affected partition tuples — a driver-sized list;
+    2. only those partitions are re-read, anti-joined, and replaced via
+       dynamic partition overwrite. Untouched partitions' files are
        never opened, never rewritten.
 
-    An affected partition whose every row matches the keys would be
-    left stale by dynamic overwrite (nothing to write back), so those
-    are rewritten through an explicit empty-partition guard: the
-    replacement frame always carries the partition tuple. Returns the
-    number of affected partitions. (With a transactional table format
-    this is ``DELETE WHERE``; this is the parquet-native equivalent,
-    non-atomic across partitions by nature — run it like any
-    maintenance job, serialized per table.)
+    Partition tuples are matched with NULL-SAFE equality (a NULL
+    partition value is legal and must still be purgeable), and a fully-
+    emptied partition's files are deleted through the Hadoop FileSystem
+    using the ACTUAL file paths from the scan — never a hand-built
+    ``col=value`` fragment, which breaks on Hive path-escaped values
+    (':' '/' '=' '%') and on NULLs. Returns the number of affected
+    partitions. (With a transactional table format this is ``DELETE
+    WHERE``; this is the parquet-native equivalent, non-atomic across
+    partitions by nature — run it like any maintenance job, serialized
+    per table.)
     """
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
+    key_df = F.broadcast(
+        spark.createDataFrame([(k,) for k in keys], [key_col]).select(
+            F.col(key_col).cast(dict(df.dtypes)[key_col])
+        )
+    )
     affected = (
-        df.filter(F.col(key_col).isin(keys))
+        df.join(key_df, key_col, "left_semi")
         .select(*partition_cols)
         .distinct()
         .collect()
     )
     if not affected:
         return 0
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    pred = None
-    for row in affected:
+
+    def tuple_pred(row) -> "F.Column":
         clause = F.lit(True)
         for c in partition_cols:
-            clause = clause & (F.col(c) == F.lit(row[c]))
+            clause = clause & F.col(c).eqNullSafe(F.lit(row[c]))
+        return clause
+
+    pred = None
+    for row in affected:
+        clause = tuple_pred(row)
         pred = clause if pred is None else (pred | clause)
-    kept = df.filter(pred).filter(~F.col(key_col).isin(keys))
-    # dynamic overwrite only replaces partitions present in the output;
-    # fully-deleted partitions must still be replaced (with zero rows) —
-    # write them explicitly as empty partition directories
-    kept_parts = {tuple(r[c] for c in partition_cols) for r in
-                  kept.select(*partition_cols).distinct().collect()}
-    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    emptied = [tuple(r[c] for c in partition_cols) for r in affected
-               if tuple(r[c] for c in partition_cols) not in kept_parts]
+    kept = df.filter(pred).join(key_df, key_col, "left_anti")
+    kept_parts = {
+        tuple(r[c] for c in partition_cols)
+        for r in kept.select(*partition_cols).distinct().collect()
+    }
+    emptied = [
+        row
+        for row in affected
+        if tuple(row[c] for c in partition_cols) not in kept_parts
+    ]
+    # capture the emptied partitions' REAL directory paths BEFORE the
+    # rewrite (input_file_name reflects Hive escaping exactly)
+    emptied_dirs: set[str] = set()
     if emptied:
-        schema = df.schema
-        empty = spark.createDataFrame([], schema)
-        for tup in emptied:
-            frag = "/".join(
-                f"{c}={v}" for c, v in zip(partition_cols, tup)
-            )
-            empty.drop(*partition_cols).write.mode("overwrite").parquet(
-                f"{path}/{frag}"
-            )
+        epred = None
+        for row in emptied:
+            clause = tuple_pred(row)
+            epred = clause if epred is None else (epred | clause)
+        from urllib.parse import unquote
+
+        files = (
+            df.filter(epred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        # input_file_name returns the URI-ENCODED form (the on-disk
+        # Hive-escaped 'day=a%3A1' arrives as 'day=a%253A1') — decode
+        # once to get the real filesystem path
+        emptied_dirs = {unquote(r["f"]).rsplit("/", 1)[0] for r in files}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    if emptied_dirs:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for d in sorted(emptied_dirs):
+            p = jvm.org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(conf).delete(p, True)
     return len(affected)

@@ -66,3 +66,12 @@ def test_plan_compaction_sums_row_groups_per_file(spark):
         for r in plan_compaction(stats, target_bytes=100).collect()
     }
     assert plan == {0: (1, 120), 1: (1, 10)}
+
+
+def test_footer_stats_empty_path_list(spark):
+    out = parquet_footer_stats(spark, [])
+    assert out.count() == 0
+    assert out.columns == [
+        "path", "rg_idx", "n_rows", "n_cols",
+        "compressed_bytes", "uncompressed_bytes",
+    ]

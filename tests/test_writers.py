@@ -185,3 +185,32 @@ def test_delete_keys_fully_emptied_partition(spark, tmp_path):
     out = spark.read.parquet(path)
     # day=1 is fully emptied; day=2 keeps user 2
     assert {(r["user_id"], r["day"]) for r in out.collect()} == {(2, 2)}
+
+
+def test_delete_keys_escaped_and_null_partition_values(spark, tmp_path):
+    """Hive-escaped partition values (':' -> %3A) and NULL partitions
+    must still be purgeable — the code-review repro for the raw
+    f-string partition-path bug."""
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        delete_keys_partition_scoped,
+    )
+
+    path = str(tmp_path / "tbl4")
+    rows = [(1, "a:1", 10), (2, "b", 20), (3, None, 30), (4, None, 40)]
+    spark.createDataFrame(
+        rows, "user_id long, day string, v long"
+    ).write.partitionBy("day").parquet(path)
+    n = delete_keys_partition_scoped(spark, path, "user_id", [1, 3], ["day"])
+    assert n == 2
+    out = spark.read.parquet(path)
+    got = {(r["user_id"], r["day"]) for r in out.collect()}
+    # user 1 ('a:1' partition, fully emptied) and user 3 (NULL partition,
+    # partially emptied) are gone; 2 and 4 survive
+    assert got == {(2, "b"), (4, None)}
+    import os
+
+    # the escaped dir was genuinely removed, not shadowed by a bogus twin
+    assert "day=a%3A1" not in os.listdir(path)
+    assert "day=a:1" not in os.listdir(path)
