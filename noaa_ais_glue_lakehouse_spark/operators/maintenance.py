@@ -41,10 +41,22 @@ def parquet_footer_stats(spark: SparkSession, paths: list[str]) -> DataFrame:
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def _footer(p: str):
+            # URI-schemed paths (s3://, hdfs://, gs://) resolve through a
+            # pyarrow FileSystem on the EXECUTOR — plain paths open
+            # locally. from_uri returns (fs, fs-relative path).
+            if "://" in p:
+                from pyarrow import fs as pafs
+
+                filesystem, rel = pafs.FileSystem.from_uri(p)
+                with filesystem.open_input_file(rel) as f:
+                    return pq.ParquetFile(f).metadata
+            return pq.ParquetFile(p).metadata
+
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                md = pq.ParquetFile(p).metadata
+                md = _footer(p)
                 for i in range(md.num_row_groups):
                     rg = md.row_group(i)
                     # compressed size is tracked per column chunk

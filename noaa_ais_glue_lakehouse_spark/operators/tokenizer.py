@@ -40,6 +40,19 @@ def bpe_merges(
         F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")),
         F.lit(" "),
     )
+    # Own the cache lifecycle: each round's argmax collect re-reads the
+    # word-frequency table, so caching it is justified — and because the
+    # returned DataFrame is built from the collected merge literals (no
+    # lineage back to word_freq), it is safe to unpersist before
+    # returning rather than leak executor storage for the session.
+    word_freq = word_freq.cache()
+    try:
+        return _bpe_merge_rounds(spark, word_freq, rounds, replace_passes, word_col, count_col, sym)
+    finally:
+        word_freq.unpersist()
+
+
+def _bpe_merge_rounds(spark, word_freq, rounds, replace_passes, word_col, count_col, sym):
     cur = word_freq.select(
         F.col(word_col).alias("w"), F.col(count_col).alias("c"), sym.alias("s")
     )

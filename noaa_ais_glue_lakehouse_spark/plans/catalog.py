@@ -56,13 +56,22 @@ from noaa_ais_glue_lakehouse_spark.operators.state import merge_state_full_outer
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+_BASELINE_ONLY: set[str] = set()
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, baseline_only: bool = False):
+    """``baseline_only=True`` marks a deliberately O(n²) oracle anchor
+    (brute-force ground truth for an LSH/prefix-filter scale path). Such
+    queries stay in the catalog so the scale paths keep a measurable
+    recall target, but downstream runners — and the plan-audit cartesian
+    scan — treat them as non-production surfaces."""
+
     def deco(fn):
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        if baseline_only:
+            _BASELINE_ONLY.add(name)
         return fn
 
     return deco
@@ -74,6 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+def baseline_only_queries() -> set[str]:
+    """Names registered with ``baseline_only=True`` — deliberate
+    brute-force oracle anchors, never production paths."""
+    return set(_BASELINE_ONLY)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -869,6 +884,7 @@ def q25_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q26_jaccard_pairs",
+    baseline_only=True,  # O(n²) oracle anchor for q27/q171 recall
     oracle="""
     WITH toks AS (
       SELECT doc_id,
@@ -1428,6 +1444,7 @@ def q45_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q46_cosine_dup_exact",
+    baseline_only=True,  # O(n²) oracle anchor for q47/q64 recall
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(
@@ -1458,19 +1475,20 @@ def q46_cosine_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q47_cosine_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via multi-table hyperplane LSH + exact
     verify — the mid-scale embedding dedup path; recall vs q46 is
-    asserted in tests/test_similarity.py. Verify resolves vectors from a
-    broadcast matrix (bit-identical to the attach form, pinned in
-    tests/test_similarity.py) — valid here because the embedding table
-    fits in memory by construction; the truly-at-scale variants are the
-    clustered (q64) and IVF (q55) paths."""
+    asserted in tests/test_similarity.py. Verify is the default
+    join-attach form (vectors re-attach to the candidate pairs via two
+    equi-joins): no driver-side collect anywhere on this path, so it
+    survives a corpus that outgrows driver memory. The broadcast-matrix
+    verify (16-byte pair transport) remains available behind
+    ``broadcast_matrix_verify=True`` for corpora known to fit in
+    executor memory; the truly-at-scale variants are the clustered
+    (q64) and IVF (q55) paths."""
     from noaa_ais_glue_lakehouse_spark.operators.similarity import (
         cosine_near_duplicates,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_near_duplicates(
-        emb, dim=64, threshold=0.4, broadcast_matrix_verify=True
-    )
+    return cosine_near_duplicates(emb, dim=64, threshold=0.4)
 
 
 @register(
@@ -11313,8 +11331,9 @@ def q224_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokenize(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
     )
+    # bpe_merges caches wf for its per-round collects and unpersists it
+    # before returning — no storage leak across the session
     return bpe_merges(spark, wf, rounds=3, replace_passes=4)
 
 

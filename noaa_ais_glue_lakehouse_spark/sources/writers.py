@@ -225,9 +225,19 @@ def delete_keys_partition_scoped(
     WHERE``; this is the parquet-native equivalent, non-atomic across
     partitions by nature — run it like any maintenance job, serialized
     per table.)
+
+    Crash semantics: emptied partitions (every row purged) are deleted
+    FIRST, then the surviving affected partitions are rewritten — the
+    rewrite never scans the deleted directories because its read
+    predicate excludes them. A crash between the two steps leaves the
+    purged keys still present in the NOT-yet-rewritten partitions; the
+    operation is idempotent, so a failed run must simply be re-run to
+    complete the purge (the re-run re-detects the remaining keys).
     """
     from pyspark.sql import functions as F
 
+    if not keys:
+        return 0
     df = spark.read.parquet(path)
     key_df = F.broadcast(
         spark.createDataFrame([(k,) for k in keys], [key_col]).select(
@@ -258,14 +268,21 @@ def delete_keys_partition_scoped(
         tuple(r[c] for c in partition_cols)
         for r in kept.select(*partition_cols).distinct().collect()
     }
+    surviving = [
+        row
+        for row in affected
+        if tuple(row[c] for c in partition_cols) in kept_parts
+    ]
     emptied = [
         row
         for row in affected
         if tuple(row[c] for c in partition_cols) not in kept_parts
     ]
-    # capture the emptied partitions' REAL directory paths BEFORE the
-    # rewrite (input_file_name reflects Hive escaping exactly)
-    emptied_dirs: set[str] = set()
+    # Step A — drop fully-emptied partitions first (their every row is a
+    # purge target, so removal IS the delete; no rewrite needed and no
+    # purged-rows-still-readable window if step B never runs). Real
+    # directory paths come from the scan itself (input_file_name reflects
+    # Hive escaping exactly) — never a hand-built col=value fragment.
     if emptied:
         epred = None
         for row in emptied:
@@ -283,12 +300,22 @@ def delete_keys_partition_scoped(
         # Hive-escaped 'day=a%3A1' arrives as 'day=a%253A1') — decode
         # once to get the real filesystem path
         emptied_dirs = {unquote(r["f"]).rsplit("/", 1)[0] for r in files}
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    if emptied_dirs:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         for d in sorted(emptied_dirs):
             p = jvm.org.apache.hadoop.fs.Path(d)
             p.getFileSystem(conf).delete(p, True)
+    # Step B — rewrite only the SURVIVING affected partitions. The read
+    # predicate covers surviving partitions only, so the plan never
+    # touches the directories deleted in step A.
+    if surviving:
+        spred = None
+        for row in surviving:
+            clause = tuple_pred(row)
+            spred = clause if spred is None else (spred | clause)
+        kept_surviving = df.filter(spred).join(key_df, key_col, "left_anti")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        kept_surviving.write.mode("overwrite").partitionBy(
+            *partition_cols
+        ).parquet(path)
     return len(affected)

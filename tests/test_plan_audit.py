@@ -15,12 +15,15 @@ from noaa_ais_glue_lakehouse_spark.plans import catalog
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# Documented O(n²) baselines: the exact-verify oracles whose whole point
-# is brute force (q26/q46), and the broadcast-cross-join top-k whose query
-# side is bounded by construction (q32).
+# Deliberate O(n²) oracle anchors carry baseline_only=True in the
+# registry itself; the plan scan derives that part of the allowlist from
+# the flag so the catalog, not this test, is the source of truth.
+BASELINE_ONLY = catalog.baseline_only_queries()
+
+# Bounded non-equi joins, individually justified:
 ALLOWED_NON_EQUI = {
-    "q26_jaccard_pairs",
-    "q46_cosine_dup_exact",
+    # broadcast-cross-join top-k whose query side is bounded by
+    # construction (the query set broadcasts; corpus side is linear)
     "q32_cosine_topk",
     # deliberate SINGLE-ROW broadcast cross join: attaching the corpus
     # count scalar (idf denominator) — O(|tf|) rows × 1, not a fallback
@@ -163,7 +166,11 @@ def test_no_accidental_cross_products(spark):
     qs = catalog.queries()
     offenders = {}
     for name, fn in qs.items():
-        if name in ALLOWED_NON_EQUI or name in BUILD_TIME_EXECUTION:
+        if (
+            name in ALLOWED_NON_EQUI
+            or name in BASELINE_ONLY
+            or name in BUILD_TIME_EXECUTION
+        ):
             continue
         plan = _plan(fn(spark, SF_DIR))
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:

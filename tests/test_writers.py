@@ -170,6 +170,23 @@ def test_delete_keys_untouched_partitions_not_rewritten(spark, tmp_path):
     } == {(2, 1), (3, 2), (4, 2)}
 
 
+def test_delete_keys_empty_key_list_is_noop(spark, tmp_path):
+    import os
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        delete_keys_partition_scoped,
+    )
+
+    path = str(tmp_path / "tbl0")
+    spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 20)], ["user_id", "day", "v"]
+    ).write.partitionBy("day").parquet(path)
+    files_before = sorted(os.listdir(f"{path}/day=1"))
+    assert delete_keys_partition_scoped(spark, path, "user_id", [], ["day"]) == 0
+    assert sorted(os.listdir(f"{path}/day=1")) == files_before
+    assert spark.read.parquet(path).count() == 2
+
+
 def test_delete_keys_fully_emptied_partition(spark, tmp_path):
     from noaa_ais_glue_lakehouse_spark.sources.writers import (
         delete_keys_partition_scoped,
