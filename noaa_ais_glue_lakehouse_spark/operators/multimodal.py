@@ -7,10 +7,13 @@ Conventions (the brief's training-data-pipeline surface):
   sniffed format);
 - decode / feature-extract steps run as Arrow-batched ``mapInPandas``
   over the binary column — the Spark-side plumbing (schema, batch
-  iteration, partition preservation) is real; the pixel/sample decode
-  itself needs an image/audio library that is NOT in this environment,
-  so ``decode_images`` uses the real decoder only when available and
-  otherwise a clearly-marked deterministic stub with the same schema.
+  iteration, partition preservation) is real; header-level image decode
+  (dimensions + channels for PNG/JPEG/GIF/BMP) is ALSO real — a
+  zero-dependency pure-Python parser over the public file-format
+  specifications (:func:`parse_image_header`). Full pixel decode needs
+  an imaging library (PIL, absent in this environment) and is used when
+  importable; payloads whose magic bytes no parser recognizes fall back
+  to a clearly-marked deterministic stub with the same schema.
 
 Scale notes: binary payloads ride in the row — never ``collect()`` them;
 metadata extraction is a narrow map (no shuffle); fingerprint dedup
@@ -75,33 +78,123 @@ IMAGE_META_SCHEMA = (
     "id long, width int, height int, channels int, decode_ok boolean"
 )
 
+# SOF markers that carry frame dimensions (C4=DHT, C8=JPG-extension and
+# CC=DAC are table/extension segments, not frames)
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+# PNG color type → band count (PIL-compatible: palette images report the
+# single index band, not the expanded RGB)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Pure-Python (width, height, channels) from real image headers —
+    no imaging library. Recognizes, per the public format specs:
+
+    - PNG: IHDR chunk immediately after the 8-byte signature — width and
+      height are the two big-endian u32 at bytes 16–24, color type at 25;
+    - GIF (87a/89a): logical screen descriptor — two little-endian u16
+      at bytes 6–10; palette-indexed, so one band;
+    - BMP: BITMAPINFOHEADER (or any ≥40-byte DIB) — signed i32 width at
+      18, signed i32 height at 22 (negative = top-down, dimensions are
+      |height|), bits-per-pixel u16 at 28;
+    - JPEG: walk the marker segments from SOI to the first start-of-frame
+      (SOF0/SOF2/…); the frame header carries height, width (big-endian
+      u16) and the component count (1=grayscale, 3=YCbCr).
+
+    Returns ``None`` for unrecognized magic bytes or malformed headers —
+    the caller decides the fallback (PIL / stub / decode_ok=False).
+    """
+    import struct
+
+    if (
+        len(payload) >= 26
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+    ):
+        w, h = struct.unpack(">II", payload[16:24])
+        channels = _PNG_CHANNELS.get(payload[25])
+        if channels is None or w == 0 or h == 0:
+            return None
+        return (w, h, channels)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        if w == 0 or h == 0:
+            return None
+        return (w, h, 1)
+    if len(payload) >= 30 and payload[:2] == b"BM":
+        dib_size = struct.unpack("<I", payload[14:18])[0]
+        if dib_size < 40:
+            return None  # BITMAPCOREHEADER layout differs; not supported
+        w = struct.unpack("<i", payload[18:22])[0]
+        h = abs(struct.unpack("<i", payload[22:26])[0])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        if w <= 0 or h == 0 or bpp == 0 or bpp % 8 != 0:
+            return None
+        return (w, h, bpp // 8)
+    if len(payload) >= 4 and payload[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 2 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            # standalone markers carry no length field
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(payload):
+                return None
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 10 > len(payload):
+                    return None
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                ncomp = payload[i + 9]
+                if w == 0 or h == 0 or ncomp == 0:
+                    return None
+                return (w, h, ncomp)
+            i += 2 + seg_len
+        return None
+    return None
+
 
 def decode_images(
     df: DataFrame, id_col: str, binary_col: str, use_stub: bool | None = None
 ) -> DataFrame:
     """Decode image dimensions via Arrow-batched ``mapInPandas``.
 
-    With a real imaging library present (PIL), decodes actual headers.
-    In this environment PIL is absent, so the deterministic STUB derives
-    pseudo-dimensions from the payload length:
+    Recognized formats (PNG/JPEG/GIF/BMP magic bytes) decode their REAL
+    header dimensions through :func:`parse_image_header` — pure Python,
+    no imaging library needed, runs on the executors like any other
+    batch work. For payloads no header parser recognizes:
+
+    - ``use_stub=None`` (default): PIL if importable, else the
+      deterministic length-stub below — the permissive mode for mixed
+      or dirty corpora;
+    - ``use_stub=False``: PIL if importable, else ``decode_ok=false`` —
+      the strict mode (nothing fabricated);
+    - ``use_stub=True``: the length-stub for EVERYTHING, skipping header
+      parsing — the oracle-reproducible mode (the stub is pure
+      arithmetic both engines can compute, which is what q44's SQL
+      oracle hash-checks):
 
         width  = 1 + (byte_len * 7) % 640
         height = 1 + (byte_len * 13) % 480
         channels = 1 + (byte_len * 31) % 4
-
-    (length-only on purpose: a first-byte rule would make the SQL oracle
-    depend on codepoint-vs-UTF-8-byte encoding details). The stub is pure
-    and engine-portable, so the mapInPandas plumbing — schema contract,
-    batch shape, null payloads — is fully exercised even without the
-    library.
     """
-    if use_stub is None:
+    have_pil = False
+    if use_stub is not True:
         try:
             import PIL.Image  # noqa: F401
 
-            use_stub = False
+            have_pil = True
         except ImportError:
-            use_stub = True
+            have_pil = False
+    stub_fallback = use_stub is None
 
     src = df.select(F.col(id_col).alias("id"), F.col(binary_col).alias("_b"))
 
@@ -114,28 +207,161 @@ def decode_images(
                 ids.append(i)
                 if payload is None or len(payload) == 0:
                     ws.append(None); hs.append(None); cs.append(None); ok.append(False)
-                elif use_stub:
-                    n = len(payload)
-                    ws.append(1 + (n * 7) % 640)
-                    hs.append(1 + (n * 13) % 480)
-                    cs.append(1 + (n * 31) % 4)
-                    ok.append(True)
-                else:
-                    import io
+                    continue
+                if use_stub is not True:
+                    dims = parse_image_header(bytes(payload))
+                    if dims is not None:
+                        ws.append(dims[0]); hs.append(dims[1]); cs.append(dims[2]); ok.append(True)
+                        continue
+                    if have_pil:
+                        import io
 
-                    import PIL.Image
+                        import PIL.Image
 
-                    try:
-                        img = PIL.Image.open(io.BytesIO(payload))
-                        ws.append(img.width); hs.append(img.height)
-                        cs.append(len(img.getbands())); ok.append(True)
-                    except Exception:
+                        try:
+                            img = PIL.Image.open(io.BytesIO(payload))
+                            ws.append(img.width); hs.append(img.height)
+                            cs.append(len(img.getbands())); ok.append(True)
+                        except Exception:
+                            ws.append(None); hs.append(None); cs.append(None); ok.append(False)
+                        continue
+                    if not stub_fallback:
                         ws.append(None); hs.append(None); cs.append(None); ok.append(False)
+                        continue
+                n = len(payload)
+                ws.append(1 + (n * 7) % 640)
+                hs.append(1 + (n * 13) % 480)
+                cs.append(1 + (n * 31) % 4)
+                ok.append(True)
             yield pd.DataFrame(
                 {"id": ids, "width": ws, "height": hs, "channels": cs, "decode_ok": ok}
             )
 
     return src.mapInPandas(_decode, schema=IMAGE_META_SCHEMA)
+
+
+def synthesize_png(width: int, height: int) -> bytes:
+    """A real, fully-valid 8-bit RGB PNG (signature, IHDR, zlib IDAT
+    with per-row filter bytes, CRC-correct chunks, IEND) — stdlib only.
+    Pixel (x, y) is a deterministic gradient so payloads differ by
+    content, not just header."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"
+        + bytes(
+            (x * 3 + c + y * 7) % 256 for x in range(width) for c in range(3)
+        )
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer — the fields
+    a metadata extractor reads (no frame data; a real thumbnailer would
+    append an image descriptor + LZW stream)."""
+    import struct
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x00, 0x00, 0x00])  # no GCT, bg color 0, no aspect
+        + b"\x3b"  # trailer
+    )
+
+
+def synthesize_bmp(width: int, height: int) -> bytes:
+    """A real, fully-valid 24-bit BMP (file header, BITMAPINFOHEADER,
+    4-byte-aligned zeroed pixel rows) — stdlib only."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    pixel_bytes = row_bytes * height
+    file_header = b"BM" + struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    return file_header + dib + bytes(pixel_bytes)
+
+
+def synthesize_jpeg(width: int, height: int) -> bytes:
+    """JPEG SOI + JFIF APP0 + SOF0 frame header (3 YCbCr components) +
+    EOI — the marker structure a metadata extractor walks (no entropy-
+    coded scan; a renderable JPEG would add DQT/DHT/SOS segments)."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHH", 8 + 3 * 3, 8, height, width)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+_SYNTH_BY_FORMAT = {
+    "png": synthesize_png,
+    "gif": synthesize_gif,
+    "bmp": synthesize_bmp,
+    "jpeg": synthesize_jpeg,
+}
+
+IMAGE_ASSET_SCHEMA = "id long, fmt string, payload binary"
+
+_ASSET_FORMAT_CYCLE = ("png", "gif", "bmp", "jpeg")
+
+
+def synthesize_image_assets(
+    df: DataFrame,
+    id_col: str,
+    width_mod: int = 48,
+    height_mod: int = 32,
+) -> DataFrame:
+    """Deterministic REAL image payloads from an id column, generated on
+    the executors (Arrow-batched ``mapInPandas`` — the driver never sees
+    a payload byte): format cycles png/gif/bmp/jpeg by ``id % 4``, and
+    dimensions are ``1 + id % width_mod`` × ``1 + id % height_mod`` —
+    formulas a SQL oracle can reproduce, so a header DECODE of these
+    payloads is fully hash-checkable end-to-end."""
+    src = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def _synth(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            fmts, payloads = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                fmt = _ASSET_FORMAT_CYCLE[i % 4]
+                fmts.append(fmt)
+                payloads.append(
+                    _SYNTH_BY_FORMAT[fmt](1 + i % width_mod, 1 + i % height_mod)
+                )
+            yield pd.DataFrame({"id": pdf["id"], "fmt": fmts, "payload": payloads})
+
+    return src.mapInPandas(_synth, schema=IMAGE_ASSET_SCHEMA)
 
 
 def sample_frames(

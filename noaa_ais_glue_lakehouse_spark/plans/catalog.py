@@ -13564,3 +13564,41 @@ def q258_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "suppkey")
         .limit(10)
     )
+
+
+@register(
+    "q259_image_header_decode",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(1 + doc_id % 48 AS INT) AS width,
+           CAST(1 + doc_id % 32 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+)
+def q259_image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188 — REAL image header decode, end-to-end hash-checked: real
+    PNG/GIF/BMP/JPEG payloads (CRC-correct chunks, valid zlib IDAT,
+    marker-walked SOF frames) are synthesized on the executors with
+    dimensions derived from doc_id, then ``decode_images`` recovers the
+    dimensions by parsing the ACTUAL format headers — pure Python, no
+    imaging library, no length stub anywhere on this path. The oracle
+    recomputes the expected dimensions from the doc_id formulas, so a
+    parser that mis-reads any byte offset hash-mismatches immediately.
+    Channels: gif is palette-indexed (1 band); png(rgb)/bmp(24bpp)/
+    jpeg(YCbCr) are 3. The stub remains only for payloads whose magic
+    bytes nothing recognizes (q44 pins that mode).
+
+    Scale shape: two chained Arrow-batched ``mapInPandas`` stages
+    (synthesize → decode), zero shuffles, payload bytes never leave the
+    executors — the plan a 100 TB thumbnail-metadata backfill wants.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        decode_images,
+        synthesize_image_assets,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    assets = synthesize_image_assets(docs, "doc_id")
+    return decode_images(assets, "id", "payload", use_stub=False)

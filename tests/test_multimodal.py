@@ -131,3 +131,106 @@ def test_audio_features_framing_and_odd_bytes(spark):
     assert [(r["frame_idx"], r["n_samples"]) for r in rows] == [(0, 256), (1, 44)]
     for r in rows:
         assert abs(r["rms"] - 1000 / 32768.0) < 1e-9 and r["zcr"] == 0.0
+
+
+def test_parse_image_header_known_fixtures():
+    """Pin a known PNG/JPEG/GIF/BMP set: a real-world 1x1 RGBA PNG (the
+    canonical transparent-pixel file) plus the synthesized fixtures,
+    and the malformed-input contract."""
+    import base64
+
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        parse_image_header,
+        synthesize_bmp,
+        synthesize_gif,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    real_1x1_rgba_png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+        "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    assert parse_image_header(real_1x1_rgba_png) == (1, 1, 4)
+    assert parse_image_header(synthesize_png(640, 480)) == (640, 480, 3)
+    assert parse_image_header(synthesize_jpeg(1920, 1080)) == (1920, 1080, 3)
+    assert parse_image_header(synthesize_gif(320, 200)) == (320, 200, 1)
+    assert parse_image_header(synthesize_bmp(13, 7)) == (13, 7, 3)
+    # unrecognized / malformed inputs return None, never raise
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"plain prose, no magic") is None
+    assert parse_image_header(b"GIF8 but actually prose") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") is None  # truncated
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+
+
+def test_synthesized_png_is_fully_valid():
+    """The PNG fixture is a REAL file: chunk CRCs verify and the IDAT
+    stream zlib-decompresses to exactly height*(1+width*3) filter+pixel
+    bytes."""
+    import struct
+    import zlib
+
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import synthesize_png
+
+    p = synthesize_png(5, 4)
+    assert p[:8] == b"\x89PNG\r\n\x1a\n"
+    i, idat, tags = 8, b"", []
+    while i < len(p):
+        ln = struct.unpack(">I", p[i : i + 4])[0]
+        tag, body = p[i + 4 : i + 8], p[i + 8 : i + 8 + ln]
+        crc = struct.unpack(">I", p[i + 8 + ln : i + 12 + ln])[0]
+        assert crc == (zlib.crc32(tag + body) & 0xFFFFFFFF), tag
+        tags.append(tag)
+        if tag == b"IDAT":
+            idat += body
+        i += 12 + ln
+    assert tags == [b"IHDR", b"IDAT", b"IEND"]
+    assert len(zlib.decompress(idat)) == 4 * (1 + 5 * 3)
+
+
+def test_decode_images_real_headers(spark):
+    """decode_images with use_stub=False parses REAL headers: recognized
+    formats report true dimensions; unrecognized payloads report
+    decode_ok=false (strict mode fabricates nothing)."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        decode_images,
+        synthesize_gif,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, synthesize_png(17, 9)),
+            (2, synthesize_jpeg(33, 21)),
+            (3, synthesize_gif(5, 6)),
+            (4, b"not an image at all"),
+        ],
+        "id long, payload binary",
+    )
+    rows = {r["id"]: r for r in decode_images(df, "id", "payload", use_stub=False).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (17, 9, 3)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) == (33, 21, 3)
+    assert (rows[3]["width"], rows[3]["height"], rows[3]["channels"]) == (5, 6, 1)
+    assert rows[1]["decode_ok"] and rows[2]["decode_ok"] and rows[3]["decode_ok"]
+    assert not rows[4]["decode_ok"] and rows[4]["width"] is None
+
+
+def test_decode_images_default_mode_headers_then_stub(spark):
+    """Default mode: recognized magic decodes real headers, unrecognized
+    payloads fall back to the deterministic length stub."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        decode_images,
+        synthesize_png,
+    )
+
+    junk = b"x" * 10
+    df = spark.createDataFrame(
+        [(1, synthesize_png(3, 2)), (2, junk)], "id long, payload binary"
+    )
+    rows = {r["id"]: r for r in decode_images(df, "id", "payload").collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (3, 2)
+    assert rows[2]["decode_ok"]
+    assert rows[2]["width"] == 1 + (10 * 7) % 640
+    assert rows[2]["height"] == 1 + (10 * 13) % 480
