@@ -6,8 +6,12 @@ JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the total wall-time of the headline suite. The JSON also
-carries ``fact1_like_rows_per_sec`` — throughput of the trajectory-style
+``value`` is the total wall-time of the headline suite; each per-query
+number in ``queries`` is the MEDIAN of 3 recorded passes (after one
+unrecorded codegen-warmup pass), with the raw run lists in
+``query_runs`` and any >1.25x-and->0.3s slowdowns vs the previous
+round's BENCH file in ``regressions``. The JSON also carries
+``fact1_like_rows_per_sec`` — throughput of the trajectory-style
 chain (read → clean → sessionize → sample), directly comparable to
 BASELINE.md's Fact-1 ≈120k rows/s on Glue — and ``clean_rows_per_sec``
 for the raw→staging-style cleaning chain (baseline ≈60k rows/s).
@@ -120,26 +124,28 @@ def main() -> None:
 
     import gc
 
-    # JMH-style steady-state measurement: run the whole suite TWICE and
-    # report the second pass. The first pass is the warmup iteration — it
-    # absorbs whole-stage-codegen compilation + JIT of the heavy generated
-    # classes (the 32-min-agg minhash signature stage alone costs ~15 s of
-    # one-time JIT at sf0.1: 22.7 s first run vs 6.8 s steady), which
-    # otherwise lands on whichever query runs a plan shape first and masks
-    # real regressions. BASELINE.md's Glue figures are steady-state job
-    # throughputs, so steady state is the comparable number.
-    # Per query the BEST of the two passes is reported — the steady-state
-    # cost of the plan. A single late-suite sample can be 2-6× inflated by
+    # JMH-style steady-state measurement: one UNRECORDED warmup pass over
+    # the whole suite, then THREE recorded passes; per query the MEDIAN of
+    # the three is reported. The warmup pass absorbs whole-stage-codegen
+    # compilation + JIT of the heavy generated classes (the 32-min-agg
+    # minhash signature stage alone costs ~15 s of one-time JIT at sf0.1:
+    # 22.7 s first run vs 6.8 s steady), which otherwise lands on whichever
+    # query runs a plan shape first and masks real regressions.
+    # BASELINE.md's Glue figures are steady-state job throughputs, so
+    # steady state is the comparable number. Median-of-3 (not min, not a
+    # single pass) because a single sample can be 2-6× inflated by
     # transient co-tenant load or a GC burst (q27 measured 30.9 s in one
-    # suite pass vs 4.1-5.7 s across five isolated fresh-cache runs);
-    # min-of-2 keeps the number attributable to the engine.
-    times: dict[str, float] = {}
-    for _pass in range(2):
+    # suite pass vs 4.1-5.7 s across five isolated runs), while min-of-N
+    # hides real regressions behind one lucky run; the per-query run lists
+    # ride in the output so a future reader can judge the noise.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(4):
         for name in HEADLINE:
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
             dt = round(time.time() - t0, 3)
-            times[name] = min(times.get(name, float("inf")), dt)
+            if _pass > 0:  # pass 0 is the codegen/JIT warmup
+                runs[name].append(dt)
             # UNTIMED housekeeping between trials (JMH-style): drop Python
             # DF refs so the ContextCleaner frees dead broadcast/checkpoint
             # blocks, evict cached per-query indexes (the LSH queries
@@ -156,7 +162,39 @@ def main() -> None:
             gc.collect()
             spark.catalog.clearCache()
             spark._jvm.System.gc()
+    times = {name: sorted(rs)[len(rs) // 2] for name, rs in runs.items()}
     total = round(sum(times.values()), 3)
+
+    # per-query deltas vs the previous round's bench file (newest
+    # BENCH_r*.json next to this script, or $SPARK_GRAFT_PREV_BENCH):
+    # a regression is median > 1.25x the previous median AND >0.3s worse
+    # (sub-second queries jitter by more than 25% run to run)
+    regressions: dict[str, dict] = {}
+    prev_path = os.environ.get("SPARK_GRAFT_PREV_BENCH")
+    if prev_path is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = sorted(
+            f for f in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", f)
+        )
+        prev_path = os.path.join(here, cands[-1]) if cands else None
+    if prev_path and os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                prev_doc = json.load(fh)
+            parsed_prev = prev_doc.get("parsed", prev_doc)
+            # only comparable at the same scale factor
+            prev_q = parsed_prev.get("queries", {}) if parsed_prev.get("sf") == sf else {}
+            for name, med in times.items():
+                p = prev_q.get(name)
+                p = p.get("median") if isinstance(p, dict) else p
+                if p and med > 1.25 * p and med - p > 0.3:
+                    regressions[name] = {
+                        "prev": p,
+                        "median": med,
+                        "ratio": round(med / p, 2),
+                    }
+        except Exception:
+            pass  # a malformed previous file must not kill the bench
 
     # throughput probes against the published baseline shapes
     from pyspark.sql import functions as F
@@ -184,6 +222,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "query_runs": runs,
+                "regressions": regressions,
+                "prev_bench": os.path.basename(prev_path) if prev_path else None,
                 "sf": sf,
                 "cpus": cpus,
                 "n_events": n_events,

@@ -1922,6 +1922,79 @@ def q60_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_PAIRS_SQL = """
+      WITH grams AS (
+        SELECT doc_id,
+               list_transform(range(1, length(lower(text)) - 6),
+                              i -> md5(substr(lower(text), i, 8))) AS hashes
+        FROM documents WHERE length(text) >= 8
+      ), wins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hashes) - 2),
+                             j -> list_min(hashes[j : j + 3]))) AS fps
+        FROM grams WHERE len(hashes) >= 4
+      ), idx AS (
+        SELECT doc_id, unnest(fps) AS fp FROM wins
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+"""
+
+
+def _cc_oracle(tail: str, pairs_sql: str = _WINNOW_PAIRS_SQL, rounds: int = 8) -> str:
+    """Bounded-iteration connected-components oracle over a pair list —
+    chained CTEs instead of an unbounded ``WITH RECURSIVE``, which on the
+    sf0.1 duplicate graph (~4M pairs, quasi-clique components) explodes
+    its intermediate (node, label) set and never finishes; the chained
+    form completes in minutes at sf0.1 (the q235/q236 LPA/k-core
+    pattern), closing the round-3 sf0.1 verification gap for the
+    dup-graph family.
+
+    Each round applies the monotone map
+    ``label' = min(label, min neighbor label, label(label))``
+    (min-label propagation + pointer jumping → O(log diameter) rounds).
+    ``comp`` keeps only nodes whose label did NOT change in the final
+    round, so an unconverged run DROPS rows and fails the gate's
+    row-count check instead of silently passing with wrong components.
+    A run where all rows survive is provably exact: labels are node ids
+    within the component and monotone non-increasing, and at a per-node
+    fixpoint ``label(u) <= label(w)`` along every edge, which forces
+    ``label == component-min`` along any path to the min node.
+
+    ``tail`` is the oracle's final SELECT (and any extra CTEs, comma-
+    prefixed); it sees ``p(id_a, id_b)``, ``edges(src, dst)``, and
+    ``comp(node, component)``.
+    """
+    ctes = [
+        f"p AS MATERIALIZED ({pairs_sql})",
+        "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p"
+        " UNION ALL SELECT id_b, id_a FROM p)",
+        "l0 AS MATERIALIZED (SELECT src AS node, LEAST(src, MIN(dst)) AS label"
+        " FROM edges GROUP BY src)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+      SELECT cur.node,
+             LEAST(cur.label, jmp.label, COALESCE(nb.minlbl, cur.label)) AS label
+      FROM l{k - 1} cur
+      JOIN l{k - 1} jmp ON jmp.node = cur.label
+      LEFT JOIN (SELECT e.dst AS node, MIN(c2.label) AS minlbl
+                 FROM edges e JOIN l{k - 1} c2 ON c2.node = e.src
+                 GROUP BY e.dst) nb ON nb.node = cur.node
+    )"""
+        )
+    ctes.append(
+        f"""comp AS (
+      SELECT a.node, CAST(a.label AS BIGINT) AS component
+      FROM l{rounds} a JOIN l{rounds - 1} b ON a.node = b.node
+      WHERE a.label = b.label
+    )"""
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + tail
+
+
 @register(
     "q61_winnow_near_dups",
     oracle="""
@@ -1961,36 +2034,9 @@ def q61_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q62_dedup_components",
-    oracle="""
-    WITH RECURSIVE p AS MATERIALIZED (
-      WITH grams AS (
-        SELECT doc_id,
-               list_transform(range(1, length(lower(text)) - 6),
-                              i -> md5(substr(lower(text), i, 8))) AS hashes
-        FROM documents WHERE length(text) >= 8
-      ), wins AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(hashes) - 2),
-                             j -> list_min(hashes[j : j + 3]))) AS fps
-        FROM grams WHERE len(hashes) >= 4
-      ), idx AS (
-        SELECT doc_id, unnest(fps) AS fp FROM wins
-      )
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 10
-    ), edges AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM p
-      UNION ALL SELECT id_b, id_a FROM p
-    ), cc(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-      WHERE cc.label < e.dst
-    )
-    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
-    FROM cc GROUP BY node
-    """,
+    oracle=_cc_oracle(
+        """SELECT node AS doc_id, component FROM comp"""
+    ),
 )
 def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the winnowing near-dup graph — the
@@ -2049,38 +2095,11 @@ def q64_cosine_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q65_dedup_survivors",
-    oracle="""
-    WITH RECURSIVE p AS MATERIALIZED (
-      WITH grams AS (
-        SELECT doc_id,
-               list_transform(range(1, length(lower(text)) - 6),
-                              i -> md5(substr(lower(text), i, 8))) AS hashes
-        FROM documents WHERE length(text) >= 8
-      ), wins AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(hashes) - 2),
-                             j -> list_min(hashes[j : j + 3]))) AS fps
-        FROM grams WHERE len(hashes) >= 4
-      ), idx AS (
-        SELECT doc_id, unnest(fps) AS fp FROM wins
-      )
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 10
-    ), edges AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM p
-      UNION ALL SELECT id_b, id_a FROM p
-    ), cc(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-      WHERE cc.label < e.dst
-    ), losers AS (
-      SELECT node FROM cc GROUP BY node HAVING MIN(label) <> node
-    )
+    oracle=_cc_oracle(
+        """, losers AS (SELECT node FROM comp WHERE component <> node)
     SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
-    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node
-    """,
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node"""
+    ),
 )
 def q65_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END dedup: winnowing near-dup pairs → connected components →
@@ -2194,35 +2213,8 @@ def q68_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q69_dedup_survivors_quality",
-    oracle="""
-    WITH RECURSIVE p AS MATERIALIZED (
-      WITH grams AS (
-        SELECT doc_id,
-               list_transform(range(1, length(lower(text)) - 6),
-                              i -> md5(substr(lower(text), i, 8))) AS hashes
-        FROM documents WHERE length(text) >= 8
-      ), wins AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(hashes) - 2),
-                             j -> list_min(hashes[j : j + 3]))) AS fps
-        FROM grams WHERE len(hashes) >= 4
-      ), idx AS (
-        SELECT doc_id, unnest(fps) AS fp FROM wins
-      )
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 10
-    ), edges AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM p
-      UNION ALL SELECT id_b, id_a FROM p
-    ), cc(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-      WHERE cc.label < e.dst
-    ), comp AS (
-      SELECT node, MIN(label) AS component FROM cc GROUP BY node
-    ), ranked AS (
+    oracle=_cc_oracle(
+        """, ranked AS (
       SELECT c.node,
              ROW_NUMBER() OVER (
                PARTITION BY c.component
@@ -2233,8 +2225,8 @@ def q68_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node FROM ranked WHERE rn > 1
     )
     SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
-    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node
-    """,
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node"""
+    ),
 )
 def q69_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection: per near-dup component keep the
@@ -3524,8 +3516,22 @@ def q99_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q100_curation_funnel",
-    oracle="""
-    WITH RECURSIVE p AS MATERIALIZED (
+    oracle=_cc_oracle(
+        """, losers AS (
+      SELECT node FROM comp WHERE component <> node
+    ), q2 AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 200
+    ), ex2 AS (
+      SELECT MIN(doc_id) AS doc_id FROM q2 GROUP BY text
+    ), surv AS (
+      SELECT e.doc_id FROM ex2 e ANTI JOIN losers l ON e.doc_id = l.node
+    )
+    SELECT 1 AS stage_id, 'input' AS stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
+    UNION ALL SELECT 2, 'quality_filter', (SELECT COUNT(*) FROM q2)
+    UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM ex2)
+    UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM surv)""",
+        pairs_sql="""
       WITH q AS (
         SELECT doc_id, text FROM documents WHERE length(text) >= 200
       ), ex AS (
@@ -3546,29 +3552,8 @@ def q99_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING COUNT(*) >= 10
-    ), edges AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM p
-      UNION ALL SELECT id_b, id_a FROM p
-    ), cc(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-      WHERE cc.label < e.dst
-    ), losers AS (
-      SELECT node FROM cc GROUP BY node HAVING MIN(label) <> node
-    ), q2 AS (
-      SELECT doc_id, text FROM documents WHERE length(text) >= 200
-    ), ex2 AS (
-      SELECT MIN(doc_id) AS doc_id FROM q2 GROUP BY text
-    ), surv AS (
-      SELECT e.doc_id FROM ex2 e ANTI JOIN losers l ON e.doc_id = l.node
-    )
-    SELECT 1 AS stage_id, 'input' AS stage,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs
-    UNION ALL SELECT 2, 'quality_filter', (SELECT COUNT(*) FROM q2)
-    UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM ex2)
-    UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM surv)
     """,
+    ),
 )
 def q100_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP curation pipeline report: the end-to-end LLM-corpus prep
@@ -5529,35 +5514,8 @@ def q137_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q138_leakage_safe_split",
-    oracle="""
-    WITH RECURSIVE p AS MATERIALIZED (
-      WITH grams AS (
-        SELECT doc_id,
-               list_transform(range(1, length(lower(text)) - 6),
-                              i -> md5(substr(lower(text), i, 8))) AS hashes
-        FROM documents WHERE length(text) >= 8
-      ), wins AS (
-        SELECT doc_id,
-               list_distinct(list_transform(range(1, len(hashes) - 2),
-                             j -> list_min(hashes[j : j + 3]))) AS fps
-        FROM grams WHERE len(hashes) >= 4
-      ), idx AS (
-        SELECT doc_id, unnest(fps) AS fp FROM wins
-      )
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 10
-    ), edges AS MATERIALIZED (
-      SELECT id_a AS src, id_b AS dst FROM p
-      UNION ALL SELECT id_b, id_a FROM p
-    ), cc(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
-      WHERE cc.label < e.dst
-    ), rep AS (
-      SELECT node, MIN(label) AS component FROM cc GROUP BY node
-    ), assigned AS (
+    oracle=_cc_oracle(
+        """, assigned AS (
       SELECT d.doc_id,
              COALESCE(r.component, d.doc_id) AS rep_id,
              CASE WHEN CAST(((COALESCE(r.component, d.doc_id) % 2147483648) * 2654435761)
@@ -5567,7 +5525,7 @@ def q137_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                             % 4294967296 AS DOUBLE) / 4294967296.0 < 0.10
                     THEN 'test'
                   ELSE 'train' END AS split
-      FROM documents d LEFT JOIN rep r ON d.doc_id = r.node
+      FROM documents d LEFT JOIN comp r ON d.doc_id = r.node
     ),
     viol AS (
       SELECT COUNT(*) AS n FROM p
@@ -5578,8 +5536,8 @@ def q137_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST((SELECT n FROM viol) AS BIGINT) AS n_split_violations
-    FROM assigned GROUP BY split
-    """,
+    FROM assigned GROUP BY split"""
+    ),
 )
 def q138_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: the split hash rides the

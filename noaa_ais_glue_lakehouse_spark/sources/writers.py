@@ -60,15 +60,63 @@ def write_window_overwrite(
     partition_cols: list[str],
     window_predicate,
 ) -> None:
-    """S5 — overwrite only the partitions inside the window predicate.
+    """S5 — overwrite only the partitions inside the window predicate,
+    CRASH-SAFE via stage-then-swap.
 
     The filter guarantees no row outside the window exists in the input,
-    so dynamic overwrite can only replace window partitions — the correct
-    form of the reference's no-op ``replaceWhere`` on a parquet writer
+    so only window partitions can be replaced — the correct form of the
+    reference's no-op ``replaceWhere`` on a parquet writer
     (``fact_voyage_trajectory.py:354-355``; SURVEY §4 "window-scoped
     overwrite"). ``window_predicate`` is a boolean Column.
+
+    Two-phase commit (the JSONL sink's stage-then-publish pattern applied
+    to parquet): the WRITE JOB — the long, failure-prone phase — lands in
+    a hidden ``.staging-<token>`` directory and never touches published
+    data; only after it succeeds does each staged partition directory
+    swap into place with a filesystem rename. A crash any time during the
+    write leaves every published partition intact and readable (pinned by
+    a kill-mid-write test). The swap phase itself is one rename per
+    partition — metadata-only and near-instant, the parquet-native
+    approximation of Delta's transactional ``replaceWhere`` (SURVEY
+    §7.3's named upgrade path); a crash between renames leaves each
+    partition either fully-old or fully-new, never mixed, and the
+    leftover staging directory (dot-prefixed, ignored by parquet
+    readers) is re-swappable or deletable on re-run.
     """
-    write_partitioned_parquet(df.filter(window_predicate), path, partition_cols)
+    import uuid
+
+    spark = df.sparkSession
+    staging = f"{path.rstrip('/')}/.staging-{uuid.uuid4().hex}"
+    df.filter(window_predicate).write.mode("overwrite").partitionBy(
+        *partition_cols
+    ).parquet(staging)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(conf)
+    staging_p = fs.makeQualified(HPath(staging))
+    root_p = fs.makeQualified(HPath(path))
+    # walk exactly len(partition_cols) directory levels below staging —
+    # the ACTUAL on-disk partition dir names (Hive-escaped values come
+    # back verbatim; no hand-built col=value fragments)
+    levels = [staging_p]
+    for _ in partition_cols:
+        nxt = []
+        for d in levels:
+            for st in fs.listStatus(d):
+                if st.isDirectory():
+                    nxt.append(st.getPath())
+        levels = nxt
+    staging_str = staging_p.toString()
+    for staged_dir in levels:
+        rel = staged_dir.toString()[len(staging_str) + 1 :]
+        dest = HPath(f"{root_p.toString()}/{rel}")
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        fs.mkdirs(dest.getParent())
+        fs.rename(staged_dir, dest)
+    fs.delete(staging_p, True)  # _SUCCESS marker + emptied tree
 
 
 def write_quarantine(

@@ -231,3 +231,75 @@ def test_delete_keys_escaped_and_null_partition_values(spark, tmp_path):
     # the escaped dir was genuinely removed, not shadowed by a bogus twin
     assert "day=a%3A1" not in os.listdir(path)
     assert "day=a:1" not in os.listdir(path)
+
+
+def test_window_overwrite_crash_mid_write_leaves_old_window_intact(
+    spark, tmp_path
+):
+    """The stage-then-swap contract: if the WRITE JOB dies (here: a
+    runtime assertion inside the plan), published data — including the
+    window being replaced — is byte-identical afterwards, and the
+    failed staging directory is dot-prefixed so readers ignore it."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import StreamingQueryException  # noqa: F401
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        write_partitioned_parquet,
+        write_window_overwrite,
+    )
+
+    out = str(tmp_path / "t")
+    write_partitioned_parquet(
+        spark.createDataFrame([(1, 1), (2, 2)], ["v", "day"]), out, ["day"]
+    )
+    before = {}
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            p = os.path.join(root, f)
+            before[p] = (os.path.getsize(p), os.path.getmtime(p))
+
+    # a plan that fails mid-job, after some rows may already be staged
+    doomed = spark.createDataFrame([(60, 2), (61, 2)], ["v", "day"]).withColumn(
+        "v", F.when(F.col("v") < 61, F.col("v")).otherwise(F.assert_true(F.lit(False)).cast("int"))
+    )
+    try:
+        write_window_overwrite(doomed, out, ["day"], F.col("day") == 2)
+        raise AssertionError("write was expected to fail")
+    except Exception:
+        pass
+    after = {}
+    for root, _dirs, files in os.walk(out):
+        p_rel = os.path.relpath(root, out)
+        if p_rel.startswith(".staging-") or "/.staging-" in p_rel:
+            continue  # failed stage residue is allowed, readers skip dotfiles
+        for f in files:
+            p = os.path.join(root, f)
+            after[p] = (os.path.getsize(p), os.path.getmtime(p))
+    assert after == before  # every published file byte-identical
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (2, 2)}  # old window fully readable
+
+
+def test_window_overwrite_cleans_staging_on_success(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        write_partitioned_parquet,
+        write_window_overwrite,
+    )
+
+    out = str(tmp_path / "t")
+    write_partitioned_parquet(
+        spark.createDataFrame([(1, 1), (2, 2)], ["v", "day"]), out, ["day"]
+    )
+    write_window_overwrite(
+        spark.createDataFrame([(60, 2)], ["v", "day"]), out, ["day"],
+        F.col("day") == 2,
+    )
+    assert not [d for d in os.listdir(out) if d.startswith(".staging-")]
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (2, 60)}
