@@ -632,6 +632,16 @@ def minhash_near_duplicates(
     across the threshold needs colliding shingles in one document pair;
     probability ~2^-64 per pair).
 
+    Rejected design #2 (measured, do not revisit): widening the bands to
+    4×8 (r=8) to shrink the candidate set. At sf0.1 it cuts candidates
+    95× (24,942 → 263) and looks free because the testdata's near-dups
+    are close to identical (251/256 pairs still found) — but the
+    operator's contract is threshold 0.7, where the collision curve
+    1-(1-s^8)^4 collapses (p(0.7)=0.21): on the recall corpus the
+    measured recall fell 0.98 → 0.32 against the ≥0.9 floor. The 8×4
+    geometry stands; at sf0.1 the cost center is the shared index build
+    (one shingle pass), already single-hash + codegen-optimized below.
+
     ``materialize_index`` caches ONE per-doc index carrying both the
     signature mins and the hashed shingle set (~8·(num_hashes+|set|)
     bytes/doc), shared by the band self-join (2 consumers) and the verify

@@ -35,6 +35,25 @@ def bpe_merges(
     for any realistic word, and a pass count an external SQL oracle can
     mirror exactly.
     """
+    merges = bpe_learn(
+        spark, word_freq, rounds, replace_passes, word_col, count_col
+    )
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, pair_count long"
+    )
+
+
+def bpe_learn(
+    spark: SparkSession,
+    word_freq: DataFrame,
+    rounds: int = 3,
+    replace_passes: int = 4,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> list[tuple[int, str, str, int]]:
+    """:func:`bpe_merges`'s learning loop, returning the merge list
+    itself — ``[(rank, sym_a, sym_b, pair_count), ...]`` — for callers
+    that go on to APPLY the merges (:func:`bpe_apply`)."""
     sym = F.concat(
         F.lit(" "),
         F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")),
@@ -42,14 +61,43 @@ def bpe_merges(
     )
     # Own the cache lifecycle: each round's argmax collect re-reads the
     # word-frequency table, so caching it is justified — and because the
-    # returned DataFrame is built from the collected merge literals (no
-    # lineage back to word_freq), it is safe to unpersist before
-    # returning rather than leak executor storage for the session.
+    # result is a list of collected merge literals (no lineage back to
+    # word_freq), it is safe to unpersist before returning rather than
+    # leak executor storage for the session.
     word_freq = word_freq.cache()
     try:
         return _bpe_merge_rounds(spark, word_freq, rounds, replace_passes, word_col, count_col, sym)
     finally:
         word_freq.unpersist()
+
+
+def bpe_apply(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    replace_passes: int = 4,
+    word_col: str = "w",
+    out_col: str = "s",
+) -> DataFrame:
+    """Apply learned merges to a WORD table (tokenizer encoding, the
+    half every training pipeline runs after :func:`bpe_learn`): pad each
+    word to its space-separated symbol string, then chain the same
+    fixed non-overlapping ``replace`` passes as training, merge by merge
+    in rank order. Runs on the vocabulary, not the corpus — encoding a
+    document is then a dimension-sized equi-join on the word, so the
+    per-token cost at 100 TB is a hash lookup, not a string rewrite.
+    """
+    sym = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    s = sym
+    for _rank, a, b, _cnt in sorted(merges):
+        needle = F.lit(f" {a} {b} ")
+        repl = F.lit(f" {a}{b} ")
+        for _ in range(replace_passes):
+            s = F.replace(s, needle, repl)
+    return words.withColumn(out_col, s)
 
 
 def _bpe_merge_rounds(spark, word_freq, rounds, replace_passes, word_col, count_col, sym):
@@ -87,6 +135,4 @@ def _bpe_merge_rounds(spark, word_freq, rounds, replace_passes, word_col, count_
         for _ in range(replace_passes):
             s2 = F.replace(s2, needle, repl)
         cur = cur.select("w", "c", s2.alias("s"))
-    return spark.createDataFrame(
-        merges, "merge_rank int, sym_a string, sym_b string, pair_count long"
-    )
+    return merges

@@ -13560,3 +13560,277 @@ def q259_image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     assets = synthesize_image_assets(docs, "doc_id")
     return decode_images(assets, "id", "payload", use_stub=False)
+
+
+@register(
+    "q260_bpe_encode",
+    oracle="""
+    WITH wf AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST(list_filter(string_split_regex(lower(trim(text)),
+                     '\\s+'), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ),
+    r1 AS (
+      SELECT w, c,
+             ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s
+      FROM wf
+    ),
+    """
+    + _bpe_round_sql(1)
+    + ","
+    + _bpe_round_sql(2)
+    + ","
+    + _bpe_round_sql(3)
+    + """,
+    enc AS (
+      SELECT w,
+             len(list_filter(string_split(trim(s), ' '), x -> x <> ''))
+               AS n_sym
+      FROM r4
+    ),
+    dt AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_symbols
+    FROM dt JOIN enc e USING (w)
+    GROUP BY dt.doc_id
+    """,
+)
+def q260_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189 — BPE ENCODING, the apply half of q224's training: learn 3
+    merges from the corpus word frequencies, apply them to the
+    vocabulary (same fixed 4-pass non-overlapping replace chain as
+    training, mirrored in the oracle), then report per-document word and
+    post-merge symbol counts — the token-budget number a trained
+    tokenizer actually produces.
+
+    Scale shape: merges apply to the VOCABULARY (dimension-sized), never
+    to the corpus text — encoding is a word equi-join against the
+    encoded vocab, so per-token cost at 100 TB is a hash lookup. The
+    merge learning is the same bounded 1-row-per-round driver argmax as
+    q224 (plan-build execution, see BUILD_TIME_EXECUTION).
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.tokenizer import (
+        bpe_apply,
+        bpe_learn,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+    wf = dt.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    merges = bpe_learn(spark, wf, rounds=3, replace_passes=4)
+    enc = bpe_apply(wf.select("w"), merges).select(
+        "w",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("s")), " "), lambda x: x != F.lit("")
+            )
+        ).alias("n_sym"),
+    )
+    return (
+        dt.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+        )
+    )
+
+
+@register(
+    "q261_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0)
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST(64, n - start) AS BIGINT) AS n_tok,
+           w[start + 1] AS first_tok
+    FROM (SELECT doc_id, w, n, UNNEST(range(0, n, 48)) AS start FROM s)
+    """,
+)
+def q261_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X190 — RAG-style document chunking: fixed 64-token windows with
+    16-token overlap (stride 48), one output row per chunk with its
+    token offset, length, and first token (the first-token column pins
+    offset arithmetic against the oracle, not just counts). The chunk
+    grid is pure ``sequence`` + ``explode`` — row-local, zero shuffles
+    at any corpus size; the downstream embed step would chain a
+    mapInPandas like q44's decode.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = docs.select("doc_id", toks.alias("w"), F.size(toks).alias("n")).filter(
+        F.col("n") > 0
+    )
+    start = F.explode(
+        F.sequence(F.lit(0).cast("long"), F.col("n") - 1, F.lit(48).cast("long"))
+    )
+    out = t.select("doc_id", "w", "n", start.alias("start_tok"))
+    return out.select(
+        "doc_id",
+        (F.col("start_tok") / 48).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("long"),
+        F.least(F.lit(64), F.col("n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tok"),
+        F.element_at("w", (F.col("start_tok") + 1).cast("int")).alias(
+            "first_tok"
+        ),
+    )
+
+
+@register(
+    "q262_touch_attribution",
+    oracle="""
+    WITH fb AS (
+      SELECT user_id, MIN(ts) AS bts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    t AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type
+      FROM events e JOIN fb USING (user_id)
+      WHERE e.ts < fb.bts AND e.event_type <> 'purchase'
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_f,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_l
+      FROM t
+    )
+    SELECT user_id,
+           MAX(CASE WHEN rn_f = 1 THEN event_type END) AS first_touch,
+           MAX(CASE WHEN rn_l = 1 THEN event_type END) AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM r GROUP BY user_id
+    """,
+)
+def q262_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X191 — first/last-touch conversion attribution: for every user
+    with a purchase, the type of the first and of the last non-purchase
+    event strictly before their first purchase, plus the touch count.
+
+    Plan shape: the converter table is an aggregation (|users| rows)
+    joined back on the user key, and both attributions come from ONE
+    combinable min_by/max_by aggregation over (ts, event_id) structs —
+    no window pass, no second shuffle beyond the user key, where the
+    oracle's double row_number form would sort each partition twice.
+    Ties are impossible by construction (the struct tiebreaks on
+    event_id), so the hash check pins determinism.
+    """
+    ev = load(spark, sf_dir, "events")
+    fb = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("bts"))
+    )
+    t = ev.join(fb, "user_id").filter(
+        (F.col("ts") < F.col("bts")) & (F.col("event_type") != "purchase")
+    )
+    order = F.struct("ts", "event_id")
+    return t.groupBy("user_id").agg(
+        F.min_by("event_type", order).alias("first_touch"),
+        F.max_by("event_type", order).alias("last_touch"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )
+
+
+def _kappa_oracle() -> str:
+    """Cohen's kappa between the declared ``lang`` label and the langid
+    heuristic's guess — reuses q31's marker-count CASE so both raters
+    are defined once. All statistics are integer counts; the only float
+    ops are the three mirrored final divisions."""
+    counts = []
+    for lang, words in LANG_MARKERS.items():
+        inlist = ",".join(f"'{w}'" for w in words)
+        counts.append(f"len(list_filter(toks, x -> x IN ({inlist}))) AS c_{lang}")
+    count_sql = ",\n             ".join(counts)
+    langs = list(LANG_MARKERS.keys())
+    greatest = "GREATEST(" + ", ".join(f"c_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for la in langs:
+        case += f"WHEN c_{la} = {greatest} THEN '{la}' "
+    case += "END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT lang AS label_a, {case} AS label_b
+      FROM (SELECT doc_id, lang, {count_sql} FROM t)
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN label_a = label_b THEN 1 ELSE 0 END) AS agree
+      FROM g
+    ),
+    ma AS (SELECT label_a AS l, COUNT(*) AS ca FROM g GROUP BY 1),
+    mb AS (SELECT label_b AS l, COUNT(*) AS cb FROM g GROUP BY 1),
+    ex AS (SELECT SUM(ca * cb) AS sum_ab FROM ma JOIN mb USING (l))
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+           ROUND(CAST(sum_ab AS DOUBLE) / (n * n), 6) AS pe,
+           ROUND((CAST(agree AS DOUBLE) / n - CAST(sum_ab AS DOUBLE) / (n * n))
+                 / (1 - CAST(sum_ab AS DOUBLE) / (n * n)), 6) AS kappa
+    FROM tot, ex
+    """
+
+
+@register("q263_rater_agreement", oracle=_kappa_oracle())
+def q263_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X192 — inter-rater agreement (Cohen's kappa) between two labelers:
+    the declared ``lang`` column and the langid heuristic (q31) — the
+    label-QA statistic an annotation pipeline publishes before trusting
+    a labeler (kappa corrects raw agreement for chance agreement of the
+    two raters' marginal distributions).
+
+    Plan shape: one row-local labeling pass, one 1-row (n, agree)
+    aggregate, two |labels|-sized marginal rollups equi-joined and
+    reduced to a 1-row chance-agreement scalar, then a deliberate
+    1-row x 1-row cross join pairing the two scalars. Every statistic is
+    an exact integer count until the three mirrored final divisions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("lang").alias("label_a"),
+        langid_guess(F.col("text")).alias("label_b"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
+        ).alias("agree"),
+    )
+    ma = g.groupBy(F.col("label_a").alias("l")).agg(F.count(F.lit(1)).alias("ca"))
+    mb = g.groupBy(F.col("label_b").alias("l")).agg(F.count(F.lit(1)).alias("cb"))
+    ex = ma.join(mb, "l").agg(F.sum(F.col("ca") * F.col("cb")).alias("sum_ab"))
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pe = F.col("sum_ab").cast("double") / (n * n)
+    return (
+        tot.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        )
+    )

@@ -133,6 +133,9 @@ ALLOWED_NON_EQUI = {
     "q255_hill_tail_index",
     # deliberate 1-row x 1-row cross join: exact vs sampled join size
     "q256_join_cardinality_estimate",
+    # deliberate 1-row x 1-row cross join: (n, agree) totals paired with
+    # the chance-agreement scalar for Cohen's kappa
+    "q263_rater_agreement",
 }
 
 # Queries that execute driver-side work at plan-build time (k-means
@@ -153,6 +156,8 @@ BUILD_TIME_EXECUTION = {
     "q179_event_type_pagerank",
     # each BPE round's argmax pair is a 1-row collect at plan build
     "q224_bpe_merges",
+    # BPE encode learns its merges at plan build (same argmax collects)
+    "q260_bpe_encode",
     # connected components iterate at plan build (fuzzy entity closure)
     "q250_fuzzy_entity_clusters",
 }

@@ -226,3 +226,26 @@ def test_linear_forecast_matches_python(spark):
         assert abs(got[typ]["slope"] - round(slope, 6)) < 1e-9
         assert abs(got[typ]["intercept"] - round(intercept, 6)) < 1e-9
         assert abs(got[typ]["forecast"] - round(fc, 6)) < 1e-9
+
+
+def test_bpe_apply_matches_training_fusion(spark):
+    """Encoding with the learned merges reproduces training's fusion on a
+    known corpus: with 'abab' dominant, round 1 merges (a, b) and round 2
+    merges (ab, ab); applying both to the vocabulary yields the expected
+    symbol strings."""
+    from noaa_ais_glue_lakehouse_spark.operators.tokenizer import (
+        bpe_apply,
+        bpe_learn,
+    )
+
+    wf = spark.createDataFrame(
+        [("abab", 10), ("abc", 2)], ["w", "c"]
+    )
+    merges = bpe_learn(spark, wf, rounds=2)
+    assert [(m[1], m[2]) for m in merges] == [("a", "b"), ("ab", "ab")]
+    enc = {
+        r["w"]: r["s"].split()
+        for r in bpe_apply(wf.select("w"), merges).collect()
+    }
+    assert enc["abab"] == ["abab"]
+    assert enc["abc"] == ["ab", "c"]
