@@ -434,6 +434,28 @@ def jaccard_pairs_prefix_filter(
     )
 
 
+def band_geometry(threshold: float) -> tuple[int, int]:
+    """Threshold-adaptive banded-LSH geometry → (num_hashes, bands).
+
+    The S-curve midpoint of b bands of r rows sits at (1/b)^(1/r); a
+    geometry tuned for one threshold is wasteful at another.  The default
+    8 bands of 4 (midpoint 0.59) is right for the generic 0.7 contract,
+    but at threshold 0.8 it collides ~40% of ALL Jaccard-0.5 pairs —
+    candidates the exact verify then pays to reject.  7 bands of 5
+    (midpoint 0.68) halves sub-threshold collisions while keeping
+    p(collide | J=0.8) = 1-(1-0.8^5)^7 = 0.94 and p(J=0.9) = 0.998.
+
+    Measured at sf0.1 (5000 docs, threshold 0.8): candidates 8.59M→6.97M,
+    verified pairs 2.960M→2.906M (98.2% of the 8×4 output), fresh wall
+    5.3s→3.8s.  The next step up (5 bands of 6, midpoint 0.76) was
+    measured and REJECTED: verified pairs fell to 2.651M — 89.6%, under
+    the ≥0.9 recall floor the operator promises.
+    """
+    if threshold >= 0.75:
+        return 35, 7
+    return 32, 8
+
+
 def _shingle_expr(text_col: str, use_char_ngrams: bool, ngram_n: int):
     return (
         char_ngrams(F.col(text_col), ngram_n)
@@ -606,13 +628,16 @@ def minhash_near_duplicates(
     id_col: str,
     text_col: str,
     threshold: float = 0.7,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     use_char_ngrams: bool = True,
     ngram_n: int = 5,
     materialize_index: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    ``num_hashes``/``bands`` default to the threshold-adaptive geometry
+    from :func:`band_geometry`; pass both explicitly to pin a shape.
 
     The verify join re-attaches shingle sets only for candidate ids —
     at scale this is |candidates| work, not |corpus|².
@@ -649,6 +674,10 @@ def minhash_near_duplicates(
     times. See minhash_lsh_candidates for why cache() over
     localCheckpoint.
     """
+    if num_hashes is None and bands is None:
+        num_hashes, bands = band_geometry(threshold)
+    if num_hashes is None or bands is None:
+        raise ValueError("pass both num_hashes and bands, or neither")
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     feats = _minhash_index(

@@ -75,6 +75,32 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"recall {recall:.3f}"
 
 
+def test_minhash_recall_threshold_adaptive_geometry(spark):
+    """threshold ≥ 0.75 auto-selects the 7×5 geometry (band_geometry);
+    recall vs the exact ≥0.8 baseline must still clear the 0.9 floor."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import band_geometry
+
+    assert band_geometry(0.8) == (35, 7)
+    assert band_geometry(0.7) == (32, 8)
+    df = _corpus(spark)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_exact(
+            df, "doc_id", "text", 0.8, use_char_ngrams=True, ngram_n=5
+        ).collect()
+    }
+    assert len(truth) > 20
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert got <= truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+
+
 def test_minhash_candidates_superset_of_verified(spark):
     df = _corpus(spark, n_clusters=5)
     cands = {
