@@ -13834,3 +13834,300 @@ def q263_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((po - pe) / (1 - pe), 6).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: remaining classic TPC-H decorrelation shapes over the
+# available tables (no partsupp in the testdata, so Q2/Q11/Q16/Q20's
+# supplier-part bridge shapes are out of reach by construction).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q264_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS rc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rc AS DOUBLE)/100.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE rc = (SELECT MAX(rc) FROM revenue)
+    """,
+)
+def q264_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s) by quarter revenue: a revenue
+    "view" (per-supplier rollup), its scalar MAX, and an equality gate.
+
+    Decorrelation: the classic form creates a view and compares against
+    ``(SELECT MAX(...) FROM view)``. Here the rollup is computed once and
+    the max attached by an EQUI-join on the revenue value itself (the
+    1-row max side broadcasts) — no second scan of lineitem, no non-equi
+    join, ties kept exactly as the SQL does. Revenue sums are exact
+    integer cents so both engines agree on which suppliers tie at max.
+    The supplier dim (100 rows at sf0.01) broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("rc")
+        )
+    )
+    mx = rev.agg(F.max("rc").alias("rc"))
+    return (
+        rev.join(F.broadcast(mx), "rc")
+        .join(
+            F.broadcast(supp),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rc").cast("double") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q265_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+      AND 5 * CAST(ROUND(l_quantity*100) AS BIGINT) * cnt < sq
+    """,
+)
+def q265_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from lines whose quantity is under 20%
+    of the part's average quantity (the correlated AVG subquery).
+
+    Decorrelated into a per-part rollup joined back on l_partkey — both
+    the rollup and the join shuffle on the SAME key, so the exchange is
+    computed once and reused. The 20%-of-average gate is evaluated in
+    exact integers (``5·qty·cnt < sum``) instead of a float division, so
+    boundary rows can't flip between engines. The filtered part dim
+    broadcasts; its filter prunes before the join (PushedFilters).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    qtyc = cents(F.col("l_quantity"))
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qtyc).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") == "Brand#3")
+                    & (F.col("p_type") == "ECONOMY")
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.lit(5) * qtyc * F.col("cnt") < F.col("sq"))
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice"))).cast("double")
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q266_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey AS ok,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sumq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 19000
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           CAST(sumq AS DOUBLE)/100.0 AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = ok
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q266_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — customers with orders whose line quantities sum
+    past a threshold (the ``IN (GROUP BY ... HAVING)`` subquery).
+
+    Decorrelated: the HAVING rollup IS the driving table — no IN, no
+    semi-join-then-rejoin double scan of lineitem. The surviving order
+    keys (few) join orders on its key, then the customer dim broadcasts.
+    Quantity sums are exact integer cents so threshold ties agree across
+    engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sumq"))
+        .filter(F.col("sumq") > 19000)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("ok"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            (F.col("sumq").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q267_late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q267_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority counts over orders having at
+    least one late line (EXISTS with a correlated date comparison; the
+    testdata has no commitdate, so "late" is shipped >60 days after the
+    order date).
+
+    The EXISTS decorrelates to LEFT SEMI join with the date predicate
+    inside the join condition — one pass over lineitem, no DISTINCT
+    dedup of multiple matching lines (semi join stops at the first
+    match per order). The orders date filter prunes before the join.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@register(
+    "q268_nation_pair_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(vol) AS DOUBLE)/100.0 AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS vol
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q268_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — shipping volume between a nation pair, both
+    directions, by ship year.
+
+    Join order is the scale-aware one: the only big table (lineitem,
+    date-filtered at the scan) joins orders on the order key, then every
+    dimension side — customer, supplier, and both nation legs —
+    BROADCASTS (all are ≤ |customers| rows). The disjunctive nation-pair
+    predicate runs after both nation names are attached, exactly as the
+    reference SQL's WHERE does; at 100 TB one could pre-filter the two
+    nation keys into the supplier/customer broadcasts, but the predicate
+    here keeps the oracle's both-directions tie handling obvious.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("_nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("_ns_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nc), F.col("_nc_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+    )
