@@ -14131,3 +14131,266 @@ def q268_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: Gopher repetition suite, epoch shuffle/sharding, FIM
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q269_gopher_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, toks,
+             len(array_to_string(toks, ' ')) AS doc_len
+      FROM t WHERE len(toks) >= 5
+    ), g2 AS (
+      SELECT doc_id, doc_len, UNNEST(
+        list_transform(range(1, len(toks)),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM f
+    ), c2 AS (
+      SELECT doc_id, doc_len, gram, COUNT(*) AS cnt
+      FROM g2 GROUP BY doc_id, doc_len, gram
+    ), top2 AS (
+      SELECT doc_id, doc_len, gram, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM c2
+    ), g5 AS (
+      SELECT doc_id, UNNEST(
+        list_transform(range(1, len(toks) - 3),
+                       i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      FROM f
+    ), c5 AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt
+      FROM g5 GROUP BY doc_id, gram
+    ), d5 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * len(gram) ELSE 0 END) AS dupchars
+      FROM c5 GROUP BY doc_id
+    )
+    SELECT top2.doc_id AS doc_id,
+           top2.gram AS top2_gram,
+           ROUND(CAST(top2.cnt * len(top2.gram) AS DOUBLE) / top2.doc_len, 6)
+             AS top2_char_frac,
+           ROUND(CAST(COALESCE(d5.dupchars, 0) AS DOUBLE) / top2.doc_len, 6)
+             AS dup5_char_frac
+    FROM top2 LEFT JOIN d5 ON top2.doc_id = d5.doc_id
+    WHERE top2.rn = 1
+    """,
+)
+def q269_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-filter signals (Rae et al. 2021 §A1.1): the
+    character fraction of the single most frequent word 2-gram, and the
+    character fraction covered by duplicated 5-grams (all occurrences of
+    grams appearing ≥2×; Gopher's once-per-character variant needs
+    positional interval union — this is the standard counting proxy).
+
+    Shape: one token projection feeds both gram sizes; each explodes and
+    hash-aggregates on (doc_id, gram) — the same shuffle key, so AQE
+    reuses the exchange layout; the per-doc argmax is a combinable
+    MIN(struct(-cnt, gram)) (most frequent, lexicographically first on
+    ties), never a per-doc sort. Docs with <5 tokens are excluded so
+    both signals are defined.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.length(F.array_join(toks, " ")).alias("doc_len"),
+    ).filter(F.size("_toks") >= 5)
+    g2 = base.select(
+        "doc_id", "doc_len", F.explode(_word_ngrams(F.col("_toks"), 2)).alias("gram")
+    )
+    c2 = g2.groupBy("doc_id", "doc_len", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    top2 = (
+        c2.groupBy("doc_id", "doc_len")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("_neg"), F.col("gram").alias("gram"))
+            ).alias("_m")
+        )
+        .select(
+            "doc_id",
+            "doc_len",
+            F.col("_m.gram").alias("top2_gram"),
+            (-F.col("_m._neg")).alias("top2_cnt"),
+        )
+    )
+    g5 = base.select(
+        "doc_id", F.explode(_word_ngrams(F.col("_toks"), 5)).alias("gram")
+    )
+    c5 = g5.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    d5 = c5.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dupchars")
+    )
+    return (
+        top2.join(d5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "top2_gram",
+            F.round(
+                (F.col("top2_cnt") * F.length("top2_gram")).cast("double")
+                / F.col("doc_len"),
+                6,
+            ).alias("top2_char_frac"),
+            F.round(
+                F.coalesce(F.col("dupchars"), F.lit(0)).cast("double")
+                / F.col("doc_len"),
+                6,
+            ).alias("dup5_char_frac"),
+        )
+    )
+
+
+@register(
+    "q270_epoch_shuffle_shards",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id, epoch,
+             ((doc_id * 31 + epoch + 1) % 2147483648) * 2654435761 % 4294967296
+               AS shuffle_key
+      FROM documents, (SELECT UNNEST([0, 1]) AS epoch)
+    )
+    SELECT doc_id, epoch, shuffle_key,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                   ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+             AS pos,
+           CAST((ROW_NUMBER() OVER (PARTITION BY epoch
+                                    ORDER BY shuffle_key, doc_id) - 1) % 8
+                AS BIGINT) AS shard
+    FROM e
+    """,
+)
+def q270_epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle + shard manifest — the
+    "different order every epoch, same order every rerun" contract a
+    training dataloader needs. Each (doc, epoch) gets a Knuth
+    multiplicative shuffle key (pure integer arithmetic, identical in
+    both engines — no RNG), a global position in its epoch's order, and
+    a round-robin shard.
+
+    Scale shape: the per-epoch global position would be a 2-partition
+    window if written as ROW_NUMBER() PARTITION BY epoch — a non-starter
+    at 100 TB. Instead ONE two-phase parallel prefix scan over
+    (epoch, shuffle_key, doc_id) yields the cross-epoch running count,
+    and the per-epoch position is recovered by subtracting each epoch's
+    minimum (a |epochs|-row broadcast join).
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    ).select(
+        "doc_id",
+        "epoch",
+        (
+            ((F.col("doc_id") * 31 + F.col("epoch") + 1) % F.lit(2147483648))
+            * F.lit(2654435761)
+            % F.lit(4294967296)
+        ).alias("shuffle_key"),
+    )
+    r = global_running_sum(
+        e.withColumn("_one", F.lit(1)),
+        ["epoch", "shuffle_key", "doc_id"],
+        "_one",
+        out_col="_rk",
+    )
+    mins = r.groupBy(F.col("epoch").alias("_ep")).agg(F.min("_rk").alias("_min_rk"))
+    return (
+        r.join(F.broadcast(mins), F.col("epoch") == F.col("_ep"))
+        .select(
+            "doc_id",
+            "epoch",
+            "shuffle_key",
+            (F.col("_rk") - F.col("_min_rk")).cast("long").alias("pos"),
+            ((F.col("_rk") - F.col("_min_rk")) % 8).cast("long").alias("shard"),
+        )
+    )
+
+
+@register(
+    "q271_fim_transform",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             1 + (doc_id % 2147483648) * 2654435761 % 4294967296
+                   % (len(toks) - 2) AS a
+      FROM t WHERE len(toks) >= 5
+    ), s AS (
+      SELECT doc_id, toks, n, a,
+             a + 1 + ((doc_id + 7) % 2147483648) * 2654435761 % 4294967296
+                       % (n - a - 1) AS b
+      FROM f
+    )
+    SELECT doc_id, CAST(a AS BIGINT) AS cut_a, CAST(b AS BIGINT) AS cut_b,
+           array_to_string(toks[1:a], ' ') AS prefix,
+           array_to_string(toks[a+1:b], ' ') AS middle,
+           array_to_string(toks[b+1:n], ' ') AS suffix,
+           '<PRE>' || array_to_string(toks[1:a], ' ')
+             || '<SUF>' || array_to_string(toks[b+1:n], ' ')
+             || '<MID>' || array_to_string(toks[a+1:b], ' ') AS fim_text
+    FROM s
+    """,
+)
+def q271_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    PSM→SPM reorder): split each document's tokens at two deterministic
+    cut points into prefix/middle/suffix, and emit the FIM-reordered
+    training text ``<PRE>prefix<SUF>suffix<MID>middle``.
+
+    Cut points come from the same Knuth multiplicative hash both engines
+    compute exactly (no RNG): a ∈ [1, n-2], b ∈ [a+1, n-1], so all three
+    segments are non-empty. Entirely row-local column expressions —
+    tokenize, two hash mods, three slices, concat — zero shuffles, zero
+    UDFs; Catalyst keeps the whole projection in one codegen stage.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select("doc_id", toks.alias("_toks")).filter(
+        F.size("_toks") >= 5
+    )
+    n = F.size("_toks")
+    knuth = lambda c: (c % F.lit(2147483648)) * F.lit(2654435761) % F.lit(4294967296)
+    a = (F.lit(1) + knuth(F.col("doc_id")) % (n - 2)).alias("a")
+    base = base.select("doc_id", "_toks", n.alias("n"), a)
+    b = (
+        F.col("a") + 1 + knuth(F.col("doc_id") + 7) % (F.col("n") - F.col("a") - 1)
+    ).alias("b")
+    base = base.select("doc_id", "_toks", "n", "a", b)
+    prefix = F.array_join(F.slice("_toks", F.lit(1), F.col("a")), " ")
+    middle = F.array_join(
+        F.slice("_toks", F.col("a") + 1, F.col("b") - F.col("a")), " "
+    )
+    suffix = F.array_join(
+        F.slice("_toks", F.col("b") + 1, F.col("n") - F.col("b")), " "
+    )
+    return base.select(
+        "doc_id",
+        F.col("a").cast("long").alias("cut_a"),
+        F.col("b").cast("long").alias("cut_b"),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        F.concat(
+            F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+        ).alias("fim_text"),
+    )
