@@ -14394,3 +14394,119 @@ def q271_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
         ).alias("fim_text"),
     )
+
+
+@register(
+    "q272_stream_stream_left_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id AS v_user, ts AS v_ts, event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    ), cut AS (
+      SELECT MAX(epoch_us(p_ts)) - 7200000000 AS c FROM p
+    ), j AS (
+      SELECT p.purchase_id, v.view_id, p.p_user, p.p_ts
+      FROM p LEFT JOIN v
+        ON p.p_user = v.v_user
+       AND epoch_us(v.v_ts) <= epoch_us(p.p_ts)
+       AND epoch_us(v.v_ts) >= epoch_us(p.p_ts) - 600000000
+    )
+    SELECT purchase_id, view_id, p_user AS user_id
+    FROM j, cut
+    WHERE view_id IS NOT NULL OR epoch_us(p_ts) <= c
+    """,
+)
+def q272_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join under the correctness gate:
+    purchases left-joined to same-user views from the preceding 10
+    minutes, both sides watermarked file streams drained with
+    availableNow. The semantics worth pinning: OUTER emission is
+    watermark-gated — an unmatched purchase is emitted (null view) only
+    once the join watermark passes it, so when the stream ends, the
+    watermark-deep TAIL of unmatched purchases is still held back in
+    state. That is not a bug but the contract: outer completeness lags
+    the watermark, and a downstream consumer must treat the last
+    watermark-interval as open.
+
+    Instead of reverse-engineering Spark's internal watermark (max event
+    time ms-floored minus delay — an implementation detail), both the
+    streaming result and the batch oracle apply an EXPLICIT cutoff 2h
+    before the max purchase time (1h of slack past the 1h watermark):
+    every unmatched purchase at or below it is guaranteed emitted, the
+    tail above it is excluded on both sides, and matched rows — whose
+    inner emission is complete regardless of watermark — pass untouched.
+    The cutoff scalar is a deliberate 1-row broadcast cross join on the
+    DRAINED (batch) result, not in the stream.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+
+    def _stream(prefix: str):
+        d = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+        return spark.readStream.schema(file_schema).parquet(d)
+
+    views = (
+        _stream("q272_v_")
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast(T.TimestampType()).alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _stream("q272_p_")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast(T.TimestampType()).alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    name = f"q272_sslj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q272_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    cut = (
+        spark.read.parquet(path)
+        .where(F.col("event_type") == "purchase")
+        .agg(
+            (F.max(F.unix_micros(F.col("ts").cast(T.TimestampType()))) - 7200000000)
+            .alias("_cut")
+        )
+    )
+    return (
+        drained.crossJoin(F.broadcast(cut))
+        .filter(
+            F.col("view_id").isNotNull()
+            | (F.unix_micros("p_ts") <= F.col("_cut"))
+        )
+        .select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    )

@@ -73,6 +73,10 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the global max-order-
     # date anchor attached to the |customers| RFM rollup
     "q206_rfm_segmentation",
+    # deliberate SINGLE-ROW broadcast cross join: the explicit outer-
+    # completeness cutoff scalar attached to the DRAINED (batch) result
+    # of the stream-stream left-outer join
+    "q272_stream_stream_left_join",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
