@@ -14510,3 +14510,291 @@ def q272_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
     )
+
+
+@register(
+    "q273_quality_classifier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS toks
+      FROM documents
+    ), e AS (
+      SELECT doc_id, UNNEST(toks) AS tok FROM t WHERE len(toks) > 0
+    ), w AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 2001 - 1000
+               AS w_milli
+      FROM e
+    ), s AS (
+      SELECT doc_id,
+             CAST(SUM(w_milli) AS BIGINT) AS z_milli,
+             CAST(COUNT(*) AS BIGINT) AS n_features
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_features, z_milli,
+           ROUND(1.0 / (1.0 + exp(-(CAST(z_milli AS DOUBLE) / 1000.0
+                                    / n_features))), 6) AS quality_score,
+           z_milli > 0 AS keep
+    FROM s
+    """,
+)
+def q273_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier inference (the fastText /
+    DSIR-style fasttext-filter shape): each distinct token is a presence
+    feature whose weight comes from a hash-indexed weight vector — here a
+    deterministic md5-derived integer-milli weight so both engines score
+    identically; a trained model swaps in the same-shape broadcast weight
+    table without changing the plan. Score = sigmoid of the mean feature
+    weight; the keep decision is made on the EXACT integer logit sum, so
+    classification never hinges on float rounding.
+
+    Shape: distinct-token explode → row-local weight expression (no
+    weight-table join needed under the hashing trick) → one (doc_id)
+    hash aggregation. The sigmoid is display-only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokenize(F.col("text")))
+    e = docs.select("doc_id", toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    ).select("doc_id", F.explode("_toks").alias("tok"))
+    w_milli = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % 2001
+        - 1000
+    )
+    s = e.select("doc_id", w_milli.alias("w_milli")).groupBy("doc_id").agg(
+        F.sum("w_milli").cast("long").alias("z_milli"),
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+    )
+    return s.select(
+        "doc_id",
+        "n_features",
+        "z_milli",
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.col("z_milli").cast("double")
+                        / 1000.0
+                        / F.col("n_features")
+                    )
+                )
+            ),
+            6,
+        ).alias("quality_score"),
+        (F.col("z_milli") > 0).alias("keep"),
+    )
+
+
+@register(
+    "q274_dsir_selection",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), v AS (
+      SELECT tok,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt,
+             COUNT(*) AS nc
+      FROM t GROUP BY tok
+    ), tot AS (
+      SELECT SUM(nt) AS tt, SUM(nc) AS tc,
+             CAST(COUNT(*) AS DOUBLE) AS vocab
+      FROM v
+    ), scored AS (
+      SELECT t.doc_id,
+             SUM(ln((v.nt + 1.0) / (tot.tt + tot.vocab))
+                 - ln((v.nc + 1.0) / (tot.tc + tot.vocab))) AS lw
+      FROM t JOIN v ON v.tok = t.tok, tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(lw, 6) AS log_importance
+    FROM scored
+    ORDER BY ROUND(lw, 6) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q274_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023): rank documents
+    by the log-likelihood ratio of a target-domain unigram LM (docs from
+    'src0', add-one smoothed) over the whole-corpus LM, and keep the
+    top 50 — the "select pretraining data that looks like the target"
+    primitive.
+
+    Both LMs come from ONE (token) rollup with a conditional target
+    count — no second pass; the (total, vocab) scalars attach to the
+    |vocab|-sized table by a deliberate 1-row broadcast cross join
+    BEFORE it joins the token stream, so the stream-side join stays a
+    pure token equi-join (broadcast: vocab ≪ corpus). Ranking uses the
+    6-dp-rounded weight with a doc_id tiebreak so float ulps can't
+    reorder the cut; top-50 is TakeOrdered, never a global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    v = t.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("nc"),
+    )
+    tot = v.agg(
+        F.sum("nt").alias("tt"),
+        F.sum("nc").alias("tc"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    vw = v.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (
+            F.log((F.col("nt") + 1.0) / (F.col("tt") + F.col("vocab")))
+            - F.log((F.col("nc") + 1.0) / (F.col("tc") + F.col("vocab")))
+        ).alias("term"),
+    )
+    scored = (
+        t.join(F.broadcast(vw), "tok")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term"), 6).alias("log_importance"))
+    )
+    return scored.orderBy(
+        F.col("log_importance").desc(), F.col("doc_id")
+    ).limit(50)
+
+
+@register(
+    "q275_preference_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, lang,
+             len(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> ''))) AS score
+      FROM documents
+    )
+    SELECT source, lang,
+           (MIN({'n': -score, 'id': doc_id})).id AS chosen_id,
+           CAST(MAX(score) AS BIGINT) AS chosen_score,
+           -(MIN({'p': score, 'nid': -doc_id})).nid AS rejected_id,
+           CAST(MIN(score) AS BIGINT) AS rejected_score,
+           CAST(MAX(score) - MIN(score) AS BIGINT) AS margin
+    FROM s
+    GROUP BY source, lang
+    HAVING COUNT(*) >= 2 AND MAX(score) > MIN(score)
+    """,
+)
+def q275_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model training: within
+    each (source, lang) bucket, pair the highest-scoring document
+    (chosen) with the lowest-scoring one (rejected) under a lexical
+    quality score (distinct-token count), keeping only buckets with a
+    real margin. The RLHF data-prep shape: per-group argmax AND argmin
+    in one combinable aggregation — MIN over (±score, ±id) structs, no
+    window, no per-group sort, one shuffle on the bucket key.
+
+    Tiebreaks are pinned both ways (lowest doc_id among chosen ties,
+    HIGHEST doc_id among rejected ties) so the pair is unique even in
+    all-equal buckets — which the margin filter then drops.
+    """
+    docs = load(spark, sf_dir, "documents")
+    score = F.size(F.array_distinct(tokenize(F.col("text"))))
+    s = docs.select("doc_id", "source", "lang", score.alias("score"))
+    agg = s.groupBy("source", "lang").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("_n"), F.col("doc_id").alias("id"))
+        ).alias("_ch"),
+        F.min(
+            F.struct(F.col("score").alias("_p"), (-F.col("doc_id")).alias("_nid"))
+        ).alias("_rj"),
+        F.count(F.lit(1)).alias("_n_docs"),
+    )
+    return (
+        agg.filter(
+            (F.col("_n_docs") >= 2) & (-F.col("_ch._n") > F.col("_rj._p"))
+        )
+        .select(
+            "source",
+            "lang",
+            F.col("_ch.id").alias("chosen_id"),
+            (-F.col("_ch._n")).cast("long").alias("chosen_score"),
+            (-F.col("_rj._nid")).alias("rejected_id"),
+            F.col("_rj._p").cast("long").alias("rejected_score"),
+            (-F.col("_ch._n") - F.col("_rj._p")).cast("long").alias("margin"),
+        )
+    )
+
+
+@register(
+    "q276_dynamic_gap_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) AS us,
+             epoch_us(ts) + CASE WHEN event_type = 'view'
+                                 THEN 600000000 ELSE 1800000000 END AS end_us
+      FROM events
+    ), m AS (
+      SELECT user_id, us, end_us,
+             MAX(end_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max_end
+      FROM g
+    ), b AS (
+      SELECT user_id, us, end_us,
+             CASE WHEN prev_max_end IS NULL OR us >= prev_max_end
+                  THEN 1 ELSE 0 END AS is_start
+      FROM m
+    ), sid AS (
+      SELECT user_id, us, end_us,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM b
+    )
+    SELECT user_id,
+           strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(make_timestamp(MAX(end_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sid
+    GROUP BY user_id, session_no
+    """,
+)
+def q276_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows — Spark's ``session_window`` with a
+    per-event gap EXPRESSION (views time out after 10 minutes, everything
+    else after 30): each event spans [ts, ts+gap(event)); overlapping
+    spans merge. The native operator replaces the fixed-gap prefix-sum
+    sessionize when inactivity tolerance depends on the event itself.
+
+    The oracle pins the exact merge semantics independently: interval
+    merge via running MAX of span ends (a new session starts iff the
+    event's start is ≥ every earlier event's end — boundary-touching
+    spans do NOT merge, matching session_window's end-exclusive
+    intervals). One shuffle on user_id; the session assembly is
+    map-side within each entity partition.
+    """
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "view", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    ev = docs.select(
+        "user_id",
+        F.col("ts").cast(T.TimestampType()).alias("ts"),
+        "event_type",
+    )
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", gap).alias("sw")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return out.select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events",
+    )

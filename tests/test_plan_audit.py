@@ -77,6 +77,10 @@ ALLOWED_NON_EQUI = {
     # completeness cutoff scalar attached to the DRAINED (batch) result
     # of the stream-stream left-outer join
     "q272_stream_stream_left_join",
+    # deliberate SINGLE-ROW broadcast cross join: the (totals, vocab)
+    # LM-smoothing scalar attached to the |vocab|-sized table before it
+    # joins the token stream
+    "q274_dsir_selection",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
