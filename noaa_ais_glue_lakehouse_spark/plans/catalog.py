@@ -14798,3 +14798,239 @@ def q276_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
         "n_events",
     )
+
+
+_EXACT_DIV_SQL = (
+    "CASE WHEN {a} >= 0 THEN CAST(({a} - {a} % {s}) / {s} AS BIGINT) "
+    "ELSE -CAST(((-{a}) - (-{a}) % {s}) / {s} AS BIGINT) END"
+)
+
+
+def _power_round_sql(r: int) -> str:
+    """One deterministic power-iteration round as a chained CTE pair:
+    w = A'·v (integer matmul), then v rescaled to |v| ≤ 1000 by an
+    exact integer division with the round's own max-|w| scalar."""
+    div = _EXACT_DIV_SQL.format(a="w", s="sv")
+    return f"""
+    w{r} AS (
+      SELECT a.i AS i, SUM(a.a2 * v.v) AS w
+      FROM a2 a JOIN v{r - 1} v ON v.i = a.j
+      GROUP BY a.i
+    ), sw{r} AS (
+      SELECT CAST(MAX(ABS(w)) AS BIGINT) // 1000 + 1 AS sv FROM w{r}
+    ), v{r} AS (
+      SELECT i, {div} AS v FROM w{r}, sw{r}
+    )"""
+
+
+@register(
+    "q277_power_iteration_pca",
+    oracle="""
+    WITH m AS (
+      SELECT list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    marg AS (
+      SELECT i, SUM(v[i]) AS s
+      FROM m, UNNEST(generate_series(1, len(v))) AS u(i)
+      GROUP BY i
+    ),
+    pairs AS (
+      SELECT i, j, SUM(vi * vj) AS sij FROM (
+        SELECT u.i AS i, w.j AS j, v[u.i] AS vi, v[w.j] AS vj
+        FROM m,
+             UNNEST(generate_series(1, len(v))) AS u(i),
+             UNNEST(generate_series(1, len(v))) AS w(j)
+        WHERE w.j >= u.i
+      ) GROUP BY i, j
+    ),
+    g AS (SELECT COUNT(*) AS n FROM m),
+    tri AS (
+      SELECT p.i, p.j, CAST(n * sij - ma.s * mb.s AS BIGINT) AS a
+      FROM pairs p
+      JOIN marg ma ON ma.i = p.i
+      JOIN marg mb ON mb.i = p.j, g
+    ),
+    asym AS (
+      SELECT i, j, a FROM tri
+      UNION ALL
+      SELECT j AS i, i AS j, a FROM tri WHERE i <> j
+    ),
+    sa AS (
+      SELECT CAST(MAX(ABS(a)) AS BIGINT) // 1000000 + 1 AS s FROM asym
+    ),
+    a2 AS (
+      SELECT i, j,
+             CASE WHEN a >= 0 THEN CAST((a - a % s) / s AS BIGINT)
+                  ELSE -CAST(((-a) - (-a) % s) / s AS BIGINT) END AS a2
+      FROM asym, sa
+    ),
+    v0 AS (
+      SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM a2
+    ),
+    """
+    + ",".join(_power_round_sql(r).strip().rstrip() for r in (1, 2, 3))
+    + """
+    SELECT CAST(i AS INTEGER) AS dim, CAST(v AS BIGINT) AS component_scaled
+    FROM v3
+    """,
+)
+def q277_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-eigenvector power iteration over the embedding covariance —
+    the PCA direction extracted with DISTRIBUTED, ENGINE-EXACT integer
+    linear algebra (operators/linalg.py): the d×d covariance numerators
+    (q231's exact-integer form) are rescaled once, then 3 rounds of
+    w=A·v matmul (a (j)-keyed join + (i)-keyed hash aggregation over the
+    64²-row matrix table) with each round's vector renormalized to
+    |v|≤1000 by an exact truncating integer division. No float enters
+    the iteration, so both engines produce bit-identical iterates — no
+    tolerance, no rounding, a HASH-exact oracle for an iterative
+    numerical algorithm. The contract is the exact 3-round ITERATE;
+    convergence to the eigenvector needs more rounds when the spectrum
+    is flat (as with this near-isotropic synthetic data) — the
+    planted-dominant-direction case converges in 3 and is pinned in
+    tests/test_linalg.py alongside exact numpy parity on this table.
+
+    100 TB shape: the corpus-sized work is the one covariance pass
+    (each row emits its d(d+1)/2 upper-triangle products into one hash
+    agg); the iteration then runs on the d²-row matrix — cluster-trivial
+    — without ever collecting it to the driver. The four 1-row scalar
+    attaches (matrix scale + one per round) are deliberate broadcast
+    cross joins.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.linalg import (
+        integer_covariance_numerators,
+        power_iteration_top_direction,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    matrix = integer_covariance_numerators(emb, "embedding", scale=1000)
+    v = power_iteration_top_direction(matrix, rounds=3)
+    return v.select(
+        F.col("i").cast("int").alias("dim"),
+        F.col("v").cast("long").alias("component_scaled"),
+    )
+
+
+@register(
+    "q278_matryoshka_truncation",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, embedding[1:16] AS head,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)
+                                                       * 1000000) AS BIGINT)) AS fm,
+             list_transform(embedding[1:16],
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                      AS BIGINT)) AS hm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(hm) AS BIGINT) AS dim_kept,
+           CAST(list_sum(list_transform(hm, x -> x * x)) AS BIGINT)
+             AS head_sq_micro,
+           CAST(list_sum(list_transform(fm, x -> x * x)) AS BIGINT)
+             AS full_sq_micro,
+           ROUND(sqrt(CAST(list_sum(list_transform(hm, x -> x * x)) AS DOUBLE))
+                 / sqrt(CAST(list_sum(list_transform(fm, x -> x * x)) AS DOUBLE)),
+                 6) AS energy_kept
+    FROM t
+    """,
+)
+def q278_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka embedding truncation audit (Kusupati et al. 2022):
+    keep the first 16 of 64 dimensions and report, per vector, the
+    fraction of the L2 norm the truncated head retains — the signal for
+    choosing a cheaper ANN index dimension. Squared norms are exact
+    integer micro sums (order-free); only the final sqrt ratio is float,
+    rounded 6dp identically in both engines. Row-local array expressions
+    — zero shuffles, zero explodes.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    micro = lambda c: F.transform(
+        c, lambda x: F.round(x.cast("double") * 1000000).cast("long")
+    )
+    sq = lambda c: F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    head = F.slice(F.col("embedding"), 1, 16)
+    t = emb.select(
+        "vec_id",
+        sq(micro(head)).alias("head_sq_micro"),
+        sq(micro(F.col("embedding"))).alias("full_sq_micro"),
+        F.size(head).cast("long").alias("dim_kept"),
+    )
+    return t.select(
+        "vec_id",
+        "dim_kept",
+        "head_sq_micro",
+        "full_sq_micro",
+        F.round(
+            F.sqrt(F.col("head_sq_micro").cast("double"))
+            / F.sqrt(F.col("full_sq_micro").cast("double")),
+            6,
+        ).alias("energy_kept"),
+    )
+
+
+@register(
+    "q279_largest_remainder_alloc",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(n) AS t FROM s
+    ), q AS (
+      SELECT source, n,
+             (n * 1000) // t AS fl,
+             (n * 1000) % t AS rem
+      FROM s, tot
+    ), base AS (
+      SELECT SUM(fl) AS allocated FROM q
+    ), r AS (
+      SELECT source, n, fl, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(fl + CASE WHEN rk <= 1000 - (SELECT allocated FROM base)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r
+    """,
+)
+def q279_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) quota allocation: split a budget of
+    1000 sampled documents across sources EXACTLY proportionally — floor
+    quotas first, then the leftover seats go to the largest fractional
+    remainders. The sampling-design primitive behind "exact N-doc
+    stratified sample" requests, where naive rounding over- or
+    under-shoots the budget.
+
+    All quota arithmetic is exact integers (n·1000 // total and its
+    remainder); the seat ranking is over |sources| rows — driver-scale
+    AFTER the one corpus-count aggregation, so the window's single
+    partition is by construction tiny, and the leftover-seat count is a
+    1-row broadcast attach.
+    """
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = s.agg(F.sum("n").alias("t"))
+    q = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        ((F.col("n") * 1000) / F.col("t")).cast("long").alias("fl"),
+        ((F.col("n") * 1000) % F.col("t")).alias("rem"),
+    )
+    base = q.agg(F.sum("fl").alias("allocated"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    r = q.withColumn("rk", F.row_number().over(w))
+    return r.crossJoin(F.broadcast(base)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= 1000 - F.col("allocated"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )

@@ -81,6 +81,14 @@ ALLOWED_NON_EQUI = {
     # LM-smoothing scalar attached to the |vocab|-sized table before it
     # joins the token stream
     "q274_dsir_selection",
+    # deliberate 1-row broadcast cross joins throughout the iteration:
+    # the n scalar on the d²-row matrix and the per-round rescale
+    # scalars on the d-row vector (operators/linalg.py)
+    "q277_power_iteration_pca",
+    # deliberate SINGLE-ROW broadcast cross joins: the corpus-total
+    # scalar on the |sources| rollup and the allocated-seats scalar on
+    # the |sources| quota table
+    "q279_largest_remainder_alloc",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
