@@ -908,3 +908,68 @@ def repeated_span_grams(
             )
         ).alias("g"),
     ).distinct()
+
+
+def winnow_incremental_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_new_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 10,
+    materialize_index: bool = True,
+) -> DataFrame:
+    """Incremental near-dedup: winnowing candidate pairs where AT LEAST
+    ONE side is a newly-arrived document — the daily-batch contract where
+    the historical corpus is already internally deduped and re-checking
+    hist×hist pairs would redo yesterday's quadratic work.
+
+    Output: (id_a < id_b, shared_fps, pair_kind ∈ {'hist-new','new-new'}).
+
+    Shape: the full fingerprint index joins only the NEW side's index on
+    the fingerprint key — |idx| × |idx_new| candidate work instead of
+    |idx|², the whole point of incremental dedup (at 100 TB the
+    historical index is a saved table; here it is derived from the same
+    scan, which changes the cost of building it, not the join shape).
+    Pairs are canonicalized with least/greatest, so a new×new pair is
+    produced from both directions — shared fingerprints are therefore
+    counted DISTINCT, which is also the hist-new count since the per-doc
+    index is already fingerprint-distinct.
+    """
+    idx = winnow_fingerprint_index(
+        df.select(F.col(id_col), F.col(text_col), F.col(is_new_col)),
+        id_col,
+        text_col,
+        k,
+        w,
+    ).join(df.select(F.col(id_col), F.col(is_new_col)), id_col)
+    if materialize_index:
+        idx = idx.cache()
+    new_idx = idx.filter(F.col(is_new_col))
+    a = idx.alias("a")
+    b = new_idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.fingerprint") == F.col("b.fingerprint"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        F.col("a.fingerprint").alias("_fp"),
+        (F.col(f"a.{is_new_col}") & F.col(f"b.{is_new_col}")).alias("_both_new"),
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("_fp").cast("long").alias("shared_fps"),
+            F.max("_both_new").alias("_nn"),
+        )
+        .filter(F.col("shared_fps") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            F.when(F.col("_nn"), "new-new").otherwise("hist-new").alias("pair_kind"),
+        )
+    )

@@ -15034,3 +15034,186 @@ def q279_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota"),
     )
+
+
+@register(
+    "q280_incremental_dedup",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(lower(text)) - 6),
+                            i -> md5(substr(lower(text), i, 8))) AS hashes
+      FROM documents WHERE length(text) >= 8
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hashes) - 2),
+                           j -> list_min(hashes[j : j + 3]))) AS fps
+      FROM grams WHERE len(hashes) >= 4
+    ), idx AS (
+      SELECT doc_id, (doc_id % 10) >= 8 AS is_new, unnest(fps) AS fp FROM wins
+    ), pairs AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+             GREATEST(a.doc_id, b.doc_id) AS id_b,
+             a.fp AS fp,
+             (a.is_new AND b.is_new) AS bn
+      FROM idx a JOIN idx b
+        ON a.fp = b.fp AND a.doc_id <> b.doc_id AND b.is_new
+    )
+    SELECT id_a, id_b,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS shared_fps,
+           CASE WHEN BOOL_OR(bn) THEN 'new-new' ELSE 'hist-new' END AS pair_kind
+    FROM pairs
+    GROUP BY id_a, id_b
+    HAVING COUNT(DISTINCT fp) >= 10
+    """,
+)
+def q280_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup of a new document batch against the
+    already-deduped historical corpus (docs with id%10 ≥ 8 play the new
+    batch): winnowing candidate pairs where at least one side is new —
+    hist×hist pairs, yesterday's quadratic work, are never generated.
+    The daily-ingest shape every production dedup pipeline runs; at
+    100 TB the historical fingerprint index is a saved table and only
+    the |index| × |new-batch| join remains. Deterministic fingerprints
+    make the whole incremental family fully oracle-checkable (unlike
+    MinHash).
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_incremental_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_is_new", (F.col("doc_id") % 10) >= 8
+    )
+    return winnow_incremental_pairs(docs, "doc_id", "text", "_is_new")
+
+
+@register(
+    "q281_contrastive_chunk_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    s AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+    chunks AS (
+      SELECT doc_id,
+             CAST(start // 48 AS INT) AS chunk_idx,
+             array_to_string(w[start + 1 : LEAST(start + 64, n)], ' ') AS chunk_text
+      FROM (SELECT doc_id, w, n, UNNEST(range(0, n, 48)) AS start FROM s)
+    )
+    SELECT a.doc_id AS doc_id, a.chunk_idx AS anchor_idx,
+           a.chunk_text AS anchor_text, p.chunk_text AS positive_text
+    FROM chunks a JOIN chunks p
+      ON p.doc_id = a.doc_id AND p.chunk_idx = a.chunk_idx + 1
+    """,
+)
+def q281_contrastive_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair construction for embedding models
+    (SimCSE/DPR-style in-document positives): adjacent overlapping
+    chunks of the same document form (anchor, positive) pairs;
+    in-batch negatives come free at training time, so the data job only
+    has to emit aligned positives. Chunk grid is the q261 shape
+    (64-token windows, stride 48) built row-locally with
+    sequence+explode; pairing is a (doc_id, idx+1) EQUI self-join —
+    one hash shuffle on doc_id, no window, no per-doc sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = docs.select("doc_id", toks.alias("w"), F.size(toks).alias("n")).filter(
+        F.col("n") > 0
+    )
+    chunks = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(48))
+        ).alias("start"),
+        "w",
+        "n",
+    ).select(
+        "doc_id",
+        (F.col("start") / 48).cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice(
+                "w",
+                F.col("start") + 1,
+                F.least(F.lit(64), F.col("n") - F.col("start")),
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    a = chunks.alias("a")
+    p = chunks.alias("p")
+    return a.join(
+        p,
+        (F.col("p.doc_id") == F.col("a.doc_id"))
+        & (F.col("p.chunk_idx") == F.col("a.chunk_idx") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.chunk_idx").alias("anchor_idx"),
+        F.col("a.chunk_text").alias("anchor_text"),
+        F.col("p.chunk_text").alias("positive_text"),
+    )
+
+
+@register(
+    "q282_bm25_hard_negatives",
+    oracle=_BM25_SQL_BASE
+    + """,
+    pos AS (
+      SELECT doc_id, score_micro,
+             ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+      FROM scored
+      WHERE tf_spark > 0 AND tf_join > 0 AND tf_window > 0
+    ), neg AS (
+      SELECT doc_id, score_micro,
+             ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+      FROM scored
+      WHERE NOT (tf_spark > 0 AND tf_join > 0 AND tf_window > 0)
+    )
+    SELECT CAST(p.rk AS BIGINT) AS rank,
+           p.doc_id AS positive_id, p.score_micro AS positive_score_micro,
+           n.doc_id AS negative_id, n.score_micro AS negative_score_micro
+    FROM pos p JOIN neg n ON n.rk = p.rk
+    WHERE p.rk <= 5 AND n.rk <= 5
+    """,
+)
+def q282_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training (DPR/ANCE data prep):
+    the top-5 fully-matching documents (every query term present) are
+    positives; the top-5 highest-BM25 docs that do NOT match all terms
+    are the hard negatives — lexically close, semantically non-relevant,
+    exactly the pairs that make a dual-encoder learn. Rank r positive
+    pairs with rank r negative → 5 training triplets for the fixed
+    query.
+
+    The corpus-sized work is the shared BM25 projection (q218's
+    integer-micro scoring); both top-5s are TakeOrdered (never a global
+    sort), and the rank-alignment join runs on two 5-row sides.
+    """
+    scored = _bm25_scored(spark, sf_dir)
+    all_match = (
+        (F.col("tf_spark") > 0) & (F.col("tf_join") > 0) & (F.col("tf_window") > 0)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+    pos = (
+        scored.filter(all_match)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    neg = (
+        scored.filter(~all_match)
+        .orderBy(F.col("score_micro").desc(), F.col("doc_id"))
+        .limit(5)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return pos.alias("p").join(neg.alias("n"), "rank").select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("p.doc_id").alias("positive_id"),
+        F.col("p.score_micro").alias("positive_score_micro"),
+        F.col("n.doc_id").alias("negative_id"),
+        F.col("n.score_micro").alias("negative_score_micro"),
+    )
