@@ -89,6 +89,9 @@ ALLOWED_NON_EQUI = {
     # scalar on the |sources| rollup and the allocated-seats scalar on
     # the |sources| quota table
     "q279_largest_remainder_alloc",
+    # inherits _bm25_scored's documented 1-row corpus-stats broadcast
+    # cross join (same as q218/q223/q227)
+    "q282_bm25_hard_negatives",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
