@@ -15217,3 +15217,283 @@ def q282_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.doc_id").alias("negative_id"),
         F.col("n.score_micro").alias("negative_score_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale/storage operators: Z-order layout, Bloom join pruning, Count-Min,
+# watermark sizing (q283-q286)
+# ---------------------------------------------------------------------------
+
+
+def _morton_sql(xe: str, ye: str, bits: int) -> str:
+    """DuckDB rendering of functions/spatial.py morton_key (x even bits)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe}) >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"((({ye}) >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "q283_zorder_layout_audit",
+    oracle=_COORDS_CTE
+    + f"""
+    , q AS (
+      SELECT LEAST(CAST(FLOOR((lon + 180.0)/360.0*256) AS BIGINT), 255) AS lon_q,
+             LEAST(CAST(FLOOR((lat + 90.0)/180.0*256) AS BIGINT), 255) AS lat_q
+      FROM coords
+    ), z AS (
+      SELECT lon_q, lat_q, ({_morton_sql("lon_q", "lat_q", 8)}) >> 8 AS zbucket
+      FROM q
+    )
+    SELECT zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(lat_q) AS min_lat_q, MAX(lat_q) AS max_lat_q,
+           MIN(lon_q) AS min_lon_q, MAX(lon_q) AS max_lon_q,
+           (MAX(lat_q) - MIN(lat_q) + 1) * (MAX(lon_q) - MIN(lon_q) + 1)
+             AS cell_span
+    FROM z GROUP BY zbucket
+    """,
+)
+def q283_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit — the layout that makes 2-D
+    data skipping work at 100 TB. Coordinates are quantized to an 8-bit
+    grid, bit-interleaved into a 16-bit z-value (``morton_key``, a pure
+    column expression), and rows are grouped by the z-value's top 8 bits
+    — exactly the rows one z-ordered file would hold. The per-bucket
+    lat/lon min-max spans ARE the parquet zone maps such a file would
+    publish: ``cell_span`` stays a tight square (≤ 16×16 cells per
+    bucket) instead of a full-width stripe, which is why a z-sorted
+    write (``repartitionByRange(zkey) + sortWithinPartitions(zkey)``)
+    lets BOTH a lat predicate and a lon predicate prune files, where a
+    lat-major sort prunes only one. One hash aggregation; the key math
+    is whole-stage-codegen'd."""
+    from noaa_ais_glue_lakehouse_spark.functions.spatial import morton_key
+
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    lon_q = F.least(
+        F.floor((F.col("lon") + 180.0) / 360.0 * 256).cast("long"), F.lit(255)
+    )
+    lat_q = F.least(
+        F.floor((F.col("lat") + 90.0) / 180.0 * 256).cast("long"), F.lit(255)
+    )
+    q = ev.select(lon_q.alias("lon_q"), lat_q.alias("lat_q"))
+    z = q.select(
+        "lon_q",
+        "lat_q",
+        F.shiftright(
+            morton_key(F.col("lon_q"), F.col("lat_q"), 8), 8
+        ).alias("zbucket"),
+    )
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("lat_q").alias("min_lat_q"),
+        F.max("lat_q").alias("max_lat_q"),
+        F.min("lon_q").alias("min_lon_q"),
+        F.max("lon_q").alias("max_lon_q"),
+        (
+            (F.max("lat_q") - F.min("lat_q") + 1)
+            * (F.max("lon_q") - F.min("lon_q") + 1)
+        ).alias("cell_span"),
+    )
+
+
+def _bloom_oracle(m: int, k: int) -> str:
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import hash_pos_sql
+
+    return f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS x FROM orders),
+    hs AS (SELECT UNNEST(range({k})) AS i),
+    bits AS (
+      SELECT DISTINCT {hash_pos_sql("x", "i", m)} AS bitpos FROM keys, hs
+    ),
+    probe AS (
+      SELECT c_custkey, i, {hash_pos_sql("c_custkey", "i", m)} AS bitpos
+      FROM customer, hs
+    ),
+    pass AS (
+      SELECT c_custkey FROM probe JOIN bits USING (bitpos)
+      GROUP BY c_custkey HAVING COUNT(DISTINCT i) = {k}
+    ),
+    truth AS (SELECT DISTINCT o_custkey FROM orders)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN p.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN t.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_orders,
+           CAST(SUM(CASE WHEN p.c_custkey IS NOT NULL AND t.o_custkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM customer c
+    LEFT JOIN pass p ON p.c_custkey = c.c_custkey
+    LEFT JOIN truth t ON t.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """
+
+
+@register("q284_bloom_filter_join", oracle=_bloom_oracle(65536, 3))
+def q284_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning audit (runtime row-level filtering, the
+    trick behind Spark's own `spark.sql.optimizer.runtime.bloomFilter`):
+    a Bloom filter over the orders build side is materialized as its SET
+    bit positions — a relation bounded by m_bits (65536 rows max)
+    regardless of build-side row count, so it broadcasts even when the
+    build side is 100 TB — and customers probe it with k deterministic
+    hashes (a broadcast equi-join + count(distinct i)=k). Per market
+    segment: how many probe rows the Bloom pass admits vs the exact
+    semi-join truth, and the false-positive overhead the m/k geometry
+    costs. No false negative is possible (CM/Bloom guarantee — the same
+    integer hash family runs in the DuckDB oracle, making a
+    probabilistic structure exactly checkable)."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    bits = bloom_bit_positions(orders.select("o_custkey"), "o_custkey", 65536, 3)
+    probed = bloom_probe(customer, "c_custkey", bits, 65536, 3)
+    truth = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_orders", F.lit(1))
+    )
+    flagged = probed.join(F.broadcast(truth), "c_custkey", "left")
+    return flagged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("has_orders").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_orders"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("has_orders").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
+def _cms_oracle(depth: int, width: int) -> str:
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import hash_pos_sql
+
+    return f"""
+    WITH hs AS (SELECT UNNEST(range({depth})) AS i),
+    cells AS (
+      SELECT i, {hash_pos_sql("user_id", "i", width)} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, hs GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY 1
+    ),
+    keyed AS (
+      SELECT u.user_id, hs.i,
+             {hash_pos_sql("u.user_id", "hs.i", width)} AS pos
+      FROM exact u, hs
+    ),
+    est AS (
+      SELECT user_id, CAST(MIN(COALESCE(n, 0)) AS BIGINT) AS est_count
+      FROM keyed LEFT JOIN cells USING (i, pos) GROUP BY user_id
+    )
+    SELECT e.user_id, e.est_count, x.exact_count,
+           e.est_count - x.exact_count AS overestimate
+    FROM est e JOIN exact x USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id LIMIT 10
+    """
+
+
+@register("q285_countmin_heavy_hitters", oracle=_cms_oracle(4, 2048))
+def q285_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: the sketch is built as a (i, pos, n)
+    relation of at most depth×width = 8192 rows — one map-side-combined
+    hash aggregation over the stream, mergeable across shards/days by
+    summing n — then each candidate key is point-estimated by the MIN of
+    its depth cells via a broadcast equi-join. Top-10 users by estimated
+    frequency, with the exact count and the CM overestimate attached
+    (est ≥ exact always; the one-sided error is pinned in
+    tests/test_sketches.py). The deterministic cross-engine hash family
+    is what lets an approximate structure sit under the exact hash
+    gate."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    cells = count_min_cells(ev.select("user_id"), "user_id", 4, 2048)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    est = count_min_estimate(exact.select("user_id"), "user_id", cells, 4, 2048)
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("est_count").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "q286_watermark_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id, ts, epoch_us(ts) AS ts_us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max_us
+      FROM events
+    ), late AS (
+      SELECT user_id,
+             GREATEST(0, COALESCE(prev_max_us - ts_us, 0)) AS late_us
+      FROM arr
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+           CAST(SUM(late_us) AS BIGINT) AS total_late_us
+    FROM late GROUP BY user_id
+    """,
+)
+def q286_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that SIZES a streaming
+    watermark instead of guessing it. Arrival order is the ingest-
+    monotone event_id; an event is late by (running max event-time seen
+    before it) − (its own event-time), clamped at 0 — the exact quantity
+    `withWatermark` must exceed for the event not to be dropped. Per
+    user: event count, late count, worst lateness, total lateness (µs,
+    exact integer arithmetic). One window (prefix max over arrival
+    order, single hash-partition shuffle on user_id) + one aggregation —
+    the same shape at any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late_us = F.greatest(
+        F.lit(0),
+        F.coalesce(
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+            F.lit(0),
+        ),
+    )
+    late = ev.select("user_id", late_us.alias("late_us"))
+    return late.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+        F.sum("late_us").cast("long").alias("total_late_us"),
+    )

@@ -58,3 +58,43 @@ def test_mergeable_hll_union_matches_exact_within_tolerance(spark):
         .collect()[0]["est"]
     )
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    """Every key inserted into the Bloom bit set MUST pass its own probe
+    (zero false negatives — the structural guarantee q284 leans on), and
+    with m=65536/k=3 over a few thousand keys the false-positive rate on
+    disjoint probes stays far under 5%."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 2000).withColumnRenamed("id", "k")
+    outsiders = spark.range(100_000, 104_000).withColumnRenamed("id", "k")
+    bits = bloom_bit_positions(members, "k", 65536, 3)
+
+    in_pass = bloom_probe(members, "k", bits, 65536, 3)
+    assert in_pass.filter(~F.col("bloom_pass")).count() == 0
+
+    out = bloom_probe(outsiders, "k", bits, 65536, 3)
+    fp = out.filter(F.col("bloom_pass")).count()
+    assert fp / 4000 < 0.05, fp
+
+
+def test_count_min_never_underestimates(spark):
+    """CM point estimates are one-sided: est >= exact for EVERY key, and
+    exact for keys whose cells never collide."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    ev = _events(spark)
+    cells = count_min_cells(ev.select("user_id"), "user_id", 4, 2048)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = count_min_estimate(exact.select("user_id"), "user_id", cells, 4, 2048)
+    joined = est.join(exact, "user_id").collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r["est_count"] >= r["exact_n"], r
