@@ -15497,3 +15497,247 @@ def q286_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("late_us").cast("long").alias("max_late_us"),
         F.sum("late_us").cast("long").alias("total_late_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics, link prediction, interval coverage, path mining
+# (q287-q290)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q287_spearman_correlation",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             2*RANK() OVER (PARTITION BY event_type ORDER BY epoch_us(ts))
+               + COUNT(*) OVER (PARTITION BY event_type, epoch_us(ts)) - 1
+               AS rx2,
+             2*RANK() OVER (PARTITION BY event_type ORDER BY value)
+               + COUNT(*) OVER (PARTITION BY event_type, value) - 1
+               AS ry2
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx2) AS sx, SUM(ry2) AS sy,
+             SUM(rx2*rx2) AS sxx, SUM(ry2*ry2) AS syy,
+             SUM(rx2*ry2) AS sxy
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(
+             CAST(n*sxy - sx*sy AS DOUBLE)
+             / SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+             / SQRT(CAST(n*syy - sy*sy AS DOUBLE)), 6) AS spearman_rho
+    FROM s
+    """,
+)
+def q287_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation (is `value` drifting over
+    time?) per event type. Average fractional ranks are carried DOUBLED
+    (2·avg_rank = 2·rank + |ties| − 1) so every moment stays an exact
+    BIGINT — the Pearson-of-ranks closed form then divides two integer
+    determinants once at the end, giving an order-independent float.
+    Two window passes + one aggregation, all partitioned on event_type —
+    no global sort at any scale. Complements q127 (Pearson): rho is
+    outlier-robust and catches monotone-but-nonlinear drift."""
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    rx2 = (
+        2 * F.rank().over(Window.partitionBy("event_type").orderBy(ts_us))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", ts_us))
+        - 1
+    )
+    ry2 = (
+        2 * F.rank().over(Window.partitionBy("event_type").orderBy("value"))
+        + F.count(F.lit(1)).over(Window.partitionBy("event_type", "value"))
+        - 1
+    )
+    ranked = ev.select(
+        "event_type", rx2.cast("long").alias("rx2"), ry2.cast("long").alias("ry2")
+    )
+    s = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "event_type", "n", F.round(num / dx / dy, 6).alias("spearman_rho")
+    )
+
+
+@register(
+    "q288_adamic_adar_linkpred",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    deg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS d FROM ut GROUP BY user_id
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common_users,
+           CAST(SUM(CAST(ROUND(1000000.0 / LN(CAST(g.d AS DOUBLE))) AS BIGINT))
+                AS BIGINT) AS aa_score_micro
+    FROM ut a
+    JOIN ut b ON b.user_id = a.user_id AND a.event_type < b.event_type
+    JOIN deg g ON g.user_id = a.user_id
+    WHERE g.d >= 2
+    GROUP BY 1, 2
+    """,
+)
+def q288_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the user/event-type bipartite
+    graph: score(t1,t2) = Σ over common users of 1/ln(user degree) —
+    rare shared neighbors count more than promiscuous ones. Per-term
+    scores are rounded to integer micro-units BEFORE summation so the
+    float total is order-independent under the exact hash gate. The
+    self-join explodes per-user type pairs — bounded by |types|² per
+    user (types is a small domain), the standard wedge-enumeration
+    shape; one shuffle on user_id, one on the pair."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    deg = ut.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    term = F.round(F.lit(1_000_000.0) / F.log(F.col("d").cast("double"))).cast("long")
+    return (
+        pairs.join(deg.filter(F.col("d") >= 2), "user_id")
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common_users"),
+            F.sum(term).cast("long").alias("aa_score_micro"),
+        )
+    )
+
+
+@register(
+    "q289_interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island_id
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island_id, MIN(s) AS si, MAX(e) AS ei
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(ei - si) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q289_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals coverage per user (each event opens a 5-minute
+    activity interval; overlaps merge): the island technique — a prefix
+    max over interval ends marks each interval that starts past
+    everything seen before as a new island, a prefix sum numbers the
+    islands, and per-island min(start)/max(end) give the merged spans.
+    Two windows + two aggregations, all partitioned on user_id, exact µs
+    integers throughout. The same shape computes SLA uptime, sensor
+    coverage, and ad-exposure time at any scale."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("si"), F.max("e").alias("ei")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("ei") - F.col("si")).cast("long").alias("covered_us"),
+    )
+
+
+@register(
+    "q290_session_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+             LEAD(event_type, 1) OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+             ) AS t2,
+             LEAD(event_type, 2) OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+             ) AS t3
+      FROM events
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q290_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral trigrams (3-step event-type paths within a
+    user-day): two LEADs over one (user, day)-partitioned window — the
+    sequence-mining shape that needs no self-join because consecutive
+    steps are adjacency, not equi-match. TakeOrdered top-k; tiebreak on
+    the path string keeps the cut deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
