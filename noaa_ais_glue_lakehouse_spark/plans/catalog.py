@@ -15741,3 +15741,277 @@ def q290_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis widening: readability, tokenizer fertility, curriculum
+# staging, blocklist screening (q291-q294)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q291_flesch_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                      1) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           ROUND(206.835
+                 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+                 - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 4)
+             AS flesch
+    FROM m WHERE n_words > 0
+    """,
+)
+def q291_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the classic no-dictionary
+    syllable heuristic (a syllable ≈ one contiguous vowel-group
+    [aeiouy]+; sentences ≈ terminal-punctuation runs, floored at 1).
+    The difficulty signal readability-based curation filters (child-
+    safe corpora, ELI5-style selection) run at corpus scale: three
+    regexp counts per row — pure codegen projection, no shuffle at
+    all."""
+    docs = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_words = F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), F.lit(0))).cast("long")
+    n_syll = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), F.lit(0))).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))).cast("long"),
+        F.lit(1),
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+    ).filter(F.col("n_words") > 0)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("n_words").cast("double") / F.col("n_sentences")
+            - F.lit(84.6) * F.col("n_syllables").cast("double") / F.col("n_words"),
+            4,
+        ).alias("flesch"),
+    )
+
+
+@register(
+    "q292_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_words,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe), 6)
+             AS chars_per_token
+    FROM t WHERE n_words > 0 GROUP BY lang
+    """,
+)
+def q292_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subword tokens per whitespace
+    word and characters per token, THE per-language cost model for a
+    multilingual token budget (a high-fertility language pays more
+    context window per word; the metric that drives per-language
+    sampling corrections in multilingual pretraining). Integer token
+    counts are summed exactly per language; the two ratios divide once
+    at the end. Pure projection + one small aggregation."""
+    from noaa_ais_glue_lakehouse_spark.functions.text import bpe_ish_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = docs.select(
+        "lang",
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe"),
+        F.size(toks).cast("long").alias("n_words"),
+        "n_chars",
+    ).filter(F.col("n_words") > 0)
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("total_bpe"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q293_curriculum_stages",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_words,
+             n_chars
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, n_words,
+             CAST(ROUND(1000000.0 * n_chars / n_words) AS BIGINT)
+               AS difficulty_micro
+      FROM d WHERE n_words > 0
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY difficulty_micro, doc_id) AS rk,
+             COUNT(*) OVER () AS n_total
+      FROM scored
+    )
+    SELECT CAST(FLOOR((rk - 1) * 4.0 / n_total) AS INT) + 1 AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(MIN(difficulty_micro) AS BIGINT) AS min_difficulty_micro,
+           CAST(MAX(difficulty_micro) AS BIGINT) AS max_difficulty_micro
+    FROM ranked GROUP BY 1
+    """,
+)
+def q293_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: documents ordered easy→hard by mean word
+    length (integer micros) and cut into 4 equal-count training stages —
+    the data-side half of curriculum learning (feed stage 1 first, then
+    widen). The global position comes from the two-phase parallel prefix
+    scan (global_running_sum of 1 — never a single-task window over the
+    corpus), and the corpus count rides a deliberate 1-row broadcast
+    cross join; the stage formula floor((rank-1)·4/N)+1 reproduces
+    NTILE(4) exactly for every N."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        "n_chars",
+    ).filter(F.col("n_words") > 0)
+    scored = scored.withColumn(
+        "difficulty_micro",
+        F.round(F.lit(1_000_000.0) * F.col("n_chars") / F.col("n_words")).cast(
+            "long"
+        ),
+    )
+    ranked = global_running_sum(
+        scored.withColumn("_one", F.lit(1)),
+        ["difficulty_micro", "doc_id"],
+        "_one",
+        out_col="rk",
+    )
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    staged = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "stage",
+        (
+            F.floor((F.col("rk") - 1) * 4.0 / F.col("n_total")).cast("int") + 1
+        ),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("difficulty_micro").cast("long").alias("min_difficulty_micro"),
+        F.max("difficulty_micro").cast("long").alias("max_difficulty_micro"),
+    )
+
+
+_BLOCKLIST = {
+    "latency": ["slow", "big"],
+    "vendor": ["spark", "hash"],
+    "pii": ["customer", "key"],
+}
+
+
+@register(
+    "q294_blocklist_screen",
+    oracle="""
+    WITH terms AS (
+      SELECT * FROM (VALUES
+        ('latency', 'slow'), ('latency', 'big'),
+        ('vendor', 'spark'), ('vendor', 'hash'),
+        ('pii', 'customer'), ('pii', 'key')
+      ) t(category, term)
+    ), toks AS (
+      SELECT doc_id, source,
+             UNNEST(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')))
+               AS tok
+      FROM documents
+    ), hits AS (
+      SELECT DISTINCT t.doc_id, t.source, m.category
+      FROM toks t JOIN terms m ON m.term = t.tok
+    ), perdoc AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(h.n_categories, 0) AS n_categories
+      FROM documents d
+      LEFT JOIN (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_categories
+        FROM hits GROUP BY doc_id
+      ) h ON h.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_categories > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN n_categories >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_category
+    FROM perdoc GROUP BY source
+    """,
+)
+def q294_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category blocklist screening (safety/PII term taxonomy → per-doc
+    category hits → per-source flag rates) — the filter stage every
+    production corpus runs before training. Token-exact matching (never
+    substring: 'key' must not flag 'monkey'): the doc's DISTINCT token
+    set explodes once and equi-joins the broadcast taxonomy; per-doc
+    distinct categories then roll up to source-level flagged /
+    multi-category counts. Left join keeps zero-hit docs in the
+    denominator. Swap the VALUES taxonomy for a real one (CSAM/PII/
+    toxicity lists) without touching the plan."""
+    docs = load(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [(c, t) for c, ts in _BLOCKLIST.items() for t in ts],
+        ["category", "term"],
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+    )
+    hits = (
+        toks.join(F.broadcast(terms), toks.tok == terms.term)
+        .select("doc_id", "category")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_categories"))
+    )
+    perdoc = docs.select("doc_id", "source").join(hits, "doc_id", "left").select(
+        "source", F.coalesce("n_categories", F.lit(0)).alias("n_categories")
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_categories") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("n_categories") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_category"),
+    )

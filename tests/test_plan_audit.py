@@ -92,6 +92,9 @@ ALLOWED_NON_EQUI = {
     # inherits _bm25_scored's documented 1-row corpus-stats broadcast
     # cross join (same as q218/q223/q227)
     "q282_bm25_hard_negatives",
+    # deliberate SINGLE-ROW broadcast cross join: the corpus-count scalar
+    # attached to the prefix-scan rank column for the NTILE(4) formula
+    "q293_curriculum_stages",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
