@@ -16015,3 +16015,274 @@ def q294_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_multi_category"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H join/agg shapes expressible on these tables:
+# Q3, Q5, Q8, Q10, Q14 (q295-q299)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q295_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_cents DESC, orderkey LIMIT 10
+    """,
+)
+def q295_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the classic 3-way sel-join-agg —
+    segment-filtered customers broadcast into orders, date predicates
+    pushed to BOTH fact scans before the orderkey join, revenue in exact
+    integer cents, top-10 via TakeOrdered (never a global sort). The
+    shape AQE loves: both filters are scan-level PushedFilters, and the
+    customer side collapses to a broadcast."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .select("orderkey", "revenue_cents", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue_cents").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q296_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q296_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue where the supplier and
+    the customer share a nation inside one region — the 6-way star whose
+    selective dims (nation⋈region, supplier) all broadcast, leaving the
+    orders⋈lineitem hash join as the only real shuffle. The
+    same-nation condition rides the supplier join (equi on BOTH keys),
+    never a post-join filter."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == li.l_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nr), nr.n_nationkey == supp.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+
+
+@register(
+    "q297_national_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS vol_cents,
+             sn.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol_cents
+                         ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(SUM(vol_cents) AS BIGINT) AS market_cents,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol_cents
+                              ELSE 0 END) AS DOUBLE)
+                 / SUM(vol_cents), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q297_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of all PROMO-part revenue sold
+    into the AMERICA region's market, what fraction came from NATION_7
+    suppliers, per year — the conditional-sum-over-star shape. The share
+    is a single pass (CASE inside SUM, no self-join of the market
+    against itself); every dim broadcasts; the only big shuffle is
+    lineitem⋈orders."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nat.alias("cn").join(
+        F.broadcast(reg), F.col("cn.n_regionkey") == reg.r_regionkey
+    )
+    sn = nat.alias("sn")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(cn), F.col("cn.n_nationkey") == cust.c_nationkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn.n_nationkey") == supp.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "vol_cents"
+            ),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("vol_cents")).otherwise(0)
+    ).cast("long")
+    return vol.groupBy("o_year").agg(
+        nation_cents.alias("nation_cents"),
+        F.sum("vol_cents").cast("long").alias("market_cents"),
+        F.round(
+            nation_cents.cast("double") / F.sum("vol_cents"), 6
+        ).alias("mkt_share"),
+    )
+
+
+@register(
+    "q298_returned_items",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           n.n_name AS nation, c.c_acctbal AS acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue_cents DESC, custkey LIMIT 20
+    """,
+)
+def q298_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned the
+    most revenue in a quarter — returnflag filter pushed to the lineitem
+    scan, date filter to orders, nation broadcast, one hash aggregation
+    on the customer grain, top-20 TakeOrdered."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .select("custkey", "name", "revenue_cents", "nation", "acctbal")
+        .orderBy(F.col("revenue_cents").desc(), "custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q299_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                         * 100) AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                       * 100) AS BIGINT)), 6) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q299_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    shipped revenue — conditional sum over a broadcast part join, month
+    predicate pushed to the lineitem scan, exact cents inside both the
+    numerator and the denominator, one division at the end."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    )
+    return j.agg(
+        F.round(F.lit(100.0) * promo / F.sum(rev), 6).alias("promo_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
