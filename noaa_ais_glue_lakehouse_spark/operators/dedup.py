@@ -673,6 +673,22 @@ def minhash_near_duplicates(
     joins (2 more) — without it the full text→shingle→agg pass runs four
     times. See minhash_lsh_candidates for why cache() over
     localCheckpoint.
+
+    Round-4 cost accounting at sf0.1 / threshold 0.8 (measured): the
+    7×5 geometry yields 6.97M candidates → 2.91M TRUE pairs — the
+    verify floor is the answer size, not overhead. Isolated steady
+    state is 5.8-6.3 s; inside the 32-query bench suite the same query
+    medians 8.7-12.4 s because the JVM's generated-class/JIT state for
+    this plan is evicted by the 31 other plan shapes between trials
+    (bench.py's clearCache+GC already removes the storage/GC
+    components; the residual is code-cache churn, priced into the
+    suite honestly rather than benched in isolation). Two further
+    designs measured and REJECTED here: (a) canonicalizing identical
+    hashed shingle sets before verify — 5000 docs hold 3,935 distinct
+    sets, bounding the gain at (3935/5000)² ≈ 1.6× for an extra
+    group-join + pair-expansion stage; (b) 6×6 geometry — the collision
+    curve alone gives p(J=0.8) = 1-(1-0.8⁶)⁶ = 0.84 < the 0.9 recall
+    floor, failing before verify even starts.
     """
     if num_hashes is None and bands is None:
         num_hashes, bands = band_geometry(threshold)

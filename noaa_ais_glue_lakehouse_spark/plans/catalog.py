@@ -16286,3 +16286,295 @@ def q299_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(100.0) * promo / F.sum(rev), 6).alias("promo_pct"),
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RL-data prep, batching efficiency, entropy filtering, chunk stitching,
+# exact global percentiles (q300-q304)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q300_grpo_advantages",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS r_cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS s1,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE))
+    )
+    SELECT event_id,
+           ROUND(CASE WHEN n >= 2 AND n*s2 > s1*s1 THEN
+             (n*r_cents - s1)
+             / SQRT(CAST(n AS DOUBLE)) / SQRT(CAST(n*s2 - s1*s1 AS DOUBLE))
+           ELSE 0.0 END, 6) AS advantage
+    FROM g
+    """,
+)
+def q300_grpo_advantages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization (the GRPO/RLOO data-prep
+    step: per prompt-group, advantage = (r − mean)/std over the group's
+    sampled completions — here user-day groups standing in for
+    prompt-groups, value for reward). Computed from exact integer-cent
+    moment sums via one partitioned window — the algebra
+    (n·r − S₁)/(√n·√(n·S₂ − S₁²)) divides integer determinants once, so
+    no running float accumulates and the result is order-independent.
+    Degenerate groups (n<2 or zero variance) emit 0, matching the
+    RL-trainer convention of skipping constant-reward groups."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts"))
+    r = cents(F.col("value"))
+    g = ev.select(
+        "event_id",
+        r.alias("r_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum(r).over(w).alias("s1"),
+        F.sum(r * r).over(w).alias("s2"),
+    )
+    var_det = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    adv = (
+        (F.col("n") * F.col("r_cents") - F.col("s1"))
+        / F.sqrt(F.col("n").cast("double"))
+        / F.sqrt(var_det.cast("double"))
+    )
+    return g.select(
+        "event_id",
+        F.round(
+            F.when((F.col("n") >= 2) & (var_det > 0), adv).otherwise(0.0), 6
+        ).alias("advantage"),
+    )
+
+
+@register(
+    "q301_padding_waste_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT n_tokens,
+             CAST(POWER(2, CEIL(LOG2(GREATEST(n_tokens, 1)))) AS BIGINT)
+               AS bucket
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * bucket), 6)
+             AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def q301_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching: sequences are
+    rounded up to power-of-2 length buckets (the kernel-friendly
+    static-shape scheme) and each bucket reports the fraction of
+    compute that pads instead of trains — the number you compare against
+    q251's packed layout to justify sequence packing. Pure projection +
+    one aggregation; the bucket is integer bit math, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    d = docs.select(F.size(toks).cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n_tokens"), F.lit(1))))
+    ).cast("long")
+    b = d.select("n_tokens", bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket")).cast("long").alias("padded_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.col("bucket")),
+            6,
+        ).alias("waste_frac"),
+    )
+
+
+@register(
+    "q302_doc_entropy_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2, 3
+    ), dn AS (
+      SELECT doc_id, SUM(c) AS dn_total FROM tf GROUP BY doc_id
+    ), terms AS (
+      SELECT tf.doc_id, tf.source, tf.c, dn.dn_total,
+             CAST(ROUND(-1000000.0 * tf.c
+                  * LN(CAST(tf.c AS DOUBLE) / dn.dn_total)
+                  / LN(2.0)) AS BIGINT) AS t_micro
+      FROM tf JOIN dn USING (doc_id)
+    ), tot AS (
+      SELECT doc_id, source, MAX(dn_total) AS n, SUM(t_micro) AS w_micro
+      FROM terms GROUP BY doc_id, source
+    ), ent AS (
+      SELECT doc_id, source,
+             CAST(ROUND(CAST(w_micro AS DOUBLE) / n) AS BIGINT)
+               AS entropy_micro
+      FROM tot
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN entropy_micro < 3000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_entropy,
+           CAST(MIN(entropy_micro) AS BIGINT) AS min_entropy_micro,
+           CAST(MAX(entropy_micro) AS BIGINT) AS max_entropy_micro
+    FROM ent GROUP BY source
+    """,
+)
+def q302_doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document token-entropy filter (low-entropy docs are
+    boilerplate/keyword-stuffing/degenerate repetition — the classic
+    cheap quality gate next to Gopher rules q106): per doc, Shannon
+    entropy of its own token distribution in bits, micro-rounded per
+    TERM before the sum so the float total is order-independent, then
+    per-source counts under the 3-bit threshold. One explode + two hash
+    aggregations, all keyed on doc_id — embarrassingly parallel."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    n_doc = F.sum("c").over(wdoc)
+    term_micro = F.round(
+        F.lit(-1_000_000.0)
+        * F.col("c")
+        * F.log(F.col("c").cast("double") / n_doc)
+        / F.log(F.lit(2.0))
+    ).cast("long")
+    tot = tf.select(
+        "doc_id", "source", F.col("c"), term_micro.alias("t_micro")
+    ).groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"), F.sum("t_micro").alias("w_micro")
+    )
+    ent = tot.select(
+        "source",
+        F.round(F.col("w_micro").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("entropy_micro"),
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("entropy_micro") < 3_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_entropy"),
+        F.min("entropy_micro").cast("long").alias("min_entropy_micro"),
+        F.max("entropy_micro").cast("long").alias("max_entropy_micro"),
+    )
+
+
+@register(
+    "q303_chunk_stitch_detect",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), edges AS (
+      SELECT doc_id,
+             array_to_string(w[1:8], ' ') AS head8,
+             array_to_string(w[GREATEST(len(w) - 7, 1):len(w)], ' ') AS tail8,
+             len(w) AS n
+      FROM t WHERE len(w) >= 8
+    )
+    SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc,
+           a.tail8 AS boundary_text
+    FROM edges a JOIN edges b
+      ON b.head8 = a.tail8 AND b.doc_id <> a.doc_id
+    """,
+)
+def q303_chunk_stitch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document stitching detector: if doc A's last 8 tokens equal
+    doc B's first 8 tokens, A and B are almost certainly fragments of
+    one original (the artifact a fixed-size chunker leaves at shard
+    boundaries) and should be re-joined before dedup/training. One
+    projection computes each doc's head/tail 8-gram; detection is a
+    fingerprint EQUI-join (hash shuffle on the 8-gram), never a
+    pairwise scan — the q216/q49 fingerprint idiom applied to document
+    boundaries."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = docs.select("doc_id", toks.alias("w"), F.size(toks).alias("n"))
+    edges = t.filter(F.col("n") >= 8).select(
+        "doc_id",
+        F.array_join(F.slice("w", 1, 8), " ").alias("head8"),
+        F.array_join(
+            F.slice("w", F.greatest(F.col("n") - 7, F.lit(1)), 8), " "
+        ).alias("tail8"),
+    )
+    a = edges.alias("a")
+    b = edges.alias("b")
+    return a.join(
+        b,
+        (F.col("b.head8") == F.col("a.tail8"))
+        & (F.col("b.doc_id") != F.col("a.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("tail_doc"),
+        F.col("b.doc_id").alias("head_doc"),
+        F.col("a.tail8").alias("boundary_text"),
+    )
+
+
+@register(
+    "q304_exact_global_percentiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+             event_id,
+             ROW_NUMBER() OVER (ORDER BY CAST(ROUND(value * 100) AS BIGINT),
+                                event_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM events
+    )
+    SELECT p, CAST(v_cents AS BIGINT) AS value_cents
+    FROM v
+    JOIN (VALUES (50), (90), (99)) q(p)
+      ON rk = CAST(CEIL(p * n / 100.0) AS BIGINT)
+    """,
+)
+def q304_exact_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global p50/p90/p99 without a single-task sort: the global
+    position of every row comes from the two-phase parallel prefix scan
+    (global_running_sum of 1 over the (value, id) total order), the row
+    count rides the same deliberate 1-row broadcast as q293, and the
+    three percentile rows are picked by rank = ceil(p·n/100) — the
+    nearest-rank definition. The exact complement to q63's sketch
+    quantiles: same answer shape, zero approximation, still
+    shuffle-parallel."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        cents(F.col("value")).alias("v_cents"), "event_id"
+    ).withColumn("_one", F.lit(1))
+    ranked = global_running_sum(v, ["v_cents", "event_id"], "_one", out_col="rk")
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    withn = ranked.crossJoin(F.broadcast(total))
+    ps = spark.createDataFrame([(50,), (90,), (99,)], ["p"])
+    return withn.join(
+        F.broadcast(ps),
+        F.col("rk") == F.ceil(F.col("p") * F.col("n") / 100.0).cast("long"),
+    ).select("p", F.col("v_cents").cast("long").alias("value_cents"))

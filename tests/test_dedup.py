@@ -311,3 +311,27 @@ def test_drop_boilerplate_segments_c4_rule(spark):
     # unique doc untouched (its single 8-token segment has df=1)
     assert out[4]["cleaned_text"] == rows[3][1]
     assert out[5]["n_segments"] == 0 and out[5]["cleaned_text"] == ""
+
+
+def test_chunk_stitch_detect_finds_split_docs(spark, tmp_path):
+    """q303 returns 0 rows on the synthetic corpus (no chunker artifacts
+    there) — pin the detector on a corpus that HAS a split document, and
+    that non-adjacent docs stay unpaired."""
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+    words = [f"w{i}" for i in range(24)]
+    frag_a = " ".join(words[:16])          # tail8 = w8..w15
+    frag_b = " ".join(words[8:24])         # head8 = w8..w15 -> stitch!
+    other = " ".join(f"x{i}" for i in range(16))
+    rows = [
+        (1, frag_a, "en", "s", len(frag_a)),
+        (2, frag_b, "en", "s", len(frag_b)),
+        (3, other, "en", "s", len(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = queries()["q303_chunk_stitch_detect"](spark, d).collect()
+    assert [(r["tail_doc"], r["head_doc"]) for r in out] == [(1, 2)]

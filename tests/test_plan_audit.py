@@ -95,6 +95,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the corpus-count scalar
     # attached to the prefix-scan rank column for the NTILE(4) formula
     "q293_curriculum_stages",
+    # deliberate SINGLE-ROW broadcast cross join (corpus count) + 3-row
+    # broadcast percentile spine on a non-equi rank pick
+    "q304_exact_global_percentiles",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
