@@ -16578,3 +16578,277 @@ def q304_exact_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(ps),
         F.col("rk") == F.ceil(F.col("p") * F.col("n") / 100.0).cast("long"),
     ).select("p", F.col("v_cents").cast("long").alias("value_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data planning: data-constrained epochs, shard balance, OOV,
+# truncation, timestamp delta compression (q305-q309)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q305_data_constrained_epochs",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             SUM(CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                 '\\s+'), x -> x <> '')) AS BIGINT)) AS unique_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, unique_tokens,
+           ROUND(50000.0 / unique_tokens, 6) AS epochs,
+           CAST(ROUND(1000000.0 *
+                (1 - EXP(-(50000.0 / unique_tokens) / 2.5)) * 2.5
+                * unique_tokens / 50000.0) AS BIGINT)
+             AS effective_frac_micro
+    FROM s
+    """,
+)
+def q305_data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained scaling plan (the Muennighoff et al. 2023 shape,
+    public paper): per source, how many EPOCHS a 50k-token training
+    budget implies over its unique tokens, and the effective-data
+    fraction under exponentially-decaying repeated-token value
+    (R* ≈ 2.5 half-value epochs): effective/budget =
+    (1 − e^(−epochs/R*))·R*/epochs. The report that says "source X is
+    about to be repeated 14× — its marginal tokens are worth 11% of
+    fresh ones; go find more data". One token-count aggregation; the
+    decay algebra is a closed-form projection over |sources| rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(toks)).cast("long").alias("unique_tokens")
+    )
+    epochs = F.lit(50000.0) / F.col("unique_tokens")
+    eff = (
+        (F.lit(1.0) - F.exp(-epochs / F.lit(2.5)))
+        * F.lit(2.5)
+        * F.col("unique_tokens")
+        / F.lit(50000.0)
+    )
+    return s.select(
+        "source",
+        "unique_tokens",
+        F.round(epochs, 6).alias("epochs"),
+        F.round(F.lit(1_000_000.0) * eff).cast("long").alias(
+            "effective_frac_micro"
+        ),
+    )
+
+
+@register(
+    "q306_shard_balance_audit",
+    oracle="""
+    WITH sh AS (
+      SELECT CAST((doc_id * 2654435761 + 1013904223) % 4294967291 % 16
+                  AS BIGINT) AS shard,
+             n_chars,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                  '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS shard_chars
+      FROM sh GROUP BY shard
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(MIN(shard_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(shard_tokens) AS BIGINT) AS max_tokens,
+           ROUND(CAST(MAX(shard_tokens) AS DOUBLE) * COUNT(*)
+                 / SUM(shard_tokens), 6) AS straggler_factor
+    FROM per
+    """,
+)
+def q306_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard balance audit: docs hash-assigned to 16 shards
+    (the same deterministic affine hash family as q284/q285), then the
+    straggler factor — max shard's token load relative to perfect
+    balance — which IS the step-time multiplier a synchronous data-
+    parallel job pays (every rank waits for the heaviest shard). Two
+    hash aggregations; at 10⁹ docs identical shape. >1.05 straggler
+    factor on token-weighted shards means switch doc-count sharding to
+    token-budget packing (q270's epoch shards)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    shard = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
+        % F.lit(4294967291)
+        % F.lit(16)
+    ).cast("long")
+    sh = docs.select(
+        shard.alias("shard"),
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    per = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.sum("n_chars").cast("long").alias("shard_chars"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.min("shard_tokens").cast("long").alias("min_tokens"),
+        F.max("shard_tokens").cast("long").alias("max_tokens"),
+        F.round(
+            F.max("shard_tokens").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("shard_tokens"),
+            6,
+        ).alias("straggler_factor"),
+    )
+
+
+@register(
+    "q307_vocab_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+        FROM toks GROUP BY tok
+      ) WHERE rk <= 32
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY source
+    """,
+)
+def q307_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a frequency-built
+    vocabulary (top-32 corpus tokens standing in for a fixed tokenizer
+    vocab): the coverage check run before committing a tokenizer to a
+    corpus — a source with high OOV will fragment into bytes/UNKs and
+    train badly. The vocab is a TakeOrdered top-k (deterministic
+    tiebreak) that BROADCASTS into the token stream; counting is one
+    aggregation. At a 100k-entry real vocab the same broadcast join
+    holds (megabytes)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(32)
+        .select("tok")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "q308_truncation_loss_audit",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                  '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens > 128 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(GREATEST(n_tokens - 128, 0)) AS BIGINT) AS tokens_lost,
+           ROUND(CAST(SUM(GREATEST(n_tokens - 128, 0)) AS DOUBLE)
+                 / SUM(n_tokens), 6) AS loss_frac
+    FROM d GROUP BY source
+    """,
+)
+def q308_truncation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss audit at max_seq_len=128: per source, how many
+    documents overflow the context window and what fraction of their
+    tokens a hard truncation throws away — the number that decides
+    between truncate / chunk (q261) / pack (q251) for each source.
+    Pure projection + one aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    d = docs.select(
+        "source", F.size(toks).cast("long").alias("n_tokens")
+    )
+    lost = F.greatest(F.col("n_tokens") - 128, F.lit(0))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_tokens") > 128, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum(lost).cast("long").alias("tokens_lost"),
+        F.round(
+            F.sum(lost).cast("double") / F.sum("n_tokens"), 6
+        ).alias("loss_frac"),
+    )
+
+
+@register(
+    "q309_timestamp_delta_compression",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS delta_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_deltas,
+           CAST(SUM(CAST(CEIL(LOG2(CAST(delta_us + 2 AS DOUBLE))) AS BIGINT))
+                AS BIGINT) AS delta_bits,
+           CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
+           ROUND(CAST(COUNT(*) * 64 AS DOUBLE)
+                 / SUM(CAST(CEIL(LOG2(CAST(delta_us + 2 AS DOUBLE)))
+                       AS BIGINT)), 6) AS compression_ratio
+    FROM d WHERE delta_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q309_timestamp_delta_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding payoff audit — WHY a time-series table should be
+    written sorted (user, ts): per user, the bits a varint delta
+    encoding of consecutive-timestamp gaps needs vs raw 64-bit
+    timestamps. Parquet's DELTA_BINARY_PACKED gets exactly this win,
+    but ONLY if rows arrive at the writer in sorted order — the audit
+    quantifies what a `sortWithinPartitions(user, ts)` before write is
+    worth (typically 4-8× on the timestamp column). One lag window +
+    one aggregation, exact integer bit math."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "delta_us"
+        ),
+    ).filter(F.col("delta_us").isNotNull())
+    bits = F.ceil(F.log2((F.col("delta_us") + 2).cast("double"))).cast("long")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deltas"),
+        F.sum(bits).cast("long").alias("delta_bits"),
+        (F.count(F.lit(1)) * 64).cast("long").alias("raw_bits"),
+        F.round(
+            (F.count(F.lit(1)) * 64).cast("double") / F.sum(bits), 6
+        ).alias("compression_ratio"),
+    )
