@@ -16852,3 +16852,368 @@ def q309_timestamp_delta_compression(spark: SparkSession, sf_dir: str) -> DataFr
             (F.count(F.lit(1)) * 64).cast("double") / F.sum(bits), 6
         ).alias("compression_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory analytics: zone dwell, freshness, simplification, turn rate,
+# rendezvous (q310-q314)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q310_zone_dwell_time",
+    oracle=_COORDS_CTE
+    + """
+    , z AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(lat/10.0) AS BIGINT) AS lat_zone,
+             CAST(FLOOR(lon/10.0) AS BIGINT) AS lon_zone,
+             event_id
+      FROM coords
+    ), seq AS (
+      SELECT user_id, lat_zone, lon_zone,
+             LEAD(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) - ts_us AS dwell_us
+      FROM z
+    )
+    SELECT user_id, lat_zone, lon_zone,
+           CAST(COUNT(*) AS BIGINT) AS n_pings,
+           CAST(SUM(COALESCE(dwell_us, 0)) AS BIGINT) AS dwell_us
+    FROM seq GROUP BY 1, 2, 3
+    """,
+)
+def q310_zone_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone dwell time (the port-dwell / loitering report): each ping's
+    time-to-next-ping is attributed to the 10° zone the entity pinged
+    FROM, then rolled up per (entity, zone) — the AIS question "how long
+    did vessel V sit in area Z". One lead window on the entity partition
+    + one hash aggregation; exact µs integers; the trailing ping of each
+    entity contributes 0 (open interval, matching the reference's
+    span-end convention in SURVEY §2.5 gap analysis)."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    z = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        grid_cell(F.col("lat"), 10.0).alias("lat_zone"),
+        grid_cell(F.col("lon"), 10.0).alias("lon_zone"),
+        "event_id",
+    )
+    seq = z.select(
+        "user_id",
+        "lat_zone",
+        "lon_zone",
+        (F.lead("ts_us").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ) - F.col("ts_us")).alias("dwell_us"),
+    )
+    return seq.groupBy("user_id", "lat_zone", "lon_zone").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pings"),
+        F.sum(F.coalesce("dwell_us", F.lit(0))).cast("long").alias("dwell_us"),
+    )
+
+
+@register(
+    "q311_freshness_audit",
+    oracle="""
+    WITH g AS (SELECT MAX(epoch_us(ts)) AS global_max FROM events),
+    s AS (
+      SELECT event_type, MAX(epoch_us(ts)) AS src_max,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(g.global_max - s.src_max AS BIGINT) AS staleness_us,
+           CAST(CASE WHEN g.global_max - s.src_max > 3600000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_stale
+    FROM s, g
+    """,
+)
+def q311_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness audit: each event type's latest watermark
+    against the newest event anywhere — the pipeline-health check that
+    catches a silently-dead upstream feed (staleness > 1 h ⇒ stale).
+    Anchoring on the data's own global max (never wall-clock `now()`)
+    keeps the report deterministic and replayable. One aggregation + a
+    deliberate 1-row broadcast scalar attach."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("src_max"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    g = ev.agg(F.max(F.unix_micros("ts")).alias("global_max"))
+    j = s.crossJoin(F.broadcast(g))
+    stale_us = (F.col("global_max") - F.col("src_max")).cast("long")
+    return j.select(
+        "event_type",
+        "n",
+        stale_us.alias("staleness_us"),
+        F.when(stale_us > 3_600_000_000, 1).otherwise(0).cast("long").alias(
+            "is_stale"
+        ),
+    )
+
+
+@register(
+    "q312_trajectory_simplify",
+    oracle=_COORDS_CTE
+    + """
+    , p AS (
+      SELECT user_id, event_id, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+             LEAD(lat) OVER w AS nlat, LEAD(lon) OVER w AS nlon
+      FROM coords
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), d AS (
+      SELECT user_id,
+             CASE WHEN plat IS NULL OR nlat IS NULL THEN 1
+                  WHEN SQRT((nlon-plon)*(nlon-plon) + (nlat-plat)*(nlat-plat))
+                       = 0 THEN 1
+                  WHEN ABS((nlon-plon)*(plat-lat) - (plon-lon)*(nlat-plat))
+                       / SQRT((nlon-plon)*(nlon-plon)
+                              + (nlat-plat)*(nlat-plat)) > 0.5
+                  THEN 1 ELSE 0 END AS keep
+      FROM p
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_frac
+    FROM d GROUP BY user_id
+    """,
+)
+def q312_trajectory_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass trajectory simplification (the streaming-friendly
+    offset filter, not recursive Douglas-Peucker): a point survives if
+    its perpendicular deviation from the chord between its temporal
+    neighbors exceeds 0.5° — straight-line cruising collapses to its
+    endpoints, maneuvers are kept. Per entity: points in, points kept,
+    keep fraction. Recursive DP needs O(log n) passes over unbounded
+    spans; the neighbor-chord filter is ONE lag/lead window — the right
+    cost/fidelity trade for 100 TB track compaction (and the shape the
+    reference's sampling stage T6 approximates with keep-flags)."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lead("lat").over(w).alias("nlat"),
+        F.lead("lon").over(w).alias("nlon"),
+    )
+    chord = F.sqrt(
+        (F.col("nlon") - F.col("plon")) * (F.col("nlon") - F.col("plon"))
+        + (F.col("nlat") - F.col("plat")) * (F.col("nlat") - F.col("plat"))
+    )
+    dev = (
+        F.abs(
+            (F.col("nlon") - F.col("plon")) * (F.col("plat") - F.col("lat"))
+            - (F.col("plon") - F.col("lon")) * (F.col("nlat") - F.col("plat"))
+        )
+        / chord
+    )
+    keep = (
+        F.when(F.col("plat").isNull() | F.col("nlat").isNull(), 1)
+        .when(chord == 0, 1)
+        .when(dev > 0.5, 1)
+        .otherwise(0)
+    )
+    d = p.select("user_id", keep.alias("keep"))
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 6).alias(
+            "keep_frac"
+        ),
+    )
+
+
+@register(
+    "q313_turn_rate_anomalies",
+    oracle=_COORDS_CTE
+    + """
+    , legs AS (
+      SELECT user_id, ts, event_id,
+             DEGREES(ATAN2(
+               SIN(RADIANS(lon - LAG(lon) OVER w)) * COS(RADIANS(lat)),
+               COS(RADIANS(LAG(lat) OVER w)) * SIN(RADIANS(lat))
+                 - SIN(RADIANS(LAG(lat) OVER w)) * COS(RADIANS(lat))
+                   * COS(RADIANS(lon - LAG(lon) OVER w))
+             )) AS bearing,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS dt_us
+      FROM coords
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), turns AS (
+      SELECT user_id,
+             LEAST(ABS(bearing - LAG(bearing) OVER v),
+                   360.0 - ABS(bearing - LAG(bearing) OVER v)) AS turn,
+             dt_us
+      FROM legs WHERE bearing IS NOT NULL
+      WINDOW v AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN turn > 90 AND dt_us < 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sharp,
+           ROUND(MAX(turn), 4) AS max_turn_deg
+    FROM turns WHERE turn IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q313_turn_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-rate anomaly screen: initial great-circle bearing of each
+    leg (the standard atan2 formula), then the heading CHANGE between
+    consecutive legs folded into [0°, 180°]; a >90° turn completed
+    within an hour is flagged — the AIS track-quality / evasive-
+    maneuver signal (a transponder glitch or a spoofed position shows
+    up as an impossible turn). Two stacked lag windows on the same
+    entity partition — one shuffle total; trig stays in codegen."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dlon = F.radians(F.col("lon") - F.lag("lon").over(w))
+    plat = F.radians(F.lag("lat").over(w))
+    clat = F.radians(F.col("lat"))
+    bearing = F.degrees(
+        F.atan2(
+            F.sin(dlon) * F.cos(clat),
+            F.cos(plat) * F.sin(clat)
+            - F.sin(plat) * F.cos(clat) * F.cos(dlon),
+        )
+    )
+    legs = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        bearing.alias("bearing"),
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("dt_us"),
+    ).filter(F.col("bearing").isNotNull())
+    v = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    diff = F.abs(F.col("bearing") - F.lag("bearing").over(v))
+    turns = legs.select(
+        "user_id",
+        F.least(diff, F.lit(360.0) - diff).alias("turn"),
+        "dt_us",
+    ).filter(F.col("turn").isNotNull())
+    return turns.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(
+            F.when(
+                (F.col("turn") > 90) & (F.col("dt_us") < 3_600_000_000), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_sharp"),
+        F.round(F.max("turn"), 4).alias("max_turn_deg"),
+    )
+
+
+@register(
+    "q314_rendezvous_detection",
+    oracle=_COORDS_CTE
+    + """
+    , g AS (
+      SELECT user_id, event_id, lat, lon,
+             CAST(FLOOR(lat) AS BIGINT) AS lat_c,
+             CAST(FLOOR(lon) AS BIGINT) AS lon_c,
+             CAST(FLOOR(epoch_us(ts) / 600000000) AS BIGINT) AS bucket
+      FROM coords
+    ), a AS (
+      SELECT user_id, event_id, lat, lon, bucket,
+             lat_c + o1.dlat AS lat_c, lon_c + o2.dlon AS lon_c
+      FROM g
+      CROSS JOIN (VALUES (-1), (0), (1)) o1(dlat)
+      CROSS JOIN (VALUES (-1), (0), (1)) o2(dlon)
+    ), hits AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, a.bucket,
+             2 * 6371.0 * ASIN(LEAST(SQRT(
+               POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+               + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                 * POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+             ), 1.0)) AS dist_km
+      FROM a JOIN g b
+        ON b.lat_c = a.lat_c AND b.lon_c = a.lon_c AND b.bucket = a.bucket
+      WHERE a.user_id < b.user_id
+    )
+    SELECT user_a, user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+           ROUND(MIN(dist_km), 3) AS min_dist_km
+    FROM hits WHERE dist_km <= 100.0
+    GROUP BY user_a, user_b
+    """,
+)
+def q314_rendezvous_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous detection (the AIS transshipment screen): pairs of
+    entities within 100 km of each other inside the same 10-minute
+    bucket. The proximity join is an EQUI-join on (1° cell, bucket) —
+    one side explodes to its 3×3 cell neighborhood so cross-cell
+    neighbors are never missed (the q219 grid idiom) — then the exact
+    haversine verifies the bounded candidate set; never a cross join.
+    Per pair: co-location events, distinct time buckets, closest
+    approach. Longitude wraparound at ±180° is not stitched (documented
+    domain bound, matching grid_knn_join)."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    g = ev.select(
+        "user_id",
+        "event_id",
+        "lat",
+        "lon",
+        F.floor("lat").cast("long").alias("lat_c"),
+        F.floor("lon").cast("long").alias("lon_c"),
+        F.floor(F.unix_micros("ts") / 600_000_000).cast("long").alias("bucket"),
+    )
+    offsets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("dlat"), F.lit(j).alias("dlon"))
+                for i in (-1, 0, 1)
+                for j in (-1, 0, 1)
+            ]
+        )
+    )
+    a = g.select(
+        F.col("user_id").alias("user_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        "bucket",
+        "lat_c",
+        "lon_c",
+        offsets.alias("o"),
+    ).select(
+        "user_a",
+        "lat_a",
+        "lon_a",
+        "bucket",
+        (F.col("lat_c") + F.col("o.dlat")).alias("lat_c"),
+        (F.col("lon_c") + F.col("o.dlon")).alias("lon_c"),
+    )
+    b = g.select(
+        F.col("user_id").alias("user_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "bucket",
+        "lat_c",
+        "lon_c",
+    )
+    hits = (
+        a.join(b, ["lat_c", "lon_c", "bucket"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .select(
+            "user_a",
+            "user_b",
+            "bucket",
+            haversine_km(
+                F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+            ).alias("dist_km"),
+        )
+        .filter(F.col("dist_km") <= 100.0)
+    )
+    return hits.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("bucket").cast("long").alias("n_buckets"),
+        F.round(F.min("dist_km"), 3).alias("min_dist_km"),
+    )

@@ -98,6 +98,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join (corpus count) + 3-row
     # broadcast percentile spine on a non-equi rank pick
     "q304_exact_global_percentiles",
+    # deliberate SINGLE-ROW broadcast cross join: the global-max-watermark
+    # scalar attached to the |event-types| freshness rollup
+    "q311_freshness_audit",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
