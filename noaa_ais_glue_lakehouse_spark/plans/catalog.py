@@ -17217,3 +17217,309 @@ def q314_rendezvous_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("bucket").cast("long").alias("n_buckets"),
         F.round(F.min("dist_km"), 3).alias("min_dist_km"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation stats and engine-exact clustering (q315-q318)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q315_cuped_adjustment",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS pre,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT COUNT(*) AS n, SUM(pre) AS sx, SUM(post) AS sy,
+             SUM(pre*pre) AS sxx, SUM(pre*post) AS sxy
+      FROM u
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(post) AS DOUBLE) / COUNT(*), 6) AS mean_post_cents,
+           ROUND(CAST(SUM(post) AS DOUBLE) / COUNT(*)
+                 - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                    / (g.n * g.sxx - g.sx * g.sx))
+                   * (CAST(SUM(pre) AS DOUBLE) / COUNT(*)
+                      - CAST(g.sx AS DOUBLE) / g.n), 6)
+             AS mean_adjusted_cents
+    FROM u, g
+    GROUP BY variant, g.n, g.sx, g.sy, g.sxx, g.sxy
+    """,
+)
+def q315_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B tests (Deng et al. 2013, public):
+    each user's post-period metric is adjusted by θ·(pre − mean_pre),
+    θ = cov(pre,post)/var(pre) fit on ALL users — the pre-period
+    explains away between-user variance so the experiment needs fewer
+    samples. Everything reduces to exact integer moment sums: the
+    per-variant adjusted mean has the closed form mean_post −
+    θ·(mean_pre_variant − mean_pre_global), so no per-user float is ever
+    summed. One user-grain aggregation + a deliberate 1-row moments
+    broadcast."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    r = cents(F.col("value"))
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, r).otherwise(0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, r).otherwise(0)).alias("post"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
+    g = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    per = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("pre").alias("vsx"),
+        F.sum("post").alias("vsy"),
+    )
+    j = per.crossJoin(F.broadcast(g))
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    mean_post = F.col("vsy").cast("double") / F.col("n_users")
+    mean_pre_v = F.col("vsx").cast("double") / F.col("n_users")
+    mean_pre_g = F.col("sx").cast("double") / F.col("n")
+    return j.select(
+        "variant",
+        "n_users",
+        F.round(mean_post, 6).alias("mean_post_cents"),
+        F.round(mean_post - theta * (mean_pre_v - mean_pre_g), 6).alias(
+            "mean_adjusted_cents"
+        ),
+    )
+
+
+@register(
+    "q316_did_estimate",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+             CAST(ROUND(value*100) AS BIGINT) AS v
+      FROM events
+    ), cells AS (
+      SELECT treat, post, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS s
+      FROM c GROUP BY treat, post
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN treat=1 AND post=1 THEN CAST(s AS DOUBLE)/n END) AS t1,
+        MAX(CASE WHEN treat=1 AND post=0 THEN CAST(s AS DOUBLE)/n END) AS t0,
+        MAX(CASE WHEN treat=0 AND post=1 THEN CAST(s AS DOUBLE)/n END) AS c1,
+        MAX(CASE WHEN treat=0 AND post=0 THEN CAST(s AS DOUBLE)/n END) AS c0
+      FROM cells
+    )
+    SELECT ROUND(t1, 6) AS treat_post, ROUND(t0, 6) AS treat_pre,
+           ROUND(c1, 6) AS ctrl_post, ROUND(c0, 6) AS ctrl_pre,
+           ROUND((t1 - t0) - (c1 - c0), 6) AS did_cents
+    FROM wide
+    """,
+)
+def q316_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treated post − pre) − (control post −
+    pre) — the causal-effect estimate when assignment isn't random but
+    trends are parallel. One conditional aggregation produces the 2×2
+    cell means (exact integer cents / counts); the estimate is pure
+    arithmetic on four scalars. The entire query is one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    v = cents(F.col("value"))
+    treat = (F.col("user_id") % 2 == 1)
+    post = F.col("ts") >= cut
+
+    def cell_mean(t: bool, p: bool):
+        cond = (treat if t else ~treat) & (post if p else ~post)
+        return F.sum(F.when(cond, v).otherwise(0)).cast("double") / F.sum(
+            F.when(cond, 1).otherwise(0)
+        )
+
+    t1, t0, c1, c0 = (
+        cell_mean(True, True),
+        cell_mean(True, False),
+        cell_mean(False, True),
+        cell_mean(False, False),
+    )
+    return ev.agg(
+        F.round(t1, 6).alias("treat_post"),
+        F.round(t0, 6).alias("treat_pre"),
+        F.round(c1, 6).alias("ctrl_post"),
+        F.round(c0, 6).alias("ctrl_pre"),
+        F.round((t1 - t0) - (c1 - c0), 6).alias("did_cents"),
+    )
+
+
+@register(
+    "q317_rolling_backtest",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value*100) AS BIGINT)) AS actual
+      FROM events GROUP BY 1, 2
+    ), f AS (
+      SELECT event_type, day, actual,
+             CAST(ROUND(
+               CAST(SUM(actual) OVER w AS DOUBLE) / COUNT(*) OVER w
+             ) AS BIGINT) AS pred
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(ABS(actual - pred)) AS BIGINT) AS abs_err_cents,
+           ROUND(CAST(SUM(ABS(actual - pred)) AS DOUBLE) / COUNT(*), 6)
+             AS mae_cents
+    FROM f WHERE pred IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q317_rolling_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest: for every day, 'train' an
+    expanding-mean model on STRICTLY prior days and score it on the day
+    — the leak-free evaluation loop every production forecast needs,
+    expressed as one prefix window (no per-cutoff refits, no loop).
+    Daily rollup first (corpus-sized work), then the backtest runs on
+    |types|×|days| rows. Predictions round to integer cents before the
+    error so MAE is an exact integer ratio."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).alias("actual"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pred = F.round(
+        F.sum("actual").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    ).cast("long")
+    f = d.select("event_type", "actual", pred.alias("pred")).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.abs(F.col("actual") - F.col("pred"))
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(err).cast("long").alias("abs_err_cents"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae_cents"
+        ),
+    )
+
+
+def _kmeans_oracle(rounds: int, k: int) -> str:
+    """Chained-CTE Lloyd iterations (the q277 engine-exact idiom):
+    assignment a{r} vs centroids c{r-1}; update c{r} from a{r}."""
+    parts = [
+        """
+    WITH dims AS (
+      SELECT vec_id, u.i AS i,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ),
+    c0 AS (SELECT vec_id AS c, i, x AS ci FROM dims WHERE vec_id < """
+        + str(k)
+        + ")"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{r} AS (
+      SELECT vec_id, c, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rk
+      FROM (
+        SELECT d.vec_id, c.c, SUM((d.x - c.ci) * (d.x - c.ci)) AS d2
+        FROM dims d JOIN c{r - 1} c ON c.i = d.i
+        GROUP BY d.vec_id, c.c
+      )
+    )"""
+        )
+        if r < rounds:
+            parts.append(
+                f""",
+    c{r} AS (
+      SELECT a.c, d.i,
+             CAST(ROUND(CAST(SUM(d.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+      FROM a{r} a JOIN dims d ON d.vec_id = a.vec_id
+      WHERE a.rk = 1
+      GROUP BY a.c, d.i
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM a{rounds} WHERE rk = 1 GROUP BY c
+    """
+    )
+    return "".join(parts)
+
+
+@register("q318_kmeans_lloyd", oracle=_kmeans_oracle(3, 4))
+def q318_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED, ENGINE-EXACT Lloyd k-means (k=4, 3 assignment
+    rounds, first-k-ids init): coordinates quantize to integer micros,
+    distances are exact BIGINT sums of squares, centroid updates round
+    once per coordinate — so every engine running the same algebra lands
+    on the SAME clusters, and an iterative-algorithm hash gate becomes
+    possible (the q277 PCA idiom applied to clustering). Per round: one
+    broadcast join against the k·d-row centroid relation, one argmin
+    window partitioned by vector, one centroid aggregation — the plan a
+    1000-executor Lloyd actually wants (the k·d side never grows with
+    the corpus). Degenerate empty clusters would drop out symmetrically
+    in both engines (inner joins; none occur on this data). Contrast
+    with q64's SAMPLED k-means (driver-trained, fast, rows-only): this
+    one is slower per round but exactly replayable."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("xf").cast("double") * 1_000_000).cast("long").alias("x"),
+    )
+    cent = dims.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c"), "i", F.col("x").alias("ci")
+    )
+    assign = None
+    for r in range(3):
+        d2 = (
+            dims.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("ci")) * (F.col("x") - F.col("ci"))
+                ).alias("d2")
+            )
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("d2", "c")
+        )
+        assign = d2.withColumn("rk", rk).filter(F.col("rk") == 1)
+        if r < 2:
+            cent = (
+                assign.select("vec_id", "c")
+                .join(dims, "vec_id")
+                .groupBy("c", "i")
+                .agg(
+                    F.round(
+                        F.sum("x").cast("double") / F.count(F.lit(1))
+                    )
+                    .cast("long")
+                    .alias("ci")
+                )
+            )
+    return assign.groupBy(F.col("c").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )

@@ -101,6 +101,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the global-max-watermark
     # scalar attached to the |event-types| freshness rollup
     "q311_freshness_audit",
+    # deliberate SINGLE-ROW broadcast cross join: the global CUPED moment
+    # scalar (n, Sx, Sy, Sxx, Sxy) attached to the 2-row variant rollup
+    "q315_cuped_adjustment",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
