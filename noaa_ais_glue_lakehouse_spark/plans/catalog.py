@@ -17523,3 +17523,234 @@ def q318_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum("d2").cast("long").alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scaling-law subsets, prefix sharing, skip-gram pairs, uncertainty
+# sampling (q319-q322)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q319_scaling_law_subsets",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                  '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761 + 1013904223) % 4294967291 % 1000 AS h
+      FROM documents
+    ), spine AS (
+      SELECT * FROM (VALUES (100), (250), (500), (1000)) s(mille)
+    )
+    SELECT mille,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS subset_tokens
+    FROM spine JOIN d ON d.h < spine.mille
+    GROUP BY mille
+    """,
+)
+def q319_scaling_law_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED dataset subsets for scaling-law sweeps (10% ⊂ 25% ⊂ 50% ⊂
+    100%): membership is `hash(doc_id) < threshold`, so every smaller
+    subset is contained in every larger one BY CONSTRUCTION — the
+    property scaling-law fits require (a 25% run must see a superset of
+    the 10% run's data) and random sampling per size does not give.
+    The 4-row threshold spine broadcasts into one theta-join; the same
+    deterministic affine hash family as q284/q306 keeps both engines
+    bit-identical. At 100 TB each subset is a scan predicate, never a
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    h = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(1013904223))
+        % F.lit(4294967291)
+        % F.lit(1000)
+    )
+    d = docs.select(
+        F.size(toks).cast("long").alias("n_tokens"), h.alias("h")
+    )
+    spine = spark.createDataFrame([(100,), (250,), (500,), (1000,)], ["mille"])
+    return (
+        F.broadcast(spine)
+        .join(d, d.h < F.col("mille"))
+        .groupBy("mille")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("subset_tokens"),
+        )
+    )
+
+
+@register(
+    "q320_shared_prefix_savings",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), heads AS (
+      SELECT doc_id, array_to_string(w[1:16], ' ') AS head16
+      FROM t WHERE len(w) >= 16
+    ), g AS (
+      SELECT head16, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM heads GROUP BY head16
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_prefix_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM((n_docs - 1) * 16) AS BIGINT) AS reusable_prefix_tokens
+    FROM g
+    """,
+)
+def q320_shared_prefix_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prompt-prefix audit (the inference-side dedup): documents
+    whose first 16 tokens coincide can share one KV-cache prefix; the
+    reusable-token total is the compute a prefix-caching server saves.
+    One fingerprint aggregation (the q303 boundary idiom pointed at
+    heads only) — at serving scale this is the report that justifies
+    prefix-cache memory."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = docs.select("doc_id", toks.alias("w"), F.size(toks).alias("n"))
+    heads = t.filter(F.col("n") >= 16).select(
+        F.array_join(F.slice("w", 1, 16), " ").alias("head16")
+    )
+    g = heads.groupBy("head16").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_prefix_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum((F.col("n_docs") - 1) * 16)
+        .cast("long")
+        .alias("reusable_prefix_tokens"),
+    )
+
+
+@register(
+    "q321_skipgram_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, u.p AS p, w[u.p] AS center, len(w) AS n
+      FROM t, UNNEST(generate_series(1, len(w))) AS u(p)
+    ), pairs AS (
+      SELECT center, ctx.tok AS context
+      FROM pos, LATERAL (
+        SELECT UNNEST([p - 2, p - 1, p + 1, p + 2]) AS q
+      ) o, LATERAL (
+        SELECT CASE WHEN o.q BETWEEN 1 AND n THEN
+          (SELECT w[o.q] FROM t t2 WHERE t2.doc_id = pos.doc_id)
+        END AS tok
+      ) ctx
+      WHERE ctx.tok IS NOT NULL
+    )
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY center, context
+    ORDER BY n DESC, center, context LIMIT 50
+    """,
+)
+def q321_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair extraction, window=2 — the
+    word2vec/SGNS training-pair generator: one position explode + four
+    row-local array index lookups (the context IS adjacency in the same
+    row's array; NO self-join, no window shuffle), then a count
+    aggregation and TakeOrdered top-50. The per-row expansion factor is
+    the constant 4, so a 100 TB corpus streams through map-side."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    t = docs.select(toks.alias("w"), F.size(toks).alias("n"))
+    pos = t.select(
+        "w",
+        "n",
+        F.posexplode("w").alias("p0", "center"),
+    ).select("w", "n", (F.col("p0") + 1).alias("p"), "center")
+    # F.get is 0-based and returns NULL out-of-bounds (element_at raises
+    # on index 0, so p-2 at the array head would kill the job)
+    ctx = F.explode(
+        F.array(
+            *[
+                F.get("w", (F.col("p") + F.lit(o) - 1).cast("int"))
+                for o in (-2, -1, 1, 2)
+            ]
+        )
+    )
+    pairs = pos.select("center", ctx.alias("context")).filter(
+        F.col("context").isNotNull()
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "center", "context")
+        .limit(50)
+    )
+
+
+@register(
+    "q322_uncertainty_sampling",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                  '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]')) AS BIGINT)
+               AS n_vowels,
+             n_chars
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(ROUND(2000000.0 * n_vowels / n_chars
+                  + 1000000.0 * n_words / 200 - 1200000) AS BIGINT)
+               AS logit_micro
+      FROM f WHERE n_words > 0 AND n_chars > 0
+    )
+    SELECT doc_id, CAST(logit_micro AS BIGINT) AS logit_micro,
+           CAST(ABS(logit_micro) AS BIGINT) AS margin_micro
+    FROM scored
+    ORDER BY ABS(logit_micro), doc_id LIMIT 20
+    """,
+)
+def q322_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for active labeling: score every document
+    with a cheap linear quality model (integer-micro logit — the q273
+    classifier shape) and pick the 20 docs CLOSEST to the decision
+    boundary (smallest |logit|) — the examples whose human labels
+    improve the classifier fastest. Margin ordering is exact integer
+    arithmetic; selection is TakeOrdered, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_vowels = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiou]"), F.lit(0))
+    ).cast("long")
+    f = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_vowels.alias("n_vowels"),
+        "n_chars",
+    ).filter((F.col("n_words") > 0) & (F.col("n_chars") > 0))
+    logit = F.round(
+        F.lit(2_000_000.0) * F.col("n_vowels") / F.col("n_chars")
+        + F.lit(1_000_000.0) * F.col("n_words") / F.lit(200)
+        - F.lit(1_200_000.0)
+    ).cast("long")
+    scored = f.select("doc_id", logit.alias("logit_micro"))
+    return (
+        scored.select(
+            "doc_id",
+            "logit_micro",
+            F.abs("logit_micro").alias("margin_micro"),
+        )
+        .orderBy("margin_micro", "doc_id")
+        .limit(20)
+    )

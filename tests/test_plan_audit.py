@@ -104,6 +104,9 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the global CUPED moment
     # scalar (n, Sx, Sy, Sxx, Sxy) attached to the 2-row variant rollup
     "q315_cuped_adjustment",
+    # deliberate 4-row broadcast threshold-spine theta join: nested
+    # scaling-law subsets require h < threshold per spine row
+    "q319_scaling_law_subsets",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
