@@ -15526,10 +15526,12 @@ def q286_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM ranked GROUP BY event_type
     )
     SELECT event_type, n,
-           ROUND(
-             CAST(n*sxy - sx*sy AS DOUBLE)
-             / SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
-             / SQRT(CAST(n*syy - sy*sy AS DOUBLE)), 6) AS spearman_rho
+           CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+             ROUND(
+               CAST(n*sxy - sx*sy AS DOUBLE)
+               / SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+               / SQRT(CAST(n*syy - sy*sy AS DOUBLE)), 6)
+           END AS spearman_rho
     FROM s
     """,
 )
@@ -15566,11 +15568,16 @@ def q287_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
-    return s.select(
-        "event_type", "n", F.round(num / dx / dy, 6).alias("spearman_rho")
+    ddx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ddy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # a constant column (all ranks tied) has zero rank variance: rho is
+    # undefined -> NULL, never a divide-by-zero (ANSI mode would raise;
+    # found by tests/test_properties.py::test_spearman_matches_pure_python)
+    rho = F.when(
+        (ddx > 0) & (ddy > 0),
+        F.round(num / F.sqrt(ddx.cast("double")) / F.sqrt(ddy.cast("double")), 6),
     )
+    return s.select("event_type", "n", rho.alias("spearman_rho"))
 
 
 @register(

@@ -205,3 +205,156 @@ def test_global_running_sum_property(spark, rows):
     for k, v, rid in sorted(data, key=lambda t: (t[0], t[2])):
         acc += v
         assert got[(k, rid)] == acc
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators: interval-union coverage, Spearman, exact percentiles
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=10_000), # start us
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_interval_union_matches_brute_force(spark, ivs):
+    """q289's island-merge coverage == brute-force union of [s, s+300)
+    per user, on arbitrary (possibly heavily overlapping) starts."""
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+    import datetime as _dt
+
+    rows = [
+        (i, _dt.datetime(2024, 1, 1) + _dt.timedelta(microseconds=s * 1000), u,
+         "t", 0.0, "{}")
+        for i, (u, s) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="prop_iv_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["user_id"]: r["covered_us"]
+        for r in queries()["q289_interval_union_coverage"](spark, d).collect()
+    }
+    # brute force: merge intervals per user in python
+    from collections import defaultdict
+    per = defaultdict(list)
+    for u, s in ivs:
+        us = s * 1000
+        per[u].append((us, us + 300_000_000))
+    for u, spans in per.items():
+        spans.sort()
+        total, cs, ce = 0, None, None
+        for s0, e0 in spans:
+            if cs is None:
+                cs, ce = s0, e0
+            elif s0 > ce:
+                total += ce - cs
+                cs, ce = s0, e0
+            else:
+                ce = max(ce, e0)
+        total += ce - cs
+        assert got[u] == total, (u, got[u], total)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_spearman_matches_pure_python(spark, pts):
+    """q287's doubled-average-rank Spearman == a pure-python
+    tie-corrected implementation (Pearson of fractional average ranks),
+    including heavy-tie inputs."""
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+    import datetime as _dt
+
+    rows = [
+        (i, _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=t), 1, "t",
+         float(v), "{}")
+        for i, (t, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+    d = tempfile.mkdtemp(prefix="prop_sp_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = queries()["q287_spearman_correlation"](spark, d).collect()
+    assert len(out) == 1
+    got = out[0]["spearman_rho"]
+
+    def avg_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        ranks = [0.0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    ts = [t for t, _ in pts]
+    vs = [v for _, v in pts]
+    rx, ry = avg_ranks(ts), avg_ranks(vs)
+    n = len(pts)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(x * x for x in rx)
+    syy = sum(y * y for y in ry)
+    sxy = sum(x * y for x, y in zip(rx, ry))
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if dx <= 0 or dy <= 0:
+        assert got is None  # constant column: rho undefined (NULL)
+        return
+    ref = (n * sxy - sx * sy) / math.sqrt(dx) / math.sqrt(dy)
+    assert got is not None and abs(got - ref) < 1e-4, (got, ref)
+
+
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=80)
+)
+@settings(max_examples=25, deadline=None)
+def test_exact_percentiles_nearest_rank(spark, vals):
+    """q304's prefix-scan percentile pick == the nearest-rank definition
+    computed directly on the sorted values."""
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+    import datetime as _dt
+
+    rows = [
+        (i, _dt.datetime(2024, 1, 1), 1, "t", v / 100.0, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+    d = tempfile.mkdtemp(prefix="prop_pc_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["p"]: r["value_cents"]
+        for r in queries()["q304_exact_global_percentiles"](spark, d).collect()
+    }
+    cents = sorted(round(v / 100.0 * 100) for v in vals)
+    n = len(cents)
+    for p in (50, 90, 99):
+        ref = cents[math.ceil(p * n / 100) - 1]
+        assert got[p] == ref, (p, got[p], ref)
