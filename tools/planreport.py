@@ -111,6 +111,27 @@ SHOWCASE = {
         "entity exchange, versus the interval theta join the oracle "
         "states (which would fall back to a nested-loop join).",
     ),
+    "q283_zorder_layout_audit": (
+        r"HashAggregate|FileScan|Project",
+        "Z-order clustering key: the 16-bit Morton interleave is pure "
+        "codegen bit math in the projection — one hash aggregation, no "
+        "shuffle beyond it; the key any writer can sortWithinPartitions "
+        "by to get 2-D zone-map pruning.",
+    ),
+    "q284_bloom_filter_join": (
+        r"Join|Exchange|HashAggregate",
+        "Bloom join pruning: the bit set is an aggregate bounded by "
+        "m_bits (never by build-side rows) and BROADCASTS into the "
+        "probe — the runtime row-filter shape, with zero false "
+        "negatives by construction.",
+    ),
+    "q318_kmeans_lloyd": (
+        r"Join|Exchange|Window|HashAggregate",
+        "Engine-exact Lloyd round: centroids are a k*d-row relation "
+        "(BroadcastHashJoin on the dim index), assignment is a "
+        "per-vector argmin window, update one hash aggregation — the "
+        "broadcast side never grows with the corpus.",
+    ),
 }
 
 
