@@ -17761,3 +17761,226 @@ def q322_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin_micro", "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Class weights, JL random projection, seasonality strength, peak
+# detection (q323-q326)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q323_class_weights",
+    oracle="""
+    WITH c AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_class FROM embeddings
+      GROUP BY label
+    ), g AS (
+      SELECT SUM(n_class) AS n_total, COUNT(*) AS k FROM c
+    )
+    SELECT label, n_class,
+           CAST(ROUND(1000000.0 * g.n_total / (g.k * n_class)) AS BIGINT)
+             AS weight_micro
+    FROM c, g
+    """,
+)
+def q323_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced' formula
+    n_total/(k·n_c), in integer micros) — the loss-reweighting table a
+    classifier trained on skewed labels broadcasts to every executor.
+    One aggregation + a 1-row totals broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_class")
+    )
+    g = c.agg(
+        F.sum("n_class").alias("n_total"), F.count(F.lit(1)).alias("k")
+    )
+    return c.crossJoin(F.broadcast(g)).select(
+        "label",
+        "n_class",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.col("n_total")
+            / (F.col("k") * F.col("n_class"))
+        )
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
+@register(
+    "q324_random_projection",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, u.i AS i,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ), pj AS (SELECT UNNEST(range(8)) AS j),
+    signs AS (
+      SELECT i, j,
+             CASE WHEN ((i * 2654435761 + j * 2246822519 + 1013904223)
+                        % 4294967291) % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM (SELECT DISTINCT i FROM dims), pj
+    )
+    SELECT vec_id, j, CAST(SUM(s * x) AS BIGINT) AS proj_micro
+    FROM dims JOIN signs USING (i)
+    GROUP BY vec_id, j
+    """,
+)
+def q324_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection 64→8 dims, ENGINE-
+    EXACT: the ±1 projection matrix comes from the deterministic affine
+    hash family (q284's), coordinates are integer micros, so the
+    projected vectors are exact BIGINTs — the dimensionality-reduction
+    front end for LSH/clustering that both engines reproduce bit-for-
+    bit. The 64×8 sign matrix is a 512-row broadcast relation; the
+    projection is one equi-join + hash aggregation, linear in the
+    corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("xf").cast("double") * 1_000_000).cast("long").alias("x"),
+    )
+    pj = spark.createDataFrame([(j,) for j in range(8)], ["j"])
+    axes = spark.createDataFrame([(i,) for i in range(1, 65)], ["i"])
+    s = (
+        (
+            F.col("i") * F.lit(2654435761)
+            + F.col("j") * F.lit(2246822519)
+            + F.lit(1013904223)
+        )
+        % F.lit(4294967291)
+        % F.lit(2)
+    )
+    signs = axes.crossJoin(pj).select(
+        "i", "j", F.when(s == 0, 1).otherwise(-1).alias("s")
+    )
+    return (
+        dims.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).cast("long").alias("proj_micro"))
+    )
+
+
+@register(
+    "q325_seasonality_strength",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(dayofweek(ts) AS BIGINT) AS dow,
+             SUM(CAST(ROUND(value*100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2, 3
+    ), per_dow AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS s, SUM(v*v) AS ss
+      FROM d GROUP BY event_type, dow
+    ), agg AS (
+      SELECT event_type,
+             SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss,
+             SUM(ss - CAST(s*s AS DOUBLE)/n) AS sse_within
+      FROM per_dow GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           ROUND(1.0 - sse_within / (ss - CAST(s*s AS DOUBLE)/n), 6)
+             AS seasonality_strength
+    FROM agg WHERE ss - CAST(s*s AS DOUBLE)/n > 0
+    """,
+)
+def q325_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality strength per series: the fraction of daily-
+    total variance explained by day-of-week (1 − SSE_within/SS_total,
+    the eta-squared of the dow grouping) — the triage stat that says
+    WHICH series deserve the full q228 seasonal decomposition. All
+    moments are exact integer sums; the two float divisions happen once
+    per (type, dow) and once per type, so the result is order-
+    independent. Two small aggregations after the daily rollup."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+    ).agg(F.sum(cents(F.col("value"))).alias("v"))
+    per_dow = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    agg = per_dow.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(
+            F.col("ss") - (F.col("s") * F.col("s")).cast("double") / F.col("n")
+        ).alias("sse_within"),
+    )
+    ss_total = F.col("ss") - (F.col("s") * F.col("s")).cast("double") / F.col(
+        "n"
+    )
+    return agg.filter(ss_total > 0).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.lit(1.0) - F.col("sse_within") / ss_total, 6).alias(
+            "seasonality_strength"
+        ),
+    )
+
+
+@register(
+    "q326_daily_peaks",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value*100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ), n AS (
+      SELECT event_type, day, v,
+             LAG(v) OVER w AS pv, LEAD(v) OVER w AS nv
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, v AS peak_cents,
+           CAST(v - GREATEST(pv, nv) AS BIGINT) AS prominence_cents
+    FROM n
+    WHERE pv IS NOT NULL AND nv IS NOT NULL
+      AND v > pv AND v > nv
+      AND v - GREATEST(pv, nv) > 1000
+    """,
+)
+def q326_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection with a prominence floor: a day whose total
+    strictly exceeds BOTH neighbors by >10.00 — the alerting primitive
+    for spike detection on rolled-up series. Daily rollup (corpus-sized
+    work, map-side combined) then one lag/lead window over the tiny
+    series table."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(cents(F.col("value"))).alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    n = d.select(
+        "event_type",
+        "day",
+        "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+    )
+    prom = F.col("v") - F.greatest("pv", "nv")
+    return (
+        n.filter(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("v") > F.col("pv"))
+            & (F.col("v") > F.col("nv"))
+            & (prom > 1000)
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("v").alias("peak_cents"),
+            prom.cast("long").alias("prominence_cents"),
+        )
+    )

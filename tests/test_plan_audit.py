@@ -107,6 +107,12 @@ ALLOWED_NON_EQUI = {
     # deliberate 4-row broadcast threshold-spine theta join: nested
     # scaling-law subsets require h < threshold per spine row
     "q319_scaling_law_subsets",
+    # deliberate 1-row broadcast cross join: the (n_total, k) scalar on
+    # the |labels|-sized class table
+    "q323_class_weights",
+    # deliberate 64x8 literal sign-matrix build (two bounded literal
+    # spines crossed once; the corpus-sized projection is an equi-join)
+    "q324_random_projection",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
