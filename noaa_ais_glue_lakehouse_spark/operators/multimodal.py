@@ -608,3 +608,177 @@ def extract_spectral_features(
             )
 
     return src.mapInPandas(_features, schema=SPECTRAL_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4/ISO-BMFF container metadata (pure-Python box walk; public spec
+# ISO/IEC 14496-12 — same zero-dependency standard as parse_image_header)
+# ---------------------------------------------------------------------------
+
+
+def _be32(b: bytes, off: int) -> int:
+    return int.from_bytes(b[off : off + 4], "big")
+
+
+def _mp4_box(size: int, typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def synthesize_mp4_payload(vid: int) -> bytes:
+    """Minimal VALID ISO-BMFF file for an id: ftyp + moov(mvhd, trak/tkhd)
+    + mdat, with timescale/duration/track dimensions derived from the id
+    by formulas a SQL oracle reproduces. All boxes are version-0 with
+    spec-correct fixed layouts."""
+    timescale = 1000 * (1 + vid % 4)
+    seconds = 1 + vid % 300
+    duration = timescale * seconds
+    w, h = 16 * (1 + vid % 120), 16 * (1 + vid % 68)
+    ftyp = _mp4_box(0, b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    mvhd_payload = (
+        bytes(4)                      # version + flags
+        + bytes(8)                    # ctime, mtime
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")      # volume 1.0
+        + bytes(10)                   # reserved
+        + bytes(36)                   # identity matrix slot (zeros fine)
+        + bytes(24)                   # pre_defined
+        + (2).to_bytes(4, "big")      # next_track_id
+    )
+    tkhd_payload = (
+        bytes(4)                      # version + flags
+        + bytes(8)                    # ctime, mtime
+        + (1).to_bytes(4, "big")      # track id
+        + bytes(4)                    # reserved
+        + duration.to_bytes(4, "big")
+        + bytes(8)                    # reserved
+        + bytes(2) + bytes(2) + bytes(2) + bytes(2)  # layer/alt/vol/reserved
+        + bytes(36)                   # matrix
+        + (w << 16).to_bytes(4, "big")   # 16.16 fixed width
+        + (h << 16).to_bytes(4, "big")   # 16.16 fixed height
+    )
+    trak = _mp4_box(0, b"trak", _mp4_box(0, b"tkhd", tkhd_payload))
+    moov = _mp4_box(0, b"moov", _mp4_box(0, b"mvhd", mvhd_payload) + trak)
+    mdat = _mp4_box(0, b"mdat", bytes(16 + vid % 32))
+    return ftyp + moov + mdat
+
+
+def parse_mp4_metadata(payload: bytes) -> dict | None:
+    """Walk the top-level box tree; return mvhd timescale/duration, the
+    first video track's 16.16 dimensions, and the track count — or None
+    when the payload is not ISO-BMFF (no well-formed ftyp/moov walk)."""
+    n = len(payload)
+    if n < 16:
+        return None
+    out = {"timescale": None, "duration": None, "width": None,
+           "height": None, "n_tracks": 0}
+    saw_ftyp = saw_moov = False
+    off = 0
+    while off + 8 <= n:
+        size = _be32(payload, off)
+        typ = payload[off + 4 : off + 8]
+        if size < 8 or off + size > n:
+            return None
+        if typ == b"ftyp":
+            saw_ftyp = True
+        elif typ == b"moov":
+            saw_moov = True
+            coff = off + 8
+            while coff + 8 <= off + size:
+                csize = _be32(payload, coff)
+                ctyp = payload[coff + 4 : coff + 8]
+                if csize < 8 or coff + csize > off + size:
+                    return None
+                if ctyp == b"mvhd" and csize >= 8 + 20:
+                    body = coff + 8
+                    out["timescale"] = _be32(payload, body + 12)
+                    out["duration"] = _be32(payload, body + 16)
+                elif ctyp == b"trak":
+                    out["n_tracks"] += 1
+                    toff = coff + 8
+                    while toff + 8 <= coff + csize:
+                        tsize = _be32(payload, toff)
+                        ttyp = payload[toff + 4 : toff + 8]
+                        if tsize < 8 or toff + tsize > coff + csize:
+                            return None
+                        if ttyp == b"tkhd" and tsize >= 8 + 84:
+                            body = toff + 8
+                            if out["width"] is None:
+                                out["width"] = _be32(payload, body + 76) >> 16
+                                out["height"] = _be32(payload, body + 80) >> 16
+                        toff += tsize
+                coff += csize
+        off += size
+    if not (saw_ftyp and saw_moov):
+        return None
+    return out
+
+
+def synthesize_video_assets(df: DataFrame, id_col: str) -> DataFrame:
+    """Executor-side MP4 payload synthesis (Arrow-batched mapInPandas;
+    the driver never sees a payload byte) — the video twin of
+    synthesize_image_assets."""
+    src = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def _synth(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [synthesize_mp4_payload(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads})
+
+    return src.mapInPandas(_synth, "id long, payload binary")
+
+
+def decode_video_metadata(
+    df: DataFrame, id_col: str, binary_col: str
+) -> DataFrame:
+    """Container-level video metadata via Arrow-batched ``mapInPandas``:
+    timescale, duration (ms, exact integer when duration is a timescale
+    multiple), first-track pixel dimensions, track count, parse_ok.
+    Unparseable payloads keep the row with parse_ok=false — nothing is
+    fabricated (the q259 strict-mode convention)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(binary_col).alias("_b")
+    )
+
+    def _dec(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["_b"]):
+                meta = parse_mp4_metadata(bytes(b) if b is not None else b"")
+                if meta is None or not meta["timescale"]:
+                    rows.append((int(i), None, None, None, None, None, False))
+                else:
+                    rows.append(
+                        (
+                            int(i),
+                            meta["timescale"],
+                            meta["duration"] * 1000 // meta["timescale"],
+                            meta["width"],
+                            meta["height"],
+                            meta["n_tracks"],
+                            True,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "timescale",
+                    "duration_ms",
+                    "width",
+                    "height",
+                    "n_tracks",
+                    "parse_ok",
+                ],
+            )
+
+    return src.mapInPandas(
+        _dec,
+        "id long, timescale long, duration_ms long, width long, "
+        "height long, n_tracks long, parse_ok boolean",
+    )

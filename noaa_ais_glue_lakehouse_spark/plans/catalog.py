@@ -17984,3 +17984,39 @@ def q326_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             prom.cast("long").alias("prominence_cents"),
         )
     )
+
+
+@register(
+    "q327_video_container_metadata",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(1000 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+           CAST(1000 * (1 + doc_id % 300) AS BIGINT) AS duration_ms,
+           CAST(16 * (1 + doc_id % 120) AS BIGINT) AS width,
+           CAST(16 * (1 + doc_id % 68) AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_tracks,
+           TRUE AS parse_ok
+    FROM documents
+    """,
+)
+def q327_video_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata decode, end-to-end hash-checked
+    (the q259 idiom for VIDEO): valid ISO-BMFF/MP4 payloads — spec-
+    correct ftyp/moov/mvhd/trak/tkhd/mdat box trees — are synthesized on
+    the executors with timescale/duration/dimensions derived from
+    doc_id, then ``decode_video_metadata`` walks the ACTUAL box tree
+    (pure Python over ISO/IEC 14496-12, no media library) to recover
+    them; the oracle recomputes the expectations from the id formulas,
+    so any mis-read byte offset in the box walk hash-mismatches.
+    duration_ms is exact (synthesized durations are timescale
+    multiples). Two chained Arrow-batched ``mapInPandas`` stages, zero
+    shuffles, payloads never leave the executors — the 100 TB
+    video-catalog backfill plan."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        decode_video_metadata,
+        synthesize_video_assets,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    assets = synthesize_video_assets(docs, "doc_id")
+    return decode_video_metadata(assets, "id", "payload")

@@ -234,3 +234,37 @@ def test_decode_images_default_mode_headers_then_stub(spark):
     assert rows[2]["decode_ok"]
     assert rows[2]["width"] == 1 + (10 * 7) % 640
     assert rows[2]["height"] == 1 + (10 * 13) % 480
+
+
+def test_mp4_box_walk_known_values_and_rejection(spark):
+    """The MP4 parser recovers the synthesized mvhd/tkhd fields for
+    known ids, rejects garbage/truncated payloads with parse_ok=false,
+    and never fabricates metadata."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        decode_video_metadata,
+        parse_mp4_metadata,
+        synthesize_mp4_payload,
+    )
+
+    # direct parse: id 5 -> timescale 2000, 6 s, 96x96, 1 track
+    m = parse_mp4_metadata(synthesize_mp4_payload(5))
+    assert m == {
+        "timescale": 2000,
+        "duration": 12000,
+        "width": 96,
+        "height": 96,
+        "n_tracks": 1,
+    }
+    # truncated moov must be rejected, not misparsed
+    p = synthesize_mp4_payload(5)
+    assert parse_mp4_metadata(p[: len(p) // 2]) is None
+    assert parse_mp4_metadata(b"\x00" * 64) is None
+
+    rows = [(1, synthesize_mp4_payload(1)), (2, b"not an mp4 at all..")]
+    df = spark.createDataFrame(rows, ["vid", "payload"])
+    out = {
+        r["id"]: r.asDict()
+        for r in decode_video_metadata(df, "vid", "payload").collect()
+    }
+    assert out[1]["parse_ok"] and out[1]["duration_ms"] == 2000 * 1
+    assert not out[2]["parse_ok"] and out[2]["width"] is None
