@@ -18020,3 +18020,229 @@ def q327_video_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load(spark, sf_dir, "documents").select("doc_id")
     assets = synthesize_video_assets(docs, "doc_id")
     return decode_video_metadata(assets, "id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# Storage encoding advice, association rules, cross-source score
+# normalization (q328-q330)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q328_encoding_advisor",
+    oracle="""
+    WITH per AS (
+      SELECT 'l_returnflag' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', COUNT(*), COUNT(DISTINCT l_linestatus)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', COUNT(*), COUNT(DISTINCT l_partkey) FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(*), COUNT(DISTINCT l_extendedprice)
+      FROM lineitem
+    )
+    SELECT col, n, n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / n, 6) AS distinct_ratio,
+           CASE WHEN CAST(n_distinct AS DOUBLE) / n < 0.1
+                THEN 'dictionary' ELSE 'plain' END AS suggested_encoding
+    FROM per
+    """,
+)
+def q328_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet encoding advisor: per column, the distinct-value ratio
+    that decides dictionary vs plain encoding (parquet writers fall back
+    to plain when the dictionary page overflows — a <0.1 ratio is the
+    safe dictionary regime; a near-1.0 ratio wastes the dictionary
+    attempt). One pass computes all columns' exact distinct counts
+    (several COUNT(DISTINCT) in one aggregation — Spark expands to an
+    expand+two-phase agg, still one scan). The input to row-group
+    sizing alongside q244's footer audit."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("l_returnflag").cast("long").alias("d1"),
+        F.countDistinct("l_linestatus").cast("long").alias("d2"),
+        F.countDistinct("l_partkey").cast("long").alias("d3"),
+        F.countDistinct("l_extendedprice").cast("long").alias("d4"),
+    )
+    per = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_returnflag").alias("col"),
+                    F.col("n"),
+                    F.col("d1").alias("n_distinct"),
+                ),
+                F.struct(
+                    F.lit("l_linestatus").alias("col"),
+                    F.col("n"),
+                    F.col("d2").alias("n_distinct"),
+                ),
+                F.struct(
+                    F.lit("l_partkey").alias("col"),
+                    F.col("n"),
+                    F.col("d3").alias("n_distinct"),
+                ),
+                F.struct(
+                    F.lit("l_extendedprice").alias("col"),
+                    F.col("n"),
+                    F.col("d4").alias("n_distinct"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.col", "s.n", "s.n_distinct")
+    ratio = F.col("n_distinct").cast("double") / F.col("n")
+    return per.select(
+        "col",
+        "n",
+        "n_distinct",
+        F.round(ratio, 6).alias("distinct_ratio"),
+        F.when(ratio < 0.1, "dictionary")
+        .otherwise("plain")
+        .alias("suggested_encoding"),
+    )
+
+
+@register(
+    "q329_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ), nb AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets
+              FROM baskets),
+    item AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM baskets GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS lhs, b.event_type AS rhs,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM baskets a
+      JOIN baskets b ON b.user_id = a.user_id AND b.day = a.day
+                    AND b.event_type <> a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.lhs, p.rhs, p.n_pair,
+           ROUND(CAST(p.n_pair AS DOUBLE) / li.n_item, 6) AS confidence,
+           ROUND(CAST(p.n_pair AS DOUBLE) * nb.n_baskets
+                 / (li.n_item * lr.n_item), 6) AS lift
+    FROM pair p
+    JOIN item li ON li.event_type = p.lhs
+    JOIN item lr ON lr.event_type = p.rhs, nb
+    WHERE p.n_pair >= 5
+    """,
+)
+def q329_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over (user, day) baskets: confidence
+    P(rhs|lhs) and lift P(lhs,rhs)/(P(lhs)P(rhs)) for every directed
+    type pair with support ≥ 5 — the market-basket report. Pair counts
+    come from the bounded within-basket self-join (|types|² per basket,
+    types is a small domain — q288's wedge shape); the basket total is a
+    deliberate 1-row broadcast; item counts broadcast into the pair
+    table. Exact integer counts, one float division per output row."""
+    ev = load(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.day") == F.col("a.day"))
+            & (F.col("b.event_type") != F.col("a.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("lhs"),
+            F.col("b.event_type").alias("rhs"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    li = item.select(
+        F.col("event_type").alias("lhs"), F.col("n_item").alias("n_lhs")
+    )
+    lr = item.select(
+        F.col("event_type").alias("rhs"), F.col("n_item").alias("n_rhs")
+    )
+    j = (
+        pair.join(F.broadcast(li), "lhs")
+        .join(F.broadcast(lr), "rhs")
+        .crossJoin(F.broadcast(nb))
+    )
+    return j.select(
+        "lhs",
+        "rhs",
+        "n_pair",
+        F.round(F.col("n_pair").cast("double") / F.col("n_lhs"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("n_pair").cast("double")
+            * F.col("n_baskets")
+            / (F.col("n_lhs") * F.col("n_rhs")),
+            6,
+        ).alias("lift"),
+    )
+
+
+@register(
+    "q330_within_source_percentile",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(list_filter(string_split_regex(
+                  lower(trim(text)), '\\s+'), x -> x <> ''))) AS BIGINT)
+               AS quality
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, quality,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS pr
+      FROM q
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_decile,
+           CAST(MIN(CASE WHEN pr >= 0.9 THEN quality END) AS BIGINT)
+             AS top_decile_floor
+    FROM r GROUP BY source
+    """,
+)
+def q330_within_source_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-source percentile normalization: a raw quality score is
+    not comparable across sources (Wikipedia's median beats CommonCrawl's
+    p95), so curation selects the top decile PER SOURCE — percent_rank
+    partitioned by source, then the per-source selection floor the cut
+    implies. One partitioned window (hash shuffle on source; at skewed
+    source sizes use the q293 prefix-scan per source) + one rollup."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(toks)).cast("long").alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    r = q.select("source", "quality", F.percent_rank().over(w).alias("pr"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("pr") >= 0.9, 1).otherwise(0))
+        .cast("long")
+        .alias("n_top_decile"),
+        F.min(F.when(F.col("pr") >= 0.9, F.col("quality")))
+        .cast("long")
+        .alias("top_decile_floor"),
+    )

@@ -113,6 +113,9 @@ ALLOWED_NON_EQUI = {
     # deliberate 64x8 literal sign-matrix build (two bounded literal
     # spines crossed once; the corpus-sized projection is an equi-join)
     "q324_random_projection",
+    # deliberate SINGLE-ROW broadcast cross join: the basket-count scalar
+    # on the |type-pairs|-sized rule table
+    "q329_association_rules",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
