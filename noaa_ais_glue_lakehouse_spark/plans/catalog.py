@@ -18246,3 +18246,172 @@ def q330_within_source_percentile(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("top_decile_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search, event debouncing, speed consistency
+# (q331-q333)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q331_phrase_search",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, u.p AS p, w[u.p] AS tok
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+      ), UNNEST(generate_series(1, len(w))) AS u(p)
+    ), a AS (SELECT doc_id, p FROM pos WHERE tok = 'hash'),
+    b AS (SELECT doc_id, p FROM pos WHERE tok = 'join')
+    SELECT a.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(a.p) AS BIGINT) AS first_pos
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    GROUP BY a.doc_id
+    """,
+)
+def q331_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search ("hash join", adjacency required) through a
+    positional inverted index: each term's postings carry token
+    positions, and the phrase match is the equi-join posting_b.pos =
+    posting_a.pos + 1 — the way a search engine verifies phrases without
+    re-reading documents. Both postings lists are term-filtered BEFORE
+    the join (pushed predicates), so the join is |postings(hash)| ×
+    matching positions, never corpus-sized. Extends q160's inverted
+    index and q195's conjunctive search with position semantics."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    pos = docs.select(
+        "doc_id", F.posexplode(toks).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    a = pos.filter(F.col("tok") == "hash").select("doc_id", "p")
+    b = pos.filter(F.col("tok") == "join").select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, (b.doc_id == a.doc_id) & (F.col("pb") == F.col("p") + 1))
+        .select(a.doc_id.alias("doc_id"), "p")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("p").cast("long").alias("first_pos"),
+        )
+    )
+
+
+@register(
+    "q332_debounce_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us < 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+           ROUND(CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us < 1000000
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS debounce_frac
+    FROM g GROUP BY event_type
+    """,
+)
+def q332_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debouncing: a repeat of the same (user, type) within
+    1 s is a double-fire (button mash, retry storm, duplicate beacon)
+    and gets dropped before sessionization/attribution. The keep/drop
+    decision is one lag gap per (user, type) partition — the dedup that
+    content hashing (q25) cannot do because the payloads legitimately
+    differ. Reported per type so a chatty SDK shows up immediately."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+    is_dup = F.col("gap_us").isNotNull() & (F.col("gap_us") < 1_000_000)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(is_dup, 1).otherwise(0)).cast("long").alias("n_debounced"),
+        F.round(
+            F.sum(F.when(is_dup, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("debounce_frac"),
+    )
+
+
+@register(
+    "q333_speed_consistency",
+    oracle=_COORDS_CTE
+    + """
+    , legs AS (
+      SELECT user_id, value AS reported,
+             2 * 6371.0 * ASIN(LEAST(SQRT(
+               POWER(SIN(RADIANS(lat - LAG(lat) OVER w) / 2), 2)
+               + COS(RADIANS(LAG(lat) OVER w)) * COS(RADIANS(lat))
+                 * POWER(SIN(RADIANS(lon - LAG(lon) OVER w) / 2), 2)
+             ), 1.0)) AS dist_km,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 3600000000.0
+               AS dt_h
+      FROM (SELECT c.*, e.value FROM coords c
+            JOIN events e USING (event_id)) t
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), d AS (
+      SELECT user_id, reported, dist_km / dt_h AS derived_kmh
+      FROM legs WHERE dt_h > 0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_legs,
+           CAST(SUM(CASE WHEN ABS(derived_kmh - reported) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inconsistent,
+           ROUND(MAX(derived_kmh), 4) AS max_derived_kmh
+    FROM d GROUP BY user_id
+    """,
+)
+def q333_speed_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reported-vs-derived speed consistency (the AIS transponder-quality
+    check): the speed each leg IMPLIES (haversine distance / elapsed
+    time) against the reported speed field; a >50 km/h disagreement
+    marks a bad GPS fix or a spoofed speed. One lag window per entity +
+    one rollup; the same trig codegen as q19/q313."""
+    ev = load(spark, sf_dir, "events")
+    c = _with_coords(ev).join(
+        ev.select("event_id", "value"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = c.select(
+        "user_id",
+        F.col("value").alias("reported"),
+        haversine_km(
+            F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+        ).alias("dist_km"),
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / F.lit(3_600_000_000.0)
+        ).alias("dt_h"),
+    )
+    d = legs.filter(F.col("dt_h") > 0).select(
+        "user_id",
+        "reported",
+        (F.col("dist_km") / F.col("dt_h")).alias("derived_kmh"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_legs"),
+        F.sum(
+            F.when(F.abs(F.col("derived_kmh") - F.col("reported")) > 50, 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_inconsistent"),
+        F.round(F.max("derived_kmh"), 4).alias("max_derived_kmh"),
+    )
