@@ -620,7 +620,7 @@ def _be32(b: bytes, off: int) -> int:
     return int.from_bytes(b[off : off + 4], "big")
 
 
-def _mp4_box(size: int, typ: bytes, payload: bytes) -> bytes:
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
     return (8 + len(payload)).to_bytes(4, "big") + typ + payload
 
 
@@ -633,7 +633,7 @@ def synthesize_mp4_payload(vid: int) -> bytes:
     seconds = 1 + vid % 300
     duration = timescale * seconds
     w, h = 16 * (1 + vid % 120), 16 * (1 + vid % 68)
-    ftyp = _mp4_box(0, b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2")
     mvhd_payload = (
         bytes(4)                      # version + flags
         + bytes(8)                    # ctime, mtime
@@ -658,9 +658,9 @@ def synthesize_mp4_payload(vid: int) -> bytes:
         + (w << 16).to_bytes(4, "big")   # 16.16 fixed width
         + (h << 16).to_bytes(4, "big")   # 16.16 fixed height
     )
-    trak = _mp4_box(0, b"trak", _mp4_box(0, b"tkhd", tkhd_payload))
-    moov = _mp4_box(0, b"moov", _mp4_box(0, b"mvhd", mvhd_payload) + trak)
-    mdat = _mp4_box(0, b"mdat", bytes(16 + vid % 32))
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_payload))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_payload) + trak)
+    mdat = _mp4_box(b"mdat", bytes(16 + vid % 32))
     return ftyp + moov + mdat
 
 

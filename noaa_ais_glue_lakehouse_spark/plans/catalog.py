@@ -623,11 +623,16 @@ _COORDS_CTE = """
 """
 
 
-def _with_coords(ev: DataFrame) -> DataFrame:
+def _with_coords(ev: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     lat = (F.col("event_id") % 1800).cast("double") / 10.0 - 90.0
     lon = ((F.col("event_id") * 7) % 3600).cast("double") / 10.0 - 180.0
     return ev.select(
-        "user_id", "event_id", "ts", lat.alias("lat"), lon.alias("lon")
+        "user_id",
+        "event_id",
+        "ts",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        *extra_cols,
     )
 
 
@@ -15559,13 +15564,18 @@ def q287_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ev.select(
         "event_type", rx2.cast("long").alias("rx2"), ry2.cast("long").alias("ry2")
     )
+    # moment sums and determinants in DECIMAL(38,0): the oracle's HUGEINT
+    # sums are 128-bit, and n*sxx ~ 1.3*n^4 leaves int64 at ~55k rows per
+    # group — decimal gives the same headroom (1e38) on the Spark side,
+    # then both engines convert to double at the same point
+    dec = "decimal(38,0)"
     s = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx2").alias("sx"),
-        F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
-        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(dec)).alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(dec)).alias("syy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(dec)).alias("sxy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     ddx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -15577,7 +15587,9 @@ def q287_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ddx > 0) & (ddy > 0),
         F.round(num / F.sqrt(ddx.cast("double")) / F.sqrt(ddy.cast("double")), 6),
     )
-    return s.select("event_type", "n", rho.alias("spearman_rho"))
+    return s.select(
+        "event_type", F.col("n").cast("long").alias("n"), rho.alias("spearman_rho")
+    )
 
 
 @register(
@@ -15925,7 +15937,9 @@ def q293_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_one",
         out_col="rk",
     )
-    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # count the PRE-scan relation (row-count-preserving scan; counting
+    # `ranked` would re-run the repartitionByRange + window pipeline)
+    total = scored.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     staged = ranked.crossJoin(F.broadcast(total)).withColumn(
         "stage",
         (
@@ -16578,7 +16592,9 @@ def q304_exact_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         cents(F.col("value")).alias("v_cents"), "event_id"
     ).withColumn("_one", F.lit(1))
     ranked = global_running_sum(v, ["v_cents", "event_id"], "_one", out_col="rk")
-    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # count the PRE-scan relation: global_running_sum preserves row count,
+    # and counting its output would re-execute the whole two-phase scan
+    total = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
     withn = ranked.crossJoin(F.broadcast(total))
     ps = spark.createDataFrame([(50,), (90,), (99,)], ["p"])
     return withn.join(
@@ -16823,12 +16839,12 @@ def q308_truncation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_deltas,
-           CAST(SUM(CAST(CEIL(LOG2(CAST(delta_us + 2 AS DOUBLE))) AS BIGINT))
-                AS BIGINT) AS delta_bits,
+           CAST(SUM(LENGTH(BIN(GREATEST(delta_us, 1)))) AS BIGINT)
+             AS delta_bits,
            CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
            ROUND(CAST(COUNT(*) * 64 AS DOUBLE)
-                 / SUM(CAST(CEIL(LOG2(CAST(delta_us + 2 AS DOUBLE)))
-                       AS BIGINT)), 6) AS compression_ratio
+                 / SUM(LENGTH(BIN(GREATEST(delta_us, 1)))), 6)
+             AS compression_ratio
     FROM d WHERE delta_us IS NOT NULL
     GROUP BY user_id
     """,
@@ -16850,7 +16866,11 @@ def q309_timestamp_delta_compression(spark: SparkSession, sf_dir: str) -> DataFr
             "delta_us"
         ),
     ).filter(F.col("delta_us").isNotNull())
-    bits = F.ceil(F.log2((F.col("delta_us") + 2).cast("double"))).cast("long")
+    # bit width via the EXACT integer route (length of the base-2 string),
+    # never ceil(log2(x)): float log2 lands 1 ulp above the integer on
+    # exact powers of two and flips the ceil (Spark 4.1.2 measured:
+    # ceil(log2(2^29)) = 30 vs DuckDB 29)
+    bits = F.length(F.bin(F.greatest(F.col("delta_us"), F.lit(1)))).cast("long")
     return d.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_deltas"),
         F.sum(bits).cast("long").alias("delta_bits"),
@@ -16898,7 +16918,6 @@ def q310_zone_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity contributes 0 (open interval, matching the reference's
     span-end convention in SURVEY §2.5 gap analysis)."""
     ev = _with_coords(load(spark, sf_dir, "events"))
-    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     z = ev.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -17276,12 +17295,16 @@ def q315_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < cut, r).otherwise(0)).alias("pre"),
         F.sum(F.when(F.col("ts") >= cut, r).otherwise(0)).alias("post"),
     ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
+    dec = "decimal(38,0)"
+    # moments in DECIMAL(38,0): sx*sx grows quadratically with data size
+    # and leaves int64 around sf3-10; the oracle's HUGEINT widens the
+    # same way
     g = u.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("pre").alias("sx"),
-        F.sum("post").alias("sy"),
-        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
-        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("pre").cast(dec)).alias("sx"),
+        F.sum(F.col("post").cast(dec)).alias("sy"),
+        F.sum((F.col("pre") * F.col("pre")).cast(dec)).alias("sxx"),
+        F.sum((F.col("pre") * F.col("post")).cast(dec)).alias("sxy"),
     )
     per = u.groupBy("variant").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -17495,6 +17518,11 @@ def q318_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("i"),
         F.round(F.col("xf").cast("double") * 1_000_000).cast("long").alias("x"),
     )
+    # dims feeds ~6 subtrees across the unrolled rounds (each assignment
+    # AND each centroid update re-joins it); cache() so the corpus is
+    # scanned+exploded once, not six times (the minhash materialize_index
+    # precedent — MEMORY_AND_DISK, LRU-evictable)
+    dims = dims.cache()
     cent = dims.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("c"), "i", F.col("x").alias("ci")
     )
@@ -18385,9 +18413,9 @@ def q333_speed_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks a bad GPS fix or a spoofed speed. One lag window per entity +
     one rollup; the same trig codegen as q19/q313."""
     ev = load(spark, sf_dir, "events")
-    c = _with_coords(ev).join(
-        ev.select("event_id", "value"), "event_id"
-    )
+    # value rides the same coords projection — never a self-join on
+    # event_id just to re-attach a column the scan already has
+    c = _with_coords(ev, extra_cols=("value",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     legs = c.select(
         "user_id",
