@@ -18443,3 +18443,216 @@ def q333_speed_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_inconsistent"),
         F.round(F.max("derived_kmh"), 4).alias("max_derived_kmh"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-straddle audit, RLE sort benefit, multi-horizon conversions
+# (q334-q336)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q334_partition_straddle",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid,
+             ts
+      FROM g
+    ), spans AS (
+      SELECT user_id, sid,
+             CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN d1 > d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddling,
+           ROUND(CAST(SUM(CASE WHEN d1 > d0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS straddle_frac
+    FROM spans
+    """,
+)
+def q334_partition_straddle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-straddle audit: how many 30-minute-gap sessions CROSS a
+    day boundary — the number that decides whether day-partitioned
+    storage can process sessions partition-locally (low straddle ⇒ a
+    per-day job plus a boundary patch; high straddle ⇒ sessionize before
+    partitioning, the reference's seeded cross-window design T1). The
+    sessionizer is the q11 prefix-sum shape; spans and the straddle flag
+    are one rollup."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias(
+            "new_s"
+        ),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = g.select(
+        "user_id", "ts", F.sum("new_s").over(wrun).alias("sid")
+    )
+    spans = s.groupBy("user_id", "sid").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    straddle = F.when(F.col("d1") > F.col("d0"), 1).otherwise(0)
+    return spans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(straddle).cast("long").alias("n_straddling"),
+        F.round(
+            F.sum(straddle).cast("double") / F.count(F.lit(1)), 6
+        ).alias("straddle_frac"),
+    )
+
+
+@register(
+    "q335_rle_sort_benefit",
+    oracle="""
+    WITH arrival AS (
+      SELECT user_id,
+             CASE WHEN event_type <> LAG(event_type) OVER (
+                    PARTITION BY user_id ORDER BY event_id)
+                  OR LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY event_id) IS NULL
+             THEN 1 ELSE 0 END AS run_start
+      FROM events
+    ), sorted_rt AS (
+      SELECT user_id,
+             CASE WHEN event_type <> LAG(event_type) OVER (
+                    PARTITION BY user_id ORDER BY event_type, ts, event_id)
+                  OR LAG(event_type) OVER (PARTITION BY user_id
+                         ORDER BY event_type, ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS run_start
+      FROM events
+    )
+    SELECT a.user_id,
+           CAST(a.runs AS BIGINT) AS arrival_runs,
+           CAST(b.runs AS BIGINT) AS sorted_runs,
+           ROUND(CAST(a.runs AS DOUBLE) / b.runs, 6) AS rle_gain
+    FROM (SELECT user_id, SUM(run_start) AS runs FROM arrival
+          GROUP BY user_id) a
+    JOIN (SELECT user_id, SUM(run_start) AS runs FROM sorted_rt
+          GROUP BY user_id) b USING (user_id)
+    """,
+)
+def q335_rle_sort_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-encoding payoff of sorting by a low-cardinality column:
+    per user, the count of event_type RUNS under arrival order vs under
+    (event_type, ts) clustering — parquet's RLE_DICTIONARY stores one
+    entry per run, so the ratio IS the column-size shrink a
+    sortWithinPartitions(type) write buys. The layout twin of q309's
+    timestamp-delta audit; two lag windows + one join on the user
+    rollup."""
+    ev = load(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("event_id")
+    ws = Window.partitionBy("user_id").orderBy("event_type", "ts", "event_id")
+
+    def runs(w):
+        prev = F.lag("event_type").over(w)
+        flag = F.when(
+            prev.isNull() | (F.col("event_type") != prev), 1
+        ).otherwise(0)
+        return flag
+
+    a = ev.select("user_id", runs(wa).alias("r")).groupBy("user_id").agg(
+        F.sum("r").cast("long").alias("arrival_runs")
+    )
+    b = ev.select("user_id", runs(ws).alias("r")).groupBy("user_id").agg(
+        F.sum("r").cast("long").alias("sorted_runs")
+    )
+    return a.join(b, "user_id").select(
+        "user_id",
+        "arrival_runs",
+        "sorted_runs",
+        F.round(
+            F.col("arrival_runs").cast("double") / F.col("sorted_runs"), 6
+        ).alias("rle_gain"),
+    )
+
+
+@register(
+    "q336_conversion_horizons",
+    oracle="""
+    WITH sig AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    ), pur AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), firsts AS (
+      SELECT s.user_id, MIN(epoch_us(s.ts)) AS s_us
+      FROM sig s GROUP BY s.user_id
+    ), conv AS (
+      SELECT f.user_id, f.s_us,
+             MIN(CASE WHEN epoch_us(p.ts) >= f.s_us
+                      THEN epoch_us(p.ts) END) AS p_us
+      FROM firsts f LEFT JOIN pur p ON p.user_id = f.user_id
+      GROUP BY f.user_id, f.s_us
+    ), h AS (SELECT * FROM (VALUES (1), (24), (168)) t(horizon_h))
+    SELECT horizon_h,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(SUM(CASE WHEN p_us IS NOT NULL
+                         AND p_us - s_us <= horizon_h * 3600000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN p_us IS NOT NULL
+                              AND p_us - s_us <= horizon_h * 3600000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM conv, h
+    GROUP BY horizon_h
+    """,
+)
+def q336_conversion_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon conversion rates (1 h / 24 h / 7 d after first
+    signup): ONE pass computes each user's first signup and first
+    subsequent purchase (conditional min aggregates — never one query
+    per horizon), then a 3-row horizon spine broadcasts over the
+    |users|-sized table to produce every horizon's rate. Extends q254's
+    single-horizon latency with the retention-curve shape."""
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(pur, "user_id", "left")
+        .groupBy("user_id", "s_us")
+        .agg(
+            F.min(
+                F.when(F.col("p_ts") >= F.col("s_us"), F.col("p_ts"))
+            ).alias("p_us")
+        )
+    )
+    h = spark.createDataFrame([(1,), (24,), (168,)], ["horizon_h"])
+    j = conv.crossJoin(F.broadcast(h))
+    hit = F.when(
+        F.col("p_us").isNotNull()
+        & (F.col("p_us") - F.col("s_us") <= F.col("horizon_h") * 3_600_000_000),
+        1,
+    ).otherwise(0)
+    return j.groupBy("horizon_h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signups"),
+        F.sum(hit).cast("long").alias("n_converted"),
+        F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+    )

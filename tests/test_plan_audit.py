@@ -116,6 +116,8 @@ ALLOWED_NON_EQUI = {
     # deliberate SINGLE-ROW broadcast cross join: the basket-count scalar
     # on the |type-pairs|-sized rule table
     "q329_association_rules",
+    # deliberate 3-row broadcast horizon spine over the |users| rollup
+    "q336_conversion_horizons",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
