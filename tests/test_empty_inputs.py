@@ -146,3 +146,43 @@ def test_pagerank_empty_edges(spark):
     # no nodes at all -> empty rank vector (division by |V| never runs
     # because the loop body operates on empty frames)
     assert pagerank(empty, "src", "dst", "w", iterations=2).count() == 0
+
+
+def test_bloom_and_count_min_empty(spark):
+    """Bloom/CM sketches on zero rows: empty bit set, every probe
+    bloom-negative, estimates 0 — never a crash (a quiet partition is
+    routine)."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        bloom_bit_positions,
+        bloom_probe,
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    empty = spark.createDataFrame([], "k bigint")
+    bits = bloom_bit_positions(empty, "k", 1024, 3)
+    assert bits.count() == 0
+    probe = spark.createDataFrame([(7,)], "k bigint")
+    out = bloom_probe(probe, "k", bits, 1024, 3).collect()
+    assert len(out) == 1 and out[0]["bloom_pass"] is False
+
+    cells = count_min_cells(empty, "k", 2, 64)
+    assert cells.count() == 0
+    est = count_min_estimate(probe, "k", cells, 2, 64).collect()
+    assert est[0]["est_count"] == 0
+
+
+def test_video_metadata_empty_and_null_payload(spark):
+    """decode_video_metadata: zero rows → empty with schema; NULL
+    payload → parse_ok=false row, nothing fabricated."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        decode_video_metadata,
+    )
+
+    empty = spark.createDataFrame([], "vid bigint, payload binary")
+    out = decode_video_metadata(empty, "vid", "payload")
+    assert out.count() == 0 and "duration_ms" in out.columns
+
+    nulls = spark.createDataFrame([(1, None)], "vid bigint, payload binary")
+    r = decode_video_metadata(nulls, "vid", "payload").collect()[0]
+    assert r["parse_ok"] is False and r["width"] is None

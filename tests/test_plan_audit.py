@@ -333,3 +333,33 @@ def test_scd2_point_in_time_is_two_exchanges_no_join(spark):
     plan = _plan(catalog.queries()["q185_scd2_point_in_time"](spark, SF_DIR))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_bloom_probe_broadcasts_bit_set(spark):
+    """q284: the Bloom bit set (bounded by m_bits, never by build rows)
+    must BROADCAST into the probe — a shuffled semi-join here would
+    defeat the operator's whole point."""
+    plan = _plan(catalog.queries()["q284_bloom_filter_join"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    bcast_joins = [
+        l for l in plan.splitlines() if "BroadcastHashJoin" in l and "bitpos" in l
+    ]
+    assert bcast_joins, "bitpos probe join is not broadcast"
+
+
+def test_kmeans_broadcasts_centroids_and_caches_dims(spark):
+    """q318: every Lloyd round joins the k*d-row centroid relation by
+    BROADCAST (the side that never grows with the corpus), and the
+    exploded dims relation is cached (one scan for ~6 consumers)."""
+    plan = _plan(catalog.queries()["q318_kmeans_lloyd"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_zorder_key_is_codegen_projection(spark):
+    """q283: the Morton key must be plain bit math inside the projection
+    (shiftleft/shiftright in the plan), with the single exchange being
+    the final aggregation's."""
+    plan = _plan(catalog.queries()["q283_zorder_layout_audit"](spark, SF_DIR))
+    assert "shiftright" in plan and "shiftleft" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
