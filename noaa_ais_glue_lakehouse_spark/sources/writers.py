@@ -367,3 +367,46 @@ def delete_keys_partition_scoped(
             *partition_cols
         ).parquet(path)
     return len(affected)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    num_files: int | None = None,
+) -> None:
+    """Write a parquet dataset Z-ORDER-clustered on two integer columns:
+    rows are range-partitioned and sorted by the Morton interleave of
+    (x, y), so each output file covers a tight square in BOTH dimensions
+    and its parquet column min/max statistics (zone maps) prune scans
+    for 2-D predicates — the layout q283 audits, as an actual write path
+    (what table formats expose as ``OPTIMIZE ... ZORDER BY``).
+
+    The key is a plain codegen column expression (functions/spatial.py
+    morton_key), dropped before the write; ``repartitionByRange`` gives
+    globally ordered files and ``sortWithinPartitions`` orders rows
+    inside each file so row-group stats tighten too. Callers quantize
+    coordinates to the ``bits`` grid first (e.g. grid_cell).
+
+    tests/test_writers.py proves the effect with REAL footer statistics:
+    the per-file (x-span × y-span) area of a z-ordered write is a
+    fraction of an arrival-order write's.
+    """
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.functions.spatial import morton_key
+
+    keyed = df.withColumn("_zkey", morton_key(F.col(x_col), F.col(y_col), bits))
+    part = (
+        keyed.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    (
+        part.sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -303,3 +303,55 @@ def test_window_overwrite_cleans_staging_on_success(spark, tmp_path):
     assert not [d for d in os.listdir(out) if d.startswith(".staging-")]
     got = {(r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 1), (2, 60)}
+
+
+def test_zordered_write_tightens_zone_maps(spark, tmp_path):
+    """write_zordered vs an arrival-order write of the same rows: read
+    the REAL parquet footer column statistics per file and compare the
+    average (x-span * y-span) zone-map area. The z-ordered layout must
+    bound both dimensions (strictly smaller area), which is exactly what
+    lets a 2-D predicate prune files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import write_zordered
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    lat = (F.col("event_id") % 1800).cast("double") / 10.0 - 90.0
+    lon = ((F.col("event_id") * 7) % 3600).cast("double") / 10.0 - 180.0
+    q = ev.select(
+        F.least(F.floor((lon + 180.0) / 360.0 * 256).cast("long"), F.lit(255)
+                ).alias("xq"),
+        F.least(F.floor((lat + 90.0) / 180.0 * 256).cast("long"), F.lit(255)
+                ).alias("yq"),
+    )
+
+    def avg_area(path: str) -> float:
+        areas = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            xs, ys = [], []
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {row.column(c).path_in_schema: row.column(c).statistics
+                        for c in range(row.num_columns)}
+                xs += [cols["xq"].min, cols["xq"].max]
+                ys += [cols["yq"].min, cols["yq"].max]
+            if xs:
+                areas.append(
+                    (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+                )
+        assert areas
+        return sum(areas) / len(areas)
+
+    plain = str(tmp_path / "plain")
+    q.repartition(8).write.mode("overwrite").parquet(plain)
+    zord = str(tmp_path / "zord")
+    write_zordered(q, zord, "xq", "yq", bits=8, num_files=8)
+
+    a_plain, a_z = avg_area(plain), avg_area(zord)
+    # arrival order covers ~the whole 256x256 grid per file; z-order
+    # files must be dramatically tighter
+    assert a_z < a_plain / 4, (a_plain, a_z)
