@@ -18656,3 +18656,294 @@ def q336_conversion_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact group percentiles, SRM check, mutual information (q337-q339)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q337_group_quantiles_exact",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, v,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cm,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cm >= CEIL(10 * n / 100.0) THEN v END)
+                AS BIGINT) AS p10_cents,
+           CAST(MIN(CASE WHEN cm >= CEIL(50 * n / 100.0) THEN v END)
+                AS BIGINT) AS p50_cents,
+           CAST(MIN(CASE WHEN cm >= CEIL(90 * n / 100.0) THEN v END)
+                AS BIGINT) AS p90_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def q337_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group p10/p50/p90 by counting quantile — no spine join,
+    no percentile UDAF: pre-aggregate to (group, value) counts (the
+    corpus-sized shuffle, map-side combined), one cumulative window per
+    group over the |distinct values| rows, then each percentile is a
+    CONDITIONAL MIN in a single rollup (nearest-rank definition, q304's
+    formula per group). The per-group exact complement to q63's sketch
+    quantiles — the right path when |distinct values| per group is
+    bounded (prices, durations, scores), as here with integer cents."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", cents(F.col("value")).alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(wcum).alias("cm"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def pick(p: int):
+        rank = F.ceil(F.lit(p) * F.col("n") / 100.0)
+        return (
+            F.min(F.when(F.col("cm") >= rank, F.col("v")))
+            .cast("long")
+            .alias(f"p{p}_cents")
+        )
+
+    return cum.groupBy("event_type").agg(pick(10), pick(50), pick(90))
+
+
+@register(
+    "q338_srm_check",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n1
+      FROM v
+    )
+    SELECT n0, n1,
+           ROUND(POWER(n0 - (n0+n1)/2.0, 2) / ((n0+n1)/2.0)
+                 + POWER(n1 - (n0+n1)/2.0, 2) / ((n0+n1)/2.0), 6)
+             AS chi_square,
+           CAST(CASE WHEN
+             POWER(n0 - (n0+n1)/2.0, 2) / ((n0+n1)/2.0)
+             + POWER(n1 - (n0+n1)/2.0, 2) / ((n0+n1)/2.0) > 3.841
+           THEN 1 ELSE 0 END AS BIGINT) AS srm_detected
+    FROM w
+    """,
+)
+def q338_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the A/B-test hygiene gate that must
+    run BEFORE any effect readout (q226/q315/q316): chi-square of the
+    observed variant split against the designed 50/50; above the 3.841
+    critical value (p<0.05, 1 dof) the assignment itself is broken and
+    every downstream metric is garbage. One distinct-count aggregation,
+    then scalar arithmetic on two numbers."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("variant"), "user_id"
+    ).groupBy("variant").agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+    )
+    exp = (F.col("n0") + F.col("n1")) / 2.0
+    chi = F.pow(F.col("n0") - exp, 2) / exp + F.pow(F.col("n1") - exp, 2) / exp
+    return w.select(
+        "n0",
+        "n1",
+        F.round(chi, 6).alias("chi_square"),
+        F.when(chi > 3.841, 1).otherwise(0).cast("long").alias("srm_detected"),
+    )
+
+
+@register(
+    "q339_mutual_information",
+    oracle="""
+    WITH j AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, dow, c,
+             SUM(c) OVER (PARTITION BY event_type) AS cx,
+             SUM(c) OVER (PARTITION BY dow) AS cy,
+             SUM(c) OVER () AS n
+      FROM j
+    )
+    SELECT CAST(SUM(CAST(ROUND(
+             1000000.0 * c / n
+             * LN(CAST(c AS DOUBLE) * n / (cx * cy))) AS BIGINT)) AS BIGINT)
+             AS mi_micro_nats,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM m
+    """,
+)
+def q339_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; day-of-week) — the dependence
+    screen between two categorical columns (feature-selection /
+    leakage-detection primitive; 0 = independent). The joint table is
+    the only corpus-sized aggregation; marginals and the total are
+    windows over the |types|×|dow| cells (bounded, single-digit rows —
+    the q161 bounded-window idiom), and each cell's contribution is
+    micro-rounded BEFORE the sum so the float total is order-
+    independent. Complements q238's per-pair token PMI with the
+    single-statistic column-level view."""
+    ev = load(spark, sf_dir, "events")
+    j = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = j.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("event_type")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("dow")).alias("cy"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    term = F.round(
+        F.lit(1_000_000.0)
+        * F.col("c")
+        / F.col("n")
+        * F.log(
+            F.col("c").cast("double") * F.col("n") / (F.col("cx") * F.col("cy"))
+        )
+    ).cast("long")
+    return m.select(term.alias("t"), "n").agg(
+        F.sum("t").cast("long").alias("mi_micro_nats"),
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+
+
+@register(
+    "q340_linear_interpolation",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS t_us,
+             CAST(ROUND(value*100) AS BIGINT) AS v
+      FROM events
+    ), span AS (
+      SELECT user_id,
+             CAST(FLOOR(MIN(t_us) / 21600000000) AS BIGINT) * 21600000000
+               AS h0,
+             CAST(FLOOR(MAX(t_us) / 21600000000) AS BIGINT) * 21600000000
+               AS h1
+      FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(h0, h1, 21600000000)) AS t_us
+      FROM span
+    ), u AS (
+      SELECT user_id, t_us, v, 1 AS is_obs FROM obs
+      UNION ALL
+      SELECT user_id, t_us, NULL, 0 FROM grid
+    ), f AS (
+      SELECT user_id, t_us, is_obs,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t_us, is_obs DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, is_obs DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t_us, is_obs
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t_us, is_obs
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM u
+    )
+    SELECT user_id, t_us,
+           ROUND(CASE
+             WHEN nt IS NULL THEN CAST(pv AS DOUBLE)
+             WHEN pt IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nt = pt THEN CAST(pv AS DOUBLE)
+             ELSE pv + (nv - pv) * CAST(t_us - pt AS DOUBLE) / (nt - pt)
+           END, 6) AS interp_cents
+    FROM f WHERE is_obs = 0
+    """,
+)
+def q340_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation onto a regular 6-hour grid (the resampling
+    mode q78's forward-fill cannot express): union the observations with
+    the per-entity grid, then ONE entity-partitioned pass computes, for
+    every grid point, the surrounding observations via last/first-value
+    IGNORE NULLS windows in both directions — the standard union-spine
+    idiom, never an as-of join per grid point. Tie order (t, is_obs)
+    makes a grid point that lands ON an observation reproduce it
+    exactly; edges degrade to nearest-value. Exact integer inputs; one
+    float blend per output row."""
+    ev = load(spark, sf_dir, "events")
+    step = 21_600_000_000
+    obs = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        cents(F.col("value")).alias("v"),
+    )
+    span = obs.groupBy("user_id").agg(
+        (F.floor(F.min("t_us") / step) * step).cast("long").alias("h0"),
+        (F.floor(F.max("t_us") / step) * step).cast("long").alias("h1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.lit(step))
+        ).alias("t_us"),
+    )
+    u = obs.withColumn("is_obs", F.lit(1)).unionByName(
+        grid.select(
+            "user_id", "t_us", F.lit(None).cast("long").alias("v"),
+            F.lit(0).alias("is_obs"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us"), F.col("is_obs").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us"), F.col("is_obs"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("v").isNotNull(), F.col("t_us"))
+    f = u.select(
+        "user_id",
+        "t_us",
+        "is_obs",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("nt").isNull(), F.col("pv").cast("double"))
+        .when(F.col("pt").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("t_us") - F.col("pt")).cast("double")
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return f.filter(F.col("is_obs") == 0).select(
+        "user_id", "t_us", F.round(interp, 6).alias("interp_cents")
+    )
