@@ -18947,3 +18947,142 @@ def q340_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.filter(F.col("is_obs") == 0).select(
         "user_id", "t_us", F.round(interp, 6).alias("interp_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve, bitmap sliding MAU (q341-q342)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q341_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(FLOOR((epoch_us(MIN(ts)) - 1704067200000000)
+                  / 604800000000) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), rev AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST(FLOOR((epoch_us(e.ts) - 1704067200000000)
+                  / 604800000000) AS BIGINT) - f.cohort_week AS age_weeks,
+             CAST(ROUND(e.value*100) AS BIGINT) AS cents
+      FROM events e JOIN firsts f USING (user_id)
+    ), wk AS (
+      SELECT cohort_week, age_weeks,
+             SUM(cents) AS week_cents,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM rev GROUP BY cohort_week, age_weeks
+    ), sz AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    )
+    SELECT w.cohort_week, w.age_weeks, s.cohort_size, w.active_users,
+           CAST(SUM(w.week_cents) OVER (
+             PARTITION BY w.cohort_week ORDER BY w.age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents,
+           ROUND(CAST(SUM(w.week_cents) OVER (
+             PARTITION BY w.cohort_week ORDER BY w.age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / s.cohort_size, 6) AS ltv_cents_per_user
+    FROM wk w JOIN sz s USING (cohort_week)
+    """,
+)
+def q341_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen week,
+    cumulative revenue per cohort by week-age, normalized per cohort
+    member — the retention-economics complement to q132's count-based
+    retention matrix. Two corpus-sized aggregations (firsts, weekly
+    revenue), then windows over the tiny cohort×age grid; exact integer
+    cents until the one per-user division."""
+    ev = load(spark, sf_dir, "events")
+    # numeric epoch anchor (2024-01-01 UTC): a literal-timestamp
+    # unix_micros() breaks under the driver's TIMESTAMP_NTZ session type
+    epoch0 = F.lit(1_704_067_200_000_000)
+    week = F.floor(
+        (F.unix_micros("ts") - epoch0) / F.lit(604_800_000_000)
+    ).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    rev = ev.select(
+        "user_id", week.alias("w"), cents(F.col("value")).alias("cents")
+    ).join(firsts, "user_id")
+    wk = rev.groupBy(
+        "cohort_week", (F.col("w") - F.col("cohort_week")).alias("age_weeks")
+    ).agg(
+        F.sum("cents").alias("week_cents"),
+        F.countDistinct("user_id").cast("long").alias("active_users"),
+    )
+    sz = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = wk.join(F.broadcast(sz), "cohort_week")
+    cum = F.sum("week_cents").over(wcum)
+    return j.select(
+        "cohort_week",
+        "age_weeks",
+        "cohort_size",
+        "active_users",
+        cum.cast("long").alias("cum_cents"),
+        F.round(cum.cast("double") / F.col("cohort_size"), 6).alias(
+            "ltv_cents_per_user"
+        ),
+    )
+
+
+@register(
+    "q342_sliding_mau_bitmask",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             BIT_OR(CAST(1 AS BIGINT) << CAST(
+               FLOOR((epoch_us(ts) - 1704067200000000)
+                     / 86400000000) AS INT)) AS day_mask
+      FROM events GROUP BY user_id
+    ), off AS (SELECT UNNEST(range(24)) AS start_day)
+    SELECT start_day,
+           CAST(SUM(CASE WHEN (day_mask >> CAST(start_day AS INT)) & 127 <> 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS active_users_7d
+    FROM m, off
+    GROUP BY start_day
+    """,
+)
+def q342_sliding_mau_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding 7-day active users from per-user day BITMASKS: one
+    aggregation ORs each user's active days into a 30-bit mask (8 bytes
+    per user, the bitmap-index idea), then every window position is a
+    shift-and-mask test — 24 window answers from ONE corpus pass,
+    where the naive COUNT(DISTINCT) recomputes the corpus per window
+    (q139's rolling WAU pays a window-sized state instead). The offset
+    spine is a bounded 24-row broadcast; per (user, offset) work is
+    pure bit math."""
+    ev = load(spark, sf_dir, "events")
+    epoch0 = F.lit(1_704_067_200_000_000)
+    day_idx = F.floor(
+        (F.unix_micros("ts") - epoch0) / F.lit(86_400_000_000)
+    ).cast("int")
+    # shiftleft/shiftright take a literal bit count in the Python API;
+    # a COLUMN shift goes through expr()
+    m = (
+        ev.select("user_id", day_idx.alias("d"))
+        .select("user_id", F.expr("shiftleft(cast(1 as bigint), d)").alias("bit"))
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(bit)").alias("day_mask"))
+    )
+    off = spark.createDataFrame([(i,) for i in range(24)], ["start_day"])
+    j = m.crossJoin(F.broadcast(off))
+    active = (
+        F.expr("shiftright(day_mask, cast(start_day as int))")
+        .bitwiseAND(F.lit(127))
+        != 0
+    )
+    return j.groupBy("start_day").agg(
+        F.sum(F.when(active, 1).otherwise(0))
+        .cast("long")
+        .alias("active_users_7d")
+    )

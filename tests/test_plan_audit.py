@@ -118,6 +118,9 @@ ALLOWED_NON_EQUI = {
     "q329_association_rules",
     # deliberate 3-row broadcast horizon spine over the |users| rollup
     "q336_conversion_horizons",
+    # deliberate 24-row broadcast window-offset spine over the per-user
+    # 8-byte day-bitmask rollup
+    "q342_sliding_mau_bitmask",
     # deliberate SINGLE-ROW broadcast cross join: the (grand, vocab)
     # scalar attached to the |vocab x sources| token table
     "q207_heldout_cross_entropy",
