@@ -268,3 +268,32 @@ def test_mp4_box_walk_known_values_and_rejection(spark):
     }
     assert out[1]["parse_ok"] and out[1]["duration_ms"] == 2000 * 1
     assert not out[2]["parse_ok"] and out[2]["width"] is None
+
+
+def test_mp4_parser_never_raises_on_arbitrary_bytes():
+    """Fuzz: the box walk must REJECT (return None), never raise, on
+    arbitrary byte strings — malformed containers are routine in a
+    scraped corpus and a parser exception kills the whole task."""
+    from hypothesis import given, settings, strategies as st
+
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        parse_mp4_metadata,
+        synthesize_mp4_payload,
+    )
+
+    @given(st.binary(max_size=256))
+    @settings(max_examples=300, deadline=None)
+    def _fuzz(b):
+        out = parse_mp4_metadata(b)
+        assert out is None or isinstance(out, dict)
+
+    _fuzz()
+
+    # bit-flip fuzz over a VALID payload: any single corrupted size field
+    # must still parse-or-reject cleanly
+    base = bytearray(synthesize_mp4_payload(42))
+    for off in range(0, len(base), 7):
+        mutated = bytearray(base)
+        mutated[off] ^= 0xFF
+        out = parse_mp4_metadata(bytes(mutated))
+        assert out is None or isinstance(out, dict)
