@@ -196,6 +196,66 @@ def main() -> None:
         except Exception:
             pass  # a malformed previous file must not kill the bench
 
+    # drift vs the BEST-EVER median per query across ALL prior BENCH_r*.json
+    # at the same sf — the regression key above only compares to the PREVIOUS
+    # round, so a +20%/round creep compounds invisibly (round 4: q24 +28%,
+    # q66 +29%, q19 +18% all slid under the 0.3s absolute floor). Drift has
+    # NO absolute floor: med > 1.25x best-ever flags it regardless of how
+    # sub-second the query is.
+    drift: dict[str, dict] = {}
+    best_ever: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(os.listdir(here)):
+        if not re.fullmatch(r"BENCH_r\d+\.json", f):
+            continue
+        try:
+            with open(os.path.join(here, f)) as fh:
+                doc = json.load(fh)
+            parsed = doc.get("parsed") or doc
+            if (not isinstance(parsed, dict) or parsed.get("sf") != sf
+                    or "queries" not in parsed):
+                # older rounds wrapped the JSON line under "tail"; the
+                # driver may also have truncated the HEAD of the line, in
+                # which case recover medians from the surviving
+                # "query_runs" object (balanced-brace extraction)
+                tail = doc.get("tail", "")
+                start = tail.find('{"metric"')
+                parsed = json.loads(tail[start:]) if start >= 0 else {}
+                if parsed.get("sf") != sf:
+                    parsed = {}
+                    k = tail.find('"query_runs"')
+                    if k >= 0 and f'"sf": {sf}' in tail:
+                        b0 = tail.index("{", k)
+                        depth, b1 = 0, b0
+                        for i in range(b0, len(tail)):
+                            depth += {"{": 1, "}": -1}.get(tail[i], 0)
+                            if depth == 0:
+                                b1 = i + 1
+                                break
+                        try:
+                            qruns = json.loads(tail[b0:b1])
+                            parsed = {
+                                "queries": {
+                                    n: sorted(rs)[len(rs) // 2]
+                                    for n, rs in qruns.items()
+                                    if isinstance(rs, list) and rs
+                                }
+                            }
+                        except Exception:
+                            parsed = {}
+                    if not parsed:
+                        continue
+            for name, v in (parsed.get("queries") or {}).items():
+                v = v.get("median") if isinstance(v, dict) else v
+                if isinstance(v, (int, float)) and v > 0:
+                    best_ever[name] = min(best_ever.get(name, v), v)
+        except Exception:
+            continue
+    for name, med in times.items():
+        b = best_ever.get(name)
+        if b and med > 1.25 * b:
+            drift[name] = {"best_ever": b, "median": med, "ratio": round(med / b, 2)}
+
     # throughput probes against the published baseline shapes
     from pyspark.sql import functions as F
 
@@ -224,6 +284,8 @@ def main() -> None:
                 "queries": times,
                 "query_runs": runs,
                 "regressions": regressions,
+                "drift": drift,
+                "best_ever": best_ever,
                 "prev_bench": os.path.basename(prev_path) if prev_path else None,
                 "sf": sf,
                 "cpus": cpus,

@@ -22,8 +22,17 @@ from pyspark.sql import functions as F
 def exact_div(a: F.Column, s: F.Column) -> F.Column:
     """Exact truncate-toward-zero integer division identical in Spark
     and DuckDB: (a - a % s) / s on the absolute value, sign reapplied.
-    Both engines' % follows the dividend's sign, and the quotient stays
-    far below 2^53 so the intermediate double division is exact."""
+    Both engines' % follows the dividend's sign.
+
+    Precondition for the cross-engine bit-identity contract:
+    |a - a % s| < 2^53 — the NUMERATOR (not the quotient) must fit a
+    double's mantissa, because both engines route the division through a
+    double and an inexact numerator rounds BEFORE the divide; past that
+    point Spark's truncating cast and DuckDB's rounding cast can land on
+    different longs. Every call site here satisfies it: the power-
+    iteration rescales divide values ≤ 64·10⁶·10³ ≈ 6.4×10¹⁰ ≪ 2^53.
+    Callers with larger numerators must widen to decimal first (as
+    integer_covariance_numerators does for its sums)."""
     pos = ((a - a % s) / s).cast("long")
     neg = -(((-a) - (-a) % s) / s).cast("long")
     return F.when(a >= 0, pos).otherwise(neg)
@@ -40,8 +49,18 @@ def integer_covariance_numerators(
     One corpus pass: each row explodes its upper-triangle component
     products into a (i, j) hash aggregation; marginal sums ride a d-key
     aggregation and join back broadcast; the triangle is mirrored to the
-    full matrix with a union. int64 bounds: |a| ≤ 2·n²·(scale·max|x|)²
-    — at scale=1000 and |x|≤1 safe to n ≈ 10⁹ rows.
+    full matrix with a union.
+
+    Overflow envelope: per-row products are ≤ (scale·max|x|)² = 10¹²
+    (long-safe), but the SUMS and the n·S_ij − S_i·S_j combination are
+    carried in decimal(38,0) — exact to n ≈ 10¹⁶ — because the int64
+    worst case |a| ≤ 2·n²·(scale·max|x|)² already overflows at
+    n ≈ 2.1×10⁶ (NOT 10⁹: 2×10⁶·n² > 2⁶³ ⇒ n > 2.1×10⁶), and Spark
+    would wrap silently while DuckDB's hugeint sums stay exact. The
+    final cast of ``a`` back to long is the guard: it requires the
+    ANSWER itself to fit int64 (|a| < 9.2×10¹⁸, guaranteed for
+    n ≤ 2.1×10⁶ and data-dependent beyond), and under Spark's default
+    ANSI mode an overflowing cast fails loudly instead of wrapping.
     """
     vv = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
@@ -61,7 +80,7 @@ def integer_covariance_numerators(
             ).alias("e")
         )
         .groupBy(F.col("e.i").alias("i"))
-        .agg(F.sum("e.x").alias("s"))
+        .agg(F.sum(F.col("e.x").cast("decimal(38,0)")).alias("s"))
     )
     pairs = (
         rows.select(
@@ -85,9 +104,9 @@ def integer_covariance_numerators(
             ).alias("e")
         )
         .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
-        .agg(F.sum("e.p").alias("sij"))
+        .agg(F.sum(F.col("e.p").cast("decimal(38,0)")).alias("sij"))
     )
-    n1 = rows.agg(F.count(F.lit(1)).alias("n"))
+    n1 = rows.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
     tri = (
         pairs.crossJoin(F.broadcast(n1))
         .join(F.broadcast(marg.select(F.col("i"), F.col("s").alias("_sa"))), "i")
@@ -98,7 +117,9 @@ def integer_covariance_numerators(
         .select(
             "i",
             "j",
-            (F.col("n") * F.col("sij") - F.col("_sa") * F.col("_sb")).alias("a"),
+            (F.col("n") * F.col("sij") - F.col("_sa") * F.col("_sb"))
+            .cast("long")
+            .alias("a"),
         )
     )
     return tri.unionByName(

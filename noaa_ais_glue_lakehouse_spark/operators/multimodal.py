@@ -664,10 +664,37 @@ def synthesize_mp4_payload(vid: int) -> bytes:
     return ftyp + moov + mdat
 
 
+def _box_header(b: bytes, off: int, end: int, top_level: bool) -> tuple | None:
+    """Decode one ISO-BMFF box header at ``off`` (scope-bounded by
+    ``end``): returns ``(total_box_size, header_len)`` covering all
+    three spec size encodings (ISO/IEC 14496-12 §4.2) — plain 32-bit,
+    ``size==1`` ⇒ 64-bit largesize occupies bytes 8..16, and ``size==0``
+    ⇒ box extends to end of file (legal only for a TOP-LEVEL box).
+    Returns None for malformed headers (truncated largesize, size
+    smaller than its own header, or size overrunning the scope)."""
+    size = _be32(b, off)
+    hdr = 8
+    if size == 1:
+        if off + 16 > end:
+            return None
+        size = int.from_bytes(b[off + 8 : off + 16], "big")
+        hdr = 16
+    elif size == 0:
+        if not top_level:
+            return None
+        size = end - off
+    if size < hdr or off + size > end:
+        return None
+    return size, hdr
+
+
 def parse_mp4_metadata(payload: bytes) -> dict | None:
     """Walk the top-level box tree; return mvhd timescale/duration, the
     first video track's 16.16 dimensions, and the track count — or None
-    when the payload is not ISO-BMFF (no well-formed ftyp/moov walk)."""
+    when the payload is not ISO-BMFF (no well-formed ftyp/moov walk).
+    Handles all three spec size encodings via ``_box_header`` (64-bit
+    largesize boxes and a final size==0 to-EOF box included), so
+    spec-valid real-world files aren't rejected as unparseable."""
     n = len(payload)
     if n < 16:
         return None
@@ -676,34 +703,37 @@ def parse_mp4_metadata(payload: bytes) -> dict | None:
     saw_ftyp = saw_moov = False
     off = 0
     while off + 8 <= n:
-        size = _be32(payload, off)
-        typ = payload[off + 4 : off + 8]
-        if size < 8 or off + size > n:
+        bh = _box_header(payload, off, n, True)
+        if bh is None:
             return None
+        size, hdr = bh
+        typ = payload[off + 4 : off + 8]
         if typ == b"ftyp":
             saw_ftyp = True
         elif typ == b"moov":
             saw_moov = True
-            coff = off + 8
+            coff = off + hdr
             while coff + 8 <= off + size:
-                csize = _be32(payload, coff)
-                ctyp = payload[coff + 4 : coff + 8]
-                if csize < 8 or coff + csize > off + size:
+                cbh = _box_header(payload, coff, off + size, False)
+                if cbh is None:
                     return None
-                if ctyp == b"mvhd" and csize >= 8 + 20:
-                    body = coff + 8
+                csize, chdr = cbh
+                ctyp = payload[coff + 4 : coff + 8]
+                if ctyp == b"mvhd" and csize >= chdr + 20:
+                    body = coff + chdr
                     out["timescale"] = _be32(payload, body + 12)
                     out["duration"] = _be32(payload, body + 16)
                 elif ctyp == b"trak":
                     out["n_tracks"] += 1
-                    toff = coff + 8
+                    toff = coff + chdr
                     while toff + 8 <= coff + csize:
-                        tsize = _be32(payload, toff)
-                        ttyp = payload[toff + 4 : toff + 8]
-                        if tsize < 8 or toff + tsize > coff + csize:
+                        tbh = _box_header(payload, toff, coff + csize, False)
+                        if tbh is None:
                             return None
-                        if ttyp == b"tkhd" and tsize >= 8 + 84:
-                            body = toff + 8
+                        tsize, thdr = tbh
+                        ttyp = payload[toff + 4 : toff + 8]
+                        if ttyp == b"tkhd" and tsize >= thdr + 84:
+                            body = toff + thdr
                             if out["width"] is None:
                                 out["width"] = _be32(payload, body + 76) >> 16
                                 out["height"] = _be32(payload, body + 80) >> 16

@@ -160,8 +160,12 @@ def count_min_cells(
 def count_min_estimate(
     keys: DataFrame, key_col: str, cells: DataFrame, depth: int = 4, width: int = 2048
 ) -> DataFrame:
-    """Point-estimate each key against CM cells: min over the key's
-    ``depth`` cells (missing cell ⇒ 0). Appends ``est_count``; the
+    """Point-estimate keys against CM cells: min over the key's
+    ``depth`` cells (missing cell ⇒ 0). Returns a two-column frame
+    ``(key_col, est_count)`` with ONE ROW PER DISTINCT KEY — other
+    columns of ``keys`` are dropped and duplicate keys collapse (the
+    groupBy is the probe); callers needing the estimate alongside a
+    wider frame should join the result back on ``key_col``. The
     estimate never under-counts (CM guarantee), so ``est_count ≥`` the
     true frequency — pinned in tests/test_sketches.py.
     """

@@ -19038,12 +19038,15 @@ def q341_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q342_sliding_mau_bitmask",
     oracle="""
-    WITH m AS (
+    WITH d AS (
       SELECT user_id,
-             BIT_OR(CAST(1 AS BIGINT) << CAST(
-               FLOOR((epoch_us(ts) - 1704067200000000)
-                     / 86400000000) AS INT)) AS day_mask
-      FROM events GROUP BY user_id
+             CAST(FLOOR((epoch_us(ts) - 1704067200000000)
+                        / 86400000000) AS INT) AS day_idx
+      FROM events
+    ), m AS (
+      SELECT user_id,
+             BIT_OR(CAST(1 AS BIGINT) << day_idx) AS day_mask
+      FROM d WHERE day_idx BETWEEN 0 AND 63 GROUP BY user_id
     ), off AS (SELECT UNNEST(range(24)) AS start_day)
     SELECT start_day,
            CAST(SUM(CASE WHEN (day_mask >> CAST(start_day AS INT)) & 127 <> 0
@@ -19060,7 +19063,10 @@ def q342_sliding_mau_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the naive COUNT(DISTINCT) recomputes the corpus per window
     (q139's rolling WAU pays a window-sized state instead). The offset
     spine is a bounded 24-row broadcast; per (user, offset) work is
-    pure bit math."""
+    pure bit math. Day indices outside [0, 63] are filtered out in BOTH
+    engines before the shift — a 64-bit mask can only carry 64 days, and
+    an unguarded 1<<d wraps mod 64 in Spark while DuckDB yields 0/error,
+    silently corrupting counts if the events window ever moves."""
     ev = load(spark, sf_dir, "events")
     epoch0 = F.lit(1_704_067_200_000_000)
     day_idx = F.floor(
@@ -19070,6 +19076,7 @@ def q342_sliding_mau_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a COLUMN shift goes through expr()
     m = (
         ev.select("user_id", day_idx.alias("d"))
+        .filter(F.col("d").between(0, 63))
         .select("user_id", F.expr("shiftleft(cast(1 as bigint), d)").alias("bit"))
         .groupBy("user_id")
         .agg(F.expr("bit_or(bit)").alias("day_mask"))

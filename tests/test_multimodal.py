@@ -297,3 +297,49 @@ def test_mp4_parser_never_raises_on_arbitrary_bytes():
         mutated[off] ^= 0xFF
         out = parse_mp4_metadata(bytes(mutated))
         assert out is None or isinstance(out, dict)
+
+
+def test_mp4_largesize_and_to_eof_boxes():
+    """ISO/IEC 14496-12 §4.2's other two size encodings are spec-valid
+    and must parse, not reject: size==1 (64-bit largesize header) and a
+    final top-level size==0 (extends to EOF). Both appear in real-world
+    files (>4 GiB mdat; streamed writers)."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        parse_mp4_metadata,
+        synthesize_mp4_payload,
+    )
+
+    base = synthesize_mp4_payload(5)
+    want = parse_mp4_metadata(base)
+    assert want is not None
+
+    def largesize_box(typ: bytes, payload: bytes) -> bytes:
+        return (
+            (1).to_bytes(4, "big")
+            + typ
+            + (16 + len(payload)).to_bytes(8, "big")
+            + payload
+        )
+
+    # rebuild id-5's file with a largesize mdat appended
+    with_large = base + largesize_box(b"mdat", bytes(32))
+    assert parse_mp4_metadata(with_large) == want
+
+    # final top-level box with size==0: extends to EOF
+    to_eof = base + (0).to_bytes(4, "big") + b"mdat" + bytes(100)
+    assert parse_mp4_metadata(to_eof) == want
+
+    # size==0 on a NON-final prefix would overrun nothing (it absorbs the
+    # rest) — but size==0 NESTED inside moov is illegal and must reject
+    moov_off = base.find(b"moov") - 4
+    corrupt = bytearray(base)
+    corrupt[moov_off + 8 : moov_off + 12] = (0).to_bytes(4, "big")
+    assert parse_mp4_metadata(bytes(corrupt)) is None
+
+    # truncated largesize header (only 12 of 16 bytes) must reject
+    trunc = base + (1).to_bytes(4, "big") + b"mdat" + bytes(4)
+    assert parse_mp4_metadata(trunc) is None
+
+    # largesize smaller than its own 16-byte header must reject
+    bad = base + (1).to_bytes(4, "big") + b"mdat" + (8).to_bytes(8, "big")
+    assert parse_mp4_metadata(bad) is None

@@ -15,13 +15,36 @@ confs that were only set in the session factory; hostile mode makes that
 failure class reproducible locally. The dtype + hash checks under --hostile
 strictly dominate the driver's gate.
 
-Usage: python tools/selfcheck.py [--hostile] [sf_dir] [query_name ...]
+``--workers N`` fans the catalog out over N subprocesses (each with its own
+JVM + DuckDB connection); the PARENT is the single stdout writer, printing
+one flushed result line per query, so the committed artifact can never lose
+lines to interleaved/unflushed streams (the round-4 SELFCHECK_r4.txt defect:
+~20 result lines per section vanished under ``2>&1 | grep``). Any query a
+worker was assigned but never reported — crash, OOM, kill — is printed as an
+explicit FAIL line, so printed lines ALWAYS equal assigned queries and the
+footer is checkable with ``grep -c``. The footer carries the arithmetic:
+``SELFCHECK-VALID printed=N expected=N MATCH``.
+
+Oracle results (the DuckDB side — CC/pair-verify queries dominate the sweep
+wall) are cached under ``.selfcheck_cache/`` keyed by (query name, sf dir,
+oracle SQL text, parquet file sizes+mtimes); a cache hit skips only the
+DuckDB run, never the Spark side. On any comparison problem the oracle is
+re-run live before declaring FAIL, so a stale cache can only cost time,
+not correctness. ``--no-cache`` disables it.
+
+Usage:
+  python tools/selfcheck.py [--hostile] [--workers N] [--no-cache]
+                            [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 TABLES = [
@@ -36,6 +59,9 @@ TABLES = [
     "documents",
     "embeddings",
 ]
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".selfcheck_cache")
 
 
 def _canon_cell(v) -> str:
@@ -127,18 +153,18 @@ def oracle_dtypes(con, sql: str) -> dict[str, str]:
     return {f.name.lower(): _canon_arrow_dtype(f.type) for f in schema}
 
 
-def hostile_spark():
+def hostile_spark(n_threads: int = 16):
     """An adversarial stand-in for the external driver's SparkSession: no
     factory confs, non-UTC tz, NTZ session timestamp type. Everything the
     engine needs must be (re)settable at call time for this to pass."""
     from pyspark.sql import SparkSession
 
     return (
-        SparkSession.builder.master("local[16]")
+        SparkSession.builder.master(f"local[{n_threads}]")
         .appName("selfcheck-hostile")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
-        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.shuffle.partitions", str(n_threads))
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -157,19 +183,171 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--hostile"]
-    hostile = "--hostile" in sys.argv[1:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+# ---------------------------------------------------------------------------
+# Oracle-side cache
+# ---------------------------------------------------------------------------
 
+
+def _sf_fingerprint(sf_dir: str) -> str:
+    parts = []
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            parts.append(f"{t}:missing")
+    return "|".join(parts)
+
+
+def _cache_key(name: str, sf_dir: str, sql: str) -> str:
+    h = hashlib.sha256()
+    h.update(name.encode())
+    h.update(b"\0")
+    h.update(os.path.abspath(sf_dir).encode())
+    h.update(b"\0")
+    h.update(sql.encode())
+    h.update(b"\0")
+    h.update(_sf_fingerprint(sf_dir).encode())
+    return h.hexdigest()[:32]
+
+
+def _cache_get(key: str):
+    try:
+        with open(os.path.join(CACHE_DIR, key + ".json")) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _cache_put(key: str, entry: dict) -> None:
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = os.path.join(CACHE_DIR, key + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, os.path.join(CACHE_DIR, key + ".json"))
+    except Exception:
+        pass
+
+
+def _run_oracle(con, sql: str):
+    """Live DuckDB run → (n_rows, cols, dtypes, hash, rows)."""
+    res = con.execute(sql)
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    odtypes = oracle_dtypes(con, sql)
+    return len(orows), ocols, odtypes, value_hash(orows, ocols), orows
+
+
+# ---------------------------------------------------------------------------
+# Single-query check
+# ---------------------------------------------------------------------------
+
+
+def check_one(name, fn, oracles, spark, con, sf_dir, use_cache=True) -> dict:
+    """Run one catalog query against its oracle. Returns a result dict:
+    {name, status: PASS|FAIL|ROWS, rows, secs, detail: [lines]}."""
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = [c.lower() for c in sdf.columns]
+        sdtypes = {c.lower(): _canon_spark_dtype(t) for c, t in sdf.dtypes}
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        return {"name": name, "status": "FAIL", "rows": 0,
+                "secs": round(time.time() - t0, 1),
+                "detail": [f"spark error: {e}"[:500]]}
+    if name not in oracles:
+        return {"name": name, "status": "ROWS", "rows": len(srows),
+                "secs": round(time.time() - t0, 1), "detail": []}
+    sql = oracles[name]
+
+    cached = _cache_get(_cache_key(name, sf_dir, sql)) if use_cache else None
+    if cached is not None:
+        on, ocols, odtypes, ohash = (
+            cached["n"], cached["cols"], cached["dtypes"], cached["hash"])
+        problems = _compare(srows, scols, sdtypes, on, ocols, odtypes, ohash)
+        if not problems:
+            return {"name": name, "status": "PASS", "rows": len(srows),
+                    "secs": round(time.time() - t0, 1), "detail": [],
+                    "cached_oracle": True}
+        # a stale/foul cache must never produce a FAIL: fall through to live
+
+    try:
+        on, ocols, odtypes, ohash, orows = _run_oracle(con, sql)
+    except Exception as e:
+        return {"name": name, "status": "FAIL", "rows": len(srows),
+                "secs": round(time.time() - t0, 1),
+                "detail": [f"duckdb error: {e}"[:500]]}
+    if use_cache:
+        _cache_put(_cache_key(name, sf_dir, sql),
+                   {"n": on, "cols": ocols, "dtypes": odtypes, "hash": ohash})
+    problems = _compare(srows, scols, sdtypes, on, ocols, odtypes, ohash)
+    if problems and "value-hash mismatch" in problems[0]:
+        problems += _sample_diff(srows, scols, orows, ocols)
+    if problems:
+        return {"name": name, "status": "FAIL", "rows": len(srows),
+                "secs": round(time.time() - t0, 1), "detail": problems}
+    return {"name": name, "status": "PASS", "rows": len(srows),
+            "secs": round(time.time() - t0, 1), "detail": []}
+
+
+def _compare(srows, scols, sdtypes, on, ocols, odtypes, ohash) -> list[str]:
+    problems = []
+    if len(srows) != on:
+        problems.append(f"rowcount spark={len(srows)} oracle={on}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    else:
+        for c in scols:
+            if c in odtypes and sdtypes[c] != odtypes[c]:
+                problems.append(f"dtype[{c}] spark={sdtypes[c]} oracle={odtypes[c]}")
+    if not problems and value_hash(srows, scols) != ohash:
+        problems.append("value-hash mismatch")
+    return problems
+
+
+def _sample_diff(srows, scols, orows, ocols) -> list[str]:
+    so = sorted(
+        "|".join(_canon_cell(r[i])
+                 for i in sorted(range(len(scols)), key=lambda i: scols[i]))
+        for r in srows
+    )
+    oo = sorted(
+        "|".join(_canon_cell(r[i])
+                 for i in sorted(range(len(ocols)), key=lambda i: ocols[i]))
+        for r in orows
+    )
+    for a, b in zip(so, oo):
+        if a != b:
+            return [f"  spark : {a[:200]}", f"  oracle: {b[:200]}"]
+    return []
+
+
+def _emit(res: dict) -> None:
+    tag = {"PASS": "PASS", "FAIL": "FAIL", "ROWS": "ROWS"}[res["status"]]
+    suffix = " (no oracle)" if res["status"] == "ROWS" else ""
+    cache = " (cached-oracle)" if res.get("cached_oracle") else ""
+    print(f"{tag}  {res['name']}: {res['rows']} rows{suffix} "
+          f"[{res['secs']}s]{cache}", flush=True)
+    for p in res.get("detail", []):
+        print(p, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Worker / parent modes
+# ---------------------------------------------------------------------------
+
+
+def run_inline(names, hostile, sf_dir, use_cache, json_out, n_threads=16) -> list[dict]:
     import duckdb
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
 
     if hostile:
-        spark = hostile_spark()
+        spark = hostile_spark(n_threads)
     else:
         from noaa_ais_glue_lakehouse_spark.session import get_spark
 
@@ -179,86 +357,122 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = n_rowsonly = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = [c.lower() for c in sdf.columns]
-            sdtypes = {c.lower(): _canon_spark_dtype(t) for c, t in sdf.dtypes}
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            n_rowsonly += 1
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0].lower() for d in res.description]
-            orows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    results = []
+    for name in names:
+        if name not in qs:
+            res = {"name": name, "status": "FAIL", "rows": 0, "secs": 0.0,
+                   "detail": ["unknown query name"]}
         else:
-            try:
-                odtypes = oracle_dtypes(con, oracles[name])
-            except Exception as e:
-                odtypes = {}
-                problems.append(f"oracle dtype probe failed: {e}")
-            for c in scols:
-                if c in odtypes and sdtypes[c] != odtypes[c]:
-                    problems.append(
-                        f"dtype[{c}] spark={sdtypes[c]} oracle={odtypes[c]}"
-                    )
-        if not problems:
-            sh = value_hash(srows, scols)
-            oh = value_hash(orows, ocols)
-            if sh != oh:
-                problems.append("value-hash mismatch")
-                # show a sample diff
-                so = sorted(
-                    "|".join(
-                        _canon_cell(r[i])
-                        for i in sorted(range(len(scols)), key=lambda i: scols[i])
-                    )
-                    for r in srows
-                )
-                oo = sorted(
-                    "|".join(
-                        _canon_cell(r[i])
-                        for i in sorted(range(len(ocols)), key=lambda i: ocols[i])
-                    )
-                    for r in orows
-                )
-                for a, b in zip(so, oo):
-                    if a != b:
-                        problems.append(f"  spark : {a[:200]}")
-                        problems.append(f"  oracle: {b[:200]}")
-                        break
-        if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
-            for p in problems[1:]:
-                print(p)
-            n_fail += 1
+            res = check_one(name, qs[name], oracles, spark, con, sf_dir, use_cache)
+        results.append(res)
+        if json_out:
+            print(json.dumps(res), flush=True)
         else:
-            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
-            n_pass += 1
+            _emit(res)
+    return results
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+
+def run_parallel(names, hostile, sf_dir, use_cache, workers) -> list[dict]:
+    """Fan queries over worker subprocesses; the parent is the only stdout
+    writer. Chunks are round-robin (heavy families are adjacent in catalog
+    order, so striding spreads them). A worker that dies mid-chunk yields
+    explicit FAIL rows for every unreported query of its chunk."""
+    chunks = [names[i::workers] for i in range(workers)]
+    chunks = [c for c in chunks if c]
+    threads_per_worker = max(4, 32 // max(1, len(chunks)))
+    results: dict[str, dict] = {}
+    lock = threading.Lock()
+
+    def _drive(chunk):
+        cmd = [sys.executable, "-u", os.path.abspath(__file__), "--json",
+               f"--spark-threads={threads_per_worker}"]
+        if hostile:
+            cmd.append("--hostile")
+        if not use_cache:
+            cmd.append("--no-cache")
+        cmd.append(sf_dir)
+        cmd.extend(chunk)
+        logp = os.path.join(CACHE_DIR, f"worker_{os.getpid()}_{chunks.index(chunk)}.log")
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        with open(logp, "wb") as log:
+            proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=log,
+                                    cwd=os.path.dirname(os.path.dirname(
+                                        os.path.abspath(__file__))))
+            for line in proc.stdout:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    res = json.loads(line)
+                except Exception:
+                    continue
+                with lock:
+                    results[res["name"]] = res
+                    _emit(res)
+            proc.wait()
+        for name in chunk:
+            if name not in results:
+                res = {"name": name, "status": "FAIL", "rows": 0, "secs": 0.0,
+                       "detail": [f"worker exited (rc={proc.returncode}) before "
+                                  f"reporting this query — see {logp}"]}
+                with lock:
+                    results[name] = res
+                    _emit(res)
+
+    ts = [threading.Thread(target=_drive, args=(c,)) for c in chunks]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return [results[n] for n in names if n in results]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    hostile = "--hostile" in args
+    json_out = "--json" in args
+    use_cache = "--no-cache" not in args
+    workers = 1
+    n_threads = 16
+    rest = []
+    for a in args:
+        if a.startswith("--workers"):
+            workers = int(a.split("=", 1)[1] if "=" in a else a.replace("--workers", ""))
+        elif a.startswith("--spark-threads="):
+            n_threads = int(a.split("=", 1)[1])
+        elif a in ("--hostile", "--json", "--no-cache"):
+            pass
+        else:
+            rest.append(a)
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    only = rest[1:]
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+
+    all_names = list(entrymod.queries().keys())
+    names = [n for n in all_names if not only or n in only]
+    # names given on the CLI but unknown to the catalog still get a line
+    names += [n for n in only if n not in all_names]
+
+    if workers > 1 and not json_out:
+        results = run_parallel(names, hostile, sf_dir, use_cache, workers)
+    else:
+        results = run_inline(names, hostile, sf_dir, use_cache, json_out, n_threads)
+
+    n_pass = sum(1 for r in results if r["status"] == "PASS")
+    n_fail = sum(1 for r in results if r["status"] == "FAIL")
+    n_rows = sum(1 for r in results if r["status"] == "ROWS")
+    if not json_out:
+        print(f"\n{n_pass} pass, {n_fail} fail, {n_rows} rows-only", flush=True)
+        printed = n_pass + n_fail + n_rows
+        verdict = "MATCH" if printed == len(names) else "MISMATCH"
+        print(f"SELFCHECK-VALID printed={printed} expected={len(names)} {verdict}",
+              flush=True)
+        if verdict != "MATCH":
+            return 2
     return 1 if n_fail else 0
 
 
