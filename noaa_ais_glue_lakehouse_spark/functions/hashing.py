@@ -93,6 +93,50 @@ def simhash64(tokens: Column) -> Column:
     return out
 
 
+def simhash64_portable(tokens: Column) -> Column:
+    """64-bit SimHash whose per-token hash is ``md5`` hex — computable
+    bit-identically in DuckDB (or any engine with md5/strpos), which
+    makes a SimHash pipeline hash-oracle-checkable END-TO-END: the
+    q284 cross-engine hash-family trick applied to near-dup detection.
+    ``simhash64`` (xxhash64-based) stays the default production kernel;
+    this variant trades a slightly costlier per-token hash for
+    auditability.
+
+    Bit ``b``'s vote reads bit ``b%4`` of hex nibble ``b//4`` of each
+    token's md5 (nibble value via ``conv(hexchar,16,10)`` here /
+    ``strpos('0123456789abcdef', c)-1`` in SQL — identical results).
+    Vote > 0 ⇒ bit set. Bit 63's mask is the literal −2⁶³ (both engines
+    reject ``1<<63`` or wrap it; a literal is unambiguous). Empty token
+    arrays yield simhash 0 in both engines (empty-sum ⇒ all votes 0).
+    """
+    hexes = F.transform(tokens, lambda t: F.md5(t))
+
+    def _voter(nib: int, sh: int):
+        # Strictly 2-arg merge lambda: nib/sh must be closed over, not
+        # defaulted — PySpark counts defaulted params in the HOF arity.
+        def _vote(acc, h):
+            v = F.conv(F.substring(h, nib, 1), 16, 10).cast("int")
+            return acc + F.when(
+                F.shiftright(v, sh).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return _vote
+
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(hexes, F.lit(0).cast("long"), _voter(b // 4 + 1, b % 4))
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        bits.append(
+            F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for p in bits[1:]:
+        out = out.bitwiseOR(p)
+    return out
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit longs via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))

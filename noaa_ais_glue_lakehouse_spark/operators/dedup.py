@@ -18,6 +18,7 @@ from noaa_ais_glue_lakehouse_spark.functions.hashing import (
     content_fingerprint,
     hamming64,
     simhash64,
+    simhash64_portable,
 )
 from noaa_ais_glue_lakehouse_spark.functions.text import char_ngrams, tokenize
 
@@ -743,6 +744,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     n_blocks: int = 4,
     materialize_index: bool = True,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
@@ -751,14 +753,21 @@ def simhash_near_duplicates(
     identical block (pigeonhole), so candidates come from equi-joins on
     (block_idx, block_value) — no cross join. Verify with bit_count(xor).
     Pigeonhole requires ``n_blocks > max_hamming`` — enforced here rather
-    than silently losing recall.
+    than silently losing recall: with n_blocks > d, a pair at Hamming d
+    has at least one block its d differing bits never touch, so LSH
+    recall is exactly 1.0 and the output EQUALS the brute-force answer —
+    which is why ``portable_hash=True`` (md5-based
+    :func:`simhash64_portable` instead of xxhash64) makes the whole
+    pipeline hash-oracle-checkable: a DuckDB oracle can rebuild the
+    identical simhashes and enumerate the identical pair set.
     """
     if max_hamming >= n_blocks:
         raise ValueError(
             f"pigeonhole needs n_blocks > max_hamming ({n_blocks} <= {max_hamming}): "
             "raise n_blocks or lower max_hamming"
         )
-    sh = simhash64(tokenize(F.col(text_col)))
+    toks = tokenize(F.col(text_col))
+    sh = simhash64_portable(toks) if portable_hash else simhash64(toks)
     sigs = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), sh.alias("_simhash")
     )

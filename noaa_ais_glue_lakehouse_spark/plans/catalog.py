@@ -926,11 +926,68 @@ def q27_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q28_simhash_near_dups")  # rows-only: xxhash64 not expressible in the oracle
+def _simhash_md5_oracle(max_hamming: int = 3, n_blocks: int = 4) -> str:
+    """DuckDB oracle that rebuilds simhash64_portable BIT-IDENTICALLY
+    (md5 nibble votes; bit-63 mask is the literal −2⁶³ — emitted FIRST so
+    the + chain's partial sums stay inside int64) and enumerates the
+    SAME pair set: with n_blocks > max_hamming the pigeonhole blocking
+    has recall exactly 1.0, so block-join candidates + Hamming verify
+    equals brute force, and the whole LSH pipeline is hash-checkable."""
+    terms = []
+    for b in range(63, -1, -1):
+        nib, sh = b // 4 + 1, b % 4
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        vote = (
+            f"coalesce(list_sum(list_transform(hx, h -> CASE WHEN "
+            f"((strpos('0123456789abcdef', h[{nib}]) - 1) >> {sh}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)), 0)"
+        )
+        terms.append(
+            f"(CASE WHEN {vote} > 0 THEN CAST({mask} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    sim_expr = "\n        + ".join(terms)
+    bits = 64 // n_blocks
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), hxs AS (
+      SELECT doc_id, list_transform(tk, t -> md5(t)) AS hx FROM toks
+    ), sims AS (
+      SELECT doc_id, ({sim_expr}) AS sim FROM hxs
+    ), off AS (SELECT UNNEST(range({n_blocks})) AS bi),
+    blocks AS (
+      SELECT doc_id, sim, bi,
+             (sim >> CAST(bi * {bits} AS INT)) & {(1 << bits) - 1} AS bv
+      FROM sims, off
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sim AS sa, b.sim AS sb
+      FROM blocks a JOIN blocks b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@register("q28_simhash_near_dups", oracle=_simhash_md5_oracle(3, 4))
 def q28_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via block-permutation LSH + Hamming verify."""
+    """SimHash near-dup pairs via block-permutation LSH + Hamming verify
+    — FULLY hash-oracle-checked since round 5: the md5-based portable
+    hash family (functions/hashing.py simhash64_portable, the q284
+    cross-engine trick) lets DuckDB rebuild identical simhashes, and
+    pigeonhole blocking's exact recall makes the LSH output equal brute
+    force, so the oracle enumerates the identical pair set end-to-end.
+    xxhash64 simhash (the marginally cheaper production kernel) keeps
+    its own recall/Hamming pins in tests/test_dedup.py."""
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=3, portable_hash=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -335,3 +335,47 @@ def test_chunk_stitch_detect_finds_split_docs(spark, tmp_path):
     df.write.parquet(f"{d}/documents.parquet")
     out = queries()["q303_chunk_stitch_detect"](spark, d).collect()
     assert [(r["tail_doc"], r["head_doc"]) for r in out] == [(1, 2)]
+
+
+def test_simhash_portable_equals_brute_force(spark):
+    """portable_hash=True (md5 family, q28's oracle-checkable kernel):
+    the blocked LSH output must EQUAL brute-force Hamming enumeration —
+    pigeonhole recall is exactly 1.0, the property the DuckDB oracle
+    relies on — and near-identical docs must still pair."""
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.functions.hashing import (
+        hamming64,
+        simhash64_portable,
+    )
+    from noaa_ais_glue_lakehouse_spark.functions.text import tokenize
+
+    rows = [(i, f"common prefix tokens shared by all docs variant w{i % 4}")
+            for i in range(1, 13)] + [(13, "something else entirely here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_duplicates(
+            df, "doc_id", "text", max_hamming=3, portable_hash=True
+        ).collect()
+    }
+
+    sigs = df.select(
+        "doc_id", simhash64_portable(tokenize(F.col("text"))).alias("s")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.s"), F.col("b.s")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    # identical texts pair at hamming 0
+    assert any(h == 0 for (_, _, h) in got)
