@@ -57,14 +57,42 @@ from noaa_ais_glue_lakehouse_spark.operators.state import merge_state_full_outer
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
 _BASELINE_ONLY: set[str] = set()
+_ALLOW_NON_EQUI: dict[str, str] = {}
+_BUILD_TIME_EXEC: dict[str, str] = {}
 
 
-def register(name: str, oracle: str | None = None, baseline_only: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    baseline_only: bool = False,
+    allow_non_equi: str | None = None,
+    build_time_exec: str | None = None,
+):
     """``baseline_only=True`` marks a deliberately O(n²) oracle anchor
     (brute-force ground truth for an LSH/prefix-filter scale path). Such
     queries stay in the catalog so the scale paths keep a measurable
     recall target, but downstream runners — and the plan-audit cartesian
-    scan — treat them as non-production surfaces."""
+    scan — treat them as non-production surfaces.
+
+    ``allow_non_equi`` exempts the query from the plan audit's
+    accidental-cartesian scan; the value MUST be a reason string
+    explaining why the non-equi/cross join is deliberate and bounded
+    (e.g. a 1-row scalar broadcast). The justification lives HERE, next
+    to the query it describes — the audit derives its allowlist from the
+    registry instead of a hand-maintained test-file set.
+
+    ``build_time_exec`` (also a mandatory reason string) marks queries
+    that execute driver-side work at plan-BUILD time (iterative
+    components, k-means/BPE training rounds); the sweeping plan scan
+    skips building them for speed, and their plans are pinned by their
+    own recall/oracle tests instead."""
+    for flag, label in ((allow_non_equi, "allow_non_equi"),
+                        (build_time_exec, "build_time_exec")):
+        if flag is not None and (not isinstance(flag, str) or len(flag) < 15):
+            raise ValueError(
+                f"register({name!r}): {label} must be a substantive reason "
+                f"string, got {flag!r}"
+            )
 
     def deco(fn):
         _QUERIES[name] = fn
@@ -72,6 +100,10 @@ def register(name: str, oracle: str | None = None, baseline_only: bool = False):
             _ORACLES[name] = oracle
         if baseline_only:
             _BASELINE_ONLY.add(name)
+        if allow_non_equi is not None:
+            _ALLOW_NON_EQUI[name] = allow_non_equi
+        if build_time_exec is not None:
+            _BUILD_TIME_EXEC[name] = build_time_exec
         return fn
 
     return deco
@@ -89,6 +121,18 @@ def baseline_only_queries() -> set[str]:
     """Names registered with ``baseline_only=True`` — deliberate
     brute-force oracle anchors, never production paths."""
     return set(_BASELINE_ONLY)
+
+
+def allow_non_equi_queries() -> dict[str, str]:
+    """name → reason for every query registered with a justified
+    non-equi/cross join (bounded scalar broadcasts, literal spines)."""
+    return dict(_ALLOW_NON_EQUI)
+
+
+def build_time_exec_queries() -> dict[str, str]:
+    """name → reason for every query that runs driver-side work at
+    plan-build time (iterative/trained operators)."""
+    return dict(_BUILD_TIME_EXEC)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1143,7 +1187,7 @@ _COSINE_ORACLE = """
 """
 
 
-@register("q32_cosine_topk", oracle=_COSINE_ORACLE)
+@register("q32_cosine_topk", allow_non_equi="broadcast-cross-join top-k whose query side is bounded by construction (the query set broadcasts; corpus side is linear)", oracle=_COSINE_ORACLE)
 def q32_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: queries broadcast against the
     corpus, native zip_with/aggregate dot products, deterministic ranks.
@@ -1472,10 +1516,18 @@ def q43_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q44_image_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal — Arrow-batched ``mapInPandas`` decode plumbing with the
-    deterministic stub decoder (no imaging library in this environment);
-    the oracle reproduces the stub in SQL so schema + batch handling are
-    hash-checked, not just row-counted."""
+    """Multimodal — Arrow-batched ``mapInPandas`` decode plumbing run in
+    ``use_stub=True`` mode. NAMING NOTE: "stub" here is the
+    ORACLE-REPRODUCIBILITY mode, not a placeholder decoder — the REAL
+    header decoders (PNG/JPEG/GIF/BMP byte parsing) exist in
+    ``operators/multimodal.py`` and are hash-checked by q259 over
+    synthesized-valid payloads. This entry deliberately feeds arbitrary
+    (non-image) bytes through the same mapInPandas pipeline with the
+    deterministic fake decoder, because arbitrary bytes have no real
+    header to parse yet the SQL oracle must still reproduce every output
+    value — it pins the Arrow batch plumbing, schema, and null handling
+    independently of decode logic. The name is kept for driver-gate
+    continuity (the per-round CORRECTNESS artifacts key on it)."""
     from noaa_ais_glue_lakehouse_spark.operators.multimodal import decode_images
 
     docs = load(spark, sf_dir, "documents").select(
@@ -1817,7 +1869,7 @@ def q54_seeded_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q55_ivf_topk")  # rows-only: k-means assignment not SQL-expressible
+@register("q55_ivf_topk", build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests")  # rows-only: k-means assignment not SQL-expressible
 def q55_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse k-means quantizer + probed exact
     scoring) — the inverted-file alternative to the q33 LSH path; recall
@@ -2096,6 +2148,7 @@ def q61_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q62_dedup_components",
+    build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests",
     oracle=_cc_oracle(
         """SELECT node AS doc_id, component FROM comp"""
     ),
@@ -2140,7 +2193,7 @@ def q63_sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("q64_cosine_dup_cluster")  # rows-only: k-means clustering not SQL-expressible
+@register("q64_cosine_dup_cluster", build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests")  # rows-only: k-means clustering not SQL-expressible
 def q64_cosine_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustered embedding dedup (SemDeDup shape): k-means multi-assign +
     per-cluster BLAS similarity matrix via applyInPandas — the scale path
@@ -2157,6 +2210,7 @@ def q64_cosine_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q65_dedup_survivors",
+    build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests",
     oracle=_cc_oracle(
         """, losers AS (SELECT node FROM comp WHERE component <> node)
     SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
@@ -2275,6 +2329,7 @@ def q68_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q69_dedup_survivors_quality",
+    build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests",
     oracle=_cc_oracle(
         """, ranked AS (
       SELECT c.node,
@@ -2312,6 +2367,7 @@ def q69_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q70_streaming_sessionize",
+    build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests",
     oracle="""
     WITH lagged AS (
       SELECT user_id, ts,
@@ -3187,6 +3243,7 @@ def q91_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q92_tfidf_top_terms",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: attaching the corpus count scalar (idf denominator) \u2014 O(|tf|) rows \u00d7 1, not a fallback",
     oracle="""
     WITH t AS (
       SELECT doc_id,
@@ -4874,6 +4931,7 @@ def q124_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q125_expectations_report",
+    allow_non_equi="deliberate 1-row \u00d7 1-row cross join: pairing the FK-orphan count aggregate with the total-rows aggregate in the expectations report",
     oracle="""
     WITH base AS (
       SELECT COUNT(*) AS n,
@@ -5511,6 +5569,7 @@ def q136_regex_group_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q137_unigram_logprob",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: attaching the corpus (total, vocab-size) scalar to the token stream for LM smoothing",
     oracle=r"""
     WITH toks AS (
       SELECT doc_id, unnest(list_filter(
@@ -5576,6 +5635,7 @@ def q137_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q138_leakage_safe_split",
+    build_time_exec="connected components iterate at plan build; the final report also carries a deliberate 1-row violations-count broadcast cross join",
     oracle=_cc_oracle(
         """, assigned AS (
       SELECT d.doc_id,
@@ -5685,6 +5745,7 @@ def q139_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q140_psi_drift",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: attaching the half- totals scalar to the |bins|-sized PSI table",
     oracle="""
     WITH b AS (
       SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15' THEN 0 ELSE 1 END
@@ -5929,6 +5990,7 @@ def q143_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q144_type_affinity",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the distinct-user-count scalar attached to the |type-pairs|-sized affinity table",
     oracle="""
     WITH u AS (
       SELECT DISTINCT user_id, event_type FROM events
@@ -7097,6 +7159,7 @@ def q164_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q165_embedding_norm_audit",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross joins: the (mean, std) moment scalar attached to the row-local norm projection, and the 1-row outlier count attached to the 1-row stats report",
     oracle="""
     WITH v AS (
       SELECT vec_id,
@@ -7368,6 +7431,7 @@ def q168_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q169_important_parts",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the (total, n_parts) scalar attached to the |parts|-sized rollup (TPC-H Q11's scalar subquery in HAVING)",
     oracle="""
     WITH pv AS (
         SELECT l_partkey,
@@ -7418,6 +7482,7 @@ def q169_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q170_rich_inactive_customers",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the global average- balance gate attached to the customer scan (TPC-H Q22's scalar subquery)",
     oracle="""
     WITH gate AS (
         SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
@@ -7851,6 +7916,7 @@ def q177_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q178_source_js_divergence",
+    allow_non_equi="deliberate |sources|\u00b2 pair-spine theta self-join (tiny broadcast): disjoint-vocabulary pairs must appear with JSD = 1",
     oracle="""
     WITH t AS (
       SELECT source,
@@ -7977,6 +8043,7 @@ def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q179_event_type_pagerank",
+    build_time_exec="pagerank counts |V| once at plan build to seed the uniform vector",
     oracle="""
     WITH lg AS (
       SELECT event_type,
@@ -8165,6 +8232,7 @@ def q181_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q182_bigram_logprob",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the vocab-size scalar attached to the bigram stream for add-one smoothing",
     oracle="""
     WITH lst AS (
       SELECT doc_id,
@@ -8298,6 +8366,7 @@ def q183_zone_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q184_mixture_temperature",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross joins: the token-total and weight-total scalars attached to the |sources|-sized mixture table",
     oracle="""
     WITH n AS (
       SELECT source,
@@ -8673,6 +8742,7 @@ def q189_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q190_benford_audit",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the value-count total attached to the 9-row digit table",
     oracle="""
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
@@ -9122,6 +9192,7 @@ def q198_adoption_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q199_weekly_churn",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the max-observed-week gate attached to the |user-weeks| table",
     oracle="""
     WITH uw AS (
       SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
@@ -9273,6 +9344,7 @@ def q201_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q202_ks_drift_test",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the (n0, n1) half-size scalar attached to the |distinct-values| CDF table",
     oracle="""
     WITH tagged AS (
       SELECT value,
@@ -9523,6 +9595,7 @@ def q205_custom_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q206_rfm_segmentation",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the global max-order- date anchor attached to the |customers| RFM rollup",
     oracle="""
     WITH rfm AS (
       SELECT o_custkey,
@@ -9593,6 +9666,7 @@ def q206_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q207_heldout_cross_entropy",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the (grand, vocab) scalar attached to the |vocab x sources| token table",
     oracle="""
     WITH t AS (
       SELECT source,
@@ -9670,6 +9744,7 @@ def q207_heldout_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q208_cusum_changepoints",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross joins: the global-mean and peak scalars attached to the |days|-sized CUSUM table",
     oracle="""
     WITH d AS (
       SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
@@ -9849,6 +9924,7 @@ def q209_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q210_kaplan_meier",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross joins: the observation horizon and the total-sessions scalar attached to the |durations|-sized risk table",
     oracle="""
     WITH sess AS (
       SELECT user_id, session_id,
@@ -10083,6 +10159,7 @@ def q212_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q213_data_card",
+    allow_non_equi="deliberate 1-row x 1-row cross joins: the vocab-size and top-lang scalars attached to the 1-row data-card aggregate",
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang, n_chars,
@@ -10188,6 +10265,7 @@ def q213_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q214_triangle_count",
+    allow_non_equi="deliberate 1-row x 1-row cross join: the edge-count scalar attached to the 1-row triangle-count aggregate",
     oracle="""
     WITH pairs AS (
       SELECT doc_id_a AS a, doc_id_b AS b FROM (
@@ -10639,6 +10717,7 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q218_bm25_topk",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the corpus (N, \u03a3dl, per-term df) scalar attached to the per-doc BM25 projection",
     oracle=_BM25_SQL_BASE
     + """
     SELECT doc_id, score_micro,
@@ -10666,6 +10745,7 @@ def q218_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q223_ndcg_eval",
+    allow_non_equi="same BM25 scalar cross join, plus the 1-row DCG x 1-row IDCG pairing",
     oracle=_BM25_SQL_BASE
     + """
     , rel AS (
@@ -10889,6 +10969,7 @@ def q220_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q221_lagged_cross_correlation",
+    allow_non_equi="deliberate 7-row broadcast literal cross join: the lag spine attached to the |days|-sized daily rollup",
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d,
@@ -10986,6 +11067,7 @@ def _lagged_pearson(
 
 @register(
     "q222_maxsim_late_interaction",
+    allow_non_equi="deliberate 3-row broadcast cross join: the multi-vector query side of MaxSim attached to the corpus scan (bounded by query size)",
     oracle="""
     WITH m AS (
       SELECT vec_id, label,
@@ -11194,6 +11276,7 @@ def q226_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q227_reciprocal_rank_fusion",
+    allow_non_equi="inherits the BM25 single-row stats cross join via _bm25_scored",
     oracle=_BM25_SQL_BASE
     + """
     , r1 AS (
@@ -11297,6 +11380,7 @@ def _bpe_round_sql(i: int) -> str:
 
 @register(
     "q224_bpe_merges",
+    build_time_exec="each BPE round's argmax pair is a 1-row collect at plan build",
     oracle="""
     WITH wf AS (
       SELECT w, COUNT(*) AS c FROM (
@@ -11359,6 +11443,7 @@ def q224_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q228_seasonal_decomposition",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the grand-mean scalar attached to the |days|-sized decomposition table",
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
@@ -11517,6 +11602,7 @@ def q230_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q231_embedding_covariance",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the corpus row count attached to the 2080-row covariance triangle",
     oracle="""
     WITH m AS (
       SELECT list_transform(embedding,
@@ -11632,6 +11718,7 @@ def q231_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q232_prf_expansion",
+    allow_non_equi="inherits the BM25 single-row stats cross join via _bm25_scored",
     oracle=_BM25_SQL_BASE
     + """
     , top10 AS (
@@ -12011,6 +12098,7 @@ def _kcore_round_sql(i: int, k: int = 2) -> str:
 
 @register(
     "q236_kcore_decomposition",
+    allow_non_equi="deliberate 1-row x 1-row cross join: node-count x edge-count report",
     oracle=_DUP_EDGES_CTE
     + """
     , sym1 AS (SELECT src, dst FROM sym),
@@ -12119,6 +12207,7 @@ def q237_degree_assortativity(
 
 @register(
     "q238_token_pmi",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross joins: the document-count scalar attached to the PMI pair table / burstiness token table",
     oracle="""
     WITH inc AS (
       SELECT DISTINCT doc_id, UNNEST(list_filter(string_split_regex(
@@ -12202,6 +12291,7 @@ def q238_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q239_token_burstiness",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross joins: the document-count scalar attached to the PMI pair table / burstiness token table",
     oracle="""
     WITH dc AS (
       SELECT doc_id, tok, COUNT(*) AS c FROM (
@@ -12413,6 +12503,7 @@ def q241_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q242_woe_iv_encoding",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the (pos, neg) totals scalar attached to the 10-row WoE table",
     oracle="""
     WITH f AS (
       SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) % 10
@@ -12583,6 +12674,7 @@ def q245_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q246_doremi_reweight",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross joins: corpus token total / mean-CE / weight-total scalars on the |sources|-sized tables",
     oracle="""
     WITH tc AS (
       SELECT source, tok, COUNT(*) AS n FROM (
@@ -12789,6 +12881,7 @@ _DAILY_PAIRS_CTE = """
 
 @register(
     "q248_theil_sen_slope",
+    allow_non_equi="deliberate |days|^2 theta self-joins ON THE DAY ROLLUP (dimension- sized pair spines for robust trend statistics) + 1-row scalars",
     oracle=_DAILY_PAIRS_CTE
     + """
     , slopes AS (
@@ -12853,6 +12946,7 @@ def q248_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q249_mann_kendall",
+    allow_non_equi="deliberate |days|^2 theta self-joins ON THE DAY ROLLUP (dimension- sized pair spines for robust trend statistics) + 1-row scalars",
     oracle=_DAILY_PAIRS_CTE
     + """
     , s AS (
@@ -12937,6 +13031,7 @@ def q249_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q250_fuzzy_entity_clusters",
+    build_time_exec="connected components iterate at plan build (fuzzy entity closure)",
     oracle=_FUZZY_PAIRS_CTE
     + """
     , sym AS (
@@ -13129,6 +13224,7 @@ def q252_budgeted_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q253_rank_biased_overlap",
+    allow_non_equi="BM25 stats cross join + the bounded 20-row depth-spine cross join",
     oracle=_BM25_SQL_BASE
     + """
     , r1 AS (
@@ -13243,6 +13339,7 @@ def q253_rank_biased_overlap(
 
 @register(
     "q254_conversion_latency",
+    allow_non_equi="deliberate 1-row broadcast scalars: total-count / x_k order stat",
     oracle="""
     WITH seq AS (
       SELECT user_id, ts, event_id, event_type,
@@ -13334,6 +13431,7 @@ def q254_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q255_hill_tail_index",
+    allow_non_equi="deliberate 1-row broadcast scalars: total-count / x_k order stat",
     oracle="""
     WITH c AS (
       SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents, event_id
@@ -13398,6 +13496,7 @@ def q255_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q256_join_cardinality_estimate",
+    allow_non_equi="deliberate 1-row x 1-row cross join: exact vs sampled join size",
     oracle="""
     WITH a AS (
       SELECT o_custkey AS k, COUNT(*) AS na FROM orders GROUP BY 1
@@ -13465,6 +13564,7 @@ def q256_join_cardinality_estimate(
 
 @register(
     "q257_acf_periodicity",
+    allow_non_equi="deliberate 7-row broadcast literal cross join: the lag spine attached to the |days|-sized daily rollup",
     oracle="""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, COUNT(*) AS y FROM events GROUP BY 1
@@ -13626,6 +13726,7 @@ def q259_image_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q260_bpe_encode",
+    build_time_exec="BPE encode learns its merges at plan build (same argmax collects)",
     oracle="""
     WITH wf AS (
       SELECT w, COUNT(*) AS c FROM (
@@ -13856,7 +13957,7 @@ def _kappa_oracle() -> str:
     """
 
 
-@register("q263_rater_agreement", oracle=_kappa_oracle())
+@register("q263_rater_agreement", allow_non_equi="deliberate 1-row x 1-row cross join: (n, agree) totals paired with the chance-agreement scalar for Cohen's kappa", oracle=_kappa_oracle())
 def q263_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X192 — inter-rater agreement (Cohen's kappa) between two labelers:
     the declared ``lang`` column and the langid heuristic (q31) — the
@@ -14460,6 +14561,7 @@ def q271_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q272_stream_stream_left_join",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the explicit outer- completeness cutoff scalar attached to the DRAINED (batch) result of the stream-stream left-outer join",
     oracle="""
     WITH p AS (
       SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
@@ -14655,6 +14757,7 @@ def q273_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q274_dsir_selection",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the (totals, vocab) LM-smoothing scalar attached to the |vocab|-sized table before it joins the token stream",
     oracle="""
     WITH t AS (
       SELECT doc_id, source,
@@ -14887,6 +14990,7 @@ def _power_round_sql(r: int) -> str:
 
 @register(
     "q277_power_iteration_pca",
+    allow_non_equi="deliberate 1-row broadcast cross joins throughout the iteration: the n scalar on the d\u00b2-row matrix and the per-round rescale scalars on the d-row vector (operators/linalg.py)",
     oracle="""
     WITH m AS (
       SELECT list_transform(embedding,
@@ -15037,6 +15141,7 @@ def q278_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q279_largest_remainder_alloc",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross joins: the corpus-total scalar on the |sources| rollup and the allocated-seats scalar on the |sources| quota table",
     oracle="""
     WITH s AS (
       SELECT source, COUNT(*) AS n FROM documents GROUP BY source
@@ -15222,6 +15327,7 @@ def q281_contrastive_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q282_bm25_hard_negatives",
+    allow_non_equi="inherits _bm25_scored's documented 1-row corpus-stats broadcast cross join (same as q218/q223/q227)",
     oracle=_BM25_SQL_BASE
     + """,
     pos AS (
@@ -15937,6 +16043,7 @@ def q292_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q293_curriculum_stages",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the corpus-count scalar attached to the prefix-scan rank column for the NTILE(4) formula",
     oracle="""
     WITH d AS (
       SELECT doc_id, source,
@@ -16616,6 +16723,7 @@ def q303_chunk_stitch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q304_exact_global_percentiles",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join (corpus count) + 3-row broadcast percentile spine on a non-equi rank pick",
     oracle="""
     WITH v AS (
       SELECT CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
@@ -16998,6 +17106,7 @@ def q310_zone_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q311_freshness_audit",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the global-max-watermark scalar attached to the |event-types| freshness rollup",
     oracle="""
     WITH g AS (SELECT MAX(epoch_us(ts)) AS global_max FROM events),
     s AS (
@@ -17309,6 +17418,7 @@ def q314_rendezvous_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q315_cuped_adjustment",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the global CUPED moment scalar (n, Sx, Sy, Sxx, Sxy) attached to the 2-row variant rollup",
     oracle="""
     WITH u AS (
       SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
@@ -17625,6 +17735,7 @@ def q318_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q319_scaling_law_subsets",
+    allow_non_equi="deliberate 4-row broadcast threshold-spine theta join: nested scaling-law subsets require h < threshold per spine row",
     oracle="""
     WITH d AS (
       SELECT doc_id,
@@ -17856,6 +17967,7 @@ def q322_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q323_class_weights",
+    allow_non_equi="deliberate 1-row broadcast cross join: the (n_total, k) scalar on the |labels|-sized class table",
     oracle="""
     WITH c AS (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_class FROM embeddings
@@ -17896,6 +18008,7 @@ def q323_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q324_random_projection",
+    allow_non_equi="deliberate 64x8 literal sign-matrix build (two bounded literal spines crossed once; the corpus-sized projection is an equi-join)",
     oracle="""
     WITH dims AS (
       SELECT vec_id, u.i AS i,
@@ -18193,6 +18306,7 @@ def q328_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q329_association_rules",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the basket-count scalar on the |type-pairs|-sized rule table",
     oracle="""
     WITH baskets AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
@@ -18646,6 +18760,7 @@ def q335_rle_sort_benefit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q336_conversion_horizons",
+    allow_non_equi="deliberate 3-row broadcast horizon spine over the |users| rollup",
     oracle="""
     WITH sig AS (
       SELECT user_id, ts FROM events WHERE event_type = 'signup'
@@ -19094,6 +19209,7 @@ def q341_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q342_sliding_mau_bitmask",
+    allow_non_equi="deliberate 24-row broadcast window-offset spine over the per-user 8-byte day-bitmask rollup",
     oracle="""
     WITH d AS (
       SELECT user_id,

@@ -36,22 +36,76 @@ def bounded_count(df: DataFrame, threshold: int) -> int:
     return df.limit(threshold + 1).count()
 
 
+def _swap_staged_partitions(
+    spark: SparkSession, staging: str, path: str, partition_cols: list[str]
+) -> None:
+    """Publish a staged partitioned-parquet write: one filesystem rename
+    per staged partition directory into the table root (replacing any
+    existing version of that partition), then drop the emptied staging
+    tree. Each rename is metadata-only; a crash between renames leaves
+    every partition either fully-old or fully-new, never mixed, and the
+    dot-prefixed staging residue is invisible to parquet readers."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(conf)
+    staging_p = fs.makeQualified(HPath(staging))
+    root_p = fs.makeQualified(HPath(path))
+    # walk exactly len(partition_cols) directory levels below staging —
+    # the ACTUAL on-disk partition dir names (Hive-escaped values come
+    # back verbatim; no hand-built col=value fragments)
+    levels = [staging_p]
+    for _ in partition_cols:
+        nxt = []
+        for d in levels:
+            for st in fs.listStatus(d):
+                if st.isDirectory():
+                    nxt.append(st.getPath())
+        levels = nxt
+    staging_str = staging_p.toString()
+    for staged_dir in levels:
+        rel = staged_dir.toString()[len(staging_str) + 1 :]
+        dest = HPath(f"{root_p.toString()}/{rel}")
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        fs.mkdirs(dest.getParent())
+        fs.rename(staged_dir, dest)
+    fs.delete(staging_p, True)  # _SUCCESS marker + emptied tree
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,
     partition_cols: list[str],
     mode: str = "overwrite",
 ) -> None:
-    """S4 — partitioned parquet sink with dynamic partition overwrite.
+    """S4 — partitioned parquet sink with dynamic-partition-overwrite
+    SEMANTICS (only partitions present in ``df`` are replaced), made
+    CRASH-SAFE via the same stage-then-swap as the S5 window sink.
 
     Reference: ``pipelines/raw_to_staging.py:172-178`` +
-    ``partitionOverwriteMode=dynamic`` at ``:23``. The conf is set at
-    write time (runtime-settable) so the sink works on externally built
-    sessions — same lesson as the reader's nanos conf.
+    ``partitionOverwriteMode=dynamic`` at ``:23``. Spark's own dynamic
+    overwrite deletes each replaced partition before committing its
+    replacement, so a mid-commit crash can lose partitions that were
+    fine before the job started; here the write job — the long,
+    failure-prone phase — lands in a hidden ``.staging-<token>``
+    directory and published partitions are touched only by the
+    near-instant per-partition rename swap afterwards (pinned by a
+    kill-mid-write test). Non-overwrite modes pass straight through:
+    an append commit never deletes published data, so the v1
+    FileOutputCommitter's task-file publish is already safe.
     """
+    if mode != "overwrite" or not partition_cols:
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+        return
+    import uuid
+
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    staging = f"{path.rstrip('/')}/.staging-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    _swap_staged_partitions(spark, staging, path, partition_cols)
 
 
 def write_window_overwrite(
@@ -90,33 +144,7 @@ def write_window_overwrite(
     df.filter(window_predicate).write.mode("overwrite").partitionBy(
         *partition_cols
     ).parquet(staging)
-
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(path).getFileSystem(conf)
-    staging_p = fs.makeQualified(HPath(staging))
-    root_p = fs.makeQualified(HPath(path))
-    # walk exactly len(partition_cols) directory levels below staging —
-    # the ACTUAL on-disk partition dir names (Hive-escaped values come
-    # back verbatim; no hand-built col=value fragments)
-    levels = [staging_p]
-    for _ in partition_cols:
-        nxt = []
-        for d in levels:
-            for st in fs.listStatus(d):
-                if st.isDirectory():
-                    nxt.append(st.getPath())
-        levels = nxt
-    staging_str = staging_p.toString()
-    for staged_dir in levels:
-        rel = staged_dir.toString()[len(staging_str) + 1 :]
-        dest = HPath(f"{root_p.toString()}/{rel}")
-        if fs.exists(dest):
-            fs.delete(dest, True)
-        fs.mkdirs(dest.getParent())
-        fs.rename(staged_dir, dest)
-    fs.delete(staging_p, True)  # _SUCCESS marker + emptied tree
+    _swap_staged_partitions(spark, staging, path, partition_cols)
 
 
 def write_quarantine(

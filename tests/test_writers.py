@@ -355,3 +355,78 @@ def test_zordered_write_tightens_zone_maps(spark, tmp_path):
     # arrival order covers ~the whole 256x256 grid per file; z-order
     # files must be dramatically tighter
     assert a_z < a_plain / 4, (a_plain, a_z)
+
+
+def test_partitioned_sink_crash_mid_write_leaves_table_intact(spark, tmp_path):
+    """S4's stage-then-swap contract (round-5 upgrade mirroring S5): a
+    write job that dies mid-flight — after tasks may already have
+    produced files — leaves every published partition byte-identical,
+    including the partitions the failed write was going to replace.
+    Spark's own dynamic overwrite deletes old partition data during the
+    commit, so a crash there can lose partitions; staging must not."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "t")
+    write_partitioned_parquet(
+        spark.createDataFrame([(1, 1), (2, 2)], ["v", "day"]), out, ["day"]
+    )
+    before = {}
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            p = os.path.join(root, f)
+            before[p] = (os.path.getsize(p), os.path.getmtime(p))
+
+    doomed = spark.createDataFrame(
+        [(60, 1), (61, 2)], ["v", "day"]
+    ).withColumn(
+        "v",
+        F.when(F.col("v") < 61, F.col("v")).otherwise(
+            F.assert_true(F.lit(False)).cast("int")
+        ),
+    )
+    try:
+        write_partitioned_parquet(doomed, out, ["day"])
+        raise AssertionError("write was expected to fail")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+    after = {}
+    for root, _dirs, files in os.walk(out):
+        p_rel = os.path.relpath(root, out)
+        if p_rel.startswith(".staging-") or "/.staging-" in p_rel:
+            continue  # failed stage residue is allowed, readers skip dotfiles
+        for f in files:
+            p = os.path.join(root, f)
+            after[p] = (os.path.getsize(p), os.path.getmtime(p))
+    assert after == before
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (2, 2)}
+
+
+def test_partitioned_sink_swap_replaces_only_present_partitions(spark, tmp_path):
+    """Dynamic-overwrite SEMANTICS survive the stage-then-swap rewrite:
+    overwriting with a frame containing only day=2 must replace day=2,
+    keep day=1 untouched, and leave no staging residue."""
+    import os
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "t")
+    write_partitioned_parquet(
+        spark.createDataFrame([(1, 1), (2, 2)], ["v", "day"]), out, ["day"]
+    )
+    write_partitioned_parquet(
+        spark.createDataFrame([(99, 2)], ["v", "day"]), out, ["day"]
+    )
+    got = {(r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 1), (2, 99)}
+    assert not [d for d in os.listdir(out) if d.startswith(".staging-")]
