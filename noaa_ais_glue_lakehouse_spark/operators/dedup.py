@@ -208,6 +208,7 @@ def winnow_near_duplicates(
     w: int = 4,
     min_shared: int = 10,
     materialize_index: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Winnowing near-dup pairs: documents sharing ≥ ``min_shared``
     winnowing fingerprints (id_a < id_b, with the shared count).
@@ -217,8 +218,30 @@ def winnow_near_duplicates(
     fingerprint equi-join — the same no-cross-product shape as LSH
     banding. ``materialize_index`` caches the fingerprint index so the
     self-join's two sides don't each recompute the per-gram md5 pass.
+
+    ``max_df`` is the at-scale knob: char-``k``-gram diversity SATURATES
+    as a corpus grows (the round-5 decade measurement: 10× docs → mean
+    fingerprint df 2.8 → 9.4, candidate pairs 5.5M → 513M, a ~n²
+    curve — see SCALING.md), so common-idiom fingerprints turn the
+    equi-join quadratic exactly the way stopwords poison a token join.
+    Setting ``max_df`` drops fingerprints held by more than that many
+    documents BEFORE the self-join (MOSS does the same: ultra-common
+    grams are boilerplate, not evidence of copying), bounding candidate
+    pairs at ``|fingerprints|·max_df²/2`` — linear in the corpus for
+    fixed ``max_df``. Pairs supported ONLY by boilerplate grams fall
+    below ``min_shared`` and drop; truly-duplicated content shares many
+    RARE fingerprints and survives. The hot-list broadcast is bounded
+    by ``rows/max_df``. Default None preserves the exact q61 contract.
     """
     idx = winnow_fingerprint_index(df, id_col, text_col, k, w)
+    if max_df is not None:
+        hot = (
+            idx.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fingerprint")
+        )
+        idx = idx.join(F.broadcast(hot), "fingerprint", "left_anti")
     if materialize_index:
         idx = idx.cache()
     a = idx.alias("a")

@@ -90,6 +90,48 @@ def brute_force_topk(
     )
 
 
+def lsh_geometry_for(
+    n_rows: int,
+    threshold: float,
+    target_bucket: int = 256,
+    recall_target: float = 0.9,
+    max_tables: int = 48,
+) -> tuple[int, int]:
+    """Corpus-sized hyperplane-LSH geometry → ``(n_planes, n_tables)``.
+
+    Fixed geometry is the quadratic trap the round-5 decade measurement
+    exposed (SCALING.md): with b planes, expected bucket size is n/2^b,
+    so candidates grow ~n²/2^b — at 10× the corpus the 4×16 default's
+    verify wall grew 67× (exponent 1.83). The ESCAPE is sizing b with
+    log2(n): per-bucket size pinned at ``target_bucket`` keeps candidate
+    volume ~n·target_bucket, linear in the corpus.
+
+    Recall is then bought back with tables: a pair at exactly
+    ``threshold`` agrees on one table's full b bits with
+    p^b (p = 1 − acos(t)/π), so L = ⌈ln(1−recall)/ln(1−p^b)⌉ tables
+    reach the recall target. When the threshold is LOW, p^b collapses
+    and L explodes — this function then walks b back down until
+    L ≤ max_tables, consciously trading bucket growth for feasibility:
+    the math makes explicit that sub-0.5 thresholds and bounded
+    candidates are mutually exclusive in any LSH (the answer itself is
+    near-quadratic there); the DEDUP regime (t ≥ 0.8) sizes cleanly
+    (e.g. t=0.85, n=50k → (7, 8)).
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    if p >= 1.0:
+        return 1, 1
+    b_max = max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+    for b in range(b_max, 0, -1):
+        hit = p**b
+        L = math.ceil(math.log(max(1e-12, 1.0 - recall_target))
+                      / math.log(1.0 - hit))
+        if L <= max_tables:
+            return b, max(1, L)
+    return 1, max_tables
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane via a splitmix-style
     integer mix — reproducible across engines and runs without RNG state.
@@ -159,8 +201,18 @@ def cosine_near_duplicates(
     n_planes: int = 4,
     n_tables: int = 16,
     broadcast_matrix_verify: bool = False,
+    auto_geometry: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH + exact verify.
+
+    ``auto_geometry=True`` replaces the fixed ``(n_planes, n_tables)``
+    with :func:`lsh_geometry_for`'s corpus-sized pick (one ``count()``
+    job to learn n — the same bounded driver action as q64's centroid
+    sample): plane count grows with log2(n) so bucket sizes — and hence
+    candidate volume — stay ~linear in the corpus instead of the fixed
+    geometry's ~n²/2^b. The decade measurement behind this is in
+    SCALING.md. Fixed geometry remains the default for the q47 gate's
+    run-to-run comparability.
 
     The scale path for embedding dedup: bucket on hyperplane sign bits
     (few planes → big buckets → high recall at moderate thresholds; many
@@ -184,6 +236,8 @@ def cosine_near_duplicates(
     :func:`cosine_near_duplicates_clustered` (SemDeDup shape) or IVF,
     whose candidate generation is already centroid-sharded.
     """
+    if auto_geometry:
+        n_planes, n_tables = lsh_geometry_for(df.count(), threshold)
     signatures = _signature_udf(dim, n_planes, n_tables)
     # Candidate generation is id-only: carrying the vectors through the
     # band self-join would ship ~dim·8 bytes per candidate ROW (candidates

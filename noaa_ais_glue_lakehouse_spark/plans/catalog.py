@@ -19266,3 +19266,80 @@ def q342_sliding_mau_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("active_users_7d")
     )
+
+
+# ---------------------------------------------------------------------------
+# At-scale near-dup variants from the round-5 decade measurement (q343-q344)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q343_winnow_near_dups_capped",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(lower(text)) - 6),
+                            i -> md5(substr(lower(text), i, 8))) AS hashes
+      FROM documents WHERE length(text) >= 8
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hashes) - 2),
+                           j -> list_min(hashes[j : j + 3]))) AS fps
+      FROM grams WHERE len(hashes) >= 4
+    ), idx0 AS (
+      SELECT doc_id, unnest(fps) AS fp FROM wins
+    ), hot AS (
+      SELECT fp FROM idx0 GROUP BY fp HAVING COUNT(*) > 64
+    ), idx AS (
+      SELECT i.doc_id, i.fp FROM idx0 i ANTI JOIN hot h ON i.fp = h.fp
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q343_winnow_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98-adjacent — winnowing near-dup pairs with a document-frequency
+    CAP on fingerprints (max_df=64), the at-scale form of q61. The
+    round-5 decade measurement (SCALING.md) showed char-8-gram diversity
+    saturating as the corpus grows: 10× docs → mean fingerprint df
+    2.8 → 9.4 and candidate pairs 5.5M → 513M (~n²). Dropping
+    fingerprints held by >max_df documents before the self-join (the
+    MOSS boilerplate rule) bounds candidates at |fps|·max_df²/2 —
+    linear in the corpus — while truly-duplicated content still shares
+    ≥10 RARE fingerprints and survives. Fully oracle-checked (the cap
+    is one more relational step: df rollup + anti join, identical in
+    DuckDB)."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_near_duplicates(
+        docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    )
+
+
+@register("q344_cosine_dup_lsh_auto")  # rows-only: numpy hyperplane LSH
+def q344_cosine_dup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with CORPUS-SIZED LSH geometry
+    (lsh_geometry_for): plane count grows with log2(n) so bucket
+    sizes — and candidate volume — stay ~linear in the corpus, where
+    q47's fixed 4×16 geometry grows candidates ~n²/2^b (measured
+    exponent 1.83 over a real decade at dedup threshold 0.85; auto
+    geometry brings it to ~linear — SCALING.md). Threshold 0.5 here
+    because the driver's embedding table is isotropic (zero pairs
+    above 0.6); the dedup-regime recall pin (0.85 on planted
+    near-dups) lives in tests/test_similarity.py. Precision is exact
+    (verify step). Rows-only by design (numpy hyperplanes are
+    deterministic but not SQL-expressible)."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_duplicates(
+        emb, 64, "vec_id", "embedding", threshold=0.5, auto_geometry=True
+    )

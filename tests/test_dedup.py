@@ -379,3 +379,38 @@ def test_simhash_portable_equals_brute_force(spark):
     assert got == brute
     # identical texts pair at hamming 0
     assert any(h == 0 for (_, _, h) in got)
+
+
+def test_winnow_max_df_cap_drops_boilerplate_only(spark):
+    """max_df (q343's at-scale knob): pairs supported by RARE shared
+    fingerprints survive the cap; pairs whose only support is a gram
+    shared corpus-wide (boilerplate) drop below min_shared and vanish."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rows = [(1, "alpha bravo charlie delta echo foxtrot golf hotel " + boiler),
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel " + boiler)]
+    # 30 unrelated docs all carrying the boilerplate tail
+    rows += [(10 + i, f"unique{i} tokens{i} here{i} nothing{i} shared{i} "
+              + boiler) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_near_duplicates(
+            df, "doc_id", "text", 8, 4, min_shared=5
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_near_duplicates(
+            df, "doc_id", "text", 8, 4, min_shared=5, max_df=8
+        ).collect()
+    }
+    assert (1, 2) in uncapped and (1, 2) in capped  # true dup survives cap
+    # boilerplate-only pairs exist uncapped but are gone under the cap
+    boiler_pairs_capped = {p for p in capped if p[0] >= 10 and p[1] >= 10}
+    boiler_pairs_uncapped = {p for p in uncapped if p[0] >= 10 and p[1] >= 10}
+    assert boiler_pairs_uncapped and not boiler_pairs_capped

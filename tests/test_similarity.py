@@ -105,3 +105,70 @@ def test_lsh_scores_match_exact_for_found_pairs(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(r["score"] - exact[key]) < 1e-6
+
+
+def test_lsh_geometry_for_properties():
+    """Corpus-sized geometry: planes grow with log2(n) (buckets pinned),
+    tables stay bounded, and the low-threshold regime walks planes back
+    down instead of exploding tables."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        lsh_geometry_for,
+    )
+
+    b1, l1 = lsh_geometry_for(50_000, 0.85)
+    b2, l2 = lsh_geometry_for(5_000_000, 0.85)
+    assert b2 > b1  # planes scale with corpus
+    assert l1 <= 48 and l2 <= 48
+    # dedup regime sizes cleanly: recall math says p^b per table
+    p = 1 - math.acos(0.85) / math.pi
+    assert 1 - (1 - p**b1) ** l1 >= 0.9
+    assert 1 - (1 - p**b2) ** l2 >= 0.9
+    # low threshold: tables capped, planes walked down (conscious tradeoff)
+    b3, l3 = lsh_geometry_for(1_000_000, 0.3)
+    assert l3 <= 48
+    # tiny corpora degenerate gracefully
+    assert lsh_geometry_for(10, 0.85)[0] >= 1
+
+
+def test_auto_geometry_recall_dedup_regime(spark):
+    """auto_geometry at threshold 0.85 over planted near-dup clusters:
+    recall ≥ 0.9 vs the exact answer, precision exact by construction."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates,
+        cosine_pairs_exact,
+    )
+
+    rng = _r.Random(11)
+    rows = []
+    i = 0
+    while i < 300:
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        n = math.sqrt(sum(x * x for x in v))
+        v = [x / n for x in v]
+        rows.append((i, v))
+        i += 1
+        if rng.random() < 0.2 and i < 300:
+            w = [x + rng.gauss(0, 0.06) for x in v]
+            nw = math.sqrt(sum(x * x for x in w))
+            rows.append((i, [x / nw for x in w]))
+            i += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_exact(df, "vec_id", "embedding", 0.85).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_duplicates(
+            df, DIM, "vec_id", "embedding", threshold=0.85, auto_geometry=True
+        ).collect()
+    }
+    assert len(exact) >= 10  # the fixture actually planted pairs
+    assert got <= exact  # precision exact (verify step)
+    assert len(got & exact) / len(exact) >= 0.9  # recall floor

@@ -1,0 +1,119 @@
+"""Measure the heavy family's empirical scaling exponent over one real
+decade of data (scaleA → scaleB = 10×, see tools/synth_scale.py for why
+the pair is generated with linear-answer realism instead of the driver
+corpus's quadratic-answer process).
+
+Protocol (JMH-lite): one untimed warmup pass per query at scaleA to
+absorb whole-stage-codegen JIT of the plan shape, then median-of-2 at
+scaleA and a single timed pass at scaleB (shapes already JIT-warm);
+cache cleared + JVM GC between runs so one query's index cache or GC
+debt doesn't bill the next. Reported exponent = log10(tB/tA); rows-out
+at both scales contextualize whether the ANSWER grew superlinearly.
+
+Usage: python tools/scale_probe.py [.tmp] [q27_minhash_near_dups ...]
+Prints one JSON line; feed it into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import math
+import os
+import sys
+import time
+
+QUERIES = [
+    "q27_minhash_near_dups",
+    "q47_cosine_dup_lsh",
+    "q61_winnow_near_dups",
+    "q171_jaccard_prefix_filter",
+    "q314_rendezvous_detection",
+    "q343_winnow_near_dups_capped",
+]
+
+
+def _extra_probes():
+    """Operator-level probes that aren't 1:1 a catalog entry: the cosine
+    dedup regime (threshold 0.85, where the planted near-dups live) with
+    FIXED vs AUTO LSH geometry — the comparison SCALING.md is about."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates,
+    )
+
+    def fixed(spark, d):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return cosine_near_duplicates(
+            emb, 64, "vec_id", "embedding", threshold=0.85
+        )
+
+    def auto(spark, d):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return cosine_near_duplicates(
+            emb, 64, "vec_id", "embedding", threshold=0.85, auto_geometry=True
+        )
+
+    return {"cosine085_fixed_geometry": fixed, "cosine085_auto_geometry": auto}
+
+
+def main() -> None:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = sys.argv[1] if len(sys.argv) > 1 else ".tmp"
+    names = sys.argv[2:] or (
+        QUERIES + ["cosine085_fixed_geometry", "cosine085_auto_geometry"]
+    )
+    dir_a = os.path.join(root, "scaleA")
+    dir_b = os.path.join(root, "scaleB")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from noaa_ais_glue_lakehouse_spark.plans import catalog
+
+    qs = catalog.queries()
+    qs.update(_extra_probes())
+
+    def _run(name: str, d: str) -> tuple[float, int]:
+        t0 = time.time()
+        n = qs[name](spark, d).count()
+        dt = time.time() - t0
+        gc.collect()
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        return dt, n
+
+    out = {}
+    for name in names:
+        _run(name, dir_a)  # untimed JIT warmup
+        ta = min(_run(name, dir_a)[0] for _ in range(2))
+        rows_a = _run(name, dir_a)[1]
+        tb, rows_b = _run(name, dir_b)
+        out[name] = {
+            "t_a_sec": round(ta, 2),
+            "t_b_sec": round(tb, 2),
+            "rows_a": rows_a,
+            "rows_b": rows_b,
+            "time_exponent": round(math.log10(tb / ta), 2),
+            "rows_ratio": round(rows_b / max(rows_a, 1), 1),
+        }
+        print(f"# {name}: A {ta:.2f}s/{rows_a} rows -> B {tb:.2f}s/{rows_b} "
+              f"rows, exponent {out[name]['time_exponent']}",
+              file=sys.stderr, flush=True)
+    print(json.dumps({"sf_pair": [dir_a, dir_b], "cpus": 32, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
