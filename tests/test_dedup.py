@@ -414,3 +414,37 @@ def test_winnow_max_df_cap_drops_boilerplate_only(spark):
     boiler_pairs_capped = {p for p in capped if p[0] >= 10 and p[1] >= 10}
     boiler_pairs_uncapped = {p for p in uncapped if p[0] >= 10 and p[1] >= 10}
     assert boiler_pairs_uncapped and not boiler_pairs_capped
+
+
+def test_portable_simhash_table_equals_column_form(spark):
+    """The one-pass aggregation form (production path) must be
+    bit-identical to simhash64_portable's Column form — including empty
+    and single-token documents — since the q28 oracle rebuilds the
+    Column form's nibble reads."""
+    from pyspark.sql import functions as F
+
+    from noaa_ais_glue_lakehouse_spark.functions.hashing import (
+        simhash64_portable,
+    )
+    from noaa_ais_glue_lakehouse_spark.functions.text import tokenize
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        _portable_simhash_table,
+    )
+
+    rows = [(1, "the quick brown fox"), (2, ""), (3, "   "), (4, "solo"),
+            (5, "a b c d e f g h i j k l m n o p q r s t"),
+            (6, "the quick brown fox")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    col_form = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", simhash64_portable(tokenize(F.col("text"))).alias("s")
+        ).collect()
+    }
+    tbl_form = {
+        r["doc_id"]: r["_simhash"]
+        for r in _portable_simhash_table(df, "doc_id", "text").collect()
+    }
+    assert col_form == tbl_form
+    assert tbl_form[2] == 0 and tbl_form[3] == 0  # empty docs -> 0
+    assert tbl_form[1] == tbl_form[6] != 0
