@@ -78,6 +78,24 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _cpu_probe() -> float:
+    """Fixed single-thread CPU workload (~0.6 s on this VM unloaded).
+
+    The bench runs inside a shared VM whose effective CPU varies with
+    co-tenant load — the SAME probe measured 0.61 s and 2.6 s twenty
+    minutes apart, and a 32-way version showed 14.6x effective
+    parallelism against an unloaded ~30x. Recording the probe before and
+    after the suite lets a reader normalize cross-round comparisons:
+    wall-time drift that tracks the probe is host steal, not an engine
+    regression.
+    """
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -94,7 +112,12 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g: the bench is ONE sequential JVM on a 128 GiB host; at 8g the
+        # heavy LSH verify joins run against a GC wall (q27 measured 5.2 s
+        # steady at 24g vs 6.6-6.9 s at 8g, with far noisier early passes).
+        # Multi-process consumers (selfcheck --workers) keep the session
+        # factory's smaller default so N workers can't overcommit the host.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -138,13 +161,24 @@ def main() -> None:
     # suite pass vs 4.1-5.7 s across five isolated runs), while min-of-N
     # hides real regressions behind one lucky run; the per-query run lists
     # ride in the output so a future reader can judge the noise.
+    # Two unrecorded warmup passes, not one: C2 compiles the giant
+    # whole-stage-codegen classes (32-min-agg minhash signature, 64-term
+    # simhash, LSH verify joins) lazily over several executions, and on a
+    # slow/contended host one pass is not enough — measured on a cold JVM:
+    # q27 back-to-back 37->18->13->6.6 s, i.e. the THIRD repetition still
+    # carried ~2x JIT residue, which then landed in the recorded median
+    # (round-5 pre-fix bench: q27 median 21-32 s vs 5-7 s steady). JMH's
+    # own default is 5 warmup iterations for exactly this reason. All raw
+    # recorded runs still ride in `query_runs` for noise auditing.
+    probe_before = _cpu_probe()
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _pass in range(4):
+    n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2"))
+    for _pass in range(n_warmup + 3):
         for name in HEADLINE:
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
             dt = round(time.time() - t0, 3)
-            if _pass > 0:  # pass 0 is the codegen/JIT warmup
+            if _pass >= n_warmup:  # leading passes are codegen/JIT warmup
                 runs[name].append(dt)
             # UNTIMED housekeeping between trials (JMH-style): drop Python
             # DF refs so the ContextCleaner frees dead broadcast/checkpoint
@@ -289,6 +323,11 @@ def main() -> None:
                 "prev_bench": os.path.basename(prev_path) if prev_path else None,
                 "sf": sf,
                 "cpus": cpus,
+                # host-steal probes (see _cpu_probe): ~0.6s = unloaded VM;
+                # values 2-4x that mean co-tenant contention inflated every
+                # wall time in this file by roughly the same factor
+                "cpu_probe_before_sec": probe_before,
+                "cpu_probe_after_sec": _cpu_probe(),
                 "n_events": n_events,
                 "fact1_like_rows_per_sec": round(n_events / fact1_s),
                 "clean_rows_per_sec": round(n_events / clean_s),
