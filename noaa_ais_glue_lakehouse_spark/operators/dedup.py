@@ -1069,3 +1069,91 @@ def winnow_incremental_pairs(
             F.when(F.col("_nn"), "new-new").otherwise("hist-new").alias("pair_kind"),
         )
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring spans: maximal character intervals in
+    which EVERY ``k``-character window occurs at least ``min_count``
+    times corpus-wide (other documents or elsewhere in the same one).
+
+    This is the relational form of exact-substring training-data dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", which uses a suffix array for the same contract): any
+    position lying inside a reported span starts or continues a
+    verbatim-repeated substring of length ≥ ``k``, and positions outside
+    spans provably do not. Deterministic and float-free, so the whole
+    operator is hash-oracle-checkable.
+
+    Plan (all linear in total characters — there is NO pairwise
+    candidate join anywhere, so the SCALING.md gram-saturation failure
+    mode cannot apply):
+
+    1. one projection builds each document's k-gram array (single pass
+       over the string), ``posexplode`` to (id, pos, gram) — the same
+       inverted-index shape a suffix-array build shuffles;
+    2. hash-aggregate gram counts, keep grams with count ≥
+       ``min_count``, semi-join back on gram (equi-join; AQE handles
+       boilerplate-gram skew);
+    3. per-document island detection over surviving positions: with
+       positions sorted ascending every window covers [pos, pos+k), so
+       a span breaks exactly when ``pos > prev_pos + k`` — one lag +
+       running sum window bounded by document length;
+    4. one aggregation per (document, island) emits the span.
+
+    Returns one row per span: (id, span_start, span_end, span_len),
+    1-based, end-exclusive, over ``lower(text)`` (length-preserving, so
+    offsets index the original text). Documents shorter than ``k`` or
+    with no repeated windows yield no rows.
+    """
+    s = F.lower(F.col(text_col))
+    n = F.length(s)
+    gram_idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(gram_idx, lambda i: s.substr(i, F.lit(k)))
+    idx = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.posexplode(grams).alias("_p0", "_gram")
+    )
+    idx = idx.select(
+        F.col(id_col), (F.col("_p0") + 1).cast("long").alias("pos"), "_gram"
+    )
+    hot = (
+        idx.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_gram")
+    )
+    rep = idx.join(hot, "_gram", "left_semi").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = rep.select(
+        F.col(id_col),
+        "pos",
+        F.sum(
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") > F.lag("pos").over(w) + k),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_island"),
+    )
+    return (
+        isl.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )

@@ -19343,3 +19343,202 @@ def q344_cosine_dup_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_duplicates(
         emb, 64, "vec_id", "embedding", threshold=0.5, auto_geometry=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: exact substring dedup spans, bigram LM scoring (q345-q347)
+# ---------------------------------------------------------------------------
+
+
+_REPEATED_SPAN_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS s FROM documents
+      WHERE len(lower(text)) >= 20
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(s, CAST(i AS INT), 20) AS gram
+      FROM base, UNNEST(range(1, len(s) - 18)) AS t(i)
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ), rep AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gram)
+    ), lagged AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM rep
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 20 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM lagged
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 20 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 20 - MIN(pos) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("q345_repeated_substring_spans", oracle=_REPEATED_SPAN_ORACLE)
+def q345_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275 — exact repeated-substring spans (the relational form of
+    Lee et al. 2021 suffix-array exact-substring dedup): maximal
+    character intervals whose every 20-char window occurs ≥2 times
+    corpus-wide. Float-free and deterministic, so fully hash-oracle-
+    checked. No pairwise join anywhere — gram rollup + semi-join +
+    per-doc island windows, all linear in total characters (the
+    SCALING.md gram-saturation n² failure mode cannot apply)."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return repeated_substring_spans(docs, "doc_id", "text", k=20, min_count=2)
+
+
+@register(
+    "q346_repeated_substring_stats",
+    oracle=r"""
+    WITH spans AS (
+""" + _REPEATED_SPAN_ORACLE + r"""
+    ), per_doc AS (
+      SELECT doc_id, SUM(span_len) AS repeated_chars
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(lower(d.text)) AS BIGINT) AS char_len,
+           CAST(COALESCE(p.repeated_chars, 0) AS BIGINT) AS repeated_chars,
+           ROUND(CAST(COALESCE(p.repeated_chars, 0) AS DOUBLE)
+                 / len(lower(d.text)), 6) AS repeated_frac,
+           COALESCE(p.repeated_chars, 0) < 0.2 * len(lower(d.text)) AS keep
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    WHERE len(lower(d.text)) > 0
+    """,
+)
+def q346_repeated_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X276 — per-document repeated-substring budget: total characters
+    inside q345's spans, the repeated fraction, and the Lee-et-al-style
+    keep/drop gate (drop when ≥20% of the document is verbatim-repeated
+    content). Spans are disjoint by construction so the per-doc rollup
+    is a plain sum; docs with no spans keep frac 0 via left join."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(docs, "doc_id", "text", k=20, min_count=2)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("repeated_chars")
+    )
+    base = docs.select(
+        "doc_id", F.length(F.lower(F.col("text"))).cast("long").alias("char_len")
+    ).filter(F.col("char_len") > 0)
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "char_len",
+            F.coalesce(F.col("repeated_chars"), F.lit(0))
+            .cast("long")
+            .alias("repeated_chars"),
+            F.round(
+                F.coalesce(F.col("repeated_chars"), F.lit(0)).cast("double")
+                / F.col("char_len"),
+                6,
+            ).alias("repeated_frac"),
+            (
+                F.coalesce(F.col("repeated_chars"), F.lit(0))
+                < 0.2 * F.col("char_len")
+            ).alias("keep"),
+        )
+    )
+
+
+@register(
+    "q347_bigram_logprob",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: attaching the vocabulary-size scalar for LM smoothing (same shape as q137)",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, tk FROM toks WHERE len(tk) > 0
+    ), big AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(tk) + 1),
+               i -> struct_pack(
+                 p := CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END,
+                 c := tk[i]))) AS pc
+      FROM nz
+    ), b AS (
+      SELECT doc_id, pc.p AS p, pc.c AS c FROM big
+    ), mb AS (
+      SELECT p, c, COUNT(*) AS cb FROM b GROUP BY p, c
+    ), mp AS (
+      SELECT p, COUNT(*) AS cp FROM b GROUP BY p
+    ), vv AS (
+      SELECT COUNT(DISTINCT c) AS v FROM b
+    ), scored AS (
+      SELECT b.doc_id, COUNT(*) AS n_tokens,
+             SUM(ln((mb.cb + 1.0) / (mp.cp + vv.v))) AS lp
+      FROM b JOIN mb USING (p, c) JOIN mp USING (p) CROSS JOIN vv
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(lp / n_tokens, 6) AS avg_bigram_logprob
+    FROM scored
+    """,
+)
+def q347_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277 — add-one-smoothed BIGRAM language model fit on the corpus
+    itself, each document scored by mean token log-probability with a
+    BOS context — the next step up from q137's unigram perplexity proxy
+    and the actual filter shape (KenLM-style n-gram scoring) curation
+    pipelines run when a trained LM isn't on the cluster.
+
+    Plan: one zip_with builds each document's (prev, cur) pairs
+    row-locally (no self-join); the bigram model is a hash aggregate on
+    (p, c); scoring joins the token stream back to the model on the
+    SAME (p, c) key (equi-join, AQE-skew-safe), the |contexts|-sized
+    count table broadcasts, and the vocab-size scalar rides a 1-row
+    cross join. Log floats round to 6dp for cross-engine hash
+    stability (q137's policy)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") > 0)
+    prevs = F.concat(
+        F.array(F.lit("<s>")), F.slice(F.col("_t"), 1, F.size("_t") - 1)
+    )
+    b = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                prevs,
+                F.col("_t"),
+                lambda p, c: F.struct(p.alias("p"), c.alias("c")),
+            )
+        ).alias("_pc"),
+    ).select("doc_id", F.col("_pc.p").alias("p"), F.col("_pc.c").alias("c"))
+    mb = b.groupBy("p", "c").agg(F.count(F.lit(1)).alias("cb"))
+    mp = b.groupBy("p").agg(F.count(F.lit(1)).alias("cp"))
+    vv = b.agg(F.countDistinct("c").alias("v"))
+    scored = (
+        b.join(mb, ["p", "c"])
+        .join(F.broadcast(mp), "p")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log((F.col("cb") + 1.0) / (F.col("cp") + F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("lp") / F.col("n_tokens"), 6).alias("avg_bigram_logprob"),
+    )

@@ -448,3 +448,107 @@ def test_portable_simhash_table_equals_column_form(spark):
     assert col_form == tbl_form
     assert tbl_form[2] == 0 and tbl_form[3] == 0  # empty docs -> 0
     assert tbl_form[1] == tbl_form[6] != 0
+
+
+def test_repeated_substring_spans_known_values(spark):
+    """Planted verbatim repeat across two docs: the span covers exactly
+    the shared region; unique text yields no span rows."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    # characters ADJACENT to the planted repeat differ between the two
+    # docs, so the maximal common substring is exactly `shared` (49 chars)
+    shared = "the quick brown fox jumps over the lazy dog again"  # 49 chars
+    df = spark.createDataFrame(
+        [
+            (1, "qqqq1" + shared + "1xyzzy-unique-one"),
+            (2, "rrrr2" + shared + "2plugh-unique-two"),
+            (3, "completely different text with no repeats at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = repeated_substring_spans(df, "doc_id", "text", k=20, min_count=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 3 not in rows
+    # shared region starts at char 6 (1-based, after the 5-char unique
+    # prefix) in both docs and is 49 chars long; spans are the union of
+    # repeated 20-windows, i.e. exactly [6, 6+49)
+    for d in (1, 2):
+        assert rows[d]["span_start"] == 6
+        assert rows[d]["span_end"] == 6 + 49
+        assert rows[d]["span_len"] == 49
+
+
+def test_repeated_substring_spans_properties(spark):
+    """Every reported span: disjoint within a doc, length >= k, and every
+    k-window inside it really does occur >= 2 times corpus-wide."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    df = _corpus(spark, n_clusters=6, variants=3)
+    k = 20
+    out = repeated_substring_spans(df, "doc_id", "text", k=k, min_count=2)
+    spans = out.collect()
+    texts = {r["doc_id"]: r["text"].lower() for r in df.collect()}
+    # corpus-wide window occurrence counts
+    from collections import Counter
+
+    counts = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            counts[t[i : i + k]] += 1
+    by_doc = {}
+    for s in spans:
+        assert s["span_len"] == s["span_end"] - s["span_start"] >= k
+        by_doc.setdefault(s["doc_id"], []).append(
+            (s["span_start"], s["span_end"])
+        )
+        t = texts[s["doc_id"]]
+        for i in range(s["span_start"], s["span_end"] - k + 1):
+            assert counts[t[i - 1 : i - 1 + k]] >= 2
+    for d, iv in by_doc.items():
+        iv.sort()
+        for (a1, e1), (a2, e2) in zip(iv, iv[1:]):
+            assert a2 > e1, f"overlapping spans in doc {d}"
+        # maximality: the window just before/after each span is NOT repeated
+        t = texts[d]
+        for a, e in iv:
+            if a - 1 >= 1:
+                assert counts.get(t[a - 2 : a - 2 + k], 0) < 2
+            if e - k + 1 <= len(t) - k + 1 and e + 1 - k + 1 >= 1:
+                w = t[e + 1 - k : e + 1]
+                if len(w) == k:
+                    assert counts.get(w, 0) < 2
+
+
+def test_bigram_logprob_hand_checked(spark):
+    """Tiny corpus cross-checked against a hand-computed add-one bigram
+    model with BOS context."""
+    import math
+
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+    import tempfile, os
+
+    rows = [(1, "a b a"), (2, "a b")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in queries()["q347_bigram_logprob"](spark, d).collect()
+        }
+    # token stream: doc1 = [a, b, a], doc2 = [a, b]
+    # bigrams: (<s>,a)x2 (a,b)x2 (b,a)x1 ; contexts: <s>:2 a:3 b:2? no:
+    #   doc1 pairs: (<s>,a) (a,b) (b,a); doc2 pairs: (<s>,a) (a,b)
+    #   cb: (<s>,a)=2 (a,b)=2 (b,a)=1 ; cp: <s>=2 a=2 b=1 ; V=|{a,b}|=2
+    p_sa = (2 + 1) / (2 + 2)  # 3/4
+    p_ab = (2 + 1) / (2 + 2)  # 3/4
+    p_ba = (1 + 1) / (1 + 2)  # 2/3
+    lp1 = (math.log(p_sa) + math.log(p_ab) + math.log(p_ba)) / 3
+    lp2 = (math.log(p_sa) + math.log(p_ab)) / 2
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["avg_bigram_logprob"] - round(lp1, 6)) < 1e-9
+    assert abs(out[2]["avg_bigram_logprob"] - round(lp2, 6)) < 1e-9
