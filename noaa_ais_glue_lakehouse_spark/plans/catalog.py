@@ -19542,3 +19542,171 @@ def q347_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("lp") / F.col("n_tokens"), 6).alias("avg_bigram_logprob"),
     )
+
+
+@register(
+    "q348_repeated_span_excision",
+    oracle=r"""
+    WITH spans AS (
+""" + _REPEATED_SPAN_ORACLE + r"""
+    ), segs AS (
+      SELECT doc_id, span_start, span_end,
+             COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+                                          ORDER BY span_start), 1) AS keep_from
+      FROM spans
+    ), kept AS (
+      SELECT doc_id,
+             string_agg(substr(lower(text), CAST(keep_from AS INT),
+                               CAST(span_start - keep_from AS INT)),
+                        '' ORDER BY span_start) AS head_part,
+             MAX(span_end) AS last_end,
+             SUM(span_end - span_start) AS removed_chars
+      FROM segs JOIN documents USING (doc_id)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN k.doc_id IS NULL THEN lower(d.text)
+                ELSE COALESCE(k.head_part, '')
+                     || substr(lower(d.text), CAST(k.last_end AS INT))
+           END AS new_text,
+           CAST(COALESCE(k.removed_chars, 0) AS BIGINT) AS removed_chars
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    """,
+)
+def q348_repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X278 — repeated-span EXCISION: rewrite each document with q345's
+    verbatim-repeated spans cut out (the action step of exact-substring
+    dedup; policy here is remove-everywhere, the conservative variant of
+    Lee et al.'s drop-one-occurrence — documented, deterministic, and
+    hash-checkable; output text is the lower() normalization q345's
+    offsets index).
+
+    Plan: spans (already per-doc disjoint) get their keep-segment start
+    via one lag window; per-doc string surgery is a sort-free aggregation
+    — min-struct/concat of ordered segments via sort_array(collect_list)
+    of (start, segment) structs, then one substr for the tail. Docs with
+    no spans pass through via left join. Everything is per-doc bounded;
+    the only shuffles are q345's plus one (doc_id) aggregation."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(docs, "doc_id", "text", k=20, min_count=2)
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    segs = spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.coalesce(F.lag("span_end").over(w), F.lit(1)).alias("keep_from"),
+    )
+    low = F.lower(F.col("text"))
+    kept = (
+        segs.join(docs.select("doc_id", "text"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("span_start").alias("s"),
+                                low.substr(
+                                    F.col("keep_from").cast("int"),
+                                    (F.col("span_start") - F.col("keep_from")).cast(
+                                        "int"
+                                    ),
+                                ).alias("seg"),
+                            )
+                        )
+                    ),
+                    lambda st: st["seg"],
+                ),
+                "",
+            ).alias("head_part"),
+            F.max("span_end").alias("last_end"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("removed_chars"),
+        )
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("last_end").isNull(), low)
+            .otherwise(
+                F.concat(
+                    F.coalesce(F.col("head_part"), F.lit("")),
+                    low.substr(F.col("last_end").cast("int"), F.length(low)),
+                )
+            )
+            .alias("new_text"),
+            F.coalesce(F.col("removed_chars"), F.lit(0))
+            .cast("long")
+            .alias("removed_chars"),
+        )
+    )
+
+
+@register(
+    "q349_ngram_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(range(1, len(tk) - 2),
+                    i -> array_to_string(tk[i:i+3], ' '))) AS gram
+      FROM toks WHERE len(tk) >= 4
+    ), df AS (
+      SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           ROUND(CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_frac
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q349_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X279 — distinct-4-gram novelty: for each document, the fraction
+    of its distinct word 4-grams appearing in NO other document — the
+    corpus-diversity / memorization screen used on generated corpora
+    (low novelty = the doc is stitched from corpus-common phrasing; the
+    per-corpus aggregate is the standard distinct-n metric).
+
+    Shape: row-local 4-gram arrays (no explode until needed),
+    array_distinct before the explode so the (doc, gram) relation is
+    set-valued, one hash aggregate for document frequency, and an
+    equi-join back — the exact inverted-index shuffle q345 uses, linear
+    in corpus grams. DuckDB's list slicing is end-INCLUSIVE (tk[i:i+3]
+    is 4 items) where Spark's slice(toks, i, 4) takes a length — both
+    sides emit 4-token grams."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    g = (
+        docs.select("doc_id", F.array_distinct(_word_ngrams(toks, 4)).alias("_g"))
+        .filter(F.size("_g") > 0)
+        .select("doc_id", F.explode("_g").alias("gram"))
+    )
+    df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        g.join(df_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )

@@ -552,3 +552,60 @@ def test_bigram_logprob_hand_checked(spark):
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
     assert abs(out[1]["avg_bigram_logprob"] - round(lp1, 6)) < 1e-9
     assert abs(out[2]["avg_bigram_logprob"] - round(lp2, 6)) < 1e-9
+
+
+def test_repeated_span_excision_known_values(spark):
+    """Excision removes exactly the repeated region from both docs and
+    passes unique docs through (lower-normalized)."""
+    import os
+    import tempfile
+
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (1, "QQQQ1" + shared + "1xyzzy-unique-one"),
+        (2, "RRRR2" + shared + "2plugh-unique-two"),
+        (3, "completely different text with no repeats at all here"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in queries()["q348_repeated_span_excision"](spark, d).collect()
+        }
+    assert out[1]["new_text"] == "qqqq1" + "1xyzzy-unique-one"
+    assert out[1]["removed_chars"] == len(shared)
+    assert out[2]["new_text"] == "rrrr2" + "2plugh-unique-two"
+    assert out[3]["new_text"] == rows[2][1]
+    assert out[3]["removed_chars"] == 0
+
+
+def test_ngram_novelty_known_values(spark):
+    """Doc sharing every 4-gram with another scores 0; fully unique doc
+    scores 1."""
+    import os
+    import tempfile
+
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+    rows = [
+        (1, "a b c d e"),           # grams: "a b c d", "b c d e"
+        (2, "a b c d e"),           # identical -> novelty 0 for both
+        (3, "p q r s t"),           # unique -> novelty 1
+        (4, "x y z"),               # <4 tokens -> excluded
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in queries()["q349_ngram_novelty"](spark, d).collect()
+        }
+    assert 4 not in out
+    assert out[1]["n_grams"] == 2 and out[1]["novelty_frac"] == 0.0
+    assert out[2]["novelty_frac"] == 0.0
+    assert out[3]["n_grams"] == 2 and out[3]["novelty_frac"] == 1.0
