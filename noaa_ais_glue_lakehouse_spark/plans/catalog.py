@@ -19710,3 +19710,278 @@ def q349_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series symbolization + histogram outlier scoring (q350-q351)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q350_sax_words",
+    oracle=r"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), u AS (
+      SELECT user_id, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ssq
+      FROM daily GROUP BY user_id HAVING COUNT(*) >= 6
+    ), pos AS (
+      SELECT d.user_id, d.c, u.n, u.s, u.ssq,
+             ROW_NUMBER() OVER (PARTITION BY d.user_id ORDER BY d.day) - 1 AS p
+      FROM daily d JOIN u USING (user_id)
+    ), seg AS (
+      SELECT user_id,
+             CAST(FLOOR((p * 6) / CAST(n AS DOUBLE)) AS BIGINT) AS sg,
+             SUM(c) AS seg_s, COUNT(*) AS seg_n,
+             MAX(n) AS n, MAX(s) AS s, MAX(ssq) AS ssq
+      FROM pos
+      GROUP BY user_id, CAST(FLOOR((p * 6) / CAST(n AS DOUBLE)) AS BIGINT)
+    ), sym AS (
+      SELECT user_id, sg,
+             CASE
+               WHEN n * ssq - s * s = 0 THEN 'c'
+               WHEN CAST(n * seg_s - seg_n * s AS DOUBLE)
+                    / (CAST(seg_n AS DOUBLE)
+                       * sqrt(CAST(n * ssq - s * s AS DOUBLE))) < -0.6745 THEN 'a'
+               WHEN CAST(n * seg_s - seg_n * s AS DOUBLE)
+                    / (CAST(seg_n AS DOUBLE)
+                       * sqrt(CAST(n * ssq - s * s AS DOUBLE))) < 0.0 THEN 'b'
+               WHEN CAST(n * seg_s - seg_n * s AS DOUBLE)
+                    / (CAST(seg_n AS DOUBLE)
+                       * sqrt(CAST(n * ssq - s * s AS DOUBLE))) < 0.6745 THEN 'c'
+               ELSE 'd'
+             END AS symbol
+      FROM seg
+    ), words AS (
+      SELECT user_id, STRING_AGG(symbol, '' ORDER BY sg) AS sax_word
+      FROM sym GROUP BY user_id
+    )
+    SELECT sax_word, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS example_user
+    FROM words GROUP BY sax_word
+    """,
+)
+def q350_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X280 — SAX (Symbolic Aggregate approXimation) words over each
+    user's daily-spend series: PAA into 6 segments, per-user
+    z-normalization, 4-symbol Gaussian breakpoints (±0.6745, 0), then
+    the corpus motif table (word → user count) — the standard symbolic
+    compaction that turns a 100 TB series store into a string column
+    motif-mining / anomaly screens can index (Lin et al., DMKD 2007).
+
+    Engine-exactness is the design constraint: a naive z-score averages
+    doubles per segment, and cross-engine double-summation order breaks
+    hash equality. Instead both sides compute the segment z-score in one
+    exact algebraic step from INTEGER aggregates — z_seg = (n·seg_s −
+    seg_n·s) / (seg_n·√(n·ssq − s²)) — every operand an int64, the only
+    float ops a correctly-rounded sqrt/mul/div chain, so Spark and
+    DuckDB produce bit-identical symbols. Zero-variance series map to
+    'c' (flat) explicitly.
+
+    Shape: one (user, day) hash aggregate, one per-user window for the
+    position index (partition-local sort), one (user, segment)
+    aggregate, one per-user word roll-up — all on the same user_id
+    exchange, no data-dependent joins; at 1000 executors this is a
+    single shuffle family keyed by user."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).alias("c"))
+    u = (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        )
+        .filter(F.col("n") >= 6)
+    )
+    wpos = Window.partitionBy("user_id").orderBy("day")
+    pos = daily.join(u, "user_id").withColumn(
+        "p", F.row_number().over(wpos) - F.lit(1)
+    )
+    seg = pos.groupBy(
+        "user_id",
+        F.floor((F.col("p") * 6) / F.col("n").cast("double"))
+        .cast("long")
+        .alias("sg"),
+    ).agg(
+        F.sum("c").alias("seg_s"),
+        F.count(F.lit(1)).alias("seg_n"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("ssq").alias("ssq"),
+    )
+    var_num = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    z = (F.col("n") * F.col("seg_s") - F.col("seg_n") * F.col("s")).cast(
+        "double"
+    ) / (F.col("seg_n").cast("double") * F.sqrt(var_num.cast("double")))
+    sym = seg.select(
+        "user_id",
+        "sg",
+        F.when(var_num == 0, F.lit("c"))
+        .when(z < -0.6745, F.lit("a"))
+        .when(z < 0.0, F.lit("b"))
+        .when(z < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("symbol"),
+    )
+    words = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sg"), F.col("symbol")))
+                ),
+                lambda st: st["symbol"],
+            ),
+            "",
+        ).alias("sax_word")
+    )
+    return words.groupBy("sax_word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("user_id").cast("long").alias("example_user"),
+    )
+
+
+@register(
+    "q351_hbos_outliers",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross joins: attaching the "
+        "global (min,max,count) feature-stats scalar to the per-user "
+        "feature frame for fixed-width binning - O(|users|) x 1"
+    ),
+    oracle=r"""
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS n_ev,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s_c,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS n_d
+      FROM events GROUP BY user_id
+    ), st AS (
+      SELECT MIN(n_ev) AS mn1, MAX(n_ev) AS mx1,
+             MIN(s_c)  AS mn2, MAX(s_c)  AS mx2,
+             MIN(n_d)  AS mn3, MAX(n_d)  AS mx3,
+             COUNT(*) AS n FROM u
+    ), b AS (
+      SELECT u.user_id, st.n,
+        CASE WHEN mx1 = mn1 THEN 0 ELSE LEAST(9, CAST(FLOOR(
+          ((n_ev - mn1) * 10) / CAST(mx1 - mn1 AS DOUBLE)) AS BIGINT)) END AS b1,
+        CASE WHEN mx2 = mn2 THEN 0 ELSE LEAST(9, CAST(FLOOR(
+          ((s_c - mn2) * 10) / CAST(mx2 - mn2 AS DOUBLE)) AS BIGINT)) END AS b2,
+        CASE WHEN mx3 = mn3 THEN 0 ELSE LEAST(9, CAST(FLOOR(
+          ((n_d - mn3) * 10) / CAST(mx3 - mn3 AS DOUBLE)) AS BIGINT)) END AS b3
+      FROM u CROSS JOIN st
+    ), c1 AS (SELECT b1, COUNT(*) AS c FROM b GROUP BY b1),
+       c2 AS (SELECT b2, COUNT(*) AS c FROM b GROUP BY b2),
+       c3 AS (SELECT b3, COUNT(*) AS c FROM b GROUP BY b3)
+    SELECT b.user_id,
+           ROUND(3 * LOG10(CAST(b.n AS DOUBLE))
+                 - LOG10(CAST(c1.c AS DOUBLE))
+                 - LOG10(CAST(c2.c AS DOUBLE))
+                 - LOG10(CAST(c3.c AS DOUBLE)), 6) AS hbos_score
+    FROM b JOIN c1 USING (b1) JOIN c2 USING (b2) JOIN c3 USING (b3)
+    ORDER BY hbos_score DESC, b.user_id
+    LIMIT 20
+    """,
+)
+def q351_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X281 — HBOS (Histogram-Based Outlier Score, Goldstein & Dengel
+    2012) over per-user behavioral features (event count, total spend
+    cents, active days): 10 fixed-width bins per feature, score =
+    Σ_f −log10(binCount_f(x)/N) — the linear-time, embarrassingly
+    parallel anomaly detector you reach for at 100 TB when isolation
+    forests / kNN-based LOF can't shard (each feature's histogram is one
+    tiny aggregate; scoring is a 3-way broadcast join).
+
+    Engine-exactness: features and bin edges are pure integers; the bin
+    index is floor((x−min)·10 / (max−min)) — an exact int64 numerator
+    divided by an exact int64, one correctly-rounded IEEE division both
+    engines share, so bins match bit-for-bit. log10 of small-int-valued
+    doubles is the only libm call; scores are ROUND(...,6) and the
+    top-20 is ordered by the ROUNDED score (then user_id) so a last-ulp
+    libm divergence cannot reorder the result.
+
+    Shape: one user aggregate, one 1-row stats scalar (broadcast), three
+    ≤10-row histogram aggregates (broadcast joins), one TakeOrdered
+    top-k — no wide shuffle beyond the initial user_id aggregation."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(cents(F.col("value"))).alias("s_c"),
+        F.countDistinct(F.to_date("ts")).alias("n_d"),
+    )
+    st = u.agg(
+        F.min("n_ev").alias("mn1"), F.max("n_ev").alias("mx1"),
+        F.min("s_c").alias("mn2"), F.max("s_c").alias("mx2"),
+        F.min("n_d").alias("mn3"), F.max("n_d").alias("mx3"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def _bin(x, mn, mx):
+        return (
+            F.when(F.col(mx) == F.col(mn), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(9),
+                    F.floor(
+                        ((F.col(x) - F.col(mn)) * 10)
+                        / (F.col(mx) - F.col(mn)).cast("double")
+                    ).cast("long"),
+                )
+            )
+        )
+
+    b = u.crossJoin(F.broadcast(st)).select(
+        "user_id",
+        "n",
+        _bin("n_ev", "mn1", "mx1").alias("b1"),
+        _bin("s_c", "mn2", "mx2").alias("b2"),
+        _bin("n_d", "mn3", "mx3").alias("b3"),
+    )
+    c1 = b.groupBy("b1").agg(F.count(F.lit(1)).alias("c_1"))
+    c2 = b.groupBy("b2").agg(F.count(F.lit(1)).alias("c_2"))
+    c3 = b.groupBy("b3").agg(F.count(F.lit(1)).alias("c_3"))
+    scored = (
+        b.join(F.broadcast(c1), "b1")
+        .join(F.broadcast(c2), "b2")
+        .join(F.broadcast(c3), "b3")
+        .select(
+            "user_id",
+            F.round(
+                3 * F.log10(F.col("n").cast("double"))
+                - F.log10(F.col("c_1").cast("double"))
+                - F.log10(F.col("c_2").cast("double"))
+                - F.log10(F.col("c_3").cast("double")),
+                6,
+            ).alias("hbos_score"),
+        )
+    )
+    return scored.orderBy(F.desc("hbos_score"), F.asc("user_id")).limit(20)
+
+
+@register("q352_dtw_route_change")  # rows-only: DTW recurrence is not ANSI-SQL
+def q352_dtw_route_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X282 — banded-DTW day-over-day route-change detection on the
+    deterministic synthetic coordinates (P9's _with_coords): for each
+    user and each adjacent day pair, the Sakoe-Chiba-banded dynamic-
+    time-warping haversine distance between the two day tracks,
+    normalized per step — the AIS "did the route change" screen that
+    pointwise lag distances (q19) cannot express because it must align
+    tracks of different lengths/phases.
+
+    Scale shape (see operators/trajectory.py): pairing is structural —
+    day d vs day d+1 within a user — so comparisons are linear in the
+    fact table, one applyInPandas shuffle on user_id, per-pair DP
+    bounded by max_points·(2r+1). No SQL oracle BY DESIGN: the DTW
+    recurrence (per-cell min over three predecessors) has no fixed
+    ANSI-SQL form; correctness is pinned by known-value and
+    band-equivalence tests in tests/test_trajectory.py."""
+    from noaa_ais_glue_lakehouse_spark.operators.trajectory import (
+        dtw_day_over_day,
+    )
+
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    return dtw_day_over_day(
+        ev, "user_id", "ts", "lat", "lon", radius=5, max_points=32
+    )
