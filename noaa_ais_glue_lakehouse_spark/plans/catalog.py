@@ -19985,3 +19985,197 @@ def q352_dtw_route_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_day_over_day(
         ev, "user_id", "ts", "lat", "lon", radius=5, max_points=32
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory analytics: OD flows + straightness index (q353-q354)
+# ---------------------------------------------------------------------------
+
+_HAV_HM_SQL = """CAST(ROUND(2*6371*ASIN(LEAST(SQRT(
+  POW(SIN(RADIANS({la2}-{la1})/2),2)
+  + COS(RADIANS({la1}))*COS(RADIANS({la2}))*POW(SIN(RADIANS({lo2}-{lo1})/2),2)
+), 1.0)) * 10) AS BIGINT)"""
+
+
+@register(
+    "q353_od_flow_matrix",
+    oracle=_COORDS_CTE
+    + """
+    , c AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(FLOOR(lat / 5.0) AS BIGINT) AS lat_cell,
+             CAST(FLOOR(lon / 5.0) AS BIGINT) AS lon_cell
+      FROM coords
+    ), r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day
+                           ORDER BY ts, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM c
+    ), trips AS (
+      SELECT user_id, day,
+             MAX(CASE WHEN rn_a = 1 THEN lat_cell END) AS o_lat_cell,
+             MAX(CASE WHEN rn_a = 1 THEN lon_cell END) AS o_lon_cell,
+             MAX(CASE WHEN rn_d = 1 THEN lat_cell END) AS d_lat_cell,
+             MAX(CASE WHEN rn_d = 1 THEN lon_cell END) AS d_lon_cell
+      FROM r GROUP BY user_id, day
+    )
+    SELECT o_lat_cell, o_lon_cell, d_lat_cell, d_lon_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_trips,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM trips
+    GROUP BY o_lat_cell, o_lon_cell, d_lat_cell, d_lon_cell
+    """,
+)
+def q353_od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X283 — origin-destination flow matrix: each (user, day) is a
+    trip from its first to its last 5° grid cell (ts-ordered); flows
+    aggregate trips and distinct travellers per (origin, destination)
+    cell pair — the transport-analytics rollup (and the AIS voyage
+    origin/destination table) built from raw pings.
+
+    Shape: the first/last extraction is the two-window ROW_NUMBER
+    trick folded into ONE aggregate (MAX over rn=1 flags), so the whole
+    query is a single (user, day) exchange — both windows and the
+    group-by share the partitioning — followed by a low-cardinality
+    flow rollup. No joins at all; at 1000 executors this is two hash
+    aggregates on naturally high-cardinality keys."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    c = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        grid_cell(F.col("lat"), 5.0).alias("lat_cell"),
+        grid_cell(F.col("lon"), 5.0).alias("lon_cell"),
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = c.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    trips = r.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("lat_cell"))).alias("o_lat_cell"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("lon_cell"))).alias("o_lon_cell"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("lat_cell"))).alias("d_lat_cell"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("lon_cell"))).alias("d_lon_cell"),
+    )
+    return trips.groupBy(
+        "o_lat_cell", "o_lon_cell", "d_lat_cell", "d_lon_cell"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trips"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "q354_trajectory_straightness",
+    oracle=_COORDS_CTE
+    + """
+    , c AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, lat, lon
+      FROM coords
+    ), lagged AS (
+      SELECT *,
+        LAG(lat) OVER (PARTITION BY user_id, day
+                       ORDER BY ts, event_id) AS prev_lat,
+        LAG(lon) OVER (PARTITION BY user_id, day
+                       ORDER BY ts, event_id) AS prev_lon,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day
+                           ORDER BY ts, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY user_id, day
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM c
+    ), agg AS (
+      SELECT user_id, day,
+             CAST(COUNT(*) AS BIGINT) AS n_points,
+             SUM(CASE WHEN prev_lat IS NULL THEN 0 ELSE """
+    + _HAV_HM_SQL.format(la1="prev_lat", lo1="prev_lon", la2="lat", lo2="lon")
+    + """ END) AS path_hm,
+             MAX(CASE WHEN rn_a = 1 THEN lat END) AS f_lat,
+             MAX(CASE WHEN rn_a = 1 THEN lon END) AS f_lon,
+             MAX(CASE WHEN rn_d = 1 THEN lat END) AS l_lat,
+             MAX(CASE WHEN rn_d = 1 THEN lon END) AS l_lon
+      FROM lagged GROUP BY user_id, day
+    )
+    SELECT user_id, day, n_points, CAST(path_hm AS BIGINT) AS path_hm,
+           """
+    + _HAV_HM_SQL.format(la1="f_lat", lo1="f_lon", la2="l_lat", lo2="l_lon")
+    + """ AS net_hm,
+           CASE WHEN path_hm > 0 THEN ROUND(CAST("""
+    + _HAV_HM_SQL.format(la1="f_lat", lo1="f_lon", la2="l_lat", lo2="l_lon")
+    + """ AS DOUBLE) / CAST(path_hm AS DOUBLE), 6) END AS straightness
+    FROM agg
+    WHERE n_points >= 2
+    """,
+)
+def q354_trajectory_straightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X284 — trajectory straightness index (movement-ecology standard:
+    net displacement / path length, Batschelet 1981): per (user, day),
+    the summed consecutive-ping haversine path vs the first→last
+    great-circle displacement — ~1 means directed transit, ~0 means
+    loitering/circling; the screen that separates passage legs from
+    fishing/station-keeping behavior in AIS analytics.
+
+    Engine-exactness: each leg is rounded to an INTEGER 100 m unit
+    before summation (CAST(ROUND(hav·10) AS BIGINT)), so the path sum
+    is an exact int64 in any aggregation order — summing raw haversine
+    doubles would be order-dependent and break cross-engine hashing.
+    The 100 m quantum also keeps libm last-ulp sin/asin divergence
+    ~10 orders of magnitude away from any rounding boundary.
+    The final ratio is one deterministic int/int double division,
+    ROUND(...,6).
+
+    Shape: lag + two row_number flags + the aggregate all share one
+    (user, day) exchange; no joins. Same single-shuffle family as
+    q353."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    c = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "lat", "lon"
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    lagged = (
+        c.withColumn("prev_lat", F.lag("lat").over(wa))
+        .withColumn("prev_lon", F.lag("lon").over(wa))
+        .withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+    )
+    leg_hm = F.round(
+        haversine_km(
+            F.col("prev_lat"), F.col("prev_lon"), F.col("lat"), F.col("lon")
+        )
+        * 10
+    ).cast("long")
+    agg = lagged.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(
+            F.when(F.col("prev_lat").isNull(), F.lit(0)).otherwise(leg_hm)
+        ).alias("path_hm"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("lat"))).alias("f_lat"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("lon"))).alias("f_lon"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("lat"))).alias("l_lat"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("lon"))).alias("l_lon"),
+    )
+    net_hm = F.round(
+        haversine_km(
+            F.col("f_lat"), F.col("f_lon"), F.col("l_lat"), F.col("l_lon")
+        )
+        * 10
+    ).cast("long")
+    return agg.filter(F.col("n_points") >= 2).select(
+        "user_id",
+        "day",
+        "n_points",
+        F.col("path_hm").cast("long").alias("path_hm"),
+        net_hm.alias("net_hm"),
+        F.when(
+            F.col("path_hm") > 0,
+            F.round(net_hm.cast("double") / F.col("path_hm").cast("double"), 6),
+        ).alias("straightness"),
+    )
