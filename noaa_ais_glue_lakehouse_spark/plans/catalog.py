@@ -20179,3 +20179,192 @@ def q354_trajectory_straightness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(net_hm.cast("double") / F.col("path_hm").cast("double"), 6),
         ).alias("straightness"),
     )
+
+
+@register(
+    "q355_radius_of_gyration",
+    oracle="""
+    WITH ci AS (
+      SELECT user_id,
+             event_id % 1800 - 900 AS lat_dd,
+             (event_id * 7) % 3600 - 1800 AS lon_dd
+      FROM events
+    ), cent AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(lat_dd) AS s_lat, SUM(lon_dd) AS s_lon
+      FROM ci GROUP BY user_id
+    ), d AS (
+      SELECT ci.user_id, cent.n,
+        CAST(ROUND(2*6371*ASIN(LEAST(SQRT(
+          POW(SIN(RADIANS(CAST(ci.lat_dd AS DOUBLE)/10.0
+                  - (CAST(cent.s_lat AS DOUBLE)/cent.n)/10.0)/2),2)
+          + COS(RADIANS((CAST(cent.s_lat AS DOUBLE)/cent.n)/10.0))
+            * COS(RADIANS(CAST(ci.lat_dd AS DOUBLE)/10.0))
+            * POW(SIN(RADIANS(CAST(ci.lon_dd AS DOUBLE)/10.0
+                  - (CAST(cent.s_lon AS DOUBLE)/cent.n)/10.0)/2),2)
+        ), 1.0)) * 10) AS BIGINT) AS d_hm
+      FROM ci JOIN cent USING (user_id)
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_points,
+           ROUND(SQRT(CAST(SUM(d_hm * d_hm) AS DOUBLE)
+                      / MAX(n)) / 10.0, 6) AS rog_km
+    FROM d GROUP BY user_id
+    """,
+)
+def q355_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X285 — radius of gyration per user (González/Hidalgo/Barabási,
+    Nature 2008): √(mean squared great-circle distance from the user's
+    centroid of visited points) — THE standard mobility-range statistic
+    (home-range size in movement ecology, vessel operating radius in
+    AIS analytics).
+
+    Engine-exactness: the synthetic coordinates are exact integer
+    DECIdegrees (event_id % 1800 − 900), so the centroid numerators are
+    int64 sums; each point→centroid distance is rounded to an integer
+    100 m unit, its square summed in int64, and the final
+    √(Σd²/n)/10 is one deterministic sqrt/div chain. No
+    order-dependent double summation anywhere. (Arithmetic-mean
+    centroid is the standard approximation; exact geodesic centroids
+    need iteration and change answers by O(d²/R²).)
+
+    Shape: one user aggregate for the centroid, one broadcast-join back
+    (|users| rows), one user aggregate for the moment — two exchanges
+    on user_id, no wide join."""
+    ev = load(spark, sf_dir, "events")
+    ci = ev.select(
+        "user_id",
+        (F.col("event_id") % 1800 - 900).alias("lat_dd"),
+        ((F.col("event_id") * 7) % 3600 - 1800).alias("lon_dd"),
+    )
+    cent = ci.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lat_dd").alias("s_lat"),
+        F.sum("lon_dd").alias("s_lon"),
+    )
+    lat_c = (F.col("s_lat").cast("double") / F.col("n")) / 10.0
+    lon_c = (F.col("s_lon").cast("double") / F.col("n")) / 10.0
+    d_hm = F.round(
+        haversine_km(
+            F.col("lat_dd").cast("double") / 10.0,
+            F.col("lon_dd").cast("double") / 10.0,
+            lat_c,
+            lon_c,
+        )
+        * 10
+    ).cast("long")
+    d = ci.join(F.broadcast(cent), "user_id").select(
+        "user_id", F.col("n"), d_hm.alias("d_hm")
+    )
+    return d.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_points"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("d_hm") * F.col("d_hm")).cast("double") / F.max("n")
+            )
+            / 10.0,
+            6,
+        ).alias("rog_km"),
+    )
+
+
+@register(
+    "q356_burstiness_memory",
+    oracle="""
+    WITH g0 AS (
+      SELECT user_id, ts, event_id,
+             (epoch_us(ts) // 1000000)
+               - LAG((epoch_us(ts) // 1000000))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ), g AS (
+      SELECT user_id, gap,
+             LEAD(gap) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS next_gap
+      FROM g0
+    ), m AS (
+      SELECT user_id, COUNT(gap) AS n, SUM(gap) AS s,
+             SUM(gap * gap) AS ssq,
+             COUNT(next_gap) AS np,
+             SUM(CASE WHEN next_gap IS NOT NULL THEN gap END) AS sx,
+             SUM(CASE WHEN next_gap IS NOT NULL THEN gap * gap END) AS sxx,
+             SUM(next_gap) AS sy,
+             SUM(next_gap * next_gap) AS syy,
+             SUM(gap * next_gap) AS sxy
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING COUNT(gap) >= 3
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           ROUND((SQRT(CAST(n * ssq - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+                 / (SQRT(CAST(n * ssq - s * s AS DOUBLE)) + CAST(s AS DOUBLE)),
+                 6) AS burstiness,
+           CASE WHEN (np * sxx - sx * sx) > 0 AND (np * syy - sy * sy) > 0
+                THEN ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+                      / (SQRT(CAST(np * sxx - sx * sx AS DOUBLE))
+                         * SQRT(CAST(np * syy - sy * sy AS DOUBLE))), 6)
+           END AS memory_coef
+    FROM m
+    """,
+)
+def q356_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X286 — Goh–Barabási burstiness B = (σ−μ)/(σ+μ) and memory
+    coefficient M = corr(gap_i, gap_{i+1}) of each user's inter-event
+    times (EPL 2008) — the (B, M) phase plane that separates Poisson
+    traffic (0,0) from bursty human/vessel activity (B→1) and from
+    periodic beacons (B→−1); a standard upstream screen for
+    bot/beacon filtering in training-data event streams.
+
+    Engine-exactness: gaps are integer epoch-seconds; every moment
+    (Σg, Σg², Σg·g₊, pair-restricted marginals) is an int64 sum, so
+    B = (√(n·ssq−s²) − s)/(√(n·ssq−s²) + s) and the Pearson M are
+    fixed sqrt/div chains over exact integers — bit-identical across
+    engines, no order-dependent double accumulation. Degenerate users
+    (<3 gaps, zero-variance pairs) are filtered/NULLed explicitly.
+
+    Shape: one lag+lead window and one aggregate, all on the user_id
+    exchange; no joins."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.expr("unix_micros(ts) DIV 1000000")
+    g = ev.select(
+        "user_id",
+        (epoch - F.lag(epoch).over(w)).alias("gap"),
+        "ts",
+        "event_id",
+    ).withColumn("next_gap", F.lead("gap").over(w))
+    m = (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n"),
+            F.sum("gap").alias("s"),
+            F.sum(F.col("gap") * F.col("gap")).alias("ssq"),
+            F.count("next_gap").alias("np"),
+            F.sum(F.when(F.col("next_gap").isNotNull(), F.col("gap"))).alias("sx"),
+            F.sum(
+                F.when(F.col("next_gap").isNotNull(), F.col("gap") * F.col("gap"))
+            ).alias("sxx"),
+            F.sum("next_gap").alias("sy"),
+            F.sum(F.col("next_gap") * F.col("next_gap")).alias("syy"),
+            F.sum(F.col("gap") * F.col("next_gap")).alias("sxy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    sd = F.sqrt((F.col("n") * F.col("ssq") - F.col("s") * F.col("s")).cast("double"))
+    var_x = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(
+            (sd - F.col("s").cast("double")) / (sd + F.col("s").cast("double")), 6
+        ).alias("burstiness"),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.round(
+                (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))),
+                6,
+            ),
+        ).alias("memory_coef"),
+    )
