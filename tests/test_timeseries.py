@@ -142,3 +142,33 @@ def test_grid_resample_covers_empty_hours(spark):
     )
     by_hour = {r["h"]: (r["n"], r["filled"]) for r in out}
     assert by_hour == {0: (1, 5.0), 1: (0, 5.0), 2: (1, 7.0)}
+
+
+def test_sax_words_hand_computed(spark):
+    """q350 on a constructed series: 12 days in 6 two-day segments with
+    daily cents [0,0,10,10,20,20,30,30,40,40,100,100].
+    s=400, ssq=26000, var_num=12*26000-400^2=152000;
+    z_seg=(12*seg_s-800)/(2*sqrt(152000)) => [-1.03,-0.72,-0.41,-0.10,
+    +0.21,+2.05] => 'aabbcd'. A constant user must map to all-'c'."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+    rows = []
+    daily = [0, 0, 10, 10, 20, 20, 30, 30, 40, 40, 100, 100]
+    for i, c in enumerate(daily):
+        rows.append((1, dt.datetime(2024, 3, 1 + i, 12, 0), c / 100.0))
+    for i in range(6):  # zero-variance user
+        rows.append((2, dt.datetime(2024, 3, 1 + i, 12, 0), 5.0))
+    rows.append((3, dt.datetime(2024, 3, 1, 12, 0), 1.0))  # <6 days: dropped
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, ["user_id", "ts", "value"]).coalesce(
+            1
+        ).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["sax_word"]: (r["n_users"], r["example_user"])
+            for r in queries()["q350_sax_words"](spark, d).collect()
+        }
+    assert out == {"aabbcd": (1, 1), "cccccc": (1, 2)}

@@ -30,6 +30,11 @@ QUERIES = [
     "q171_jaccard_prefix_filter",
     "q314_rendezvous_detection",
     "q343_winnow_near_dups_capped",
+    # round-5 additions: the exact-substring family and LM scoring are
+    # claimed linear-in-corpus (no pairwise join) — measure, don't assert
+    "q345_repeated_substring_spans",
+    "q347_bigram_logprob",
+    "q349_ngram_novelty",
 ]
 
 
