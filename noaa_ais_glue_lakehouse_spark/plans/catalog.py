@@ -20368,3 +20368,387 @@ def q356_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("memory_coef"),
     )
+
+
+@register(
+    "q357_stop_detection",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             (event_id * 13) % 300 AS sog_ds,
+             event_id % 1800 - 900 AS lat_dd,
+             (event_id * 7) % 3600 - 1800 AS lon_dd
+      FROM events
+    ), seq AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_all,
+             CASE WHEN sog_ds < 100 THEN
+               ROW_NUMBER() OVER (PARTITION BY user_id, sog_ds < 100
+                                  ORDER BY ts, event_id)
+             END AS rn_low
+      FROM pts
+    ), runs AS (
+      SELECT user_id, rn_all - rn_low AS grp,
+             COUNT(*) AS n_points,
+             MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dwell_s,
+             SUM(lat_dd) AS s_lat, SUM(lon_dd) AS s_lon
+      FROM seq WHERE rn_low IS NOT NULL
+      GROUP BY user_id, rn_all - rn_low
+      HAVING COUNT(*) >= 2
+    )
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY start_ts, grp) AS stop_seq,
+           CAST(n_points AS BIGINT) AS n_points,
+           start_ts, end_ts,
+           CAST(dwell_s AS BIGINT) AS dwell_s,
+           ROUND(CAST(s_lat AS DOUBLE) / n_points / 10.0, 6) AS stop_lat,
+           ROUND(CAST(s_lon AS DOUBLE) / n_points / 10.0, 6) AS stop_lon
+    FROM runs
+    """,
+)
+def q357_stop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X287 — stop / port-call detection: maximal runs of consecutive
+    low-speed points per entity (the AIS "vessel stopped" primitive
+    behind port-call tables, berth dwell, and loitering screens).
+    Classic gaps-and-islands: a run is identified by
+    rn_all − rn_low_only, constant exactly across consecutive low-speed
+    rows; runs shorter than 2 points are noise-filtered. Reference
+    parity: the movement-state flag (`common_functions_curated.py`
+    movement classification) marks single rows; this aggregates the
+    flag into dwell episodes with duration and a mean stop position.
+
+    Engine-exactness: speed is an exact synthetic integer deci-knot
+    channel ((event_id*13) % 300), coordinates exact integer
+    deci-degrees; dwell is integer epoch-microsecond difference; the
+    stop centroid is one int-sum/count division rounded to 6 dp. The
+    stop_seq window is totalized by (start_ts, grp).
+
+    Scale: two windows and one aggregate, all on the user_id exchange —
+    a single shuffle at any corpus size; no joins."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 13) % 300).alias("sog_ds"),
+        (F.col("event_id") % 1800 - 900).alias("lat_dd"),
+        ((F.col("event_id") * 7) % 3600 - 1800).alias("lon_dd"),
+    ).withColumn("is_low", F.col("sog_ds") < 100)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_low = Window.partitionBy("user_id", "is_low").orderBy("ts", "event_id")
+    seq = pts.withColumn("rn_all", F.row_number().over(w_all)).withColumn(
+        "rn_low", F.when(F.col("is_low"), F.row_number().over(w_low))
+    )
+    runs = (
+        seq.filter(F.col("rn_low").isNotNull())
+        .groupBy("user_id", (F.col("rn_all") - F.col("rn_low")).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1000000)
+            )
+            .cast("long")
+            .alias("dwell_s"),
+            F.sum("lat_dd").alias("s_lat"),
+            F.sum("lon_dd").alias("s_lon"),
+        )
+        .filter(F.col("n_points") >= 2)
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("start_ts", "grp")
+    return runs.select(
+        "user_id",
+        F.row_number().over(w_seq).alias("stop_seq"),
+        F.col("n_points").cast("long").alias("n_points"),
+        "start_ts",
+        "end_ts",
+        "dwell_s",
+        F.round(
+            F.col("s_lat").cast("double") / F.col("n_points") / 10.0, 6
+        ).alias("stop_lat"),
+        F.round(
+            F.col("s_lon").cast("double") / F.col("n_points") / 10.0, 6
+        ).alias("stop_lon"),
+    )
+
+
+@register(
+    "q358_geofence_containment",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             CAST(event_id % 1800 - 900 AS DOUBLE) AS py,
+             CAST((event_id * 7) % 3600 - 1800 AS DOUBLE) AS px
+      FROM events
+    ), edges(x1, y1, x2, y2) AS (
+      VALUES (-900.5, -450.5, 200.5, -700.5),
+             (200.5, -700.5, 900.5, -100.5),
+             (900.5, -100.5, 400.5, 650.5),
+             (400.5, 650.5, -100.5, 200.5),
+             (-100.5, 200.5, -800.5, 550.5),
+             (-800.5, 550.5, -900.5, -450.5)
+    ), per_pt AS (
+      SELECT user_id, event_id,
+             SUM(CASE WHEN (y1 > py) <> (y2 > py)
+                       AND px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                      THEN 1 ELSE 0 END) AS nc
+      FROM pts CROSS JOIN edges
+      GROUP BY user_id, event_id
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN nc % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inside,
+           ROUND(CAST(SUM(CASE WHEN nc % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS inside_share
+    FROM per_pt GROUP BY user_id
+    """,
+    allow_non_equi=(
+        "deliberate bounded theta-join: every point is ray-cast against a "
+        "broadcast 6-row polygon-edge relation (crossing-count "
+        "point-in-polygon); candidate space is 6x|events|, linear in input"
+    ),
+)
+def q358_geofence_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X288 — geofence containment: even–odd ray-casting point-in-polygon
+    against a CONCAVE hexagon held as a broadcast edge relation (the
+    polygon is data, not code — swap the VALUES for a zones table and the
+    same plan answers "which vessels are inside the anchorage"). Crossing
+    rule: a horizontal ray from the point crosses edge (v1,v2) iff the
+    edge straddles the point's latitude and the intersection longitude
+    lies strictly east of the point; inside ⟺ odd crossings.
+
+    Engine-exactness: point coords are exact integer deci-degrees;
+    polygon vertices sit on .5 offsets (exact dyadic doubles), so no
+    point is ever on an edge's latitude and no edge is horizontal —
+    the straddle test is unambiguous and the single division is by a
+    nonzero exact constant. Both engines evaluate the identical IEEE
+    expression tree, so even boundary comparisons agree bit-for-bit.
+
+    Scale: BroadcastNestedLoopJoin against 6 rows (never a shuffled
+    cartesian); the crossing count is map-side combinable, collapsing
+    6 rows/point to 1 before the user_id exchange."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") % 1800 - 900).cast("double").alias("py"),
+        ((F.col("event_id") * 7) % 3600 - 1800).cast("double").alias("px"),
+    )
+    verts = [
+        (-900.5, -450.5),
+        (200.5, -700.5),
+        (900.5, -100.5),
+        (400.5, 650.5),
+        (-100.5, 200.5),
+        (-800.5, 550.5),
+    ]
+    edges = spark.createDataFrame(
+        [
+            (verts[i][0], verts[i][1], verts[(i + 1) % 6][0], verts[(i + 1) % 6][1])
+            for i in range(6)
+        ],
+        "x1 double, y1 double, x2 double, y2 double",
+    )
+    crosses = (
+        (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    ) & (
+        F.col("px")
+        < F.col("x1")
+        + (F.col("py") - F.col("y1"))
+        * (F.col("x2") - F.col("x1"))
+        / (F.col("y2") - F.col("y1"))
+    )
+    per_pt = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("user_id", "event_id")
+        .agg(F.sum(F.when(crosses, 1).otherwise(0)).alias("nc"))
+    )
+    inside = F.when(F.col("nc") % 2 == 1, 1).otherwise(0)
+    return per_pt.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum(inside).cast("long").alias("n_inside"),
+        F.round(
+            F.sum(inside).cast("double") / F.count(F.lit(1)), 6
+        ).alias("inside_share"),
+    )
+
+
+_DENSE_CELLS_SQL = """
+      SELECT (lon_dd + 1800) // 50 AS cx, (lat_dd + 900) // 50 AS cy,
+             ((lon_dd + 1800) // 50) * 100 + ((lat_dd + 900) // 50) AS cell_id,
+             COUNT(*) AS n_pts
+      FROM (SELECT event_id % 1800 - 900 AS lat_dd,
+                   (event_id * 7) % 3600 - 1800 AS lon_dd
+            FROM events)
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+"""
+
+_DENSE_PAIRS_SQL = f"""
+    SELECT a.cell_id AS id_a, b.cell_id AS id_b
+    FROM ({_DENSE_CELLS_SQL}) a
+    CROSS JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                       (0, 1), (1, -1), (1, 0), (1, 1)) o(dx, dy)
+    JOIN ({_DENSE_CELLS_SQL}) b
+      ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+     AND a.cell_id < b.cell_id
+"""
+
+
+@register(
+    "q359_grid_dbscan_clusters",
+    build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests",
+    oracle=_cc_oracle(
+        f""", dense AS ({_DENSE_CELLS_SQL}),
+    lab AS (
+      SELECT d.cell_id, d.n_pts,
+             COALESCE(c.component, d.cell_id) AS cluster_id
+      FROM dense d LEFT JOIN comp c ON c.node = d.cell_id
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_pts) AS BIGINT) AS n_points
+    FROM lab GROUP BY cluster_id""",
+        pairs_sql=_DENSE_PAIRS_SQL,
+    ),
+)
+def q359_grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X289 — grid-density clustering (GDBSCAN on cells): bucket points
+    into fixed 5°×5° grid cells, keep cells with ≥5 points (the DBSCAN
+    core condition at cell granularity), connect 8-adjacent dense cells,
+    and label clusters with distributed connected components. The
+    standard scalable surrogate for point-DBSCAN on AIS density maps
+    (anchorages, shipping lanes): the per-point neighborhood query
+    becomes one groupBy plus an equi-join of the BOUNDED dense-cell
+    relation against an 8-row offset table — no point-level self-join
+    ever happens, so the plan is corpus-linear at any scale.
+
+    Isolated dense cells (no dense neighbor) are their own single-cell
+    cluster — the LEFT JOIN + COALESCE keeps them, matching GDBSCAN
+    semantics where any core cell founds a cluster.
+
+    Cross-engine: cell ids and counts are exact integers; the CC loop is
+    hash-checked against the bounded-iteration min-label oracle
+    (`_cc_oracle`), whose convergence guard drops rows — and fails the
+    gate — rather than pass wrong labels."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("event_id") % 1800 - 900).alias("lat_dd"),
+            ((F.col("event_id") * 7) % 3600 - 1800).alias("lon_dd"),
+        )
+        .select(
+            F.floor((F.col("lon_dd") + 1800) / F.lit(50)).alias("cx"),
+            F.floor((F.col("lat_dd") + 900) / F.lit(50)).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .filter(F.col("n_pts") >= 5)
+        .withColumn("cell_id", F.col("cx") * 100 + F.col("cy"))
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx long, dy long",
+    )
+    a = cells.select(
+        F.col("cx").alias("acx"),
+        F.col("cy").alias("acy"),
+        F.col("cell_id").alias("id_a"),
+    )
+    b = cells.select(
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+        F.col("cell_id").alias("id_b"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(offsets))
+        .join(
+            b,
+            (F.col("bcx") == F.col("acx") + F.col("dx"))
+            & (F.col("bcy") == F.col("acy") + F.col("dy"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("cell_id"), "component"
+    )
+    lab = cells.join(comp, "cell_id", "left").select(
+        F.coalesce("component", "cell_id").alias("cluster_id"), "n_pts"
+    )
+    return lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n_pts").cast("long").alias("n_points"),
+    )
+
+
+@register(
+    "q360_average_precision",
+    oracle="""
+    WITH ranked AS (
+      SELECT label,
+             (1000003 - (vec_id * 2654435761) % 1000003) AS skey,
+             vec_id,
+             ROW_NUMBER() OVER (ORDER BY
+               (1000003 - (vec_id * 2654435761) % 1000003), vec_id) AS rk,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY
+               (1000003 - (vec_id * 2654435761) % 1000003), vec_id) AS cum_rel
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_rel,
+           ROUND(CAST(SUM((cum_rel * 1000000) // rk) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS ap
+    FROM ranked GROUP BY label
+    """,
+)
+def q360_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X290 — EXACT average precision per label over one shared ranking
+    (the retrieval/classifier eval primitive; mean over labels = mAP).
+    Scoring is a deterministic integer channel so the ranking is total
+    and reproducible; each label is scored as its own binary-relevance
+    task over the same ranked list: AP = (1/R)·Σ_{relevant k} P@k.
+
+    Engine-exactness: P@k terms are computed in integer micro-units with
+    FLOOR division — (cum_rel·10⁶) // k — so the per-term values are
+    exact int64 on both engines and their sum is order-independent; the
+    single final division is rounded to 6 dp. No float accumulation.
+
+    Scale: the global rank comes from the two-phase parallel prefix scan
+    (`global_running_sum`), NOT a single-task global window; per-label
+    cumulative relevance is an ordinary partitioned row_number. Two
+    exchanges total."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "label",
+        "vec_id",
+        (F.lit(1000003) - (F.col("vec_id") * F.lit(2654435761)) % 1000003).alias(
+            "skey"
+        ),
+    ).withColumn("_one", F.lit(1))
+    ranked = global_running_sum(scored, ["skey", "vec_id"], "_one", out_col="rk")
+    w_lbl = Window.partitionBy("label").orderBy("skey", "vec_id")
+    terms = ranked.withColumn("cum_rel", F.row_number().over(w_lbl)).select(
+        "label",
+        F.expr("(cum_rel * 1000000) DIV rk").alias("term_u"),
+    )
+    return terms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"),
+        F.round(
+            F.sum("term_u").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            6,
+        ).alias("ap"),
+    )
