@@ -20752,3 +20752,214 @@ def q360_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ap"),
     )
+
+
+@register(
+    "q361_t_closeness_audit",
+    allow_non_equi=(
+        "deliberate bounded cartesians: the (distinct event_type) x (10-row "
+        "bucket spine) densification and a SINGLE-ROW corpus-total broadcast "
+        "- both O(|groups|), never row-level"
+    ),
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             LEAST(9, CAST(FLOOR(value / 50) AS BIGINT)) AS bkt
+      FROM events
+    ), types AS (SELECT DISTINCT event_type FROM b),
+    spine AS (
+      SELECT event_type, bkt
+      FROM types CROSS JOIN (SELECT unnest(range(0, 10)) AS bkt)
+    ),
+    gcnt AS (SELECT event_type, bkt, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    filled AS (
+      SELECT s.event_type, s.bkt, COALESCE(g.c, 0) AS c
+      FROM spine s LEFT JOIN gcnt g USING (event_type, bkt)
+    ),
+    cums AS (
+      SELECT event_type, bkt,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bkt) AS c_cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n_g
+      FROM filled
+    ),
+    gcum AS (SELECT bkt, SUM(c_cum) AS g_cum FROM cums GROUP BY bkt),
+    tot AS (SELECT SUM(n_g) AS n
+            FROM (SELECT DISTINCT event_type, n_g FROM cums))
+    SELECT event_type, CAST(MAX(n_g) AS BIGINT) AS n_group,
+           ROUND(CAST(SUM(ABS(c_cum * n - g_cum * n_g)) AS DOUBLE)
+                 / (MAX(n_g) * MAX(n) * 9.0), 6) AS t_closeness
+    FROM cums JOIN gcum USING (bkt) CROSS JOIN tot
+    WHERE bkt < 9
+    GROUP BY event_type
+    """,
+)
+def q361_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X291 — t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007):
+    for each quasi-identifier group, the Earth Mover's Distance between
+    the group's distribution of an ORDERED sensitive attribute and the
+    global distribution; a group with t above threshold leaks the
+    attribute. For ordered buckets EMD has the closed form
+    (1/(m−1))·Σ_j |P_cum_j − Q_cum_j| — pure cumulative counting.
+    Completes the privacy family (q151 k-anonymity, q197 l-diversity,
+    q196 DP counts).
+
+    Engine-exactness: cumulative-fraction differences are compared by
+    integer cross-multiplication — |c_cum·N − g_cum·n_g| is an exact
+    int64 numerator over the COMMON denominator n_g·N, so the bucket
+    sum is order-independent; one final division, rounded to 6 dp.
+    (At ≫10⁹-row corpora widen the products to decimal(38,0), the
+    q287/q315 pattern.) The 10-bucket spine is densified per group so
+    cumulative sums stay aligned when a group has empty buckets.
+
+    Scale: one groupBy on (type, bucket), windows over ≤10-row
+    partitions, a 1-row total broadcast — group-cardinality work."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("long")).alias("bkt"),
+    )
+    types = b.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bkt"))))
+    gcnt = b.groupBy("event_type", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    filled = spine.join(gcnt, ["event_type", "bkt"], "left").select(
+        "event_type", "bkt", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cums = filled.select(
+        "event_type",
+        "bkt",
+        F.sum("c").over(w_cum).alias("c_cum"),
+        F.sum("c").over(w_all).alias("n_g"),
+    )
+    glob = cums.groupBy("bkt").agg(F.sum("c_cum").alias("g_cum"))
+    tot = (
+        cums.select("event_type", "n_g")
+        .distinct()
+        .agg(F.sum("n_g").alias("n"))
+    )
+    return (
+        cums.join(F.broadcast(glob), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("bkt") < 9)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_g").cast("long").alias("n_group"),
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("c_cum") * F.col("n") - F.col("g_cum") * F.col("n_g")
+                    )
+                ).cast("double")
+                / (F.max("n_g") * F.max("n") * F.lit(9.0)),
+                6,
+            ).alias("t_closeness"),
+        )
+    )
+
+
+@register(
+    "q362_retrieval_recall_mrr",
+    allow_non_equi=(
+        "broadcast-cross-join eval whose query side is 20 rows by "
+        "construction (the query set broadcasts); corpus side is linear"
+    ),
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label AS clabel
+          FROM embeddings),
+    s AS (
+      SELECT qid, qlabel, cid, clabel,
+             ROUND(
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))),
+               6) AS score
+      FROM q, c WHERE cid <> qid
+    ), r AS (
+      SELECT qid, qlabel, clabel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, cid) AS rnk
+      FROM s
+    )
+    SELECT qid AS query_id,
+           CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rel,
+           ROUND(1.0 / MIN(CASE WHEN clabel = qlabel THEN rnk END), 6) AS rr,
+           ROUND(CAST(SUM(CASE WHEN clabel = qlabel AND rnk <= 10
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END), 6)
+             AS recall_at_10
+    FROM r GROUP BY qid
+    """,
+)
+def q362_retrieval_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X292 — retrieval-eval metrics over a full exact ranking: per query,
+    MRR (reciprocal rank of the first same-label neighbor) and
+    recall@10 (share of the relevant set found in the top 10).
+    Complements q223 NDCG / q220 AUC / q253 RBO with the two metrics
+    every embedding-model eval reports first.
+
+    Cross-engine: scores are the shared q32 convention (index-ordered
+    left-fold dot product, rounded to 6 dp) so ranks are total under
+    the (score desc, cid) tiebreak; rr and recall are single divisions
+    of exact integers, rounded once.
+
+    Scale: 20-query broadcast against a linear corpus scan; per-query
+    windows are bounded by corpus size and parallel across queries —
+    for production-sized query sets, swap the broadcast for the LSH
+    bucket join (q33) and evaluate on its candidates."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "clabel",
+            F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    r = s.withColumn("rnk", F.row_number().over(w))
+    rel = F.when(F.col("clabel") == F.col("qlabel"), 1).otherwise(0)
+    return r.groupBy("qid").agg(
+        F.sum(rel).cast("long").alias("n_rel"),
+        F.round(
+            F.lit(1.0)
+            / F.min(F.when(F.col("clabel") == F.col("qlabel"), F.col("rnk"))),
+            6,
+        ).alias("rr"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("clabel") == F.col("qlabel")) & (F.col("rnk") <= 10), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum(rel),
+            6,
+        ).alias("recall_at_10"),
+    ).withColumnRenamed("qid", "query_id")
