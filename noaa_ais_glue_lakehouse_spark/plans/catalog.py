@@ -20963,3 +20963,397 @@ def q362_retrieval_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_10"),
     ).withColumnRenamed("qid", "query_id")
+
+
+@register(
+    "q363_cpa_screening",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 3600000000 AS hr,
+             ((event_id * 7) % 3600) // 50 AS cx,
+             (event_id % 1800) // 50 AS cy
+      FROM events
+    ), f AS (
+      SELECT user_id, hr, cx, cy, MIN(event_id) AS eid
+      FROM pts GROUP BY 1, 2, 3, 4
+    ), s AS (
+      SELECT user_id, hr, cx, cy,
+             (eid * 7) % 3600 AS x, eid % 1800 AS y,
+             (eid * 11) % 21 - 10 AS vx, (eid * 17) % 21 - 10 AS vy
+      FROM f
+    ), pr AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b, a.hr, a.cx, a.cy,
+             a.x - b.x AS dx, a.y - b.y AS dy,
+             a.vx - b.vx AS dvx, a.vy - b.vy AS dvy
+      FROM s a JOIN s b
+        ON a.hr = b.hr AND a.cx = b.cx AND a.cy = b.cy
+       AND a.user_id < b.user_id
+    ), cpa AS (
+      SELECT user_a, user_b, hr, cx, cy,
+             CASE WHEN (dvx*dvx + dvy*dvy) = 0
+                       OR -(dx*dvx + dy*dvy) <= 0 THEN 0
+                  WHEN -(dx*dvx + dy*dvy) >= (dvx*dvx + dvy*dvy)
+                       THEN (dvx*dvx + dvy*dvy)
+                  ELSE -(dx*dvx + dy*dvy) END AS pn,
+             CASE WHEN (dvx*dvx + dvy*dvy) = 0 THEN 1
+                  ELSE (dvx*dvx + dvy*dvy) END AS qd,
+             dx, dy, dvx, dvy
+      FROM pr
+    )
+    SELECT user_a, user_b, CAST(hr AS BIGINT) AS hr,
+           CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+           ROUND(CAST(pn AS DOUBLE) / qd, 6) AS tcpa_h,
+           ROUND(SQRT(CAST((dx*qd + dvx*pn)*(dx*qd + dvx*pn)
+                           + (dy*qd + dvy*pn)*(dy*qd + dvy*pn) AS DOUBLE))
+                 / qd, 6) AS dcpa
+    FROM cpa
+    WHERE SQRT(CAST((dx*qd + dvx*pn)*(dx*qd + dvx*pn)
+                    + (dy*qd + dvy*pn)*(dy*qd + dvy*pn) AS DOUBLE)) / qd < 25
+    """,
+)
+def q363_cpa_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X293 — closest point of approach (CPA) screening: for every pair
+    of entities sharing a grid cell in the same hour, the minimum
+    separation over the next hour under constant-velocity motion and
+    the time it occurs — the collision-risk primitive of every vessel
+    traffic service (dCPA/tCPA), here as a distributed pair screen.
+
+    Exact rational arithmetic: with integer positions/velocities, the
+    unclamped optimum is t* = pn/qd where pn = −(Δp·Δv), qd = |Δv|²
+    (both int64); clamping to [0,1] h keeps (pn,qd) integer (0/1, qd/qd,
+    pn/qd), and the squared distance at t* is the integer
+    ((Δx·qd+Δvx·pn)² + (Δy·qd+Δvy·pn)²)/qd² — so dCPA is ONE
+    sqrt-of-int64 divided by an int, bit-identical across engines; the
+    zero-relative-velocity pair degenerates to current distance.
+
+    Scale: the pair generator is the q314 rendezvous shape — one
+    representative per (entity, hour, cell) via min(event_id), then an
+    equi-join on (hour, cell); per-bucket density is constant along the
+    time axis, so candidates grow linearly (measured at 10×: SCALING.md
+    q314 exponent 0.86). No cross product anywhere."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hr"),
+        (((F.col("event_id") * 7) % 3600) / 50).cast("long").alias("cx"),
+        ((F.col("event_id") % 1800) / 50).cast("long").alias("cy"),
+    )
+    f = pts.groupBy("user_id", "hr", "cx", "cy").agg(F.min("event_id").alias("eid"))
+    s = f.select(
+        "user_id",
+        "hr",
+        "cx",
+        "cy",
+        ((F.col("eid") * 7) % 3600).alias("x"),
+        (F.col("eid") % 1800).alias("y"),
+        ((F.col("eid") * 11) % 21 - 10).alias("vx"),
+        ((F.col("eid") * 17) % 21 - 10).alias("vy"),
+    )
+    a = s.select(*[F.col(c).alias(f"a_{c}") for c in s.columns])
+    b = s.select(*[F.col(c).alias(f"b_{c}") for c in s.columns])
+    pr = a.join(
+        b,
+        (F.col("a_hr") == F.col("b_hr"))
+        & (F.col("a_cx") == F.col("b_cx"))
+        & (F.col("a_cy") == F.col("b_cy"))
+        & (F.col("a_user_id") < F.col("b_user_id")),
+    ).select(
+        F.col("a_user_id").alias("user_a"),
+        F.col("b_user_id").alias("user_b"),
+        F.col("a_hr").alias("hr"),
+        F.col("a_cx").alias("cx"),
+        F.col("a_cy").alias("cy"),
+        (F.col("a_x") - F.col("b_x")).alias("dx"),
+        (F.col("a_y") - F.col("b_y")).alias("dy"),
+        (F.col("a_vx") - F.col("b_vx")).alias("dvx"),
+        (F.col("a_vy") - F.col("b_vy")).alias("dvy"),
+    )
+    q2 = F.col("dvx") * F.col("dvx") + F.col("dvy") * F.col("dvy")
+    pneg = -(F.col("dx") * F.col("dvx") + F.col("dy") * F.col("dvy"))
+    cpa = pr.select(
+        "user_a",
+        "user_b",
+        "hr",
+        "cx",
+        "cy",
+        "dx",
+        "dy",
+        "dvx",
+        "dvy",
+        F.when((q2 == 0) | (pneg <= 0), F.lit(0))
+        .when(pneg >= q2, q2)
+        .otherwise(pneg)
+        .alias("pn"),
+        F.when(q2 == 0, F.lit(1)).otherwise(q2).alias("qd"),
+    )
+    num = (F.col("dx") * F.col("qd") + F.col("dvx") * F.col("pn")) * (
+        F.col("dx") * F.col("qd") + F.col("dvx") * F.col("pn")
+    ) + (F.col("dy") * F.col("qd") + F.col("dvy") * F.col("pn")) * (
+        F.col("dy") * F.col("qd") + F.col("dvy") * F.col("pn")
+    )
+    dcpa = F.sqrt(num.cast("double")) / F.col("qd")
+    return cpa.filter(dcpa < 25).select(
+        "user_a",
+        "user_b",
+        F.col("hr").cast("long").alias("hr"),
+        F.col("cx").cast("long").alias("cx"),
+        F.col("cy").cast("long").alias("cy"),
+        F.round(F.col("pn").cast("double") / F.col("qd"), 6).alias("tcpa_h"),
+        F.round(dcpa, 6).alias("dcpa"),
+    )
+
+
+@register(
+    "q364_knn_label_noise",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, event_type,
+             CAST(event_id % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+             CAST((event_id * 7) % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
+      FROM events
+    ),
+    refs AS (
+      SELECT event_id AS ref_id, event_type AS r_type,
+             lat AS rlat, lon AS rlon
+      FROM pts WHERE event_id % 97 = 0
+    ),
+    cand AS (
+      SELECT q.event_id, q.event_type, r.ref_id, r.r_type,
+             (q.lat - r.rlat)*(q.lat - r.rlat)
+             + (q.lon - r.rlon)*(q.lon - r.rlon) AS dist2
+      FROM pts q, refs r
+      WHERE (q.lat - r.rlat)*(q.lat - r.rlat)
+            + (q.lon - r.rlon)*(q.lon - r.rlon) <= 36.0
+    ),
+    ranked AS (
+      SELECT event_id, event_type, ref_id, r_type,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY dist2, ref_id) AS knn_rank
+      FROM cand
+    ),
+    per_pt AS (
+      SELECT event_id, event_type,
+             COUNT(*) AS n_nbrs,
+             SUM(CASE WHEN r_type = event_type THEN 1 ELSE 0 END) AS n_match
+      FROM ranked
+      WHERE knn_rank <= 3 AND ref_id <> event_id
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(n_nbrs) AS BIGINT) AS total_nbrs,
+           ROUND(CAST(SUM(n_match) AS DOUBLE) / SUM(n_nbrs), 6) AS agreement,
+           CAST(SUM(CASE WHEN n_match = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspect,
+           ROUND(CAST(SUM(CASE WHEN n_match = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS suspect_share
+    FROM per_pt GROUP BY event_type
+    """,
+)
+def q364_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X294 — label-noise audit via k-NN disagreement (the
+    confident-learning screen): every point votes its label against its
+    3 nearest labeled landmarks; a point whose neighborhood unanimously
+    disagrees is a suspect. Reported per class: micro-averaged neighbor
+    agreement and the share of zero-agreement suspects — the standard
+    pre-training triage for mislabeled examples.
+
+    Semantics: ranks are computed INCLUDING a landmark identical to the
+    point (so k slots are filled identically in both engines), but a
+    self-landmark never votes (ref_id <> event_id after ranking) — the
+    vote would be trivially self-confirming. Micro-average
+    (Σmatch/Σnbrs) keeps the aggregate an exact integer ratio — a mean
+    of per-point fractions would be an order-dependent double sum.
+
+    Scale: the q219 grid-KNN join — landmark side exploded ×9 and
+    broadcast, equi-join on cell key, bounded per-point window. Exact
+    within radius 6°, corpus-linear."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import grid_knn_join
+
+    ev = load(spark, sf_dir, "events")
+    pts = _with_coords(ev)
+    refs = pts.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("ref_id"),
+        F.col("lat").alias("rlat"),
+        F.col("lon").alias("rlon"),
+    )
+    knn = grid_knn_join(pts, refs, k=_KNN_K, radius=_KNN_R)
+    qtypes = ev.select("event_id", F.col("event_type").alias("q_type"))
+    rtypes = ev.select(
+        F.col("event_id").alias("ref_id"), F.col("event_type").alias("r_type")
+    ).filter(F.col("ref_id") % 97 == 0)
+    per_pt = (
+        knn.filter(F.col("ref_id") != F.col("event_id"))
+        .join(qtypes, "event_id")
+        .join(F.broadcast(rtypes), "ref_id")
+        .groupBy("event_id", "q_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum(
+                F.when(F.col("r_type") == F.col("q_type"), 1).otherwise(0)
+            ).alias("n_match"),
+        )
+    )
+    return (
+        per_pt.groupBy("q_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum("n_nbrs").cast("long").alias("total_nbrs"),
+            F.round(
+                F.sum("n_match").cast("double") / F.sum("n_nbrs"), 6
+            ).alias("agreement"),
+            F.sum(F.when(F.col("n_match") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_suspect"),
+            F.round(
+                F.sum(F.when(F.col("n_match") == 0, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("suspect_share"),
+        )
+        .withColumnRenamed("q_type", "event_type")
+    )
+
+
+def _bt_iteration_sql(k: int) -> str:
+    """One Bradley–Terry MM round as a CTE (integer micro-units)."""
+    return f"""it{k} AS (
+      SELECT w.t, (w.wins * 1000000000000) //
+             GREATEST(SUM((pp.n * 1000000000000)
+                          // (pi.p_u + pj.p_u)), 1) AS p_u
+      FROM wins w
+      JOIN pair_stats pp ON pp.ti = w.t OR pp.tj = w.t
+      JOIN it{k - 1} pi ON pi.t = w.t
+      JOIN it{k - 1} pj
+        ON pj.t = CASE WHEN pp.ti = w.t THEN pp.tj ELSE pp.ti END
+      GROUP BY w.t, w.wins
+    )"""
+
+
+@register(
+    "q365_bradley_terry",
+    allow_non_equi=(
+        "deliberate OR-key join over the pair-stats relation, which is "
+        "bounded by |types|^2 (<=25 rows) by construction - the MM "
+        "iteration state is group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_value
+      FROM events
+    ), comps AS (
+      SELECT CASE WHEN value > prev_value THEN event_type
+                  ELSE prev_type END AS winner,
+             CASE WHEN value > prev_value THEN prev_type
+                  ELSE event_type END AS loser
+      FROM seq
+      WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        AND value <> prev_value
+    ), wins AS (
+      SELECT winner AS t, COUNT(*) AS wins FROM comps GROUP BY winner
+    ), pair_stats AS (
+      SELECT LEAST(winner, loser) AS ti, GREATEST(winner, loser) AS tj,
+             COUNT(*) AS n
+      FROM comps GROUP BY 1, 2
+    ), it0 AS (
+      SELECT t, CAST(1000000 AS BIGINT) AS p_u FROM wins
+    ),
+    """
+    + ",\n    ".join(_bt_iteration_sql(k) for k in (1, 2, 3))
+    + """
+    SELECT t AS event_type, CAST(p_u AS BIGINT) AS bt_score_u,
+           ROUND(CAST(p_u AS DOUBLE)
+                 / (SELECT SUM(p_u) FROM it3), 6) AS bt_share
+    FROM it3
+    """,
+)
+def q365_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X295 — Bradley–Terry strength scores from pairwise outcomes via
+    the MM algorithm (Hunter 2004), the model behind chatbot-arena
+    leaderboards and RLHF preference aggregation. Comparisons are
+    consecutive same-user events of different types, the higher value
+    winning; three MM rounds of p_i ← W_i / Σ_j n_ij/(p_i+p_j).
+
+    Engine-exactness: strengths live in integer micro-units; each
+    denominator term is the FLOOR division (n_ij·10¹²)//(p_i+p_j), so
+    the per-type denominator is an exact int64 sum (order-free) and the
+    update (W_i·10¹²)//D is one floor division — every iteration is
+    bit-identical across engines (the q318 k-means / q277 PCA pattern
+    applied to preference aggregation). Magnitude: n_ij·10¹² needs
+    n_ij < 9·10⁶ per pair; beyond that drop to 10⁹ scaling.
+
+    Scale: one lag window on the user exchange builds comparisons; all
+    iteration state is |types|²-bounded relations joined with broadcast
+    hash joins — corpus touches exactly once."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    comps = seq.filter(
+        F.col("prev_type").isNotNull()
+        & (F.col("prev_type") != F.col("event_type"))
+        & (F.col("value") != F.col("prev_value"))
+    ).select(
+        F.when(F.col("value") > F.col("prev_value"), F.col("event_type"))
+        .otherwise(F.col("prev_type"))
+        .alias("winner"),
+        F.when(F.col("value") > F.col("prev_value"), F.col("prev_type"))
+        .otherwise(F.col("event_type"))
+        .alias("loser"),
+    )
+    wins = comps.groupBy(F.col("winner").alias("t")).agg(
+        F.count(F.lit(1)).alias("wins")
+    )
+    pair_stats = comps.groupBy(
+        F.least("winner", "loser").alias("ti"),
+        F.greatest("winner", "loser").alias("tj"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    p = wins.select("t", F.lit(1000000).cast("long").alias("p_u"))
+    for _ in range(3):
+        terms = (
+            wins.join(
+                pair_stats,
+                (F.col("ti") == F.col("t")) | (F.col("tj") == F.col("t")),
+            )
+            .withColumn(
+                "other",
+                F.when(F.col("ti") == F.col("t"), F.col("tj")).otherwise(
+                    F.col("ti")
+                ),
+            )
+            .join(p.select(F.col("t").alias("other"), F.col("p_u").alias("pj_u")), "other")
+            .join(p.select("t", F.col("p_u").alias("pi_u")), "t")
+            .select(
+                "t",
+                "wins",
+                F.expr("(n * 1000000000000) DIV (pi_u + pj_u)").alias("term"),
+            )
+        )
+        p = terms.groupBy("t", "wins").agg(
+            F.expr(
+                "(MAX(wins) * 1000000000000) DIV GREATEST(SUM(term), 1)"
+            ).alias("p_u")
+        ).select("t", "p_u")
+    tot = p.agg(F.sum("p_u").alias("tot"))
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("p_u").cast("long").alias("bt_score_u"),
+            F.round(F.col("p_u").cast("double") / F.col("tot"), 6).alias(
+                "bt_share"
+            ),
+        )
+    )
