@@ -21357,3 +21357,229 @@ def q365_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q366_unimax_allocation",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross joins (corpus totals, "
+        "capped-mass totals) onto the |sources|-bounded allocation "
+        "relation - group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH src AS (
+      SELECT source, SUM(n_chars) AS tok FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(tok) AS total, COUNT(*) AS n FROM src),
+    r AS (
+      SELECT source, tok, 2 * tok AS cap,
+             ROW_NUMBER() OVER (ORDER BY 2 * tok, source) AS rk,
+             SUM(2 * tok) OVER (ORDER BY 2 * tok, source) - 2 * tok
+               AS prefix_before
+      FROM src
+    ), flag AS (
+      SELECT r.*, n, (18 * total) // 10 AS budget,
+             CASE WHEN cap * (n - rk + 1)
+                       <= (18 * total) // 10 - prefix_before
+                  THEN 1 ELSE 0 END AS capped
+      FROM r CROSS JOIN tot
+    ), agg AS (
+      SELECT SUM(CASE WHEN capped = 1 THEN cap ELSE 0 END) AS s_capped,
+             SUM(1 - capped) AS n_unc
+      FROM flag
+    ), unc AS (
+      SELECT f.*, s_capped, n_unc,
+             CASE WHEN capped = 0 THEN
+               ROW_NUMBER() OVER (PARTITION BY capped
+                                  ORDER BY cap DESC, source)
+             END AS rk_unc
+      FROM flag f CROSS JOIN agg
+    ), alloc AS (
+      SELECT source, tok, cap,
+             CASE WHEN capped = 1 THEN cap
+                  ELSE (budget - s_capped) // GREATEST(n_unc, 1)
+                       + CASE WHEN rk_unc <= (budget - s_capped)
+                                             % GREATEST(n_unc, 1)
+                              THEN 1 ELSE 0 END
+             END AS allocation
+      FROM unc
+    )
+    SELECT source, CAST(tok AS BIGINT) AS tokens,
+           CAST(cap AS BIGINT) AS cap,
+           CAST(allocation AS BIGINT) AS allocation,
+           ROUND(CAST(allocation AS DOUBLE) / tok, 6) AS epochs_used
+    FROM alloc
+    """,
+)
+def q366_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296 — UniMax sampling allocation (Chung et al. 2023): distribute
+    a token budget across sources as uniformly as possible subject to a
+    per-source epoch cap — the mixing rule that replaced
+    temperature-sampling in PaLM-2-era multilingual pretraining.
+    Water-filling closed form: sort sources by cap ascending; source at
+    rank r is capped iff its cap ≤ the even split of what remains after
+    all smaller caps are paid out (the predicate is provably monotone in
+    r, so a per-row window test reproduces the iterative algorithm); the
+    leftover splits evenly across uncapped sources, remainder to the
+    largest caps first (q279 largest-remainder convention).
+
+    Engine-exactness: token counts, caps, prefix sums, the capped
+    predicate (integer cross-multiplication), the even split (floor
+    div) and remainder distribution are ALL int64 — zero float until
+    the final epochs_used display division. Budget = 1.8× corpus
+    tokens, cap = 2 epochs.
+
+    Scale: one groupBy collapses the corpus to |sources| rows; every
+    window/join after that is on the bounded allocation relation."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.sum("n_chars").alias("tok"))
+    tot = src.agg(
+        F.sum("tok").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    w_rank = Window.orderBy(F.col("cap"), F.col("source"))
+    r = src.withColumn("cap", 2 * F.col("tok")).select(
+        "source",
+        "tok",
+        "cap",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.sum("cap").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)) - F.col("cap")).alias(
+            "prefix_before"
+        ),
+    )
+    flag = (
+        r.crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.expr("(18 * total) DIV 10"))
+        .withColumn(
+            "capped",
+            F.when(
+                F.col("cap") * (F.col("n") - F.col("rk") + 1)
+                <= F.col("budget") - F.col("prefix_before"),
+                1,
+            ).otherwise(0),
+        )
+    )
+    agg = flag.agg(
+        F.sum(F.when(F.col("capped") == 1, F.col("cap")).otherwise(0)).alias(
+            "s_capped"
+        ),
+        F.sum(1 - F.col("capped")).alias("n_unc"),
+    )
+    w_unc = Window.partitionBy("capped").orderBy(
+        F.col("cap").desc(), F.col("source")
+    )
+    unc = flag.crossJoin(F.broadcast(agg)).withColumn(
+        "rk_unc", F.when(F.col("capped") == 0, F.row_number().over(w_unc))
+    )
+    allocation = F.when(F.col("capped") == 1, F.col("cap")).otherwise(
+        F.expr("(budget - s_capped) DIV GREATEST(n_unc, 1)")
+        + F.when(
+            F.col("rk_unc")
+            <= F.expr("(budget - s_capped) % GREATEST(n_unc, 1)"),
+            1,
+        ).otherwise(0)
+    )
+    return unc.select(
+        "source",
+        F.col("tok").cast("long").alias("tokens"),
+        F.col("cap").cast("long").alias("cap"),
+        allocation.cast("long").alias("allocation"),
+        F.round(allocation.cast("double") / F.col("tok"), 6).alias(
+            "epochs_used"
+        ),
+    )
+
+
+@register(
+    "q367_golden_record",
+    build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests",
+    oracle=_cc_oracle(
+        """, m AS (
+      SELECT c.component, d.doc_id, d.text, d.lang, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ), base AS (
+      SELECT component, COUNT(*) AS n_members, MIN(doc_id) AS min_doc_id,
+             MAX(n_chars) AS max_n_chars
+      FROM m GROUP BY 1
+    ), canon AS (
+      SELECT component, doc_id AS canonical_doc_id
+      FROM (SELECT component, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY LENGTH(text) DESC, doc_id)
+                     AS rn
+            FROM m) WHERE rn = 1
+    ), lmode AS (
+      SELECT component, lang AS canonical_lang
+      FROM (SELECT component, lang,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM m GROUP BY component, lang) WHERE rn = 1
+    )
+    SELECT b.component, CAST(b.n_members AS BIGINT) AS n_members,
+           canonical_doc_id, canonical_lang,
+           CAST(b.max_n_chars AS BIGINT) AS max_n_chars, b.min_doc_id
+    FROM base b
+    JOIN canon USING (component) JOIN lmode USING (component)"""
+    ),
+)
+def q367_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X297 — golden-record survivorship (the MDM step after entity
+    resolution): for every near-duplicate cluster, assemble ONE
+    canonical record by per-attribute survivorship rules — longest text
+    wins (tiebreak: lowest id), language by cluster majority (tiebreak:
+    lexicographic), size by max, lineage by min id. Downstream of the
+    same winnowing-pair CC as q62/q65; where q65 picks a surviving ROW,
+    this composes a record that need not equal any single member —
+    the actual contract of master-data golden records.
+
+    Cross-engine: every rule is a deterministic total order (explicit
+    tiebreaks), so the composed record is hash-identical; the CC labels
+    ride the bounded-iteration min-label oracle with its convergence
+    guard.
+
+    Scale: attribute relations are per-cluster windows on the component
+    exchange; mode-per-group is count + row_number (no collect, no
+    UDF)."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = q61_winnow_near_dups(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    m = comp.join(docs, "doc_id")
+    base = m.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("n_chars").cast("long").alias("max_n_chars"),
+    )
+    w_canon = Window.partitionBy("component").orderBy(
+        F.length("text").desc(), "doc_id"
+    )
+    canon = (
+        m.withColumn("rn", F.row_number().over(w_canon))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("canonical_doc_id"))
+    )
+    w_mode = Window.partitionBy("component").orderBy(
+        F.col("cnt").desc(), "lang"
+    )
+    lmode = (
+        m.groupBy("component", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("lang").alias("canonical_lang"))
+    )
+    return (
+        base.join(canon, "component")
+        .join(lmode, "component")
+        .select(
+            "component",
+            "n_members",
+            "canonical_doc_id",
+            "canonical_lang",
+            "max_n_chars",
+            "min_doc_id",
+        )
+    )
