@@ -21583,3 +21583,155 @@ def q367_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_doc_id",
         )
     )
+
+
+@register(
+    "q368_nearest_centroid_confusion",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+               + 10000000 AS xu
+      FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+    ), cent AS (
+      SELECT label AS clabel, dim, SUM(xu) // COUNT(*) AS cu
+      FROM ex GROUP BY 1, 2
+    ), d AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             SUM((e.xu - c.cu) * (e.xu - c.cu)) AS d2
+      FROM ex e JOIN cent c ON c.dim = e.dim
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT vec_id, label,
+             clabel AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, clabel) AS rn
+      FROM d
+    )
+    SELECT label AS true_label, pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q368_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X298 — nearest-centroid classifier confusion matrix over the
+    embedding table: per-label centroids, every vector assigned to its
+    closest centroid, (true, predicted) counts — the quickest
+    label-quality / cluster-separability diagnostic before training a
+    probe.
+
+    Engine-exactness: coordinates are quantized to integer micro-units
+    (with a +10⁷ shift so all values are nonnegative — Spark's DIV
+    truncates toward zero while DuckDB's // floors, and they agree only
+    on nonnegative operands); the centroid is the FLOOR of the exact
+    mean in micro-units (a defined, reproducible quantization), so
+    every squared distance is an exact int64 sum (≤64·(2·10⁷)² ≈
+    2.6·10¹⁶) and argmin ties break on label. Zero float anywhere.
+
+    Scale: explode to (vector, dim) rows once; centroids are a
+    64·|labels| relation joined back per-dim (broadcast), partial-agg
+    collapses dims before the (vec, label) exchange."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        (
+            F.round(F.col("x").cast("double") * 1000000).cast("long")
+            + 10000000
+        ).alias("xu"),
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("SUM(xu) DIV COUNT(*)").alias("cu")
+    )
+    d = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("xu") - F.col("cu")) * (F.col("xu") - F.col("cu"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    pred = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return pred.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("clabel").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register(
+    "q369_containment_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      FROM t WHERE len(toks) >= 5
+    ), sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS shared
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT src_id, dst_id, CAST(shared AS BIGINT) AS shared_grams,
+           CAST(sa.n AS BIGINT) AS src_grams,
+           ROUND(CAST(shared AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter JOIN sz sa ON sa.doc_id = src_id
+    WHERE shared * 10 >= sa.n * 9
+    """,
+)
+def q369_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X299 — DIRECTED near-containment pairs: doc A is (≥90%) contained
+    in doc B when ≥90% of A's distinct word-5-grams also occur in B —
+    the quote/subsumption/boilerplate relation that symmetric Jaccard
+    (q26/q171) misses: a paragraph quoted inside a long article has low
+    Jaccard but containment ≈ 1. Asymmetric by construction, so pairs
+    are emitted per direction.
+
+    Cross-engine: shared-gram counts and set sizes are exact integers;
+    the ≥0.9 threshold is the integer cross-multiplication
+    shared·10 ≥ |A|·9 (no float compare); display ratio rounded once.
+
+    Scale: inverted-index equi-join on distinct grams — candidates are
+    Σ df² over gram posting lists, the q61 winnowing shape. Word-5-gram
+    diversity keeps lists short on natural text; for adversarially
+    uniform corpora the q343 df-cap rule composes directly (drop grams
+    with df above a boilerplate ceiling before the join)."""
+    docs = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(_word_ngrams(tokenize(F.col("text")), 5))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = g.select(F.col("doc_id").alias("src_id"), "gram")
+    b = g.select(F.col("doc_id").alias("dst_id"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("src_id"), "n"), "src_id"
+        )
+        .filter(F.col("shared") * 10 >= F.col("n") * 9)
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("shared").cast("long").alias("shared_grams"),
+            F.col("n").cast("long").alias("src_grams"),
+            F.round(F.col("shared").cast("double") / F.col("n"), 6).alias(
+                "containment"
+            ),
+        )
+    )
