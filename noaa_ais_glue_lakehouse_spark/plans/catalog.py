@@ -21735,3 +21735,206 @@ def q369_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q370_histogram_split_finder",
+    allow_non_equi=(
+        "deliberate bounded cartesians: the 256-row bin spine x |classes| "
+        "densification and a SINGLE-ROW corpus-total broadcast - "
+        "group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH v AS (
+      SELECT LEAST(255, CAST(ROUND(value * 100) AS BIGINT) // 200) AS bin,
+             event_type
+      FROM events
+    ), h AS (
+      SELECT bin, event_type, COUNT(*) AS c FROM v GROUP BY 1, 2
+    ), classes AS (SELECT DISTINCT event_type FROM v),
+    spine AS (
+      SELECT bin, event_type
+      FROM (SELECT unnest(range(0, 256)) AS bin) CROSS JOIN classes
+    ),
+    filled AS (
+      SELECT s.bin, s.event_type, COALESCE(h.c, 0) AS c
+      FROM spine s LEFT JOIN h USING (bin, event_type)
+    ),
+    pre AS (
+      SELECT bin, event_type,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS c_cum,
+             SUM(c) OVER (PARTITION BY event_type) AS ct
+      FROM filled
+    ),
+    cuts AS (
+      SELECT bin,
+             SUM(c_cum) AS n_l,
+             SUM(ct) - SUM(c_cum) AS n_r,
+             SUM(c_cum * c_cum) AS term_l,
+             SUM((ct - c_cum) * (ct - c_cum)) AS term_r
+      FROM pre GROUP BY bin
+    ),
+    scored AS (
+      SELECT bin, n_l, n_r,
+             (term_l * 1000000) // n_l + (term_r * 1000000) // n_r
+               AS score_u,
+             term_l, term_r
+      FROM cuts WHERE n_l > 0 AND n_r > 0 AND bin < 255
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST((bin + 1) * 200 AS BIGINT) AS cut_cents,
+           CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+           CAST(score_u AS BIGINT) AS score_u,
+           ROUND((CAST(n_l + n_r AS DOUBLE)
+                  - (CAST(term_l AS DOUBLE) / n_l
+                     + CAST(term_r AS DOUBLE) / n_r))
+                 / (n_l + n_r), 6) AS weighted_gini
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_u DESC, bin) AS rk
+          FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def q370_histogram_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X300 — histogram-based best-split finding (the LightGBM/XGBoost
+    `hist` kernel): bucket the feature into 256 fixed-width bins, build
+    per-class cumulative counts, and score every cut by exact Gini gain
+    — maximizing Σ_sides Σ_classes cnt²/n_side, which is equivalent to
+    minimizing weighted impurity. Returns the 5 best cuts: one
+    distributed pass over the corpus, then 256-row arithmetic — exactly
+    how production GBDT frameworks make split finding
+    corpus-size-independent.
+
+    Engine-exactness: bin counts, cumulative counts and squared-count
+    sums are int64; each side's score is the FLOOR division
+    (term·10⁶)//n_side so the cut ranking is a total integer order
+    (tiebreak: lower bin). The displayed weighted Gini is one fixed
+    double expression from those same integers. The bin×class spine is
+    densified so sparse bins can't misalign the cumulative sums (the
+    q361 lesson).
+
+    Scale: one groupBy(bin, class) collapses the corpus to ≤1280 rows;
+    everything after is bounded-relation windows."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.least(
+            F.lit(255), F.expr("CAST(ROUND(value * 100) AS BIGINT) DIV 200")
+        ).alias("bin"),
+        "event_type",
+    )
+    h = v.groupBy("bin", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    classes = v.select("event_type").distinct()
+    spine = (
+        spark.range(256)
+        .select(F.col("id").alias("bin"))
+        .crossJoin(F.broadcast(classes))
+    )
+    filled = spine.join(h, ["bin", "event_type"], "left").select(
+        "bin", "event_type", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    pre = filled.select(
+        "bin",
+        F.sum("c").over(w_cum).alias("c_cum"),
+        F.sum("c").over(w_all).alias("ct"),
+    )
+    cuts = pre.groupBy("bin").agg(
+        F.sum("c_cum").alias("n_l"),
+        (F.sum("ct") - F.sum("c_cum")).alias("n_r"),
+        F.sum(F.col("c_cum") * F.col("c_cum")).alias("term_l"),
+        F.sum(
+            (F.col("ct") - F.col("c_cum")) * (F.col("ct") - F.col("c_cum"))
+        ).alias("term_r"),
+    )
+    scored = cuts.filter(
+        (F.col("n_l") > 0) & (F.col("n_r") > 0) & (F.col("bin") < 255)
+    ).withColumn(
+        "score_u",
+        F.expr("(term_l * 1000000) DIV n_l + (term_r * 1000000) DIV n_r"),
+    )
+    w_rk = Window.orderBy(F.col("score_u").desc(), F.col("bin"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            ((F.col("bin") + 1) * 200).cast("long").alias("cut_cents"),
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("n_r").cast("long").alias("n_right"),
+            F.col("score_u").cast("long").alias("score_u"),
+            F.round(
+                (
+                    (F.col("n_l") + F.col("n_r")).cast("double")
+                    - (
+                        F.col("term_l").cast("double") / F.col("n_l")
+                        + F.col("term_r").cast("double") / F.col("n_r")
+                    )
+                )
+                / (F.col("n_l") + F.col("n_r")),
+                6,
+            ).alias("weighted_gini"),
+        )
+    )
+
+
+@register(
+    "q371_stratified_kfold",
+    oracle="""
+    WITH ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY md5('kfold:' || vec_id), vec_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n_label
+      FROM embeddings
+    )
+    SELECT CAST((rn - 1) % 5 AS BIGINT) AS fold, label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(n_label) AS BIGINT) AS n_label,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_label), 6) AS share
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q371_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X301 — stratified k-fold assignment + balance audit: within each
+    label, rows are ordered by a seeded deterministic hash (the q191
+    md5 convention — reproducible "randomness" both engines compute
+    identically) and dealt round-robin into 5 folds, guaranteeing
+    per-label fold sizes within ±1 — the assignment eval pipelines need
+    before cross-validation. The output is the audit matrix
+    (fold × label counts and shares); the fold column itself is the
+    assignment rule, reusable as a projection.
+
+    Scale: one window per label partition, one aggregate — a single
+    exchange on label; no joins, no collect."""
+    emb = load(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("kfold:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    w_all = Window.partitionBy("label")
+    ranked = emb.select(
+        "label",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_label"),
+    )
+    return (
+        ranked.groupBy(((F.col("rn") - 1) % 5).alias("fold"), "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("n_label").cast("long").alias("n_label"),
+        )
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "label",
+            "n",
+            "n_label",
+            F.round(F.col("n").cast("double") / F.col("n_label"), 6).alias(
+                "share"
+            ),
+        )
+    )
