@@ -198,21 +198,24 @@ def cosine_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    n_planes: int = 4,
-    n_tables: int = 16,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     broadcast_matrix_verify: bool = False,
-    auto_geometry: bool = False,
+    auto_geometry: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH + exact verify.
 
-    ``auto_geometry=True`` replaces the fixed ``(n_planes, n_tables)``
-    with :func:`lsh_geometry_for`'s corpus-sized pick (one ``count()``
-    job to learn n — the same bounded driver action as q64's centroid
-    sample): plane count grows with log2(n) so bucket sizes — and hence
-    candidate volume — stay ~linear in the corpus instead of the fixed
-    geometry's ~n²/2^b. The decade measurement behind this is in
-    SCALING.md. Fixed geometry remains the default for the q47 gate's
-    run-to-run comparability.
+    Geometry resolution (round 6 — corpus-sized is now the DEFAULT, per
+    the round-5 decade measurement): when neither ``n_planes`` nor
+    ``n_tables`` is given, the geometry comes from
+    :func:`lsh_geometry_for`'s corpus-sized pick (one ``count()`` job to
+    learn n — the same bounded driver action as q64's centroid sample):
+    plane count grows with log2(n) so bucket sizes — and hence candidate
+    volume — stay ~linear in the corpus instead of a fixed geometry's
+    ~n²/2^b (measured decade exponent 1.88 fixed vs 1.01 auto,
+    SCALING.md). Passing an explicit ``n_planes``/``n_tables`` pins the
+    geometry (test surfaces, run-to-run comparability); ``auto_geometry``
+    remains as an explicit override in either direction.
 
     The scale path for embedding dedup: bucket on hyperplane sign bits
     (few planes → big buckets → high recall at moderate thresholds; many
@@ -236,8 +239,13 @@ def cosine_near_duplicates(
     :func:`cosine_near_duplicates_clustered` (SemDeDup shape) or IVF,
     whose candidate generation is already centroid-sharded.
     """
+    if auto_geometry is None:
+        auto_geometry = n_planes is None and n_tables is None
     if auto_geometry:
         n_planes, n_tables = lsh_geometry_for(df.count(), threshold)
+    else:
+        n_planes = 4 if n_planes is None else n_planes
+        n_tables = 16 if n_tables is None else n_tables
     signatures = _signature_udf(dim, n_planes, n_tables)
     # Candidate generation is id-only: carrying the vectors through the
     # band self-join would ship ~dim·8 bytes per candidate ROW (candidates

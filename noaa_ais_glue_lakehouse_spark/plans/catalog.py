@@ -1589,7 +1589,12 @@ def q46_cosine_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q47_cosine_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via multi-table hyperplane LSH + exact
     verify — the mid-scale embedding dedup path; recall vs q46 is
-    asserted in tests/test_similarity.py. Verify is the default
+    asserted in tests/test_similarity.py. Since round 6 this production
+    path runs CORPUS-SIZED geometry (``lsh_geometry_for``: planes ~
+    log2(n), tables from the recall integral — the library default),
+    retiring the fixed 4×16 geometry whose decade exponent measured 1.88
+    (SCALING.md); the fixed form survives only as a pinned test surface
+    via explicit ``n_planes=/n_tables=``. Verify is the default
     join-attach form (vectors re-attach to the candidate pairs via two
     equi-joins): no driver-side collect anywhere on this path, so it
     survives a corpus that outgrows driver memory. The broadcast-matrix

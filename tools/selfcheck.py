@@ -429,23 +429,52 @@ def run_parallel(names, hostile, sf_dir, use_cache, workers) -> list[dict]:
     return [results[n] for n in names if n in results]
 
 
-def main() -> int:
-    args = sys.argv[1:]
+def parse_cli(args: list[str]) -> dict:
+    """Parse the CLI; accepts both ``--workers N`` (the documented space
+    form — crashed before round 6) and ``--workers=N``; same for
+    ``--spark-threads``."""
     hostile = "--hostile" in args
     json_out = "--json" in args
     use_cache = "--no-cache" not in args
     workers = 1
     n_threads = 16
     rest = []
-    for a in args:
-        if a.startswith("--workers"):
-            workers = int(a.split("=", 1)[1] if "=" in a else a.replace("--workers", ""))
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--workers":  # space form: --workers N
+            workers = int(args[i + 1])
+            i += 1
+        elif a.startswith("--workers"):  # --workers=N or --workersN
+            workers = int(a.split("=", 1)[1] if "=" in a else a[len("--workers"):])
+        elif a == "--spark-threads":
+            n_threads = int(args[i + 1])
+            i += 1
         elif a.startswith("--spark-threads="):
             n_threads = int(a.split("=", 1)[1])
         elif a in ("--hostile", "--json", "--no-cache"):
             pass
         else:
             rest.append(a)
+        i += 1
+    return {
+        "hostile": hostile,
+        "json_out": json_out,
+        "use_cache": use_cache,
+        "workers": workers,
+        "n_threads": n_threads,
+        "rest": rest,
+    }
+
+
+def main() -> int:
+    cli = parse_cli(sys.argv[1:])
+    hostile = cli["hostile"]
+    json_out = cli["json_out"]
+    use_cache = cli["use_cache"]
+    workers = cli["workers"]
+    n_threads = cli["n_threads"]
+    rest = cli["rest"]
     sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
     only = rest[1:]
 
