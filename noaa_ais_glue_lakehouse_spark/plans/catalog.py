@@ -20812,8 +20812,10 @@ def q361_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication — |c_cum·N − g_cum·n_g| is an exact
     int64 numerator over the COMMON denominator n_g·N, so the bucket
     sum is order-independent; one final division, rounded to 6 dp.
-    (At ≫10⁹-row corpora widen the products to decimal(38,0), the
-    q287/q315 pattern.) The 10-bucket spine is densified per group so
+    (At ≥3·10⁹-row corpora the products overflow int64 — now a RUNTIME
+    `raise_error` guard engine-side rather than a silent non-ANSI wrap;
+    the escape is decimal(38,0) widening, the q287/q315 pattern.) The
+    10-bucket spine is densified per group so
     cumulative sums stay aligned when a group has empty buckets.
 
     Scale: one groupBy on (type, bucket), windows over ≤10-row
@@ -20856,8 +20858,17 @@ def q361_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_g").cast("long").alias("n_group"),
             F.round(
                 F.sum(
-                    F.abs(
-                        F.col("c_cum") * F.col("n") - F.col("g_cum") * F.col("n_g")
+                    # c_cum·N and g_cum·n_g are ≤ N², so int64 holds only
+                    # while N < 3·10⁹ — guard at runtime instead of
+                    # wrapping silently (non-ANSI Spark) where DuckDB
+                    # would raise; past the bound widen to decimal(38,0)
+                    # (q287/q315 pattern), as the docstring states.
+                    F.expr(
+                        "IF(n < 3000000000,"
+                        " ABS(c_cum * n - g_cum * n_g),"
+                        " CAST(raise_error('q361: corpus rows >= 3e9"
+                        " overflow the int64 cross-multiplication;"
+                        " widen to decimal(38,0)') AS BIGINT))"
                     )
                 ).cast("double")
                 / (F.max("n_g") * F.max("n") * F.lit(9.0)),
@@ -21225,11 +21236,16 @@ def q364_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bt_iteration_sql(k: int) -> str:
-    """One Bradley–Terry MM round as a CTE (integer micro-units)."""
+    """One Bradley–Terry MM round as a CTE (integer micro-units).
+
+    The pair-term denominator is GREATEST(p_i+p_j, 1): with zero-win
+    types seeded into the strength vector (round 6), a type's strength
+    can reach exactly 0 after an update, and 0+0 would otherwise be an
+    integer division by zero (DuckDB raises; Spark nulls)."""
     return f"""it{k} AS (
       SELECT w.t, (w.wins * 1000000000000) //
              GREATEST(SUM((pp.n * 1000000000000)
-                          // (pi.p_u + pj.p_u)), 1) AS p_u
+                          // GREATEST(pi.p_u + pj.p_u, 1)), 1) AS p_u
       FROM wins w
       JOIN pair_stats pp ON pp.ti = w.t OR pp.tj = w.t
       JOIN it{k - 1} pi ON pi.t = w.t
@@ -21263,7 +21279,14 @@ def _bt_iteration_sql(k: int) -> str:
       WHERE prev_type IS NOT NULL AND prev_type <> event_type
         AND value <> prev_value
     ), wins AS (
-      SELECT winner AS t, COUNT(*) AS wins FROM comps GROUP BY winner
+      -- every type that ever PARTICIPATED gets a row (wins may be 0):
+      -- dropping zero-win types would delete their pair terms from
+      -- opponents' MM denominators, inflating those opponents
+      SELECT t, SUM(w) AS wins FROM (
+        SELECT winner AS t, 1 AS w FROM comps
+        UNION ALL
+        SELECT loser AS t, 0 AS w FROM comps
+      ) GROUP BY t
     ), pair_stats AS (
       SELECT LEAST(winner, loser) AS ti, GREATEST(winner, loser) AS tj,
              COUNT(*) AS n
@@ -21287,13 +21310,22 @@ def q365_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive same-user events of different types, the higher value
     winning; three MM rounds of p_i ← W_i / Σ_j n_ij/(p_i+p_j).
 
+    The strength vector is seeded from EVERY participating type (union
+    of winners and losers, wins coalesced to 0) — round 6: previously
+    zero-win types were dropped, which also deleted their pair terms
+    from opponents' MM denominators and inflated those opponents. A
+    zero-win type's strength converges to 0 (its MLE limit), so pair
+    denominators carry GREATEST(p_i+p_j, 1) on both engines.
+
     Engine-exactness: strengths live in integer micro-units; each
     denominator term is the FLOOR division (n_ij·10¹²)//(p_i+p_j), so
     the per-type denominator is an exact int64 sum (order-free) and the
     update (W_i·10¹²)//D is one floor division — every iteration is
     bit-identical across engines (the q318 k-means / q277 PCA pattern
     applied to preference aggregation). Magnitude: n_ij·10¹² needs
-    n_ij < 9·10⁶ per pair; beyond that drop to 10⁹ scaling.
+    n_ij < 9·10⁶ per pair — now a RUNTIME guard (`raise_error`) on the
+    engine side, since non-ANSI Spark would wrap silently where DuckDB
+    raises; beyond it drop to 10⁹ scaling.
 
     Scale: one lag window on the user exchange builds comparisons; all
     iteration state is |types|²-bounded relations joined with broadcast
@@ -21318,14 +21350,29 @@ def q365_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("event_type"))
         .alias("loser"),
     )
-    wins = comps.groupBy(F.col("winner").alias("t")).agg(
-        F.count(F.lit(1)).alias("wins")
+    # Every participating type gets a strength row, wins coalesced to 0
+    # (round 6, ADVICE): dropping zero-win types would delete their pair
+    # terms from opponents' MM denominators and inflate those opponents.
+    wins = (
+        comps.select(F.col("winner").alias("t"), F.lit(1).alias("w"))
+        .unionByName(comps.select(F.col("loser").alias("t"), F.lit(0).alias("w")))
+        .groupBy("t")
+        .agg(F.sum("w").cast("long").alias("wins"))
     )
     pair_stats = comps.groupBy(
         F.least("winner", "loser").alias("ti"),
         F.greatest("winner", "loser").alias("tj"),
     ).agg(F.count(F.lit(1)).alias("n"))
     p = wins.select("t", F.lit(1000000).cast("long").alias("p_u"))
+    # n_ij·10¹² must stay inside int64 (n_ij < 9·10⁶); Spark (non-ANSI)
+    # would wrap silently where DuckDB raises, so fail loudly instead of
+    # answering wrong — the documented escape is 10⁹ scaling.
+    term_expr = (
+        "IF(n < 9000000,"
+        " (n * 1000000000000) DIV GREATEST(pi_u + pj_u, 1),"
+        " CAST(raise_error('q365: pair count n_ij >= 9e6 overflows the"
+        " 1e12 micro-unit channel; rescale to 1e9') AS BIGINT))"
+    )
     for _ in range(3):
         terms = (
             wins.join(
@@ -21340,11 +21387,7 @@ def q365_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(p.select(F.col("t").alias("other"), F.col("p_u").alias("pj_u")), "other")
             .join(p.select("t", F.col("p_u").alias("pi_u")), "t")
-            .select(
-                "t",
-                "wins",
-                F.expr("(n * 1000000000000) DIV (pi_u + pj_u)").alias("term"),
-            )
+            .select("t", "wins", F.expr(term_expr).alias("term"))
         )
         p = terms.groupBy("t", "wins").agg(
             F.expr(
@@ -21678,11 +21721,15 @@ def q368_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFra
              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                          x -> x <> '') AS toks
       FROM documents
-    ), g AS (
+    ), g0 AS (
       SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, len(toks) - 3),
                     i -> array_to_string(toks[i:i+4], ' ')))) AS gram
       FROM t WHERE len(toks) >= 5
+    ), kept AS (
+      SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 1000
+    ), g AS (
+      SELECT g0.* FROM g0 JOIN kept USING (gram)
     ), sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS shared
@@ -21709,13 +21756,27 @@ def q369_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared·10 ≥ |A|·9 (no float compare); display ratio rounded once.
 
     Scale: inverted-index equi-join on distinct grams — candidates are
-    Σ df² over gram posting lists, the q61 winnowing shape. Word-5-gram
-    diversity keeps lists short on natural text; for adversarially
-    uniform corpora the q343 df-cap rule composes directly (drop grams
-    with df above a boilerplate ceiling before the join)."""
+    Σ df² over gram posting lists, the q61 winnowing shape. Since round
+    6 the q343 df-cap is APPLIED, not just cited (ADVICE): grams with
+    document frequency > 1000 are dropped before the join on BOTH
+    engines, bounding candidates at |grams|·df_cap²/2 so the
+    adversarially-uniform-vocabulary regime stays linear instead of
+    quadratic. Semantics: containment over INFORMATIVE grams — |A|
+    (src_grams) counts only kept grams, so numerator and denominator
+    stay consistent; a gram in >1000 docs is boilerplate by
+    construction, and at natural-text dfs the cap never fires (the
+    sf-scale results are unchanged)."""
     docs = load(spark, sf_dir, "documents")
+    df_cap = 1000
     grams = F.array_distinct(_word_ngrams(tokenize(F.col("text")), 5))
-    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    g0 = docs.select("doc_id", F.explode(grams).alias("gram"))
+    kept = (
+        g0.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("gram")
+    )
+    g = g0.join(kept, "gram")
     sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = g.select(F.col("doc_id").alias("src_id"), "gram")
     b = g.select(F.col("doc_id").alias("dst_id"), "gram")
@@ -21941,5 +22002,86 @@ def q371_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("n_label"), 6).alias(
                 "share"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: hashed-gram novelty twin (q372)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q372_ngram_novelty_hashed",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_transform(
+               list_transform(range(1, len(tk) - 2),
+                              i -> array_to_string(tk[i:i+3], ' ')),
+               s -> substr(md5(s), 1, 16))) AS hkey
+      FROM toks WHERE len(tk) >= 4
+    ), df AS (
+      SELECT hkey, COUNT(*) AS n_docs FROM g GROUP BY hkey
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           ROUND(CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_frac
+    FROM g JOIN df USING (hkey)
+    GROUP BY g.doc_id
+    """,
+)
+def q372_ngram_novelty_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X302 — q349's PRODUCTION twin with hashed gram keys (round-6
+    verdict #6): the df aggregation and the inverted-index join ship a
+    fixed 16-hex-char (64-bit) md5-prefix key instead of the raw 4-word
+    gram string, cutting the shuffle's per-row payload to a constant —
+    SCALING.md measured q349's decade wall as dominated by materializing
+    gram STRINGS through the exchange. The hash family is the portable
+    md5 convention (q28/q191), computed identically by both engines, so
+    unlike an engine-native xxhash/hash() pair a collision would hit
+    both sides identically and the gate stays deterministic.
+
+    Semantics: identical to q349 up to 64-bit-prefix collisions — at M
+    distinct grams the expected collision count is ~M²/2⁶⁵ (≈3·10⁻⁸ at
+    1M grams; at a petabyte-scale 10¹² grams, ~27 collisions corpus-wide
+    each perturbing one document's novel-gram count by ≤2 — noise far
+    below the metric's meaning). tests pin q372 ≡ q349 exactly on the
+    fixture corpora. String-keyed q349 remains the oracle-exact anchor.
+
+    Shape: row-local transform(md5) BEFORE array_distinct/explode — the
+    hash is computed once per (doc, gram) inside whole-stage codegen and
+    the raw gram string never leaves its scan task."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    hgrams = F.transform(
+        _word_ngrams(toks, 4), lambda s: F.substring(F.md5(s), 1, 16)
+    )
+    g = (
+        docs.select("doc_id", F.array_distinct(hgrams).alias("_g"))
+        .filter(F.size("_g") > 0)
+        .select("doc_id", F.explode("_g").alias("hkey"))
+    )
+    df_ = g.groupBy("hkey").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        g.join(df_, "hkey")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("novel_grams"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty_frac"),
         )
     )

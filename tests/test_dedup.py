@@ -609,3 +609,23 @@ def test_ngram_novelty_known_values(spark):
     assert out[1]["n_grams"] == 2 and out[1]["novelty_frac"] == 0.0
     assert out[2]["novelty_frac"] == 0.0
     assert out[3]["n_grams"] == 2 and out[3]["novelty_frac"] == 1.0
+
+
+def test_q372_hashed_novelty_equals_exact_q349(spark):
+    """q372 (md5-prefix gram keys through the shuffle) must agree with
+    string-keyed q349 EXACTLY on the fixture corpus — the hashed twin is
+    a transport optimization, not an approximation, at any corpus where
+    no 64-bit prefix collision occurs (expected collisions ~M²/2⁶⁵)."""
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty_frac"])
+        for r in queries()["q349_ngram_novelty"](spark, sf).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty_frac"])
+        for r in queries()["q372_ngram_novelty_hashed"](spark, sf).collect()
+    }
+    assert exact == hashed
+    assert len(exact) > 0
