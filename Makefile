@@ -9,10 +9,10 @@
 # if its worker dies, and check_selfcheck_artifact.py re-counts the tee'd
 # FILE against each section's footer — the round-4 lost-lines defect fails
 # the target instead of shipping.
-ROUND ?= 5
+ROUND ?= 6
 WORKERS ?= 6
 
-.PHONY: selfcheck-report bench test
+.PHONY: selfcheck-report bench test scaling
 
 selfcheck-report:
 	{ echo "== hostile sf0.01 =="; \
@@ -27,3 +27,21 @@ bench:
 
 test:
 	python -m pytest tests/ -q
+
+# Decade-scaling gate (SCALING.md protocol, CI shape): regenerates the
+# 10x scale pair if absent, probes every LINEAR-CLAIMED heavy query, and
+# fails if any measured exponent breaches its budget (1.2 ~= 16x wall
+# over a 10x decade; a quadratic candidate explosion measures 50-70x).
+# The documented-quadratic anchors (q61/q171/fixed-geometry LSH) are
+# exempt by design — their escapes are what's budgeted.
+scaling:
+	test -d .tmp/scaleB || python tools/synth_scale.py .tmp
+	python -u tools/scale_probe.py .tmp \
+	  q27_minhash_near_dups q314_rendezvous_detection \
+	  q343_winnow_near_dups_capped q345_repeated_substring_spans \
+	  q347_bigram_logprob q349_ngram_novelty q372_ngram_novelty_hashed \
+	  q357_stop_detection q359_grid_dbscan_clusters q363_cpa_screening \
+	  q369_containment_pairs cosine085_auto_geometry \
+	  cc_on_capped_pairs q381_knn_adaptive_radius \
+	  | tee .tmp/scale_probe_last.json
+	python tools/check_scaling.py .tmp/scale_probe_last.json

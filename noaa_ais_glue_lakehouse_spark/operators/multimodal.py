@@ -102,7 +102,16 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
       |height|), bits-per-pixel u16 at 28;
     - JPEG: walk the marker segments from SOI to the first start-of-frame
       (SOF0/SOF2/…); the frame header carries height, width (big-endian
-      u16) and the component count (1=grayscale, 3=YCbCr).
+      u16) and the component count (1=grayscale, 3=YCbCr);
+    - WebP (round 6): RIFF container, all three bitstream flavors —
+      'VP8 ' lossy (14-bit dims after the 9D 01 2A sync code), 'VP8L'
+      lossless (14-bit minus-one dims + alpha flag packed after the 2F
+      signature byte) and 'VP8X' extended (24-bit minus-one canvas dims,
+      alpha in the flag byte);
+    - TIFF (round 6): both byte orders (II*\\x00 / MM\\x00*), walking
+      IFD0's 12-byte entries for ImageWidth(256)/ImageLength(257)/
+      SamplesPerPixel(277, spec default 1), SHORT and LONG inline
+      values.
 
     Returns ``None`` for unrecognized magic bytes or malformed headers —
     the caller decides the fallback (PIL / stub / decode_ok=False).
@@ -134,6 +143,67 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
         if w <= 0 or h == 0 or bpp == 0 or bpp % 8 != 0:
             return None
         return (w, h, bpp // 8)
+    if (
+        len(payload) >= 25
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        fourcc = payload[12:16]
+        if fourcc == b"VP8 ":  # lossy: sync-coded frame header
+            if len(payload) < 30 or payload[23:26] != b"\x9d\x01\x2a":
+                return None
+            w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+            if w == 0 or h == 0:
+                return None
+            return (w, h, 3)
+        if fourcc == b"VP8L":  # lossless: 14-bit dims, alpha flag
+            if len(payload) < 25 or payload[20] != 0x2F:
+                return None
+            bits = struct.unpack("<I", payload[21:25])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return (w, h, 4 if (bits >> 28) & 1 else 3)
+        if fourcc == b"VP8X":  # extended: 24-bit canvas dims, flag byte
+            if len(payload) < 30:
+                return None
+            flags = payload[20]
+            w = 1 + int.from_bytes(payload[24:27], "little")
+            h = 1 + int.from_bytes(payload[27:30], "little")
+            return (w, h, 4 if flags & 0x10 else 3)
+        return None
+    if len(payload) >= 8 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        endian = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+        if ifd_off + 2 > len(payload):
+            return None
+        (n_entries,) = struct.unpack(
+            endian + "H", payload[ifd_off : ifd_off + 2]
+        )
+        w = h = None
+        spp = 1  # SamplesPerPixel defaults to 1 per the TIFF 6.0 spec
+        for k in range(n_entries):
+            e = ifd_off + 2 + 12 * k
+            if e + 12 > len(payload):
+                return None
+            tag, typ = struct.unpack(endian + "HH", payload[e : e + 4])
+            if tag not in (256, 257, 277):
+                continue
+            if typ == 3:  # SHORT, inline in the first 2 value bytes
+                (val,) = struct.unpack(endian + "H", payload[e + 8 : e + 10])
+            elif typ == 4:  # LONG, inline in all 4 value bytes
+                (val,) = struct.unpack(endian + "I", payload[e + 8 : e + 12])
+            else:
+                return None
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+            else:
+                spp = val
+        if not w or not h or spp == 0:
+            return None
+        return (w, h, spp)
     if len(payload) >= 4 and payload[:3] == b"\xff\xd8\xff":
         i = 2
         while i + 2 <= len(payload):
@@ -321,16 +391,58 @@ def synthesize_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def synthesize_webp(width: int, height: int) -> bytes:
+    """A real VP8L (lossless) WebP header: RIFF + WEBP + VP8L chunk with
+    the 2F signature byte and the packed 14-bit minus-one dimensions —
+    the exact bytes libwebp's feature reader parses (no coded image
+    stream; a renderable file would follow with the transform/huffman
+    groups)."""
+    import struct
+
+    bits = (width - 1) | ((height - 1) << 14)  # alpha bit (28) left 0
+    chunk = b"\x2f" + struct.pack("<I", bits)
+    if len(chunk) % 2:  # RIFF chunks are even-padded
+        chunk += b"\x00"
+    riff_body = b"WEBP" + b"VP8L" + struct.pack("<I", 5) + chunk
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def synthesize_tiff(width: int, height: int) -> bytes:
+    """A real little-endian TIFF header: II*\\x00, IFD0 at offset 8 with
+    three SHORT entries (ImageWidth, ImageLength, SamplesPerPixel=3) and
+    a zero next-IFD pointer — the minimal structure a TIFF metadata
+    walker reads."""
+    import struct
+
+    def entry(tag: int, val: int) -> bytes:
+        return struct.pack("<HHIHH", tag, 3, 1, val, 0)
+
+    return (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 3)
+        + entry(256, width)
+        + entry(257, height)
+        + entry(277, 3)
+        + struct.pack("<I", 0)
+    )
+
+
 _SYNTH_BY_FORMAT = {
     "png": synthesize_png,
     "gif": synthesize_gif,
     "bmp": synthesize_bmp,
     "jpeg": synthesize_jpeg,
+    "webp": synthesize_webp,
+    "tiff": synthesize_tiff,
 }
 
 IMAGE_ASSET_SCHEMA = "id long, fmt string, payload binary"
 
 _ASSET_FORMAT_CYCLE = ("png", "gif", "bmp", "jpeg")
+
+# the round-6 extended cycle: q380 exercises all six parsers end-to-end
+_ASSET_FORMAT_CYCLE_EXT = ("png", "gif", "bmp", "jpeg", "webp", "tiff")
 
 
 def synthesize_image_assets(
@@ -338,14 +450,16 @@ def synthesize_image_assets(
     id_col: str,
     width_mod: int = 48,
     height_mod: int = 32,
+    formats: tuple = _ASSET_FORMAT_CYCLE,
 ) -> DataFrame:
     """Deterministic REAL image payloads from an id column, generated on
     the executors (Arrow-batched ``mapInPandas`` — the driver never sees
-    a payload byte): format cycles png/gif/bmp/jpeg by ``id % 4``, and
+    a payload byte): format cycles over ``formats`` by ``id % len``, and
     dimensions are ``1 + id % width_mod`` × ``1 + id % height_mod`` —
     formulas a SQL oracle can reproduce, so a header DECODE of these
     payloads is fully hash-checkable end-to-end."""
     src = df.select(F.col(id_col).cast("long").alias("id"))
+    n_fmt = len(formats)
 
     def _synth(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -354,7 +468,7 @@ def synthesize_image_assets(
             fmts, payloads = [], []
             for i in pdf["id"]:
                 i = int(i)
-                fmt = _ASSET_FORMAT_CYCLE[i % 4]
+                fmt = formats[i % n_fmt]
                 fmts.append(fmt)
                 payloads.append(
                     _SYNTH_BY_FORMAT[fmt](1 + i % width_mod, 1 + i % height_mod)

@@ -95,7 +95,7 @@ def lsh_geometry_for(
     threshold: float,
     target_bucket: int = 256,
     recall_target: float = 0.9,
-    max_tables: int = 48,
+    max_tables: int = 16,
 ) -> tuple[int, int]:
     """Corpus-sized hyperplane-LSH geometry → ``(n_planes, n_tables)``.
 
@@ -115,7 +115,19 @@ def lsh_geometry_for(
     the math makes explicit that sub-0.5 thresholds and bounded
     candidates are mutually exclusive in any LSH (the answer itself is
     near-quadratic there); the DEDUP regime (t ≥ 0.8) sizes cleanly
-    (e.g. t=0.85, n=50k → (7, 8)).
+    (e.g. t=0.85, n=50k → (8, 10)).
+
+    ``max_tables`` is 16, not the recall integral's asymptote, because
+    table count is ALSO a per-candidate cost, not just a recall knob:
+    the first-agreeing-table dedup guard in
+    :func:`cosine_near_duplicates` evaluates up to L−1 terms per
+    candidate, so effective join cost ≈ L²·n²/2^(b+1). Measured
+    (round-6 decade probe, t=0.4): the 48-table walk-down picked
+    (6, 36) and ran 725 s at scaleB (exponent 2.49) — WORSE than the
+    fixed 4×16's 191 s despite 1.8× fewer candidates. Capping L at 16
+    makes the infeasible-regime walk-down land on ≈(4, 14), the least
+    bad geometry known for it; the real scale path below t≈0.5 is IVF
+    (q55) / clustered SemDeDup (q64).
     """
     import math
 

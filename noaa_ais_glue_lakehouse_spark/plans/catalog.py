@@ -22085,3 +22085,872 @@ def q372_ngram_novelty_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 batch: decontamination, distribution drift, corpus statistics,
+# agreement, vocabulary growth, portable HLL, equi-depth binning
+# (q373-q379, X303-X309)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q373_contamination_report",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, source,
+             UNNEST(list_transform(range(1, len(tk) - 6),
+                    i -> array_to_string(tk[i:i+7], ' '))) AS gram
+      FROM toks WHERE len(tk) >= 8
+    ), bench AS (
+      SELECT doc_id AS bdoc, gram FROM g WHERE source = 'src0'
+    ), bkept AS (
+      SELECT gram FROM bench GROUP BY gram HAVING COUNT(DISTINCT bdoc) <= 100
+    ), train AS (
+      SELECT doc_id, source, gram FROM g WHERE source <> 'src0'
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
+    ), hits AS (
+      SELECT t.doc_id, t.source,
+             COUNT(DISTINCT t.gram) AS shared_grams
+      FROM train t
+      JOIN bkept k ON k.gram = t.gram
+      GROUP BY t.doc_id, t.source
+    ), doc_level AS (
+      SELECT h.doc_id, h.source, h.shared_grams,
+             (h.shared_grams * 1000000) // sz.n_grams AS frac_u
+      FROM hits h JOIN sz USING (doc_id)
+    ), src_totals AS (
+      SELECT source, COUNT(*) AS n_docs
+      FROM documents WHERE source <> 'src0' GROUP BY source
+    )
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(COUNT(d.doc_id), 0) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COALESCE(COUNT(d.doc_id), 0) AS DOUBLE) / s.n_docs, 6)
+             AS contamination_rate,
+           CAST(COALESCE(SUM(d.shared_grams), 0) AS BIGINT)
+             AS total_shared_grams,
+           CAST(COALESCE(MAX(d.frac_u), 0) AS BIGINT) AS worst_doc_frac_u
+    FROM src_totals s LEFT JOIN doc_level d USING (source)
+    GROUP BY s.source, s.n_docs
+    """,
+)
+def q373_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X303 — SOURCE-LEVEL decontamination report (the GPT-3 Appendix-C /
+    PaLM n-gram screen, aggregated to the decision grain): treating
+    source 'src0' as the held-out benchmark, roll per-document 8-gram
+    overlap up to each training SOURCE — how many of its docs touch the
+    benchmark, at what rate, and how bad the worst doc is. q83 emits the
+    doc-level flag list (which docs to drop); this is the report that
+    decides whether a SOURCE is poisoned enough to quarantine wholesale.
+    Grams occurring in >100 benchmark docs are excluded as
+    non-discriminative boilerplate — standard decontamination practice
+    and the df-cap that bounds the join's posting lists (q343 pattern).
+
+    Engine-exactness: per-doc contamination fraction is carried as the
+    integer floor (shared·10⁶)//n_grams so the per-source MAX is a total
+    integer order; the one display division is the source rate.
+
+    Scale: inverted-index equi-join gram→gram; the benchmark side is
+    capped at 100 docs per gram, bounding candidates at |train
+    grams|·100, and broadcasts when the benchmark is small (the common
+    case: benchmarks are KBs, corpora are TBs). Sources with zero hits
+    still get a row (LEFT join from source totals) — absence of
+    contamination is a finding."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    g = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.array_distinct(_word_ngrams(toks, 8)).alias("_g"),
+        )
+        .filter(F.size("_g") > 0)
+        .select("doc_id", "source", F.explode("_g").alias("gram"))
+    )
+    bench = g.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bdoc"), "gram"
+    )
+    bkept = (
+        bench.groupBy("gram")
+        .agg(F.countDistinct("bdoc").alias("bdf"))
+        .filter(F.col("bdf") <= 100)
+        .select("gram")
+    )
+    train = g.filter(F.col("source") != "src0")
+    sz = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bkept), "gram")
+        .groupBy("doc_id", "source")
+        .agg(F.countDistinct("gram").alias("shared_grams"))
+    )
+    doc_level = hits.join(sz, "doc_id").select(
+        "doc_id",
+        "source",
+        "shared_grams",
+        F.expr("(shared_grams * 1000000) DIV n_grams").alias("frac_u"),
+    )
+    src_totals = (
+        docs.filter(F.col("source") != "src0")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        src_totals.join(doc_level, "source", "left")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count("doc_id").cast("long").alias("n_contaminated"),
+            F.round(
+                F.count("doc_id").cast("double") / F.col("n_docs"), 6
+            ).alias("contamination_rate"),
+            F.coalesce(F.sum("shared_grams"), F.lit(0))
+            .cast("long")
+            .alias("total_shared_grams"),
+            F.coalesce(F.max("frac_u"), F.lit(0))
+            .cast("long")
+            .alias("worst_doc_frac_u"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_contaminated",
+            "contamination_rate",
+            "total_shared_grams",
+            "worst_doc_frac_u",
+        )
+    )
+
+
+@register(
+    "q374_ks_source_drift",
+    allow_non_equi=(
+        "deliberate bounded densification: |distinct doc lengths| x "
+        "|sources| spine cross join - group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH cnt AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    ), spine AS (
+      SELECT s.source, v.v
+      FROM (SELECT DISTINCT source FROM cnt) s
+      CROSS JOIN (SELECT DISTINCT v FROM cnt) v
+    ), filled AS (
+      SELECT sp.source, sp.v, COALESCE(c.c, 0) AS c
+      FROM spine sp LEFT JOIN cnt c USING (source, v)
+    ), cums AS (
+      SELECT source, v,
+             SUM(c) OVER (PARTITION BY source ORDER BY v) AS s_cum
+      FROM filled
+    ), gcum AS (
+      SELECT v, SUM(s_cum) AS g_cum FROM cums GROUP BY v
+    ), tot AS (
+      SELECT source, MAX(s_cum) AS n_src FROM cums GROUP BY source
+    ), ntot AS (SELECT MAX(g_cum) AS n FROM gcum)
+    SELECT c.source,
+           CAST(t.n_src AS BIGINT) AS n_src,
+           CAST(n - t.n_src AS BIGINT) AS n_rest,
+           CAST(MAX(ABS(c.s_cum * (n - t.n_src)
+                        - (g.g_cum - c.s_cum) * t.n_src)) AS BIGINT)
+             AS ks_num,
+           ROUND(CAST(MAX(ABS(c.s_cum * (n - t.n_src)
+                              - (g.g_cum - c.s_cum) * t.n_src)) AS DOUBLE)
+                 / (t.n_src * (n - t.n_src)), 6) AS ks_stat
+    FROM cums c
+    JOIN gcum g USING (v)
+    JOIN tot t USING (source)
+    CROSS JOIN ntot
+    GROUP BY c.source, t.n_src, n
+    """,
+)
+def q374_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X304 — EXACT two-sample Kolmogorov–Smirnov statistic per source
+    (each source's document-length distribution vs the REST of the
+    corpus): D = max_v |F_src(v) − F_rest(v)| — the standard
+    distribution-drift screen for ingest monitoring ("did this source's
+    docs suddenly get shorter?"). One-vs-rest for every source in one
+    plan.
+
+    Engine-exactness: ECDF differences are compared by integer
+    cross-multiplication — |s_cum·n_rest − rest_cum·n_src| over the
+    common denominator n_src·n_rest, so the max is over exact int64
+    values (products bounded by N², the q361 3·10⁹ regime); one display
+    division. The value spine is densified per source (q361 lesson) so
+    cumulative counts align; the rest-ECDF needs NO second pass —
+    because the spine is dense, g_cum(v) = Σ_sources s_cum(source, v),
+    one aggregate over the already-computed per-source cumulatives.
+
+    Scale: work is |distinct lengths|·|sources| after one (source,
+    value) pre-aggregation of the corpus — group-cardinality. For
+    continuous metrics, quantize values first (the q350 bucketing
+    pattern) to bound the spine."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spine = cnt.select("source").distinct().crossJoin(
+        cnt.select("v").distinct()
+    )
+    filled = spine.join(cnt, ["source", "v"], "left").select(
+        "source", "v", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = filled.select(
+        "source", "v", F.sum("c").over(w_cum).alias("s_cum")
+    )
+    glob = cums.groupBy("v").agg(F.sum("s_cum").alias("g_cum"))
+    tot = cums.groupBy("source").agg(F.max("s_cum").alias("n_src"))
+    ntot = glob.agg(F.max("g_cum").alias("n"))
+    d = (
+        cums.join(F.broadcast(glob), "v")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "n_src",
+            (F.col("n") - F.col("n_src")).alias("n_rest"),
+            F.abs(
+                F.col("s_cum") * (F.col("n") - F.col("n_src"))
+                - (F.col("g_cum") - F.col("s_cum")) * F.col("n_src")
+            ).alias("diff_num"),
+        )
+    )
+    return d.groupBy("source", "n_src", "n_rest").agg(
+        F.max("diff_num").cast("long").alias("ks_num"),
+        F.round(
+            F.max("diff_num").cast("double")
+            / (F.col("n_src") * F.col("n_rest")),
+            6,
+        ).alias("ks_stat"),
+    ).select(
+        "source",
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("n_rest").cast("long").alias("n_rest"),
+        "ks_num",
+        "ks_stat",
+    )
+
+
+@register(
+    "q375_source_signature_terms",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross join of the corpus doc "
+        "count onto the (source, token) relation - group-cardinality"
+    ),
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), e AS (
+      SELECT doc_id, source, UNNEST(tk) AS tok FROM toks
+    ), tf AS (
+      SELECT source, tok, COUNT(*) AS tf FROM e GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY tok
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.tok, tf.tf, df.df,
+             tf.tf * (length(bin(CAST(n_docs // df.df AS BIGINT))) - 1)
+               AS score_u
+      FROM tf JOIN df USING (tok) CROSS JOIN nd
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY score_u DESC, tok) AS rk
+      FROM scored
+    )
+    SELECT source, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score_u AS BIGINT) AS score_u, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q375_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X305 — top-5 characteristic terms per SOURCE by tf·idf with a
+    DISCRETE idf (q92 is the per-DOCUMENT float-log form; this is the
+    corpus-profiling grain — "what is each source about" — with an
+    integer-exact score channel): idf_int = floor(log2(N/df)) computed exactly via
+    binary-representation length (bit_length(N//df) − 1 — `bin()` on
+    both engines), so the score tf·idf_int is a pure int64 and the
+    ranking is a total integer order with no float log anywhere — the
+    cross-engine-safe form of the corpus-characterization staple.
+    Rounding idf to a power of two preserves the ranking semantics
+    (boilerplate terms with df≈N score 0; rare terms dominate).
+
+    Scale: two hash aggregations (tf on (source, token), df on token),
+    one equi-join on token, a 1-row doc-count broadcast, and a top-5
+    window per source — no explode beyond the token stream itself."""
+    docs = load(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id", "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    tf = e.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = e.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            "tok",
+            "tf",
+            "df",
+            # bin() never emits leading zeros for non-negative inputs on
+            # either engine, so bit_length(x) = length(bin(x)) directly
+            (
+                F.col("tf") * (F.length(F.bin(F.expr("n_docs DIV df"))) - 1)
+            ).alias("score_u"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_u").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score_u").cast("long").alias("score_u"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@register(
+    "q376_cohens_kappa",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross join of the two scalar "
+        "aggregates (N/agree totals x chance-agreement numerator) - "
+        "group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS a,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS b
+      FROM events
+    ), p AS (SELECT a, b FROM pairs WHERE b IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+          FROM p),
+    ra AS (SELECT a AS k, COUNT(*) AS r FROM p GROUP BY a),
+    cb AS (SELECT b AS k, COUNT(*) AS c FROM p GROUP BY b),
+    pe AS (SELECT SUM(ra.r * cb.c) AS pe_num
+           FROM ra JOIN cb USING (k))
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST(pe_num AS BIGINT) AS pe_num,
+           ROUND(CAST(n * agree - pe_num AS DOUBLE)
+                 / (n * n - pe_num), 6) AS kappa
+    FROM n CROSS JOIN pe
+    """,
+)
+def q376_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X306 — Cohen's kappa between consecutive event types per user
+    (rater A = current type, rater B = previous type): chance-corrected
+    agreement, the inter-annotator / label-consistency staple — here
+    measuring transition stickiness ("does the previous event predict
+    the next beyond the marginal mix?"). The same plan computes kappa
+    for ANY two label columns (two annotators, model-vs-gold).
+
+    Engine-exactness: κ = (N·ΣA − Σ_k r_k·c_k)/(N² − Σ_k r_k·c_k) — the
+    po/pe fractions are cleared to a single integer numerator and
+    denominator (all int64 for N < 3·10⁹, the q361 regime), so the only
+    float is the final display division, rounded once.
+
+    Scale: one lag window on the user exchange, then label-cardinality
+    relations (row/column marginals joined on label) — corpus touched
+    once."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lag("event_type").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    n = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    ra = p.groupBy(F.col("a").alias("k")).agg(F.count(F.lit(1)).alias("r"))
+    cb = p.groupBy(F.col("b").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    pe = ra.join(cb, "k").agg(F.sum(F.col("r") * F.col("c")).alias("pe_num"))
+    return (
+        n.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("long").alias("n_pairs"),
+            F.col("agree").cast("long").alias("n_agree"),
+            F.col("pe_num").cast("long").alias("pe_num"),
+            F.round(
+                (F.col("n") * F.col("agree") - F.col("pe_num")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("pe_num")),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+@register(
+    "q377_heaps_law",
+    allow_non_equi=(
+        "deliberate bounded join of the checkpoint spine (n_docs/50 rows) "
+        "onto per-bucket vocabulary counts - group-cardinality"
+    ),
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk
+      FROM documents
+    ), e AS (
+      SELECT rnk, UNNEST(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> ''))) AS tok
+      FROM d
+    ), fr AS (
+      SELECT tok, MIN(rnk) AS first_rank FROM e GROUP BY tok
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    bucketed AS (
+      SELECT ((first_rank + 49) // 50) * 50 AS ck, COUNT(*) AS new_toks
+      FROM fr GROUP BY 1
+    ), spine AS (
+      SELECT UNNEST(range(50, CAST(((n_docs + 49) // 50) * 50 + 1 AS BIGINT),
+                          50)) AS ck
+      FROM nd
+    )
+    SELECT CAST(s.ck AS BIGINT) AS checkpoint_docs,
+           CAST(COALESCE(b.new_toks, 0) AS BIGINT) AS new_tokens,
+           CAST(SUM(COALESCE(b.new_toks, 0))
+                OVER (ORDER BY s.ck) AS BIGINT) AS vocab_size
+    FROM spine s LEFT JOIN bucketed b ON b.ck = s.ck
+    """,
+)
+def q377_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X307 — Heaps'-law vocabulary-growth curve: distinct vocabulary
+    size after the first k documents (doc_id order), at checkpoints of
+    50 — the corpus-diversity diagnostic (V(n) ≈ K·n^β; a flattening
+    curve means new data stops adding new language; near-linear growth
+    flags noise/IDs). Exact, not sampled: a token's contribution is its
+    FIRST document rank, so the curve needs one min-aggregate per
+    distinct token, not a cumulative-distinct scan.
+
+    Scale: doc ranks come from the two-phase parallel prefix scan
+    (`global_running_sum`, q360 pattern — no single-task global window
+    over the corpus); per-token min is one hash aggregate; everything
+    after lives on the checkpoint spine (n/50 rows), where the
+    cumulative window is group-cardinality by construction."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = global_running_sum(
+        docs.select("doc_id", "text").withColumn("_one", F.lit(1)),
+        ["doc_id"],
+        "_one",
+        out_col="rnk",
+    )
+    e = ranked.select(
+        "rnk",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+    )
+    fr = e.groupBy("tok").agg(F.min("rnk").alias("first_rank"))
+    bucketed = fr.groupBy(
+        F.expr("((first_rank + 49) DIV 50) * 50").alias("ck")
+    ).agg(F.count(F.lit(1)).alias("new_toks"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    spine = nd.select(
+        F.explode(
+            F.expr("sequence(50L, ((n_docs + 49) DIV 50) * 50, 50L)")
+        ).alias("ck")
+    )
+    w = Window.orderBy("ck").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the global window here runs on the CHECKPOINT spine (n_docs/50
+    # rows), not the corpus - bounded by construction
+    return (
+        spine.join(bucketed, "ck", "left")
+        .select("ck", F.coalesce("new_toks", F.lit(0)).alias("new_toks"))
+        .select(
+            F.col("ck").cast("long").alias("checkpoint_docs"),
+            F.col("new_toks").cast("long").alias("new_tokens"),
+            F.sum("new_toks").over(w).cast("long").alias("vocab_size"),
+        )
+    )
+
+
+@register(
+    "q378_hll_distinct_portable",
+    oracle="""
+    WITH e AS (
+      SELECT source, UNNEST(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> ''))) AS tok
+      FROM documents
+    ), h AS (
+      SELECT source, tok,
+             CAST(concat('0x', substr(md5(tok), 1, 2)) AS BIGINT) AS reg,
+             CAST(concat('0x', substr(md5(tok), 3, 13)) AS BIGINT) AS v52
+      FROM e
+    ), regs AS (
+      SELECT source, reg,
+             MAX(CASE WHEN v52 = 0 THEN 53
+                      ELSE 53 - length(bin(v52)) END) AS m_j
+      FROM h GROUP BY source, reg
+    ), agg AS (
+      SELECT source,
+             COUNT(*) AS n_present,
+             SUM(9007199254740992 >> m_j) AS sum_u
+      FROM regs GROUP BY source
+    ), ex AS (
+      SELECT source, COUNT(DISTINCT tok) AS n_exact FROM e GROUP BY source
+    )
+    SELECT a.source,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           CAST(256 - a.n_present AS BIGINT) AS n_zero_regs,
+           ROUND(
+             CASE
+               WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                    * 9007199254740992.0
+                    / (a.sum_u + (256 - a.n_present) * 9007199254740992.0)
+                    <= 640.0
+                AND a.n_present < 256
+               THEN 256.0 * ln(256.0 / GREATEST(256 - a.n_present, 1))
+               ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                    * 9007199254740992.0
+                    / (a.sum_u + (256 - a.n_present) * 9007199254740992.0)
+             END, 2) AS hll_estimate
+    FROM agg a JOIN ex x USING (source)
+    """,
+)
+def q378_hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X308 — HyperLogLog distinct-token estimate per source with a
+    PORTABLE register construction, upgrading the sketch family
+    (q63/q102 are rows-only) to a fully oracle-checked member: the
+    md5 hash family (q28/q175 convention) gives both engines identical
+    registers, so the estimate itself — not just its error bound — is
+    cross-engine reproducible. 256 registers (p=8): register = first 8
+    hash bits, ρ = leading-zero count of the next 52 bits + 1 (via
+    binary-representation length, exact integer).
+
+    Engine-exactness: the harmonic sum Σ 2^−M_j is computed in integer
+    units of 2⁻⁵³ — each term is the exact int64 (2⁵³ >> M_j), so the
+    sum is order-independent; the HLL constant α_m·m² and the final
+    division happen once, in one fixed double expression. The
+    small-range linear-counting correction (E ≤ 2.5m with empty
+    registers, Flajolet et al. 2007) applies on both engines; its ln()
+    is the single libm call, displayed rounded to 2 dp. Exact distinct
+    count is emitted alongside for error auditing.
+
+    Scale: this is THE count-distinct for 100 TB — register state is
+    256 int64s per group regardless of corpus size, map-side
+    combinable; the exact countDistinct column is the test-scale audit
+    and would be dropped at scale."""
+    docs = load(spark, sf_dir, "documents")
+    e = docs.select(
+        "source",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+    )
+    md = F.md5(F.col("tok"))
+    h = e.select(
+        "source",
+        "tok",
+        F.conv(F.substring(md, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.conv(F.substring(md, 3, 13), 16, 10).cast("long").alias("v52"),
+    )
+    regs = h.groupBy("source", "reg").agg(
+        F.max(
+            F.when(F.col("v52") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.bin(F.col("v52")))
+            )
+        ).alias("m_j")
+    )
+    agg = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftright(9007199254740992L, CAST(m_j AS INT))")).alias(
+            "sum_u"
+        ),
+    )
+    ex = e.groupBy("source").agg(F.countDistinct("tok").alias("n_exact"))
+    raw_est = (
+        "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0"
+        " * 9007199254740992.0"
+        " / (sum_u + (256 - n_present) * 9007199254740992.0)"
+    )
+    return agg.join(ex, "source").select(
+        "source",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.lit(256) - F.col("n_present")).cast("long").alias("n_zero_regs"),
+        F.round(
+            F.expr(
+                f"CASE WHEN {raw_est} <= 640.0 AND n_present < 256"
+                f" THEN 256.0 * ln(256.0 / GREATEST(256 - n_present, 1))"
+                f" ELSE {raw_est} END"
+            ),
+            2,
+        ).alias("hll_estimate"),
+    )
+
+
+@register(
+    "q379_equidepth_bins",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross join of the corpus row "
+        "count onto the ranked relation - group-cardinality"
+    ),
+    oracle="""
+    WITH r AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+      FROM events
+    ), n AS (SELECT COUNT(*) AS n FROM events)
+    SELECT CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS bin,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM r CROSS JOIN n
+    GROUP BY 1
+    """,
+)
+def q379_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X309 — exact equi-depth (equal-frequency) histogram of the value
+    column, 10 bins: the binning that drives optimizer statistics,
+    feature bucketization (quantile binning for GBDTs), and skew
+    diagnosis. Bin of a row = ((rank−1)·k) // N + 1 — pure integer
+    arithmetic on the global rank, so bin populations differ by at most
+    1 and both engines agree exactly (ties broken by event_id, making
+    the rank total).
+
+    Scale: the global rank comes from the two-phase parallel prefix
+    scan (`global_running_sum`, q360 pattern), not a single-task global
+    window; then one hash aggregate on the bin id. ((rk−1)·10 stays in
+    int64 to N < 9·10¹⁷.)"""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    ranked = global_running_sum(
+        ev.select("value", "event_id").withColumn("_one", F.lit(1)),
+        ["value", "event_id"],
+        "_one",
+        out_col="rk",
+    )
+    n = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .groupBy(F.expr("((rk - 1) * 10) DIV n").alias("_b"))
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(
+            (F.col("_b") + 1).cast("long").alias("bin"),
+            "lo",
+            "hi",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "q380_image_header_decode_ext",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(1 + doc_id % 48 AS INT) AS width,
+           CAST(1 + doc_id % 32 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+           TRUE AS decode_ok
+    FROM documents
+    """,
+)
+def q380_image_header_decode_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X310 — q259's end-to-end header-decode gate EXTENDED to all six
+    supported raster formats (round 6 adds WebP and TIFF): real
+    PNG/GIF/BMP/JPEG/WebP-VP8L/TIFF payloads synthesized on the
+    executors with doc_id-derived dimensions, decoded back by parsing
+    the actual format bytes (RIFF chunk walk + VP8L bit unpacking; TIFF
+    IFD entry walk in either byte order). The oracle recomputes the
+    expected dimensions from the doc_id formulas — any mis-read byte
+    offset in the two new parsers hash-mismatches here. Channels: gif
+    is palette-indexed (1); png(rgb)/bmp(24bpp)/jpeg(YCbCr)/
+    webp(VP8L, no alpha bit)/tiff(SamplesPerPixel=3) are 3.
+
+    Scale shape: identical to q259 — two chained Arrow-batched
+    ``mapInPandas`` stages, zero shuffles, payloads never leave the
+    executors."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        _ASSET_FORMAT_CYCLE_EXT,
+        decode_images,
+        synthesize_image_assets,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    assets = synthesize_image_assets(
+        docs, "doc_id", formats=_ASSET_FORMAT_CYCLE_EXT
+    )
+    return decode_images(assets, "id", "payload", use_stub=False)
+
+
+@register(
+    "q381_knn_adaptive_radius",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross joins of the ref-density "
+        "stats row (count + extents -> radius) onto points and refs - "
+        "group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             CAST(event_id % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+             CAST((event_id * 7) % 3600 AS DOUBLE)/10.0 - 180.0 AS lon
+      FROM events
+    ), refs AS (
+      SELECT event_id AS ref_id, lat AS rlat, lon AS rlon
+      FROM pts WHERE event_id % 97 = 0
+    ), st AS (
+      SELECT COUNT(*) AS n_refs,
+             MIN(rlat) AS minlat, MAX(rlat) AS maxlat,
+             MIN(rlon) AS minlon, MAX(rlon) AS maxlon
+      FROM refs
+    ), rr AS (
+      SELECT n_refs,
+             LEAST(sqrt((24.0 * (maxlat - minlat) * (maxlon - minlon))
+                        / (3.141592653589793 * n_refs)), 90.0) AS r
+      FROM st
+    ), rc AS (
+      SELECT ref_id, rlat, rlon, r,
+             FLOOR(rlat / r) + dy.d AS cy, FLOOR(rlon / r) + dx.d AS cx
+      FROM refs CROSS JOIN rr
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS d) dy
+      CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS d) dx
+    ), q AS (
+      SELECT event_id, lat, lon, FLOOR(lat / r) AS cy, FLOOR(lon / r) AS cx
+      FROM pts CROSS JOIN rr
+    ), cand AS (
+      SELECT q.event_id, rc.ref_id,
+             (q.lat - rc.rlat)*(q.lat - rc.rlat)
+             + (q.lon - rc.rlon)*(q.lon - rc.rlon) AS dist2,
+             rc.r
+      FROM q JOIN rc USING (cy, cx)
+      WHERE q.event_id <> rc.ref_id
+        AND (q.lat - rc.rlat)*(q.lat - rc.rlat)
+            + (q.lon - rc.rlon)*(q.lon - rc.rlon) <= rc.r * rc.r
+    ), ranked AS (
+      SELECT event_id, ref_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY dist2, ref_id) AS knn_rank
+      FROM cand
+    )
+    SELECT CAST(knn_rank AS BIGINT) AS knn_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT ref_id) AS BIGINT) AS n_distinct_refs,
+           CAST(SUM(CAST(FLOOR(sqrt(dist2) * 100.0) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS mean_dist_cdeg
+    FROM ranked WHERE knn_rank <= 3
+    GROUP BY knn_rank
+    """,
+)
+def q381_knn_adaptive_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X311 — DENSITY-ADAPTIVE kNN radius: the spatial analog of
+    lsh_geometry_for (q344). The round-6 decade probe measured q364's
+    fixed 6°-radius grid-kNN at exponent 1.39 — with a fixed radius,
+    per-cell density grows ∝ n, so candidates per point grow ∝ n and
+    total work ∝ n². The escape is the same corpus-sized-geometry move:
+    size the radius FROM the data, r = √(c·k·A/(π·n_refs)) (expected
+    refs inside the circle ≈ c·k = 24, constant), so per-point candidate
+    volume stays O(k) at any density and total work stays ~linear. The
+    radius derives from one count+extent aggregate — the same bounded
+    stats action as q344's corpus count — and is data-identical on both
+    engines: IEEE-exact-rounded *, /, √ on the same inputs in the same
+    order, literal π, LEAST-clamped at 90°.
+
+    Semantics: k=3 nearest within the adaptive radius (points in sparse
+    pockets may return fewer — both engines agree exactly, the oracle
+    shares the radius formula). Distances reported as exact integer
+    centi-degrees (floor(√d·100) — total integer order, order-free sum).
+
+    Scale: grid cell size == radius keeps the 3×3 neighborhood a
+    complete candidate set (grid_knn_join's exactness argument) at any
+    corpus size; the ref side explodes ×9 and broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    pts = _with_coords(ev).select("event_id", "lat", "lon")
+    refs = pts.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("ref_id"),
+        F.col("lat").alias("rlat"),
+        F.col("lon").alias("rlon"),
+    )
+    st = refs.agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.min("rlat").alias("minlat"),
+        F.max("rlat").alias("maxlat"),
+        F.min("rlon").alias("minlon"),
+        F.max("rlon").alias("maxlon"),
+    )
+    rr = st.select(
+        F.expr(
+            "LEAST(sqrt((24.0 * (maxlat - minlat) * (maxlon - minlon))"
+            " / (3.141592653589793 * n_refs)), 90.0)"
+        ).alias("r")
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    rc = (
+        refs.crossJoin(F.broadcast(rr))
+        .withColumn("dy", F.explode(off))
+        .withColumn("dx", F.explode(off))
+        .select(
+            (F.floor(F.col("rlat") / F.col("r")) + F.col("dy")).alias("cy"),
+            (F.floor(F.col("rlon") / F.col("r")) + F.col("dx")).alias("cx"),
+            "ref_id",
+            "rlat",
+            "rlon",
+            "r",
+        )
+    )
+    q = pts.crossJoin(F.broadcast(rr)).select(
+        "event_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") / F.col("r")).alias("cy"),
+        F.floor(F.col("lon") / F.col("r")).alias("cx"),
+    )
+    dist2 = (F.col("lat") - F.col("rlat")) * (F.col("lat") - F.col("rlat")) + (
+        F.col("lon") - F.col("rlon")
+    ) * (F.col("lon") - F.col("rlon"))
+    cand = (
+        q.join(F.broadcast(rc), ["cy", "cx"])
+        .filter(F.col("event_id") != F.col("ref_id"))
+        .select("event_id", "ref_id", dist2.alias("dist2"), "r")
+        .filter(F.col("dist2") <= F.col("r") * F.col("r"))
+    )
+    w = Window.partitionBy("event_id").orderBy("dist2", "ref_id")
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= 3)
+        .groupBy(F.col("knn_rank").cast("long").alias("knn_rank"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("ref_id").cast("long").alias("n_distinct_refs"),
+            F.expr(
+                "SUM(CAST(FLOOR(sqrt(dist2) * 100.0) AS BIGINT)) DIV COUNT(*)"
+            )
+            .cast("long")
+            .alias("mean_dist_cdeg"),
+        )
+    )

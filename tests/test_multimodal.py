@@ -343,3 +343,91 @@ def test_mp4_largesize_and_to_eof_boxes():
     # largesize smaller than its own 16-byte header must reject
     bad = base + (1).to_bytes(4, "big") + b"mdat" + (8).to_bytes(8, "big")
     assert parse_mp4_metadata(bad) is None
+
+
+# ---------------------------------------------------------------------------
+# Round 6: WebP (VP8/VP8L/VP8X) and TIFF header parsing
+# ---------------------------------------------------------------------------
+
+
+def test_webp_vp8l_roundtrip():
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        parse_image_header,
+        synthesize_webp,
+    )
+
+    for w, h in [(1, 1), (47, 31), (16383, 16383)]:
+        assert parse_image_header(synthesize_webp(w, h)) == (w, h, 3)
+
+
+def test_webp_vp8_lossy_and_vp8x():
+    import struct
+
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8 "
+        + struct.pack("<I", 10) + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 640, 480)
+    )
+    assert parse_image_header(vp8) == (640, 480, 3)
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X"
+        + struct.pack("<I", 10) + bytes([0x10]) + b"\x00\x00\x00"
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert parse_image_header(vp8x) == (640, 480, 4)  # alpha flag -> 4
+    # broken sync code must be rejected, not misparsed
+    bad = vp8[:23] + b"\x00\x01\x2a" + vp8[26:]
+    assert parse_image_header(bad) is None
+
+
+def test_webp_vp8l_alpha_bit():
+    import struct
+
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        parse_image_header,
+    )
+
+    bits = 46 | (30 << 14) | (1 << 28)
+    p = (
+        b"RIFF" + struct.pack("<I", 18) + b"WEBP" + b"VP8L"
+        + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits) + b"\x00"
+    )
+    assert parse_image_header(p) == (47, 31, 4)
+
+
+def test_tiff_roundtrip_and_big_endian():
+    import struct
+
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        parse_image_header,
+        synthesize_tiff,
+    )
+
+    assert parse_image_header(synthesize_tiff(47, 31)) == (47, 31, 3)
+    # big-endian, LONG-typed height, SamplesPerPixel absent -> default 1
+    be = (
+        b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 2)
+        + struct.pack(">HHIHH", 256, 3, 1, 47, 0)
+        + struct.pack(">HHI", 257, 4, 1) + struct.pack(">I", 31)
+        + struct.pack(">I", 0)
+    )
+    assert parse_image_header(be) == (47, 31, 1)
+
+
+def test_webp_tiff_truncation_fuzz():
+    """Every prefix of a valid payload must parse to None or a valid
+    tuple - never raise (the q44/q259 malformed-input contract)."""
+    from noaa_ais_glue_lakehouse_spark.operators.multimodal import (
+        parse_image_header,
+        synthesize_tiff,
+        synthesize_webp,
+    )
+
+    for payload in (synthesize_webp(47, 31), synthesize_tiff(47, 31)):
+        for k in range(len(payload)):
+            r = parse_image_header(payload[:k])
+            assert r is None or (len(r) == 3 and all(v > 0 for v in r))

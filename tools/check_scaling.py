@@ -1,0 +1,98 @@
+"""Budget gate for the decade-scaling experiment (SCALING.md → CI shape).
+
+Reads the one-line JSON `tools/scale_probe.py` prints (from a file arg or
+stdin) and fails loudly when any LINEAR-CLAIMED probe's measured exponent
+breaches its budget. The budget is 1.2 for everything claimed ~linear:
+log10(tB/tA) over a true 10× decade, so 1.2 allows 16× wall growth —
+enough headroom for probe noise, far below the ~50-70× a quadratic
+candidate explosion produces (q61 uncapped measured 1.73 = 54×).
+
+Probes deliberately NOT budgeted (documented worst cases, not claims):
+  q47_cosine_dup_lsh            — t=0.4: BELOW any LSH's boundable-candidate
+                                  regime (p^b collapses; lsh_geometry_for's
+                                  docstring derives it) AND the answer itself
+                                  (pairs at cos≥0.4) grows ~n² on real
+                                  embedding distributions. Auto geometry is
+                                  still candidates-optimal there, but the
+                                  scale path for sub-0.5 thresholds is
+                                  IVF (q55) / clustered SemDeDup (q64).
+  cosine085_fixed_geometry      — fixed-geometry LSH, measured 1.83-1.88;
+                                  retired from production paths in round 6
+  q61_winnow_near_dups          — exact contract, gram-space saturation
+  q171_jaccard_prefix_filter    — exact contract, flat-vocab worst case
+Their escapes (q343 df-cap, auto geometry at dedup thresholds, q27
+recall<1) ARE budgeted.
+
+Usage: python tools/check_scaling.py [probe_output.json]
+Exit 0 = every budgeted probe present and within budget.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# query -> max allowed time exponent over the .tmp decade.
+BUDGETS = {
+    "q27_minhash_near_dups": 1.2,
+    "q314_rendezvous_detection": 1.2,
+    "q343_winnow_near_dups_capped": 1.2,
+    "q345_repeated_substring_spans": 1.2,
+    "q347_bigram_logprob": 1.2,
+    "q349_ngram_novelty": 1.2,
+    "q372_ngram_novelty_hashed": 1.2,
+    "q357_stop_detection": 1.2,
+    "q359_grid_dbscan_clusters": 1.2,
+    "q363_cpa_screening": 1.2,
+    "q369_containment_pairs": 1.25,  # measured 1.02 at the linear floor
+    "cosine085_auto_geometry": 1.2,
+    "cc_on_capped_pairs": 1.2,  # CC isolated from its pair generator
+    "q381_knn_adaptive_radius": 1.25,  # measured 1.11; fixed-radius q364 is 1.39
+}
+
+
+def main() -> int:
+    raw = (
+        open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
+    )
+    # scale_probe prints '# progress' lines on stderr and one JSON line on
+    # stdout, but tolerate a tee'd mixed file: take the last {...} line.
+    line = [ln for ln in raw.splitlines() if ln.startswith("{")][-1]
+    doc = json.loads(line)
+    queries = doc.get("queries", {})
+    failures = []
+    missing = []
+    for name, budget in BUDGETS.items():
+        q = queries.get(name)
+        if q is None:
+            missing.append(name)
+            continue
+        exp = q["time_exponent"]
+        status = "OK" if exp <= budget else "BREACH"
+        print(
+            f"{status:7s} {name}: exponent {exp} (budget {budget}), "
+            f"A {q['t_a_sec']}s -> B {q['t_b_sec']}s, "
+            f"rows {q['rows_a']} -> {q['rows_b']}"
+        )
+        if exp > budget:
+            failures.append((name, exp, budget))
+    extra = sorted(set(queries) - set(BUDGETS))
+    if extra:
+        print(f"unbudgeted probes (documented exceptions): {extra}")
+    if missing:
+        print(f"MISSING budgeted probes (not in probe output): {missing}")
+    if failures:
+        print(
+            "SCALING-BUDGET FAIL: "
+            + ", ".join(f"{n} {e} > {b}" for n, e, b in failures)
+        )
+        return 1
+    if missing:
+        print("SCALING-BUDGET FAIL: missing probes")
+        return 1
+    print(f"SCALING-BUDGET OK: {len(BUDGETS)} probes within budget")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
