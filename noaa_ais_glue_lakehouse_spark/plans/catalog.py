@@ -22269,12 +22269,13 @@ def q373_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q374_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X304 — EXACT two-sample Kolmogorov–Smirnov statistic per source
-    (each source's document-length distribution vs the REST of the
-    corpus): D = max_v |F_src(v) − F_rest(v)| — the standard
-    distribution-drift screen for ingest monitoring ("did this source's
-    docs suddenly get shorter?"). One-vs-rest for every source in one
-    plan.
+    """X304 — EXACT one-vs-rest Kolmogorov–Smirnov statistic for EVERY
+    source in one plan (each source's document-length distribution vs
+    the rest of the corpus): D = max_v |F_src(v) − F_rest(v)| — the
+    ingest-monitoring form of the two-sample KS whose single-pair anchor
+    is q202 ("did this source's docs suddenly get shorter?"). The
+    composition is what's new vs q202: N one-vs-rest tests priced as one
+    densified cumulative pass, not N plan instantiations.
 
     Engine-exactness: ECDF differences are compared by integer
     cross-multiplication — |s_cum·n_rest − rest_cum·n_src| over the
@@ -22428,85 +22429,122 @@ def q375_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q376_cohens_kappa",
+    "q376_fleiss_kappa",
     allow_non_equi=(
-        "deliberate SINGLE-ROW broadcast cross join of the two scalar "
-        "aggregates (N/agree totals x chance-agreement numerator) - "
+        "deliberate SINGLE-ROW broadcast cross join pairing the item-"
+        "agreement scalar with the rater-marginal scalar - "
         "group-cardinality, never row-level"
     ),
     oracle="""
-    WITH pairs AS (
-      SELECT event_type AS a,
-             LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS b
+    WITH r AS (
+      SELECT event_id,
+             CASE WHEN value < 167 THEN 0 WHEN value < 334 THEN 1 ELSE 2 END
+               AS r1,
+             CAST((event_id * 2654435761) % 3 AS BIGINT) AS r2,
+             CAST(EXTRACT(hour FROM ts) % 3 AS BIGINT) AS r3
       FROM events
-    ), p AS (SELECT a, b FROM pairs WHERE b IS NOT NULL),
-    n AS (SELECT COUNT(*) AS n,
-                 SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
-          FROM p),
-    ra AS (SELECT a AS k, COUNT(*) AS r FROM p GROUP BY a),
-    cb AS (SELECT b AS k, COUNT(*) AS c FROM p GROUP BY b),
-    pe AS (SELECT SUM(ra.r * cb.c) AS pe_num
-           FROM ra JOIN cb USING (k))
-    SELECT CAST(n AS BIGINT) AS n_pairs,
-           CAST(agree AS BIGINT) AS n_agree,
-           CAST(pe_num AS BIGINT) AS pe_num,
-           ROUND(CAST(n * agree - pe_num AS DOUBLE)
-                 / (n * n - pe_num), 6) AS kappa
-    FROM n CROSS JOIN pe
+    ), s AS (
+      SELECT SUM(CASE WHEN r1 = r2 AND r2 = r3 THEN 6
+                      WHEN r1 = r2 OR r2 = r3 OR r1 = r3 THEN 2
+                      ELSE 0 END) AS s_sum,
+             COUNT(*) AS n_items
+      FROM r
+    ), votes AS (
+      SELECT r1 AS cat FROM r UNION ALL
+      SELECT r2 FROM r UNION ALL
+      SELECT r3 FROM r
+    ), marg AS (
+      SELECT SUM(c * c) AS sum_cj2
+      FROM (SELECT cat, COUNT(*) AS c FROM votes GROUP BY cat)
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(3 AS BIGINT) AS n_raters,
+           CAST(s_sum AS BIGINT) AS s_sum,
+           CAST(sum_cj2 AS BIGINT) AS sum_cj2,
+           ROUND(CAST(s_sum AS DOUBLE) / (n_items * 6.0), 6) AS p_bar,
+           ROUND(CAST(sum_cj2 AS DOUBLE) / (9.0 * n_items * n_items), 6)
+             AS p_e,
+           ROUND((CAST(s_sum AS DOUBLE) / (n_items * 6.0)
+                  - CAST(sum_cj2 AS DOUBLE) / (9.0 * n_items * n_items))
+                 / (1.0 - CAST(sum_cj2 AS DOUBLE)
+                          / (9.0 * n_items * n_items)), 6) AS fleiss_kappa
+    FROM s CROSS JOIN marg
     """,
 )
-def q376_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X306 — Cohen's kappa between consecutive event types per user
-    (rater A = current type, rater B = previous type): chance-corrected
-    agreement, the inter-annotator / label-consistency staple — here
-    measuring transition stickiness ("does the previous event predict
-    the next beyond the marginal mix?"). The same plan computes kappa
-    for ANY two label columns (two annotators, model-vs-gold).
+def q376_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X306 — Fleiss' kappa for MULTI-rater agreement (Fleiss 1971): the
+    statistic annotation pipelines publish when three or more labelers
+    (or LLM judges) rate the same items on a category scale — q263 is
+    the two-rater Cohen form; Fleiss generalizes to n raters via
+    per-item agreement P_i = (Σ_j n_ij² − n)/(n(n−1)) against the
+    chance agreement of the pooled marginals. Raters here are three
+    deterministic category rules on each event (value band, hash digit,
+    hour band) — swap in real annotator columns without changing the
+    plan.
 
-    Engine-exactness: κ = (N·ΣA − Σ_k r_k·c_k)/(N² − Σ_k r_k·c_k) — the
-    po/pe fractions are cleared to a single integer numerator and
-    denominator (all int64 for N < 3·10⁹, the q361 regime), so the only
-    float is the final display division, rounded once.
+    Engine-exactness: with n=3 raters, Σ_j n_ij² − n is row-LOCAL
+    ({6, 2, 0} for unanimous/majority/split — no per-item explode or
+    pivot), so the corpus collapses in one aggregate; the marginal
+    Σc_j² comes from a 3×-union vote rollup (|categories| rows). All
+    aggregates are exact int64; P̄, P_e and κ are three mirrored final
+    double expressions (the products n_items·6 and 9·n_items² would
+    need int128 — the doubles are one-shot displays, not accumulators).
 
-    Scale: one lag window on the user exchange, then label-cardinality
-    relations (row/column marginals joined on label) — corpus touched
-    once."""
+    Scale: one row-local pass + one 1-row aggregate + one
+    category-cardinality rollup — corpus touched once, no joins on the
+    big side."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    p = (
-        ev.select(
-            F.col("event_type").alias("a"),
-            F.lag("event_type").over(w).alias("b"),
-        )
-        .filter(F.col("b").isNotNull())
+    r = ev.select(
+        F.when(F.col("value") < 167, 0)
+        .when(F.col("value") < 334, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("r1"),
+        ((F.col("event_id") * 2654435761) % 3).cast("long").alias("r2"),
+        (F.hour("ts") % 3).cast("long").alias("r3"),
     )
-    n = p.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias(
-            "agree"
+    s_agg = r.agg(
+        F.sum(
+            F.when(
+                (F.col("r1") == F.col("r2")) & (F.col("r2") == F.col("r3")), 6
+            )
+            .when(
+                (F.col("r1") == F.col("r2"))
+                | (F.col("r2") == F.col("r3"))
+                | (F.col("r1") == F.col("r3")),
+                2,
+            )
+            .otherwise(0)
+        ).alias("s_sum"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    votes = (
+        r.select(F.col("r1").alias("cat"))
+        .unionByName(r.select(F.col("r2").alias("cat")))
+        .unionByName(r.select(F.col("r3").alias("cat")))
+    )
+    marg = (
+        votes.groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("sum_cj2"))
+    )
+    p_bar = "CAST(s_sum AS DOUBLE) / (n_items * 6.0)"
+    p_e = "CAST(sum_cj2 AS DOUBLE) / (9.0 * n_items * n_items)"
+    return s_agg.crossJoin(F.broadcast(marg)).select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(3).cast("long").alias("n_raters"),
+        F.col("s_sum").cast("long").alias("s_sum"),
+        F.col("sum_cj2").cast("long").alias("sum_cj2"),
+        F.expr(f"ROUND({p_bar}, 6)").alias("p_bar"),
+        F.expr(f"ROUND({p_e}, 6)").alias("p_e"),
+        F.expr(f"ROUND(({p_bar} - {p_e}) / (1.0 - {p_e}), 6)").alias(
+            "fleiss_kappa"
         ),
-    )
-    ra = p.groupBy(F.col("a").alias("k")).agg(F.count(F.lit(1)).alias("r"))
-    cb = p.groupBy(F.col("b").alias("k")).agg(F.count(F.lit(1)).alias("c"))
-    pe = ra.join(cb, "k").agg(F.sum(F.col("r") * F.col("c")).alias("pe_num"))
-    return (
-        n.crossJoin(F.broadcast(pe))
-        .select(
-            F.col("n").cast("long").alias("n_pairs"),
-            F.col("agree").cast("long").alias("n_agree"),
-            F.col("pe_num").cast("long").alias("pe_num"),
-            F.round(
-                (F.col("n") * F.col("agree") - F.col("pe_num")).cast("double")
-                / (F.col("n") * F.col("n") - F.col("pe_num")),
-                6,
-            ).alias("kappa"),
-        )
     )
 
 
 @register(
-    "q377_heaps_law",
+    "q377_vocab_growth_curve",
     allow_non_equi=(
         "deliberate bounded join of the checkpoint spine (n_docs/50 rows) "
         "onto per-bucket vocabulary counts - group-cardinality"
@@ -22539,12 +22577,14 @@ def q376_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spine s LEFT JOIN bucketed b ON b.ck = s.ck
     """,
 )
-def q377_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X307 — Heaps'-law vocabulary-growth curve: distinct vocabulary
-    size after the first k documents (doc_id order), at checkpoints of
-    50 — the corpus-diversity diagnostic (V(n) ≈ K·n^β; a flattening
-    curve means new data stops adding new language; near-linear growth
-    flags noise/IDs). Exact, not sampled: a token's contribution is its
+def q377_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X307 — EXACT vocabulary-growth curve: distinct vocabulary size
+    after the first k documents (doc_id order), at checkpoints of 50 —
+    the curve whose Heaps'-law exponent q240 estimates by per-source
+    log-log OLS; this computes the curve itself (a flattening curve
+    means new data stops adding new language; near-linear growth flags
+    noise/IDs, and the curve localizes WHERE growth breaks, which a
+    fitted β cannot). Exact, not sampled: a token's contribution is its
     FIRST document rank, so the curve needs one min-aggregate per
     distinct token, not a cumulative-distinct scan.
 
@@ -22729,12 +22769,14 @@ def q378_hll_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q379_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X309 — exact equi-depth (equal-frequency) histogram of the value
-    column, 10 bins: the binning that drives optimizer statistics,
-    feature bucketization (quantile binning for GBDTs), and skew
-    diagnosis. Bin of a row = ((rank−1)·k) // N + 1 — pure integer
-    arithmetic on the global rank, so bin populations differ by at most
-    1 and both engines agree exactly (ties broken by event_id, making
-    the rank total).
+    column, 10 bins, AT SCALE: q187 is the NTILE-over-global-sort anchor
+    (single-task window, documented as the exact reference); this is its
+    production twin on the q360 two-phase prefix-scan rank — same
+    pattern as q26/q27 and q349/q372, exact-anchor + scale-path pairs.
+    Bin of a row = ((rank−1)·k) // N + 1 — pure integer arithmetic on
+    the global rank, so bin populations differ by at most 1 and both
+    engines agree exactly (ties broken by event_id, making the rank
+    total).
 
     Scale: the global rank comes from the two-phase parallel prefix
     scan (`global_running_sum`, q360 pattern), not a single-task global
@@ -22952,5 +22994,127 @@ def q381_knn_adaptive_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("mean_dist_cdeg"),
+        )
+    )
+
+
+@register(
+    "q382_kendall_tau_b",
+    allow_non_equi=(
+        "deliberate bounded cell-pair cross join: the 10x8 contingency "
+        "relation joined with itself (<=6400 pairs) plus SINGLE-ROW "
+        "scalar cross joins - group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH b AS (
+      SELECT LEAST(9, CAST(FLOOR(value / 50) AS BIGINT)) AS bx,
+             CAST(EXTRACT(hour FROM ts) // 3 AS BIGINT) AS by
+      FROM events
+    ), cells AS (
+      SELECT bx, by, COUNT(*) AS n FROM b GROUP BY bx, by
+    ), cd AS (
+      SELECT SUM(CASE WHEN c2.bx > c1.bx AND c2.by > c1.by
+                      THEN c1.n * c2.n ELSE 0 END) AS conc,
+             SUM(CASE WHEN c2.bx > c1.bx AND c2.by < c1.by
+                      THEN c1.n * c2.n ELSE 0 END) AS disc
+      FROM cells c1 CROSS JOIN cells c2
+    ), rows_t AS (
+      SELECT SUM(t * (t - 1) // 2) AS n1
+      FROM (SELECT bx, SUM(n) AS t FROM cells GROUP BY bx)
+    ), cols_t AS (
+      SELECT SUM(t * (t - 1) // 2) AS n2
+      FROM (SELECT by, SUM(n) AS t FROM cells GROUP BY by)
+    ), tot AS (
+      SELECT SUM(n) AS nn FROM cells
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(nn * (nn - 1) // 2 - n1 AS BIGINT) AS denom_x,
+           CAST(nn * (nn - 1) // 2 - n2 AS BIGINT) AS denom_y,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(nn * (nn - 1) // 2 - n1 AS DOUBLE)
+                        * CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE)), 6)
+             AS tau_b
+    FROM cd CROSS JOIN rows_t CROSS JOIN cols_t CROSS JOIN tot
+    """,
+)
+def q382_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X312 — Kendall's τ-b between two ORDINAL encodings (value band ×
+    hour band), computed exactly from the contingency table: the
+    tie-corrected rank-association statistic — completes the
+    association family (q127 exact Pearson, q287 Spearman, q249
+    Mann-Kendall trend, q339 mutual information; τ-b is the one built
+    from concordant/discordant PAIRS, the right tool when both axes are
+    coarse ordinal scales and ties dominate).
+
+    Engine-exactness: over a c-cell contingency table, concordant/
+    discordant pair counts are Σ n_ij·n_i'j' over cell pairs — exact
+    int64 (bounded by n²/2; int64 to n < 3·10⁹, the q361 regime), and
+    the tie terms are marginal-count arithmetic. The corpus collapses
+    to ≤80 cells in ONE aggregate; C/D come from the bounded cell-pair
+    cross join (≤6400 rows), and τ-b is one final double expression
+    (sqrt of exact integers), rounded once.
+
+    Scale: one groupBy on (band, band) touches the corpus; everything
+    after is constant-size arithmetic — the same collapse that makes
+    q370's split finder corpus-size-independent."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("long")).alias(
+            "bx"
+        ),
+        F.expr("CAST(hour(ts) DIV 3 AS BIGINT)").alias("by"),
+    )
+    cells = b.groupBy("bx", "by").agg(F.count(F.lit(1)).alias("n"))
+    c1 = cells.select(
+        F.col("bx").alias("x1"), F.col("by").alias("y1"), F.col("n").alias("n1_")
+    )
+    c2 = cells.select(
+        F.col("bx").alias("x2"), F.col("by").alias("y2"), F.col("n").alias("n2_")
+    )
+    cd = (
+        c1.crossJoin(F.broadcast(c2))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1")),
+                    F.col("n1_") * F.col("n2_"),
+                ).otherwise(0)
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x1")) & (F.col("y2") < F.col("y1")),
+                    F.col("n1_") * F.col("n2_"),
+                ).otherwise(0)
+            ).alias("disc"),
+        )
+    )
+    rows_t = (
+        cells.groupBy("bx")
+        .agg(F.sum("n").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"))
+    )
+    cols_t = (
+        cells.groupBy("by")
+        .agg(F.sum("n").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n2"))
+    )
+    tot = cells.agg(F.sum("n").alias("nn"))
+    return (
+        cd.crossJoin(F.broadcast(rows_t))
+        .crossJoin(F.broadcast(cols_t))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nn").cast("long").alias("n_rows"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.expr("nn * (nn - 1) DIV 2 - n1").cast("long").alias("denom_x"),
+            F.expr("nn * (nn - 1) DIV 2 - n2").cast("long").alias("denom_y"),
+            F.expr(
+                "ROUND(CAST(conc - disc AS DOUBLE)"
+                " / sqrt(CAST(nn * (nn - 1) DIV 2 - n1 AS DOUBLE)"
+                "        * CAST(nn * (nn - 1) DIV 2 - n2 AS DOUBLE)), 6)"
+            ).alias("tau_b"),
         )
     )

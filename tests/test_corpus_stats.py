@@ -1,6 +1,6 @@
 """Round-6 corpus-statistics operators: contamination report (q373),
-KS drift (q374), signature terms (q375), Cohen's kappa (q376), Heaps
-curve (q377), portable HLL (q378), equi-depth bins (q379).
+KS drift (q374), signature terms (q375), Fleiss' kappa (q376), vocab
+growth curve (q377), portable HLL (q378), equi-depth bins (q379).
 
 The DuckDB oracle gate (tools/selfcheck.py) checks cross-engine
 equality; these tests pin ALGORITHMIC properties on hand-built inputs
@@ -89,18 +89,50 @@ def test_signature_terms_discrete_idf(spark, tmp_path):
     assert sa["common"]["score_u"] == 0
 
 
-def test_cohens_kappa_exact_formula(spark):
-    """kappa from the engine must equal the closed-form on the same
-    transition pairs, computed independently in Python."""
-    row = queries()["q376_cohens_kappa"](spark, SF).collect()[0]
-    n, agree, pe_num = row["n_pairs"], row["n_agree"], row["pe_num"]
-    expect = round((n * agree - pe_num) / (n * n - pe_num), 6)
-    assert row["kappa"] == expect
-    assert -1.0 <= row["kappa"] <= 1.0
+def test_fleiss_kappa_exact_formula(spark):
+    """Fleiss' kappa from the engine must equal the closed form on its
+    own exact integer aggregates, computed independently in Python."""
+    row = queries()["q376_fleiss_kappa"](spark, SF).collect()[0]
+    n, s_sum, cj2 = row["n_items"], row["s_sum"], row["sum_cj2"]
+    p_bar = s_sum / (n * 6.0)
+    p_e = cj2 / (9.0 * n * n)
+    assert row["fleiss_kappa"] == round((p_bar - p_e) / (1.0 - p_e), 6)
+    assert -1.0 <= row["fleiss_kappa"] <= 1.0
+    assert row["n_raters"] == 3
 
 
-def test_heaps_curve_monotone_and_total(spark):
-    rows = queries()["q377_heaps_law"](spark, SF).collect()
+def test_fleiss_kappa_degenerate_corpus(spark, tmp_path):
+    """A corpus where two of the three rater rules are CONSTANT (hour
+    always 0; value always < 167): kappa stays defined (no division by
+    zero as P_e grows) and within bounds, and the integer aggregates
+    match a direct Python recount of the planted rows."""
+    import pyspark.sql.functions as SF_
+
+    d = str(tmp_path / "sf")
+    spark.range(200).select(
+        SF_.col("id").alias("event_id"),
+        (SF_.col("id") % 100).cast("double").alias("value"),  # all r1=0
+        SF_.lit("t").alias("event_type"),
+        SF_.col("id").alias("user_id"),
+        SF_.to_timestamp(SF_.lit("2024-01-01 00:00:00")).alias("ts"),
+    ).write.parquet(f"{d}/events.parquet")
+    row = queries()["q376_fleiss_kappa"](spark, d).collect()[0]
+    assert row["n_items"] == 200
+    # recount: r1=0, r3=0 always; r2 = (id*2654435761) % 3
+    s_expect = 0
+    votes = [0] * 3
+    for i in range(200):
+        r2 = (i * 2654435761) % 3
+        s_expect += 6 if r2 == 0 else 2  # r1==r3 always agree
+        votes[0] += 2
+        votes[r2] += 1
+    assert row["s_sum"] == s_expect
+    assert row["sum_cj2"] == sum(v * v for v in votes)
+    assert -1.0 <= row["fleiss_kappa"] <= 1.0
+
+
+def test_vocab_growth_curve_monotone_and_total(spark):
+    rows = queries()["q377_vocab_growth_curve"](spark, SF).collect()
     rows.sort(key=lambda r: r["checkpoint_docs"])
     vocab = [r["vocab_size"] for r in rows]
     assert vocab == sorted(vocab)  # cumulative
