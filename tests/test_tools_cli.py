@@ -50,3 +50,36 @@ def test_defaults_and_flags():
 def test_query_names_pass_through():
     cli = parse_cli(["--workers", "2", "dir", "qA", "qB"])
     assert cli["rest"] == ["dir", "qA", "qB"]
+
+
+def test_check_scaling_breach_detection(tmp_path):
+    """The scaling budget gate must exit nonzero on a breached exponent
+    and on a missing budgeted probe, and zero when all are in budget."""
+    import json
+    import subprocess
+
+    from check_scaling import BUDGETS
+
+    def run(queries):
+        f = tmp_path / "probe.json"
+        f.write_text(json.dumps({"queries": queries}) + "\n")
+        return subprocess.run(
+            ["python", os.path.join(TOOLS, "check_scaling.py"), str(f)],
+            capture_output=True,
+            text=True,
+        )
+
+    ok_row = {"time_exponent": 0.9, "t_a_sec": 1, "t_b_sec": 8,
+              "rows_a": 10, "rows_b": 100}
+    good = {name: dict(ok_row) for name in BUDGETS}
+    assert run(good).returncode == 0
+
+    bad = {name: dict(ok_row) for name in BUDGETS}
+    bad["q27_minhash_near_dups"] = dict(ok_row, time_exponent=1.9)
+    r = run(bad)
+    assert r.returncode != 0 and "BREACH" in r.stdout
+
+    missing = dict(good)
+    del missing["q349_ngram_novelty"]
+    r = run(missing)
+    assert r.returncode != 0 and "MISSING" in r.stdout
