@@ -337,7 +337,12 @@ def main() -> None:
         b = best_ever.get(name)
         if b and med > 1.25 * b:
             ratio = round(med / b, 2)
-            cause = "host" if ratio <= 1.5 * steal_factor else "engine-or-unknown"
+            if ratio <= 1.5 * steal_factor:
+                # within what measured steal explains; on an unloaded
+                # host (steal ~1.0) a <=1.5x ratio is plain run noise
+                cause = "host" if steal_factor >= 1.1 else "noise"
+            else:
+                cause = "engine-or-unknown"
             drift[name] = {
                 "best_ever": b,
                 "median": med,

@@ -132,6 +132,34 @@ SHOWCASE = {
         "per-vector argmin window, update one hash aggregation — the "
         "broadcast side never grows with the corpus.",
     ),
+    "q372_ngram_novelty_hashed": (
+        r"Exchange|HashAggregate|Join|project",
+        "The inverted-index df shuffle ships a fixed 16-hex md5-prefix "
+        "key, not the raw 4-word gram string (hash computed row-locally "
+        "inside the scan's codegen stage) — measured 31% off q349's "
+        "decade-B wall at identical output (SCALING.md).",
+    ),
+    "q381_knn_adaptive_radius": (
+        r"Join|Exchange|Window|HashAggregate",
+        "Density-adaptive kNN: the radius comes from a 1-row stats "
+        "aggregate broadcast onto both sides; candidate generation is "
+        "an equi-join on (cy, cx) cell keys — no cartesian anywhere, "
+        "and candidates/point stay O(k) at any corpus density "
+        "(decade exponent 1.11 vs 1.39 fixed-radius, SCALING.md).",
+    ),
+    "q373_contamination_report": (
+        r"Join|Exchange|HashAggregate",
+        "Decontamination at the source grain: the df-capped benchmark "
+        "gram set BROADCASTS (benchmarks are KBs, corpora are TBs); the "
+        "train-side gram stream joins map-side with no corpus shuffle "
+        "for the probe.",
+    ),
+    "q382_kendall_tau_b": (
+        r"HashAggregate|Join|Exchange",
+        "τ-b collapses the corpus to ≤80 contingency cells in ONE "
+        "two-phase aggregate; the concordant/discordant pair join is a "
+        "broadcast over the bounded cell relation.",
+    ),
 }
 
 
