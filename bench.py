@@ -61,6 +61,8 @@ HEADLINE = [
     "q178_source_js_divergence",  # distribution drift (token equi-join)
     "q185_scd2_point_in_time",  # temporal lookup via union+window carry
     "q186_ordered_funnel",      # K-step funnel as one array fold
+    "q381_knn_adaptive_radius", # density-adaptive spatial kNN (round 6)
+    "q382_kendall_tau_b",       # contingency-collapse ordinal stats (round 6)
 ]
 
 

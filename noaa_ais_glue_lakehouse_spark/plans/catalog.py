@@ -2853,6 +2853,22 @@ def q81_user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism — ONLY when the scan
+    produced fewer partitions than cores (round 6). The gram-explode
+    family does heavy row-local compute per input row (tokenize →
+    n-grams → md5 per gram), and a corpus that fits one parquet split
+    runs all of it in ONE task: q372 measured 12 s → 4.5 s at sf0.1
+    from this spread alone. At 100 TB the scan already has ~10⁶ splits
+    and the condition is false, so no shuffle is added where shuffling
+    the raw text would actually cost something."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _word_ngrams(toks: F.Column, n: int) -> F.Column:
     """Word n-grams of a token array as joined strings — pure column
     expressions (sequence + transform + slice), JVM-side, no explode until
@@ -19398,7 +19414,7 @@ def q345_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame
         repeated_substring_spans,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     return repeated_substring_spans(docs, "doc_id", "text", k=20, min_count=2)
 
 
@@ -19431,7 +19447,7 @@ def q346_repeated_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         repeated_substring_spans,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     spans = repeated_substring_spans(docs, "doc_id", "text", k=20, min_count=2)
     per_doc = spans.groupBy("doc_id").agg(
         F.sum("span_len").alias("repeated_chars")
@@ -19511,7 +19527,7 @@ def q347_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     count table broadcasts, and the vocab-size scalar rides a 1-row
     cross join. Log floats round to 6dp for cross-engine hash
     stability (q137's policy)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
     base = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") > 0)
     prevs = F.concat(
@@ -19596,7 +19612,7 @@ def q348_repeated_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeated_substring_spans,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     spans = repeated_substring_spans(docs, "doc_id", "text", k=20, min_count=2)
     w = Window.partitionBy("doc_id").orderBy("span_start")
     segs = spans.select(
@@ -19692,7 +19708,7 @@ def q349_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus grams. DuckDB's list slicing is end-INCLUSIVE (tk[i:i+3]
     is 4 items) where Spark's slice(toks, i, 4) takes a length — both
     sides emit 4-token grams."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
     g = (
         docs.select("doc_id", F.array_distinct(_word_ngrams(toks, 4)).alias("_g"))
@@ -21766,7 +21782,7 @@ def q369_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay consistent; a gram in >1000 docs is boilerplate by
     construction, and at natural-text dfs the cap never fires (the
     sf-scale results are unchanged)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     df_cap = 1000
     grams = F.array_distinct(_word_ngrams(tokenize(F.col("text")), 5))
     g0 = docs.select("doc_id", F.explode(grams).alias("gram"))
@@ -22059,7 +22075,7 @@ def q372_ngram_novelty_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: row-local transform(md5) BEFORE array_distinct/explode — the
     hash is computed once per (doc, gram) inside whole-stage codegen and
     the raw gram string never leaves its scan task."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
     hgrams = F.transform(
         _word_ngrams(toks, 4), lambda s: F.substring(F.md5(s), 1, 16)
@@ -22162,7 +22178,7 @@ def q373_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     case: benchmarks are KBs, corpora are TBs). Sources with zero hits
     still get a row (LEFT join from source totals) — absence of
     contamination is a finding."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
     g = (
         docs.select(
@@ -22597,7 +22613,7 @@ def q377_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_running_sum,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"))
     ranked = global_running_sum(
         docs.select("doc_id", "text").withColumn("_one", F.lit(1)),
         ["doc_id"],
