@@ -1157,3 +1157,116 @@ def repeated_substring_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: portable-hash minhash (fully oracle-checkable, the q28 move)
+# ---------------------------------------------------------------------------
+
+MINHASH_PORTABLE_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_portable_slot_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal-hash slot family
+    h_i(x) = (a_i·x + b_i) mod P — Knuth multiplicative constants, fixed
+    so an independent engine can rebuild the identical family."""
+    p = MINHASH_PORTABLE_P
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % p or 1
+        b = (40503 * (i + 7) + 12345) % p
+        out.append((a, b))
+    return out
+
+
+def minhash_near_duplicates_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """:func:`minhash_near_duplicates` with a PORTABLE hash family, so
+    the ENTIRE LSH pipeline — signature mins, banding, candidate set,
+    exact-Jaccard verify — is reproducible by an independent SQL engine
+    and therefore hash-checkable end-to-end (the q28 simhash move
+    applied to minhash; reference parity: the reference's dedup is
+    content-hash only, `utils/hashing` — this exceeds it).
+
+    Shingle universe: distinct word tokens hashed to the 60-bit md5
+    prefix (the q175 convention); signature slot i takes
+    MIN((a_i·(h mod P) + b_i) mod P) with P = 2³¹−1 and the fixed
+    :func:`minhash_portable_slot_consts` family — every product stays
+    under 2⁶² so neither engine can overflow int64. Banding and the
+    first-colliding-band pair dedup reuse :func:`_band_pairs`
+    unchanged: band hashes are engine-INTERNAL (a band-hash collision
+    only adds a candidate the exact verify then rejects), so xxhash64
+    band compaction keeps codegen speed without costing portability.
+    The verify intersects the 60-bit md5 shingle sets — the same values
+    the oracle computes, so J is identical on both engines by
+    construction, not by collision-probability argument.
+
+    vs q27 (xxhash64 family): md5+conv costs ~2-3× the string hashing
+    of the fast path — the price of the oracle; q27 stays the
+    production default, this is the hash-checked anchor of the family.
+
+    Scale shape is q27's exactly: one spread shingle pass, one
+    per-doc aggregate (map-side combinable mins + collect_set), banded
+    equi-join candidates, |candidates|-bounded verify."""
+    p = MINHASH_PORTABLE_P
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    shingle = _shingle_expr(text_col, False, 0)
+    exploded = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(shingle).alias("_s"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h60"),
+        )
+        .withColumn("_hp", F.col("_h60") % p)
+    )
+    aggs = [
+        F.min((F.col("_hp") * F.lit(a) + F.lit(b)) % p).alias(f"_h{i}")
+        for i, (a, b) in enumerate(minhash_portable_slot_consts(num_hashes))
+    ]
+    aggs.append(F.collect_set(F.col("_h60")).alias("_sh"))
+    feats = exploded.groupBy(id_col).agg(*aggs).withColumn(
+        "_n", F.size("_sh")
+    ).cache()
+    cands = _band_pairs(feats, id_col, num_hashes, bands)
+    sets = feats.select(F.col(id_col), "_sh", "_n")
+    out = (
+        cands.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_sh").alias("_sha"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_sh").alias("_shb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+    )
+    # integer cross-multiplied size prefilter (t = 0.8 -> 5*min >= 4*max)
+    na, nb = F.col("_na"), F.col("_nb")
+    out = out.filter(
+        F.least(na, nb) * 10 >= F.greatest(na, nb) * int(threshold * 10)
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = na + nb - inter
+    jacc = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "id_a", "id_b", F.round(jacc, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -23134,3 +23134,98 @@ def q382_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+def _minhash_portable_oracle(
+    threshold: float = 0.8, num_hashes: int = 32, bands: int = 8
+) -> str:
+    """DuckDB oracle that rebuilds the ENTIRE portable-minhash pipeline
+    bit-identically: 60-bit md5-prefix shingle hashes, the
+    (a_i·x+b_i) mod 2³¹−1 slot family, per-band signature-tuple
+    equality for candidates (OR of bands — each unordered pair emitted
+    once), and the exact hashed-set Jaccard verify with the same
+    rounded-threshold compare. Any divergence in any stage of the LSH
+    pipeline hash-mismatches at the gate."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        minhash_portable_slot_consts,
+    )
+
+    p = 2147483647
+    r = num_hashes // bands
+    consts = minhash_portable_slot_consts(num_hashes)
+    sig_cols = ",\n             ".join(
+        f"MIN((hp * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_eq = " OR\n        ".join(
+        "("
+        + " AND ".join(f"a.h{bi * r + j} = b.h{bi * r + j}" for j in range(r))
+        + ")"
+        for bi in range(bands)
+    )
+    t10 = int(threshold * 10)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h60
+      FROM (SELECT doc_id, UNNEST(tk) AS tok FROM toks)
+    ), hp AS (
+      SELECT doc_id, h60, h60 % {p} AS hp FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hp GROUP BY doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        {band_eq})
+    ), sized AS (
+      SELECT c.id_a, c.id_b, sa.n AS na, sb.n AS nb
+      FROM cand c
+      JOIN sz sa ON sa.doc_id = c.id_a
+      JOIN sz sb ON sb.doc_id = c.id_b
+      WHERE LEAST(sa.n, sb.n) * 10 >= GREATEST(sa.n, sb.n) * {t10}
+    ), inter AS (
+      SELECT s.id_a, s.id_b, s.na, s.nb, COUNT(*) AS i
+      FROM sized s
+      JOIN sh a ON a.doc_id = s.id_a
+      JOIN sh b ON b.doc_id = s.id_b AND b.h60 = a.h60
+      GROUP BY s.id_a, s.id_b, s.na, s.nb
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+    FROM inter
+    WHERE ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) >= {threshold}
+    """
+
+
+@register("q383_minhash_portable", oracle=_minhash_portable_oracle())
+def q383_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X313 — minhash-LSH near-dup pairs with the PORTABLE md5 hash
+    family: the first fully ORACLE-CHECKED member of the minhash family
+    (q27's xxhash64 family is engine-private, so q27 is rows-only with
+    pytest recall pins; this twin trades ~2× string-hash cost for a
+    DuckDB oracle that rebuilds signatures, banding, candidates and the
+    exact-Jaccard verify bit-identically — the same upgrade q28 gave
+    simhash in round 5). Every LSH stage is now under the hash gate:
+    a wrong slot constant, band split, pair-dedup rule or set
+    intersection mismatches immediately.
+
+    See ``operators/dedup.py:minhash_near_duplicates_portable`` for the
+    construction and the overflow-safety argument (all slot products
+    < 2⁶²)."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        minhash_near_duplicates_portable,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_duplicates_portable(
+        docs, "doc_id", "text", threshold=0.8
+    )

@@ -629,3 +629,31 @@ def test_q372_hashed_novelty_equals_exact_q349(spark):
     }
     assert exact == hashed
     assert len(exact) > 0
+
+
+def test_minhash_portable_recall_and_precision(spark):
+    """The portable-family twin (q383): precision 1.0 by construction
+    (exact verify) and >=90% recall of true token-Jaccard >=0.8 pairs
+    on the fixture corpus - same floor as the xxhash64 family."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        minhash_near_duplicates_portable,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs_exact(
+            docs, "doc_id", "text", 0.8, use_char_ngrams=False
+        ).collect()
+    }
+    assert len(truth) > 10
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_duplicates_portable(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert got <= truth  # exact verify -> precision 1.0
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f}"
