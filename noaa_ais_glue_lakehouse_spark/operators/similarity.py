@@ -699,3 +699,128 @@ def grid_knn_join(
             F.round(F.sqrt(F.col("dist2")), 6).alias("dist_deg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: portable hyperplane LSH (fully oracle-checkable cosine near-dup)
+# ---------------------------------------------------------------------------
+
+
+def portable_hyperplane_signs(
+    n_tables: int, n_planes: int, dim: int
+) -> list[list[list[int]]]:
+    """Deterministic ±1 hyperplane entries, signs[t][j][d] from the md5
+    of the (table, plane, dim) coordinate — the fixed public family an
+    independent engine can rebuild literal-for-literal. ±1 (Rademacher)
+    entries are a valid sign-random-projection family: E[sgn agreement]
+    follows the same 1 − θ/π collision curve as Gaussian planes
+    (Charikar 2002 notes hyperplanes need only be drawn from any
+    distribution symmetric around the origin per coordinate)."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if hashlib.md5(f"hp:{t}:{j}:{d}".encode()).digest()[0] & 1
+                else -1
+                for d in range(dim)
+            ]
+            for j in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def cosine_near_duplicates_portable(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """:func:`cosine_near_duplicates` with a PORTABLE deterministic
+    hyperplane family — every stage (signature bits, bucket keys,
+    candidate set, exact-cosine verify) reproducible by an independent
+    SQL engine, making the whole cosine-LSH pipeline hash-checkable
+    (the q383/q28 move applied to embeddings; q47/q344 keep the fast
+    numpy-Gaussian family as rows-only production paths).
+
+    Bit j of table t is sign(Σ_d s_tjd·x_d) with s = ±1 from
+    :func:`portable_hyperplane_signs`; the dot product is a row-local
+    ``zip_with`` + left-fold ``aggregate`` so both engines add in the
+    same (IEEE-exact-rounded) order, and the tie rule is ≥ 0 → 1.
+    Bucket key of table t packs the b bits into one integer. Candidates
+    come from the per-(table, bucket) equi-join with the
+    first-agreeing-table guard (each unordered pair once, no shuffle-
+    side dedup) — the same shape as :func:`cosine_near_duplicates`.
+    Verify is exact cosine with the q46 rounding convention (4 dp,
+    compare on the rounded value) so the float boundary is identical
+    across engines.
+
+    Geometry (6 planes × 8 tables) is pinned, not corpus-sized: the
+    oracle must be able to rebuild it without running a count. At
+    t = 0.85, p = 1 − acos(.85)/π = .8234, recall = 1−(1−p⁶)⁸ ≈ 0.95.
+    """
+    signs = portable_hyperplane_signs(n_tables, n_planes, dim)
+    vec = F.col(vec_col)
+
+    def bucket_expr(t: int):
+        acc = F.lit(0)
+        for j in range(n_planes):
+            s_arr = F.array(*[F.lit(float(s)) for s in signs[t][j]])
+            dot = F.aggregate(
+                F.zip_with(vec, s_arr, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return acc
+
+    keyed = df.select(
+        F.col(id_col),
+        vec,
+        *[bucket_expr(t).alias(f"_bk{t}") for t in range(n_tables)],
+    )
+    banded = keyed.select(
+        id_col,
+        vec_col,
+        *[f"_bk{t}" for t in range(n_tables)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"_bk{t}").alias("bkt")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        id_col, vec_col, *[f"_bk{t}" for t in range(n_tables)], "_b.tbl", "_b.bkt"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cond = (
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.bkt") == F.col("b.bkt"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for j in range(n_tables - 1):
+        cond = cond & (
+            (F.col("a.tbl") <= F.lit(j))
+            | (F.col(f"a._bk{j}") != F.col(f"b._bk{j}"))
+        )
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"a.{vec_col}").alias("_va"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col(f"b.{vec_col}").alias("_vb"),
+    )
+    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4)
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

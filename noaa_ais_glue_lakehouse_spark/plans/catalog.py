@@ -23229,3 +23229,86 @@ def q383_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates_portable(
         docs, "doc_id", "text", threshold=0.8
     )
+
+
+def _cosine_lsh_portable_oracle(
+    threshold: float = 0.85, n_planes: int = 6, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB oracle rebuilding the portable hyperplane-LSH pipeline
+    bit-identically: the SAME ±1 sign literals (generated by the same
+    Python function the engine embeds), the same left-to-right float
+    dot (q46 precedent: list_sum matches the engine's zip_with left
+    fold), the same ≥0→1 tie rule and bit packing, OR-of-tables
+    candidates (each unordered pair once), and the q46 4-dp-rounded
+    exact-cosine verify."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        portable_hyperplane_signs,
+    )
+
+    signs = portable_hyperplane_signs(n_tables, n_planes, dim)
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(n_planes):
+            arr = "[" + ", ".join(
+                f"{float(s):.1f}" for s in signs[t][j]
+            ) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip(embedding, {arr}),"
+                f" p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            )
+            bits.append(
+                f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        bucket_exprs.append("(" + " + ".join(bits) + f") AS bk{t}")
+    band_eq = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(n_tables))
+    cos = (
+        "ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (SQRT(list_sum(list_transform(a.embedding,"
+        " x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+        " * SQRT(list_sum(list_transform(b.embedding,"
+        " x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4)"
+    )
+    buckets = ",\n             ".join(bucket_exprs)
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {buckets}
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+    FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_eq})
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register("q384_cosine_lsh_portable",
+          oracle=_cosine_lsh_portable_oracle(0.45, 4, 12))
+def q384_cosine_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X314 — cosine near-dup via hyperplane LSH with a PORTABLE
+    deterministic ±1 plane family: the first fully ORACLE-CHECKED
+    member of the embedding-LSH family (q47/q344/q33 use the fast
+    numpy-Gaussian family — engine-private, rows-only). Together with
+    q383 (portable minhash) and q28 (portable simhash), every LSH
+    modality now has a hash-checked anchor: signatures, bucket keys,
+    the first-agreeing-table candidate dedup and the exact-cosine
+    verify all reproduce bit-identically on DuckDB.
+
+    See ``operators/similarity.py:cosine_near_duplicates_portable``
+    for the Rademacher-family argument and the float-determinism
+    conventions (left-fold dots, ≥0→1 tie rule, q46's 4-dp rounded
+    verify)."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates_portable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    # t=0.45 with (4 planes, 12 tables): recall 1-(1-p^4)^12 = 0.90 at
+    # the boundary, and — unlike the dedup-regime 0.85 — NON-EMPTY on
+    # the driver corpus (14 true pairs >= 0.45 at sf0.01; its planted
+    # cosine dups live near 0.4-0.5), so the oracle gate is checking
+    # real pairs, not 0 == 0.
+    return cosine_near_duplicates_portable(
+        emb, dim=64, threshold=0.45, n_planes=4, n_tables=12
+    )

@@ -172,3 +172,45 @@ def test_auto_geometry_recall_dedup_regime(spark):
     assert len(exact) >= 10  # the fixture actually planted pairs
     assert got <= exact  # precision exact (verify step)
     assert len(got & exact) / len(exact) >= 0.9  # recall floor
+
+
+def test_cosine_lsh_portable_recall_and_precision(spark):
+    """q384's portable hyperplane family on a PLANTED corpus (the
+    driver fixtures hold no pairs above 0.5): 40 base vectors each with
+    a noisy near-copy at cosine ~0.9, plus 120 isotropic decoys.
+    Precision 1.0 (exact verify); recall >=0.9 of true cosine>=0.45
+    pairs (at the planted 0.9 level the 4x12 collision curve is ~1.0)."""
+    import random
+
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates_portable,
+        cosine_pairs_exact,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((vid, base)); vid += 1
+        noisy = [x + rng.gauss(0, 0.22) for x in base]
+        rows.append((vid, noisy)); vid += 1
+    for _ in range(120):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(64)])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_exact(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    assert len(truth) >= 30  # the planted pairs are really there
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_duplicates_portable(
+            emb, dim=64, threshold=0.45, n_planes=4, n_tables=12
+        ).collect()
+    }
+    assert got <= truth  # exact verify -> precision 1.0
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f}"
