@@ -75,3 +75,38 @@ def test_footer_stats_empty_path_list(spark):
         "path", "rg_idx", "n_rows", "n_cols",
         "compressed_bytes", "uncompressed_bytes",
     ]
+
+
+def test_footer_stats_match_duckdb_metadata(spark):
+    """Cross-engine pin for the rows-only q244: every (file, row-group)
+    statistic from parquet_footer_stats (pyarrow on executors) must
+    equal DuckDB's parquet_metadata() exactly - rows, column count,
+    compressed and uncompressed bytes. The gate can't oracle this
+    (oracle SQL can't take per-sf file paths), so the equality lives
+    here at full strength instead."""
+    import duckdb
+
+    from noaa_ais_glue_lakehouse_spark.operators.maintenance import (
+        parquet_footer_stats,
+    )
+
+    tables = ["events", "documents", "embeddings", "lineitem", "orders"]
+    paths = [f"/root/testdata/sf0.001/{t}.parquet" for t in tables]
+    got = {
+        (r["path"].split("/")[-1], r["rg_idx"]): (
+            r["n_rows"], r["n_cols"], r["compressed_bytes"],
+            r["uncompressed_bytes"],
+        )
+        for r in parquet_footer_stats(spark, paths).collect()
+    }
+    con = duckdb.connect()
+    expect = {}
+    for p in paths:
+        for f, rg, nr, nc, comp, unc in con.sql(
+            f"""SELECT file_name, row_group_id,
+                       MAX(row_group_num_rows), COUNT(*),
+                       SUM(total_compressed_size), MAX(row_group_bytes)
+                FROM parquet_metadata('{p}') GROUP BY 1, 2"""
+        ).fetchall():
+            expect[(f.split("/")[-1], rg)] = (nr, nc, int(comp), unc)
+    assert got == expect and len(got) >= len(tables)
