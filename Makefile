@@ -43,5 +43,7 @@ scaling:
 	  q357_stop_detection q359_grid_dbscan_clusters q363_cpa_screening \
 	  q369_containment_pairs cosine085_auto_geometry \
 	  cc_on_capped_pairs q381_knn_adaptive_radius \
+	  q33_ann_lsh_topk q55_ivf_topk q64_cosine_dup_cluster \
+	  q383_minhash_portable \
 	  | tee .tmp/scale_probe_last.json
 	python tools/check_scaling.py .tmp/scale_probe_last.json

@@ -48,6 +48,10 @@ BUDGETS = {
     "cosine085_auto_geometry": 1.2,
     "cc_on_capped_pairs": 1.2,  # CC isolated from its pair generator
     "q381_knn_adaptive_radius": 1.25,  # measured 1.11; fixed-radius q364 is 1.39
+    "q33_ann_lsh_topk": 1.2,  # query-side bounded; measured -0.02
+    "q55_ivf_topk": 1.2,  # measured 0.40
+    "q64_cosine_dup_cluster": 1.2,  # measured 0.56 with the answer growing 65x
+    "q383_minhash_portable": 1.2,  # measured 0.23 (q27's shape, md5 family)
 }
 
 
