@@ -657,3 +657,22 @@ def test_minhash_portable_recall_and_precision(spark):
     assert got <= truth  # exact verify -> precision 1.0
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_minhash_portable_identical_docs_certain(spark):
+    """Identical token sets have identical portable signatures in every
+    band, so a J=1.0 pair is found with probability 1 (no LSH luck) and
+    its reported jaccard is exactly 1.0."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        minhash_near_duplicates_portable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
+         (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    rows = minhash_near_duplicates_portable(
+        df, "doc_id", "text", threshold=0.8
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]

@@ -214,3 +214,22 @@ def test_cosine_lsh_portable_recall_and_precision(spark):
     assert got <= truth  # exact verify -> precision 1.0
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"recall {recall:.3f}"
+
+
+def test_cosine_lsh_portable_identical_vectors_certain(spark):
+    """Identical vectors share every bucket in every table -> the pair
+    is found with probability 1 and its cosine is exactly 1.0."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_near_duplicates_portable,
+    )
+
+    import random
+    rng = random.Random(3)
+    v = [rng.gauss(0, 1) for _ in range(64)]
+    w = [rng.gauss(0, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(1, v), (2, list(v)), (3, w)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = cosine_near_duplicates_portable(df, dim=64, threshold=0.85).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in rows] == [(1, 2, 1.0)]

@@ -52,6 +52,8 @@ BUDGETS = {
     "q55_ivf_topk": 1.2,  # measured 0.40
     "q64_cosine_dup_cluster": 1.2,  # measured 0.56 with the answer growing 65x
     "q383_minhash_portable": 1.2,  # measured 0.23 (q27's shape, md5 family)
+    "q214_triangle_count": 1.2,  # measured 0.21 (type-bounded degree relation)
+    "q179_event_type_pagerank": 1.2,  # measured 0.24 (|types|-bounded state)
 }
 
 
