@@ -23312,3 +23312,173 @@ def q384_cosine_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_duplicates_portable(
         emb, dim=64, threshold=0.45, n_planes=4, n_tables=12
     )
+
+
+@register(
+    "q385_kmv_vocab_overlap",
+    allow_non_equi=(
+        "deliberate bounded OR-join attaching each source PAIR (<=190 "
+        "rows) to its two 16-row sketches - pair-cardinality x sketch "
+        "size, never corpus rows"
+    ),
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT source,
+             UNNEST(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h60
+      FROM t
+    ), sk AS (
+      SELECT source, h60 FROM (
+        SELECT source, h60,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h60) AS rk
+        FROM h) WHERE rk <= 16
+    ), prs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM (SELECT DISTINCT source FROM sk) a
+      JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ), mv AS (
+      SELECT p.src_a, p.src_b, v.h60,
+             MAX(CASE WHEN v.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN v.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+      FROM prs p JOIN sk v ON v.source = p.src_a OR v.source = p.src_b
+      GROUP BY p.src_a, p.src_b, v.h60
+    ), rkd AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+                                   ORDER BY h60) AS rk,
+             COUNT(*) OVER (PARTITION BY src_a, src_b) AS n_merged
+      FROM mv
+    ), agg AS (
+      SELECT src_a, src_b,
+             LEAST(16, MAX(n_merged)) AS km,
+             MAX(CASE WHEN rk = LEAST(16, n_merged) THEN h60 END) AS theta,
+             SUM(CASE WHEN rk <= LEAST(16, n_merged)
+                       AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS shared,
+             MAX(n_merged) AS n_merged
+      FROM rkd GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b,
+           CAST(km AS BIGINT) AS km,
+           CAST(shared AS BIGINT) AS shared_topk,
+           ROUND(CAST(shared AS DOUBLE) / km, 6) AS kmv_jaccard,
+           ROUND(CASE WHEN n_merged < 16 THEN CAST(n_merged AS DOUBLE)
+                 ELSE (km - 1) * 1152921504606846976.0 / theta END, 2)
+             AS est_union,
+           ROUND((CAST(shared AS DOUBLE) / km)
+                 * CASE WHEN n_merged < 16 THEN CAST(n_merged AS DOUBLE)
+                   ELSE (km - 1) * 1152921504606846976.0 / theta END, 2)
+             AS est_inter
+    FROM agg
+    """,
+)
+def q385_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X315 — pairwise source-vocabulary overlap from K-MINIMUM-VALUES
+    sketches (Bar-Yossef et al. 2002): the distinct sketch that, unlike
+    HLL (q378), supports SET OPERATIONS — union via merged top-k,
+    intersection via the Jaccard share of the merged threshold region —
+    so cross-source overlap at 100 TB costs O(k) state per source
+    instead of the |vocab|-row token join (q166 is that exact anchor).
+    Portable md5 hash family (q175/q378 convention): both engines hold
+    IDENTICAL sketches, so estimates — not just error bounds — are
+    hash-checked.
+
+    Estimator: sketch = 16 smallest distinct 60-bit token hashes per
+    source; for a pair, km = min(16, |merged values|), θ = km-th
+    smallest merged value, ρ = |values ≤ θ in both sketches|/km,
+    U ≈ (km−1)·2⁶⁰/θ (or the exact merged count when the sketches are
+    complete), I ≈ ρ·U. All sketch arithmetic is exact integers; the
+    two estimates are one-shot double expressions rounded once.
+
+    Scale: one corpus-sized distinct on (source, token); sketches come
+    from a per-source window over the distinct-hash relation (k rows
+    survive per source, map-side-prunable); everything after is
+    pair-cardinality (≤190 rows × 32 sketch values)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).distinct()
+    h = t.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h60"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h60")
+    sk = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 16)
+        .select("source", "h60")
+    )
+    srcs = sk.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(
+            srcs.select(F.col("source").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    mv = (
+        prs.join(
+            F.broadcast(sk.select(F.col("source").alias("s"), "h60")),
+            (F.col("s") == F.col("src_a")) | (F.col("s") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "h60")
+        .agg(
+            F.max(
+                F.when(F.col("s") == F.col("src_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("s") == F.col("src_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h60")
+    wc = Window.partitionBy("src_a", "src_b")
+    rkd = mv.select(
+        "src_a",
+        "src_b",
+        "h60",
+        "in_a",
+        "in_b",
+        F.row_number().over(wp).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_merged"),
+    )
+    agg = rkd.groupBy("src_a", "src_b").agg(
+        F.least(F.lit(16), F.max("n_merged")).alias("km"),
+        F.max(
+            F.when(
+                F.col("rk") == F.least(F.lit(16), F.col("n_merged")),
+                F.col("h60"),
+            )
+        ).alias("theta"),
+        F.sum(
+            F.when(
+                (F.col("rk") <= F.least(F.lit(16), F.col("n_merged")))
+                & (F.col("in_a") == 1)
+                & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("shared"),
+        F.max("n_merged").alias("n_merged"),
+    )
+    u_est = (
+        "CASE WHEN n_merged < 16 THEN CAST(n_merged AS DOUBLE)"
+        " ELSE (km - 1) * 1152921504606846976.0 / theta END"
+    )
+    return agg.select(
+        "src_a",
+        "src_b",
+        F.col("km").cast("long").alias("km"),
+        F.col("shared").cast("long").alias("shared_topk"),
+        F.round(F.col("shared").cast("double") / F.col("km"), 6).alias(
+            "kmv_jaccard"
+        ),
+        F.expr(f"ROUND({u_est}, 2)").alias("est_union"),
+        F.expr(
+            f"ROUND((CAST(shared AS DOUBLE) / km) * ({u_est}), 2)"
+        ).alias("est_inter"),
+    )
