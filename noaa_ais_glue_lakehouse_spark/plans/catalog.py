@@ -23482,3 +23482,128 @@ def q385_kmv_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ROUND((CAST(shared AS DOUBLE) / km) * ({u_est}), 2)"
         ).alias("est_inter"),
     )
+
+
+def _dtw6_alias_chain() -> list[tuple[str, str]]:
+    """The 6×6 DTW dynamic program UNROLLED as 36 (alias, expression)
+    pairs over integer segment columns a1..a6 / b1..b6 — emitted as the
+    SAME text for Spark and DuckDB (both support lateral column-alias
+    references, so the chain is one projection on either engine). Cost
+    is |a_i − b_j| (exact int64); D_ij = cost + min of the three
+    predecessors — the full recurrence with no band, no recursion, no
+    UDF. This is the hash-checkable anchor for the DTW family (q352's
+    banded applyInPandas form is rows-only by design)."""
+    out = []
+    for i in range(1, 7):
+        for j in range(1, 7):
+            c = f"ABS(a{i} - b{j})"
+            if i == 1 and j == 1:
+                e = c
+            elif i == 1:
+                e = f"{c} + d1{j - 1}"
+            elif j == 1:
+                e = f"{c} + d{i - 1}1"
+            else:
+                e = (
+                    f"{c} + LEAST(d{i - 1}{j}, d{i}{j - 1},"
+                    f" d{i - 1}{j - 1})"
+                )
+            out.append((f"d{i}{j}", e))
+    return out
+
+
+@register(
+    "q386_dtw_day_profile_portable",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+    """
+    + ",\n".join(
+        f"             SUM(CASE WHEN EXTRACT(hour FROM ts) // 4 = {s}"
+        f" THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS s{s + 1}"
+        for s in range(6)
+    )
+    + """
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), paired AS (
+      SELECT user_id, day,
+             s1 AS b1, s2 AS b2, s3 AS b3, s4 AS b4, s5 AS b5, s6 AS b6,
+             LAG(day) OVER w AS prev_day,
+             LAG(s1) OVER w AS a1, LAG(s2) OVER w AS a2,
+             LAG(s3) OVER w AS a3, LAG(s4) OVER w AS a4,
+             LAG(s5) OVER w AS a5, LAG(s6) OVER w AS a6
+      FROM seg WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), adj AS (
+      SELECT * FROM paired
+      WHERE prev_day IS NOT NULL AND day = prev_day + INTERVAL 1 DAY
+    ), dp AS (
+      SELECT user_id, day,
+    """
+    + ",\n".join(
+        f"             {e} AS {a}" for a, e in _dtw6_alias_chain()
+    )
+    + """,
+             ABS(a1-b1)+ABS(a2-b2)+ABS(a3-b3)+ABS(a4-b4)
+             +ABS(a5-b5)+ABS(a6-b6) AS l1
+      FROM adj
+    )
+    SELECT user_id, CAST(day AS DATE) AS day,
+           CAST(d66 AS BIGINT) AS dtw_cost_cents,
+           CAST(l1 AS BIGINT) AS l1_cost_cents,
+           CAST(l1 - d66 AS BIGINT) AS warp_gain_cents
+    FROM dp
+    """,
+)
+def q386_dtw_day_profile_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X316 — day-over-day activity-profile DTW, EXACT and fully
+    oracle-checked: each (user, day) collapses to a fixed 6-segment
+    integer-cents profile (4-hour buckets), and adjacent days are
+    compared with the full 6×6 DTW recurrence UNROLLED into 36 lateral
+    column aliases — the same expression text on both engines, all
+    int64, no recursion, no Python. This anchors the DTW family's
+    semantics under the hash gate (q352's banded per-trajectory
+    applyInPandas form stays rows-only by design — variable-length
+    sequences don't unroll); warp_gain = L1 − DTW ≥ 0 quantifies how
+    much alignment flexibility explains the day's change (a pure time
+    SHIFT has high L1 but low DTW; a volume change moves both).
+
+    Scale: one (user, day) hash aggregate over the corpus, one lag
+    window on the user exchange, then 36 row-local integer
+    expressions — corpus touched once, state bounded by user-days."""
+    ev = load(spark, sf_dir, "events")
+    seg = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"hour(ts) DIV 4 = {s}"),
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            ).alias(f"s{s + 1}")
+            for s in range(6)
+        ]
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    paired = seg.select(
+        "user_id",
+        "day",
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(1, 7)],
+        F.lag("day").over(w).alias("prev_day"),
+        *[F.lag(f"s{k}").over(w).alias(f"a{k}") for k in range(1, 7)],
+    )
+    adj = paired.filter(
+        F.col("prev_day").isNotNull()
+        & (F.col("day") == F.date_add(F.col("prev_day"), 1))
+    )
+    dp = adj
+    for alias, expr in _dtw6_alias_chain():
+        dp = dp.withColumn(alias, F.expr(expr))
+    l1 = "+".join(f"ABS(a{k} - b{k})" for k in range(1, 7))
+    return dp.select(
+        "user_id",
+        F.col("day").cast("date").alias("day"),
+        F.col("d66").cast("long").alias("dtw_cost_cents"),
+        F.expr(l1).cast("long").alias("l1_cost_cents"),
+        (F.expr(l1) - F.col("d66")).cast("long").alias("warp_gain_cents"),
+    )

@@ -172,3 +172,55 @@ def test_sax_words_hand_computed(spark):
             for r in queries()["q350_sax_words"](spark, d).collect()
         }
     assert out == {"aabbcd": (1, 1), "cccccc": (1, 2)}
+
+
+def test_dtw6_unrolled_matches_reference_dp(spark, tmp_path):
+    """q386's 36-alias unrolled DTW must equal a plain Python DP on the
+    same 6-segment profiles, including the warp case: day B is day A
+    time-shifted one segment, so DTW << L1."""
+    import datetime
+
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+    # user 1: day1 profile [10,0,0,0,0,0] cents*? build via single events
+    # in the right 4h buckets; day2 = shifted [0,10,0,0,0,0]
+    rows = []
+    eid = 0
+
+    def ev(day, hour, val, uid=1):
+        nonlocal eid
+        rows.append(
+            (eid, uid, datetime.datetime(2024, 1, day, hour, 0, 0), "t",
+             float(val))
+        )
+        eid += 1
+
+    ev(1, 0, 10.0)   # day1 seg0 = 1000 cents
+    ev(2, 4, 10.0)   # day2 seg1 = 1000 cents (pure shift)
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    ).write.parquet(f"{d}/events.parquet")
+    out = queries()["q386_dtw_day_profile_portable"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def dtw(a, b):
+        import math
+        D = [[math.inf] * 7 for _ in range(7)]
+        for i in range(1, 7):
+            for j in range(1, 7):
+                c = abs(a[i - 1] - b[j - 1])
+                best = min(
+                    D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                ) if (i, j) != (1, 1) else 0
+                D[i][j] = c + (0 if (i, j) == (1, 1) else best)
+        return D[6][6]
+
+    a = [1000, 0, 0, 0, 0, 0]
+    b = [0, 1000, 0, 0, 0, 0]
+    assert r["dtw_cost_cents"] == dtw(a, b)
+    assert r["l1_cost_cents"] == 2000
+    assert r["warp_gain_cents"] == r["l1_cost_cents"] - r["dtw_cost_cents"]
+    # the shift is mostly absorbed by warping
+    assert r["dtw_cost_cents"] < r["l1_cost_cents"]
