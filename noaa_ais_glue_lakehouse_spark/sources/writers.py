@@ -438,3 +438,107 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: manifest-based table versioning (poor-man's time travel)
+# ---------------------------------------------------------------------------
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Append a new immutable VERSION of a table and return its number.
+
+    Layout: ``path/v{N}/`` holds the parquet data; ``path/_manifests/
+    {N}.json`` names the version and its row count; the newest manifest
+    file IS the current-version pointer. Write protocol (same
+    crash-safety contract as :func:`_swap_staged_partitions`):
+
+    1. data lands under a dot-prefixed staging dir (invisible to
+       readers), then one atomic rename publishes ``v{N}``;
+    2. the manifest is written ONLY after the data rename — a crash
+       between the two leaves an orphan ``v{N}`` directory that no
+       manifest references, which readers never see and the next write
+       safely overwrites;
+    3. version numbers come from the manifest listing, so concurrent
+       historical readers are never disturbed (old versions are
+       immutable until explicitly vacuumed).
+
+    This is the smallest useful subset of a table format's time travel:
+    reproducible training runs pin ``read_version(..., version=N)`` in
+    their config, audits diff two versions with q148's snapshot-diff,
+    and the reference's overwrite-in-place jobs gain rollback for free.
+    reference: jobs/raw_to_staging.py:40-44 (blind overwrite — the
+    failure mode this closes).
+    """
+    import json as _json
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(conf)
+    root = fs.makeQualified(HPath(path))
+    man_dir = HPath(f"{root.toString()}/_manifests")
+    fs.mkdirs(man_dir)
+    versions = [
+        int(st.getPath().getName().split(".")[0])
+        for st in fs.listStatus(man_dir)
+        if st.getPath().getName().endswith(".json")
+    ]
+    n = max(versions, default=0) + 1
+    staging = f"{root.toString()}/.staging_v{n}"
+    df.write.mode("overwrite").parquet(staging)
+    n_rows = spark.read.parquet(staging).count()
+    dest = HPath(f"{root.toString()}/v{n}")
+    if fs.exists(dest):  # orphan from a crashed writer: no manifest -> dead
+        fs.delete(dest, True)
+    fs.rename(HPath(staging), dest)
+    manifest = _json.dumps(
+        {"version": n, "data_dir": f"v{n}", "n_rows": n_rows}
+    )
+    tmp = HPath(f"{man_dir.toString()}/.{n}.json.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(manifest.encode("utf-8")))
+    out.close()
+    fs.rename(tmp, HPath(f"{man_dir.toString()}/{n}.json"))
+    return n
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a versioned table written by :func:`write_versioned` —
+    the latest manifest by default, or a pinned historical ``version``
+    (time travel). Raises ``ValueError`` for a version no manifest
+    names (incl. orphan data dirs from crashed writers)."""
+    import json as _json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(conf)
+    root = fs.makeQualified(HPath(path))
+    man_dir = HPath(f"{root.toString()}/_manifests")
+    if not fs.exists(man_dir):
+        raise ValueError(f"not a versioned table (no _manifests): {path}")
+    versions = {
+        int(st.getPath().getName().split(".")[0]): st.getPath()
+        for st in fs.listStatus(man_dir)
+        if st.getPath().getName().endswith(".json")
+    }
+    if not versions:
+        raise ValueError(f"versioned table has no committed versions: {path}")
+    pick = max(versions) if version is None else version
+    if pick not in versions:
+        raise ValueError(
+            f"version {pick} not committed (have {sorted(versions)})"
+        )
+    stream = fs.open(versions[pick])
+    try:
+        raw = bytes(
+            stream.readAllBytes()
+        )  # small JSON; Hadoop 3 API present on Spark 4
+    finally:
+        stream.close()
+    manifest = _json.loads(raw.decode("utf-8"))
+    return spark.read.parquet(f"{root.toString()}/{manifest['data_dir']}")

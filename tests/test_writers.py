@@ -430,3 +430,50 @@ def test_partitioned_sink_swap_replaces_only_present_partitions(spark, tmp_path)
     got = {(r["day"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 1), (2, 99)}
     assert not [d for d in os.listdir(out) if d.startswith(".staging-")]
+
+
+def test_versioned_write_time_travel(spark, tmp_path):
+    """write_versioned/read_version: v1 stays readable (immutable) after
+    v2 lands; default read is latest; uncommitted versions raise."""
+    import pytest
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    v1 = write_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "x"]), path
+    )
+    v2 = write_versioned(
+        spark.createDataFrame([(3, "c")], ["id", "x"]), path
+    )
+    assert (v1, v2) == (1, 2)
+    assert {r["id"] for r in read_version(spark, path).collect()} == {3}
+    assert {r["id"] for r in read_version(spark, path, 1).collect()} == {1, 2}
+    with pytest.raises(ValueError):
+        read_version(spark, path, 9)
+
+
+def test_versioned_orphan_data_invisible(spark, tmp_path):
+    """A crash AFTER the data rename but BEFORE the manifest write must
+    leave the orphan version invisible to readers, and the next writer
+    must reclaim its number safely."""
+    import os
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    write_versioned(spark.createDataFrame([(1,)], ["id"]), path)
+    # simulate the crash: hand-create v2 data with NO manifest
+    spark.createDataFrame([(99,)], ["id"]).write.parquet(f"{path}/v2")
+    assert {r["id"] for r in read_version(spark, path).collect()} == {1}
+    # next committed write reclaims version 2 and replaces the orphan
+    v = write_versioned(spark.createDataFrame([(2,)], ["id"]), path)
+    assert v == 2
+    assert {r["id"] for r in read_version(spark, path).collect()} == {2}
+    assert os.path.exists(f"{path}/_manifests/2.json")
