@@ -445,63 +445,99 @@ def write_zordered(
 # ---------------------------------------------------------------------------
 
 
-def write_versioned(df: DataFrame, path: str) -> int:
-    """Append a new immutable VERSION of a table and return its number.
-
-    Layout: ``path/v{N}/`` holds the parquet data; ``path/_manifests/
-    {N}.json`` names the version and its row count; the newest manifest
-    file IS the current-version pointer. Write protocol (same
-    crash-safety contract as :func:`_swap_staged_partitions`):
-
-    1. data lands under a dot-prefixed staging dir (invisible to
-       readers), then one atomic rename publishes ``v{N}``;
-    2. the manifest is written ONLY after the data rename — a crash
-       between the two leaves an orphan ``v{N}`` directory that no
-       manifest references, which readers never see and the next write
-       safely overwrites;
-    3. version numbers come from the manifest listing, so concurrent
-       historical readers are never disturbed (old versions are
-       immutable until explicitly vacuumed).
-
-    This is the smallest useful subset of a table format's time travel:
-    reproducible training runs pin ``read_version(..., version=N)`` in
-    their config, audits diff two versions with q148's snapshot-diff,
-    and the reference's overwrite-in-place jobs gain rollback for free.
-    reference: jobs/raw_to_staging.py:40-44 (blind overwrite — the
-    failure mode this closes).
-    """
-    import json as _json
-
-    spark = df.sparkSession
+def _versioned_fs(spark: SparkSession, path: str):
+    """(fs, root_path, manifest_dir_path) triple for a versioned table."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(path).getFileSystem(conf)
     root = fs.makeQualified(HPath(path))
     man_dir = HPath(f"{root.toString()}/_manifests")
-    fs.mkdirs(man_dir)
-    versions = [
-        int(st.getPath().getName().split(".")[0])
+    return fs, root, man_dir, HPath
+
+
+def _list_manifest_versions(fs, man_dir) -> dict:
+    """{version_number: hadoop Path} for every committed manifest."""
+    if not fs.exists(man_dir):
+        return {}
+    return {
+        int(st.getPath().getName().split(".")[0]): st.getPath()
         for st in fs.listStatus(man_dir)
         if st.getPath().getName().endswith(".json")
-    ]
-    n = max(versions, default=0) + 1
-    staging = f"{root.toString()}/.staging_v{n}"
+        and not st.getPath().getName().startswith(".")
+    }
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Append a new immutable VERSION of a table and return its number.
+
+    Layout: ``path/d-{token}/`` holds the parquet data under a
+    writer-unique name; ``path/_manifests/{N}.json`` commits version N
+    by naming its data dir and row count; the highest-numbered manifest
+    IS the current-version pointer. Write protocol (crash-safe AND
+    race-safe — the manifest create is the commit CAS):
+
+    1. data lands under a dot-prefixed, writer-unique staging dir
+       (invisible to readers), then one atomic rename publishes the
+       unique ``d-{token}`` data dir — concurrent writers can never
+       collide on the data path;
+    2. the manifest is created ONLY after the data rename, with
+       fail-if-exists semantics (``fs.create(path, overwrite=False)``).
+       If another writer committed the same number first, the create
+       raises and this writer retries at N+1 — a lost race fails
+       forward, never silently overwrites, and never touches the
+       winner's data;
+    3. a crash between (1) and (2) leaves an orphan data dir no
+       manifest references: readers never see it and
+       :func:`vacuum_versions` sweeps it;
+    4. both renames are checked — Hadoop ``rename`` returns ``False``
+       instead of raising, so a failed publish raises ``IOError`` here
+       rather than reporting a version that was never committed.
+
+    The manifest's ``data_dir`` field is authoritative (data dir names
+    do not encode the version). This is the smallest useful subset of a
+    table format's time travel: reproducible training runs pin
+    ``read_version(..., version=N)``, audits diff two versions with the
+    snapshot-diff operator, and the reference's overwrite-in-place jobs
+    gain rollback for free. Old versions are immutable until
+    :func:`vacuum_versions` removes them. The CAS relies on atomic
+    create-no-overwrite, which holds on HDFS and local filesystems
+    (object stores without atomic create need an external lock).
+    reference: jobs/raw_to_staging.py:40-44 (blind overwrite — the
+    failure mode this closes).
+    """
+    import json as _json
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    fs, root, man_dir, HPath = _versioned_fs(spark, path)
+    fs.mkdirs(man_dir)
+    token = _uuid.uuid4().hex[:12]
+    staging = f"{root.toString()}/.staging-{token}"
     df.write.mode("overwrite").parquet(staging)
     n_rows = spark.read.parquet(staging).count()
-    dest = HPath(f"{root.toString()}/v{n}")
-    if fs.exists(dest):  # orphan from a crashed writer: no manifest -> dead
-        fs.delete(dest, True)
-    fs.rename(HPath(staging), dest)
-    manifest = _json.dumps(
-        {"version": n, "data_dir": f"v{n}", "n_rows": n_rows}
+    data_name = f"d-{token}"
+    dest = HPath(f"{root.toString()}/{data_name}")
+    if not fs.rename(HPath(staging), dest):
+        raise IOError(f"versioned write: data rename failed: {dest}")
+    manifest_bytes = None
+    n = max(_list_manifest_versions(fs, man_dir), default=0) + 1
+    for _ in range(1000):  # bounded CAS retry; each loss means a real commit
+        man_path = HPath(f"{man_dir.toString()}/{n}.json")
+        try:
+            out = fs.create(man_path, False)  # CAS: fail if exists
+        except Exception:
+            n += 1  # lost the race to a concurrent committer
+            continue
+        manifest_bytes = _json.dumps(
+            {"version": n, "data_dir": data_name, "n_rows": n_rows}
+        ).encode("utf-8")
+        out.write(bytearray(manifest_bytes))
+        out.close()
+        return n
+    raise IOError(
+        f"versioned write: could not claim a version after 1000 tries: {path}"
     )
-    tmp = HPath(f"{man_dir.toString()}/.{n}.json.tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(manifest.encode("utf-8")))
-    out.close()
-    fs.rename(tmp, HPath(f"{man_dir.toString()}/{n}.json"))
-    return n
 
 
 def read_version(
@@ -513,19 +549,10 @@ def read_version(
     names (incl. orphan data dirs from crashed writers)."""
     import json as _json
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(path).getFileSystem(conf)
-    root = fs.makeQualified(HPath(path))
-    man_dir = HPath(f"{root.toString()}/_manifests")
+    fs, root, man_dir, HPath = _versioned_fs(spark, path)
     if not fs.exists(man_dir):
         raise ValueError(f"not a versioned table (no _manifests): {path}")
-    versions = {
-        int(st.getPath().getName().split(".")[0]): st.getPath()
-        for st in fs.listStatus(man_dir)
-        if st.getPath().getName().endswith(".json")
-    }
+    versions = _list_manifest_versions(fs, man_dir)
     if not versions:
         raise ValueError(f"versioned table has no committed versions: {path}")
     pick = max(versions) if version is None else version
@@ -542,3 +569,61 @@ def read_version(
         stream.close()
     manifest = _json.loads(raw.decode("utf-8"))
     return spark.read.parquet(f"{root.toString()}/{manifest['data_dir']}")
+
+
+def vacuum_versions(
+    spark: SparkSession, path: str, keep_last: int = 1
+) -> dict:
+    """Physically delete all but the newest ``keep_last`` versions of a
+    :func:`write_versioned` table, plus any orphan data/staging dirs no
+    surviving manifest references (crashed or lost-race writers).
+
+    Honors ``write_versioned``'s "immutable until explicitly vacuumed"
+    contract: this IS the explicit vacuum. The latest version is never
+    touched (``keep_last`` is clamped to ≥1). Time travel to the kept
+    versions keeps working; pinned reads of removed versions raise
+    ``ValueError`` afterwards, by design. Must not run concurrently
+    with an in-flight writer (a writer between its data rename and its
+    manifest create looks like an orphan).
+
+    Returns ``{"removed_versions": [...], "kept_versions": [...],
+    "swept_orphans": [...]}``.
+    """
+    import json as _json
+
+    fs, root, man_dir, HPath = _versioned_fs(spark, path)
+    if not fs.exists(man_dir):
+        raise ValueError(f"not a versioned table (no _manifests): {path}")
+    versions = _list_manifest_versions(fs, man_dir)
+    keep_last = max(1, int(keep_last))
+    ordered = sorted(versions)
+    kept = ordered[-keep_last:]
+    removed = ordered[: -keep_last] if len(ordered) > keep_last else []
+
+    def _data_dir_of(man_path) -> str:
+        stream = fs.open(man_path)
+        try:
+            raw = bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+        return _json.loads(raw.decode("utf-8"))["data_dir"]
+
+    referenced = {_data_dir_of(versions[v]) for v in kept}
+    for v in removed:
+        data_dir = _data_dir_of(versions[v])
+        if data_dir not in referenced:  # defensive: never touch kept data
+            fs.delete(HPath(f"{root.toString()}/{data_dir}"), True)
+        fs.delete(versions[v], False)
+    swept = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name == "_manifests" or name in referenced:
+            continue
+        if st.isDirectory():
+            swept.append(name)
+            fs.delete(st.getPath(), True)
+    return {
+        "removed_versions": removed,
+        "kept_versions": kept,
+        "swept_orphans": swept,
+    }

@@ -477,3 +477,70 @@ def test_versioned_orphan_data_invisible(spark, tmp_path):
     assert v == 2
     assert {r["id"] for r in read_version(spark, path).collect()} == {2}
     assert os.path.exists(f"{path}/_manifests/2.json")
+
+
+def test_versioned_concurrent_writers_both_commit(spark, tmp_path):
+    """Two writers racing on the same table must BOTH land, as distinct
+    versions, with neither clobbering the other's data (manifest create
+    is the commit CAS; data dirs are writer-unique)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    dfs = {
+        "a": spark.createDataFrame([(1,), (2,)], ["id"]),
+        "b": spark.createDataFrame([(10,), (20,), (30,)], ["id"]),
+    }
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {k: pool.submit(write_versioned, df, path) for k, df in dfs.items()}
+        got = {k: f.result(timeout=120) for k, f in futs.items()}
+    assert sorted(got.values()) == [1, 2], got
+    by_version = {
+        got["a"]: {1, 2},
+        got["b"]: {10, 20, 30},
+    }
+    for v, expect in by_version.items():
+        assert {r["id"] for r in read_version(spark, path, v).collect()} == expect
+    latest = {r["id"] for r in read_version(spark, path).collect()}
+    assert latest == by_version[max(got.values())]
+
+
+def test_vacuum_versions_keeps_latest_sweeps_orphans(spark, tmp_path):
+    """vacuum_versions(keep_last=2): older versions physically gone and
+    unreadable, kept versions time-travelable, orphan data dirs swept,
+    latest untouched."""
+    import os
+
+    import pytest
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    for i in range(1, 5):
+        write_versioned(spark.createDataFrame([(i,)], ["id"]), path)
+    # orphan from a "crashed" writer: data dir with no manifest
+    spark.createDataFrame([(99,)], ["id"]).write.parquet(f"{path}/d-deadbeef")
+    report = vacuum_versions(spark, path, keep_last=2)
+    assert report["removed_versions"] == [1, 2]
+    assert report["kept_versions"] == [3, 4]
+    assert "d-deadbeef" in report["swept_orphans"]
+    assert {r["id"] for r in read_version(spark, path).collect()} == {4}
+    assert {r["id"] for r in read_version(spark, path, 3).collect()} == {3}
+    for old in (1, 2):
+        with pytest.raises(ValueError):
+            read_version(spark, path, old)
+    # only kept data dirs + _manifests remain on disk
+    remaining = sorted(os.listdir(path))
+    assert "_manifests" in remaining and len([d for d in remaining if d != "_manifests"]) == 2
+    # keep_last clamps to >=1: latest always survives
+    report2 = vacuum_versions(spark, path, keep_last=0)
+    assert report2["kept_versions"] == [4]
+    assert {r["id"] for r in read_version(spark, path).collect()} == {4}
