@@ -784,9 +784,13 @@ def cosine_near_duplicates_portable(
         vec,
         *[bucket_expr(t).alias(f"_bk{t}") for t in range(n_tables)],
     )
+    # Candidate generation is ID-ONLY (id + table keys): carrying the
+    # embedding through the exploded per-table self-join would push
+    # candidates × dim × 8 bytes through the shuffle — the exact cost the
+    # non-portable path avoids. Vectors re-attach at |survivor pairs| via
+    # two equi-joins before the exact verify.
     banded = keyed.select(
         id_col,
-        vec_col,
         *[f"_bk{t}" for t in range(n_tables)],
         F.explode(
             F.array(
@@ -799,7 +803,7 @@ def cosine_near_duplicates_portable(
             )
         ).alias("_b"),
     ).select(
-        id_col, vec_col, *[f"_bk{t}" for t in range(n_tables)], "_b.tbl", "_b.bkt"
+        id_col, *[f"_bk{t}" for t in range(n_tables)], "_b.tbl", "_b.bkt"
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -813,11 +817,16 @@ def cosine_near_duplicates_portable(
             (F.col("a.tbl") <= F.lit(j))
             | (F.col(f"a._bk{j}") != F.col(f"b._bk{j}"))
         )
-    pairs = a.join(b, cond).select(
+    cand = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"a.{vec_col}").alias("_va"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.col(f"b.{vec_col}").alias("_vb"),
+    )
+    vecs = df.select(F.col(id_col), vec.alias("_v"))
+    pairs = (
+        cand.join(vecs.withColumnRenamed(id_col, "id_a"), "id_a")
+        .withColumnRenamed("_v", "_va")
+        .join(vecs.withColumnRenamed(id_col, "id_b"), "id_b")
+        .withColumnRenamed("_v", "_vb")
     )
     cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4)
     return (

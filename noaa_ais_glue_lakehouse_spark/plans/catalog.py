@@ -22456,7 +22456,7 @@ def q375_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id,
              CASE WHEN value < 167 THEN 0 WHEN value < 334 THEN 1 ELSE 2 END
                AS r1,
-             CAST((event_id * 2654435761) % 3 AS BIGINT) AS r2,
+             CAST(((event_id % 3) * (2654435761 % 3)) % 3 AS BIGINT) AS r2,
              CAST(EXTRACT(hour FROM ts) % 3 AS BIGINT) AS r3
       FROM events
     ), s AS (
@@ -22516,7 +22516,13 @@ def q376_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2)
         .cast("long")
         .alias("r1"),
-        ((F.col("event_id") * 2654435761) % 3).cast("long").alias("r2"),
+        # mod-reduce BEFORE the multiply: (a·b) mod 3 ≡ ((a mod 3)·(b mod 3))
+        # mod 3, so this is exact for ALL int64 event_ids, whereas the naive
+        # event_id * 2654435761 overflows (and wraps negative, putting r2
+        # outside {0,1,2}) beyond event_id ~3.5e9.
+        F.pmod(F.pmod(F.col("event_id"), 3) * F.lit(2654435761 % 3), 3)
+        .cast("long")
+        .alias("r2"),
         (F.hour("ts") % 3).cast("long").alias("r3"),
     )
     s_agg = r.agg(
@@ -22889,8 +22895,8 @@ def q380_image_header_decode_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM refs
     ), rr AS (
       SELECT n_refs,
-             LEAST(sqrt((24.0 * (maxlat - minlat) * (maxlon - minlon))
-                        / (3.141592653589793 * n_refs)), 90.0) AS r
+             GREATEST(LEAST(sqrt((24.0 * (maxlat - minlat) * (maxlon - minlon))
+                        / (3.141592653589793 * n_refs)), 90.0), 0.000001) AS r
       FROM st
     ), rc AS (
       SELECT ref_id, rlat, rlon, r,
@@ -22961,10 +22967,14 @@ def q381_knn_adaptive_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rlon").alias("minlon"),
         F.max("rlon").alias("maxlon"),
     )
+    # GREATEST(..., 1e-6): a degenerate reference extent (single ref, or
+    # all refs sharing a lat/lon) would give r=0 and divide the cell keys
+    # by zero (NaN cells -> silently empty result); the epsilon floor keeps
+    # the query well-defined and is mirrored in the oracle.
     rr = st.select(
         F.expr(
-            "LEAST(sqrt((24.0 * (maxlat - minlat) * (maxlon - minlon))"
-            " / (3.141592653589793 * n_refs)), 90.0)"
+            "GREATEST(LEAST(sqrt((24.0 * (maxlat - minlat) * (maxlon - minlon))"
+            " / (3.141592653589793 * n_refs)), 90.0), 0.000001)"
         ).alias("r")
     )
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))

@@ -68,8 +68,16 @@ def main() -> int:
     )
     # scale_probe prints '# progress' lines on stderr and one JSON line on
     # stdout, but tolerate a tee'd mixed file: take the last {...} line.
-    line = [ln for ln in raw.splitlines() if ln.startswith("{")][-1]
-    doc = json.loads(line)
+    json_lines = [ln for ln in raw.splitlines() if ln.startswith("{")]
+    if not json_lines:
+        src = sys.argv[1] if len(sys.argv) > 1 else "<stdin>"
+        print(
+            f"ERROR: no JSON probe line found in {src} — scale_probe likely "
+            "crashed before printing results; inspect its stderr above.",
+            file=sys.stderr,
+        )
+        return 2
+    doc = json.loads(json_lines[-1])
     queries = doc.get("queries", {})
     failures = []
     missing = []
