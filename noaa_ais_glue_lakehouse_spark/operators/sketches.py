@@ -1,14 +1,23 @@
 """Sketch-based approximate aggregates — the bounded-memory path for
 100 TB cardinality/quantile questions.
 
-``approx_count_distinct`` (HyperLogLog++) and ``approx_percentile``
-(a mergeable quantile sketch) are Spark-native, partial-aggregable, and
-shuffle one sketch per group instead of the value set — the difference
-between a COUNT(DISTINCT) that re-shuffles every row and one that ships
-kilobytes per partition. Accuracy is tunable (rsd / accuracy params);
-tolerance vs exact answers is pinned in tests/test_sketches.py rather
-than a DuckDB oracle (sketch implementations differ across engines by
-design).
+The DEFAULT sketch surface is the PORTABLE md5 family
+(:func:`portable_hll_registers` / :func:`portable_hll_estimate` /
+:func:`portable_sample_quantiles`): the hash family is public and
+deterministic, so an independent SQL engine rebuilds the registers —
+and therefore the estimates themselves — bit-for-bit, which puts the
+production sketch path under the exact cross-engine correctness gate
+(q63/q102), not just a tolerance test. Mergeability is relational:
+union of HLL sketches = register-wise MAX, union of min-k samples =
+re-take the k smallest hashes.
+
+The Spark-native forms (``approx_count_distinct`` HLL++,
+``approx_percentile``) remain as the fast engine-optimized twins —
+partial-aggregable JVM aggregates with engine-private seeds, pinned by
+tolerance tests in tests/test_sketches.py rather than an oracle (their
+estimates differ across engines by design). The portable family pays
+~2× the constants for hash-checkability; both shuffle one
+bounded-size sketch per group instead of the value set.
 """
 
 from __future__ import annotations
@@ -39,6 +48,143 @@ def approx_quantiles_by(
             value_col, list(probabilities), accuracy
         ).alias(f"quantiles_{value_col}")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable md5 sketch family — the hash-checkable production default
+# ---------------------------------------------------------------------------
+
+_U53 = 9007199254740992  # 2^53: exact-integer unit for the harmonic sum
+_HLL_M = 256  # p=8 -> 256 registers; alpha_256 = 0.7213/(1+1.079/256)
+
+
+def portable_hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register relation ``(group..., reg, m_j)`` with a
+    PORTABLE construction — THE persistable sketch state for
+    incremental rollups (q102's daily partials).
+
+    Register index = first 8 bits of ``md5(value)``; M_j = max over
+    values of (leading-zero count of the next 52 bits + 1), computed
+    exactly as ``53 - length(bin(v52))``. The md5 family is public, so
+    an independent engine rebuilds this relation row-for-row — unlike
+    Spark's ``hll_sketch_agg`` binary payloads (engine-private seeds).
+    State is ≤256 rows per group at any corpus size; the groupBy(max)
+    is map-side combinable, so the shuffle carries registers, never the
+    value set. Merging two sketches = unioning their register relations
+    and re-taking MAX(m_j) per (group, reg) — see
+    :func:`portable_hll_estimate`.
+    """
+    md = F.md5(F.col(value_col).cast("string"))
+    h = df.select(
+        *group_cols,
+        F.conv(F.substring(md, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.conv(F.substring(md, 3, 13), 16, 10).cast("long").alias("v52"),
+    )
+    return h.groupBy(*group_cols, "reg").agg(
+        F.max(
+            F.when(F.col("v52") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.bin(F.col("v52")))
+            )
+        ).alias("m_j")
+    )
+
+
+def portable_hll_estimate(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge register relations (register-wise MAX — HLL union) and emit
+    the per-group cardinality estimate, cross-engine EXACT.
+
+    The harmonic sum Σ 2^−M_j accumulates in integer units of 2⁻⁵³
+    (each term the exact int64 ``2^53 >> M_j``), so it is
+    order-independent; the α_m·m² scaling and final division happen
+    once in one fixed double expression, with Flajolet's small-range
+    linear-counting correction (E ≤ 2.5m with empty registers) applied
+    identically on both engines. Rounded to 2 dp for display stability.
+    Pass registers from one batch or a UNION of many batches — the
+    merge is the same groupBy.
+    """
+    merged = registers.groupBy(*group_cols, "reg").agg(
+        F.max("m_j").alias("m_j")
+    )
+    agg = merged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftright({_U53}L, CAST(m_j AS INT))")
+        ).alias("sum_u"),
+    )
+    raw_est = (
+        f"(0.7213 / (1.0 + 1.079 / {_HLL_M}.0)) * {_HLL_M}.0 * {_HLL_M}.0"
+        f" * {_U53}.0 / (sum_u + ({_HLL_M} - n_present) * {_U53}.0)"
+    )
+    return agg.select(
+        *group_cols,
+        F.round(
+            F.expr(
+                f"CASE WHEN {raw_est} <= 2.5 * {_HLL_M}.0"
+                f" AND n_present < {_HLL_M}"
+                f" THEN {_HLL_M}.0 * ln({_HLL_M}.0"
+                f" / GREATEST({_HLL_M} - n_present, 1))"
+                f" ELSE {raw_est} END"
+            ),
+            2,
+        ).alias("hll_estimate"),
+    )
+
+
+def portable_sample_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    probabilities: list[float] = (0.5, 0.95),
+    k: int = 1024,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from a deterministic bounded-state
+    sample — the portable twin of ``approx_percentile``.
+
+    The k rows with the smallest ``md5(id)`` per group form a uniform
+    without-replacement sample (a fixed public hash as the random key,
+    so both engines draw the SAME sample); the estimate for probability
+    q is the exact sample order statistic at rank ``ceil(q·n_s)``
+    (ties broken by id — fully deterministic). Rank error is
+    O(1/√k) whp. State is bounded at k rows per group and mergeable by
+    re-taking the k smallest hashes of a union. The per-group top-k is
+    one repartition+sort (window row_number), the standard distributed
+    top-k shape.
+    """
+    from pyspark.sql import Window
+
+    hkey = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(hkey, F.col(id_col))
+    sample = (
+        df.select(*group_cols, value_col, id_col)
+        .withColumn("_hrk", F.row_number().over(w))
+        .filter(F.col("_hrk") <= k)
+    )
+    wv = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    ranked = sample.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(wv).alias("_vrk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*group_cols))
+        .alias("_ns"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_vrk") == F.ceil(F.lit(float(q)) * F.col("_ns")),
+                F.col(value_col),
+            )
+        ).alias(f"q{int(round(q * 100)):02d}_{value_col}")
+        for q in probabilities
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

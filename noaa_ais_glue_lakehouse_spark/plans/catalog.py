@@ -2171,30 +2171,99 @@ def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q63_sketch_distinct_quantiles")  # rows-only: sketch values differ across engines by design
+@register(
+    "q63_sketch_distinct_quantiles",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day, user_id, value, event_id
+      FROM events
+    ), h AS (
+      SELECT day,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) AS reg,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 3, 13))
+                  AS BIGINT) AS v52
+      FROM base
+    ), regs AS (
+      SELECT day, reg,
+             MAX(CASE WHEN v52 = 0 THEN 53
+                      ELSE 53 - length(bin(v52)) END) AS m_j
+      FROM h GROUP BY day, reg
+    ), agg AS (
+      SELECT day, COUNT(*) AS n_present,
+             SUM(9007199254740992 >> m_j) AS sum_u
+      FROM regs GROUP BY day
+    ), est AS (
+      SELECT day,
+             ROUND(
+               CASE
+                 WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                      * 9007199254740992.0
+                      / (sum_u + (256 - n_present) * 9007199254740992.0)
+                      <= 640.0
+                  AND n_present < 256
+                 THEN 256.0 * ln(256.0 / GREATEST(256 - n_present, 1))
+                 ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                      * 9007199254740992.0
+                      / (sum_u + (256 - n_present) * 9007199254740992.0)
+               END, 2) AS approx_users
+      FROM agg
+    ), samp AS (
+      SELECT day, value, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY day
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS hrk
+      FROM base
+    ), rk AS (
+      SELECT day, value,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY value, event_id) AS vrk,
+             COUNT(*) OVER (PARTITION BY day) AS ns
+      FROM samp WHERE hrk <= 1024
+    ), qs AS (
+      SELECT day,
+             MAX(CASE WHEN vrk = CEIL(0.5 * ns) THEN value END) AS p50_value,
+             MAX(CASE WHEN vrk = CEIL(0.95 * ns) THEN value END) AS p95_value
+      FROM rk GROUP BY day
+    )
+    SELECT est.day, est.approx_users, qs.p50_value, qs.p95_value
+    FROM est JOIN qs USING (day)
+    """,
+)
 def q63_sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (operators/sketches.py) under the driver's eye:
-    per-day HLL++ distinct users + approximate value quantiles. No value
-    oracle is possible — sketch estimates are engine-specific by design —
-    so the driver records rows/schema while tests/test_sketches.py pins
-    tolerance vs exact answers. One map-side-combinable aggregation;
-    the shuffle carries one sketch per (day), never the value set."""
+    """Sketch aggregates under the driver's eye — since round 7 on the
+    PORTABLE md5 family (operators/sketches.py), so the per-day HLL
+    distinct-user estimate AND the sampled p50/p95 value quantiles are
+    themselves hash-checked against the oracle, not just
+    tolerance-pinned: both engines build identical registers (md5 first
+    byte → register, next 52 bits → ρ) and draw the identical
+    1024-row min-hash sample per day. The Spark-native HLL++ /
+    approx_percentile forms stay available as the fast engine twins
+    (approx_distinct_by / approx_quantiles_by, tolerance-pinned in
+    tests/test_sketches.py).
+
+    Scale: register state is ≤256 rows/day and the quantile sample
+    ≤1024 rows/day regardless of corpus size; the register groupBy is
+    map-side combinable, the sample top-k is the standard per-group
+    window. The shuffle carries sketches, never the value set."""
     from noaa_ais_glue_lakehouse_spark.operators.sketches import (
-        approx_distinct_by,
-        approx_quantiles_by,
+        portable_hll_estimate,
+        portable_hll_registers,
+        portable_sample_quantiles,
     )
 
     ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    distinct = approx_distinct_by(ev, ["day"], "user_id", rsd=0.02)
-    quants = approx_quantiles_by(ev, ["day"], "value", [0.5, 0.95], 10_000)
-    return (
-        distinct.join(quants, "day")
-        .select(
-            "day",
-            F.col("approx_n_user_id").cast("long").alias("approx_users"),
-            F.element_at("quantiles_value", 1).alias("p50_value"),
-            F.element_at("quantiles_value", 2).alias("p95_value"),
-        )
+    distinct = portable_hll_estimate(
+        portable_hll_registers(ev, ["day"], "user_id"), ["day"]
+    )
+    quants = portable_sample_quantiles(
+        ev, ["day"], "value", "event_id", [0.5, 0.95], k=1024
+    )
+    return distinct.join(quants, "day").select(
+        "day",
+        F.col("hll_estimate").alias("approx_users"),
+        F.col("q50_value").alias("p50_value"),
+        F.col("q95_value").alias("p95_value"),
     )
 
 
@@ -3766,30 +3835,87 @@ def q101_custom_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q102_mergeable_hll_rollup")  # rows-only: sketch estimates are engine-specific
+@register(
+    "q102_mergeable_hll_rollup",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross join pairing the merged "
+        "sketch-estimate scalar with the day/row-count scalar - "
+        "group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) AS reg,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 3, 13))
+                  AS BIGINT) AS v52
+      FROM events
+    ), daily_regs AS (
+      SELECT day, reg,
+             MAX(CASE WHEN v52 = 0 THEN 53
+                      ELSE 53 - length(bin(v52)) END) AS m_j
+      FROM h GROUP BY day, reg
+    ), merged AS (
+      SELECT reg, MAX(m_j) AS m_j FROM daily_regs GROUP BY reg
+    ), agg AS (
+      SELECT COUNT(*) AS n_present,
+             SUM(9007199254740992 >> m_j) AS sum_u
+      FROM merged
+    ), meta AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS n_days_merged
+      FROM events
+    )
+    SELECT ROUND(
+             CASE
+               WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                    * 9007199254740992.0
+                    / (sum_u + (256 - n_present) * 9007199254740992.0)
+                    <= 640.0
+                AND n_present < 256
+               THEN 256.0 * ln(256.0 / GREATEST(256 - n_present, 1))
+               ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                    * 9007199254740992.0
+                    / (sum_u + (256 - n_present) * 9007199254740992.0)
+             END, 2) AS est_monthly_distinct_users,
+           meta.n_rows, meta.n_days_merged
+    FROM agg CROSS JOIN meta
+    """,
+)
 def q102_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches — the incremental-rollup pattern
-    q63's one-shot approx_count_distinct can't express: build one Datasketches
-    HLL per day (`hll_sketch_agg`), then UNION the daily sketches into the
-    monthly distinct estimate (`hll_union_agg`) without ever recounting the
-    raw rows. At 100 TB this is the difference between a daily O(day) sketch
-    job + O(days) merge and a monthly O(month) recount; the persisted daily
-    sketch column is what the reference's daily-partials → monthly-rebuild
-    chain (T5) would store. Estimate accuracy vs exact distinct is
-    tolerance-tested in tests/test_sketches.py."""
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sketch"),
+    q63's one-shot estimate can't express: build one register relation
+    per day (the persistable sketch state the reference's
+    daily-partials → monthly-rebuild chain T5 would store), then UNION
+    the daily sketches into the monthly estimate by register-wise MAX —
+    without ever recounting the raw rows. At 100 TB this is a daily
+    O(day) sketch job + O(days × 256 registers) merge instead of a
+    monthly O(month) recount.
+
+    Since round 7 the rollup runs on the PORTABLE md5 family
+    (operators/sketches.py portable_hll_registers/estimate), so the
+    merged monthly estimate itself is hash-checked against the oracle —
+    the register relation, the MAX-merge, and the harmonic sum (exact
+    integer units of 2⁻⁵³) are engine-identical. The Spark-native
+    Datasketches form (`hll_sketch_agg`/`hll_union_agg`) remains the
+    fast binary-payload twin, tolerance-pinned in
+    tests/test_sketches.py."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily_regs = portable_hll_registers(ev, ["day"], "user_id")
+    est = portable_hll_estimate(daily_regs, []).select(
+        F.col("hll_estimate").alias("est_monthly_distinct_users")
+    )
+    meta = ev.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("day").cast("long").alias("n_days_merged"),
     )
-    monthly = daily.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").cast("long").alias(
-            "est_monthly_distinct_users"
-        ),
-        F.sum("n_rows").alias("n_rows"),
-        F.count(F.lit(1)).cast("long").alias("n_days_merged"),
-    )
-    return monthly
+    return est.crossJoin(F.broadcast(meta))
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,42 @@ def test_kmv_overlap_estimates_and_exact_degenerate(spark, tmp_path):
     r2 = queries()["q385_kmv_vocab_overlap"](spark, d2).collect()[0]
     assert r2["est_union"] == 12.0  # exact: |x0..x11|
     assert r2["shared_topk"] == 4 and r2["km"] == 12
+
+
+def test_portable_hll_accuracy_and_merge(spark):
+    """The portable md5 HLL (the hash-checked production path since
+    round 7) must estimate within the p=8 error envelope, and the
+    register-wise MAX merge of per-day sketches must equal building one
+    sketch over the whole corpus (union correctness)."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        portable_hll_estimate,
+        portable_hll_registers,
+    )
+
+    ev = _events(spark).withColumn("day", F.to_date("ts"))
+    exact = ev.select("user_id").distinct().count()
+    daily = portable_hll_registers(ev, ["day"], "user_id")
+    merged_est = portable_hll_estimate(daily, []).first()["hll_estimate"]
+    # p=8 -> sigma ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(merged_est - exact) / exact < 0.20, (merged_est, exact)
+    one_shot = portable_hll_estimate(
+        portable_hll_registers(ev, [], "user_id"), []
+    ).first()["hll_estimate"]
+    assert merged_est == one_shot  # union == single-pass, exactly
+
+
+def test_portable_sample_quantiles_accuracy(spark):
+    """The deterministic min-hash sample quantile must land within a few
+    percent of the exact quantile at k=1024 (rank error O(1/sqrt(k)))."""
+    from noaa_ais_glue_lakehouse_spark.operators.sketches import (
+        portable_sample_quantiles,
+    )
+
+    ev = _events(spark)
+    got = portable_sample_quantiles(
+        ev, [], "value", "event_id", [0.5, 0.95], k=1024
+    ).first()
+    exact_p50, exact_p95 = ev.stat.approxQuantile("value", [0.5, 0.95], 0.0)
+    span = ev.agg(F.max("value") - F.min("value")).first()[0]
+    assert abs(got["q50_value"] - exact_p50) <= 0.05 * span
+    assert abs(got["q95_value"] - exact_p95) <= 0.05 * span
