@@ -24,6 +24,17 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     map stages). The round-robin exchange also pins a hard boundary so an
     expensive aliased expression in the next projection cannot be
     collapsed back into per-reference recomputation downstream.
+
+    The single-split scan trap this fixes (measured round 6, 3–12× on
+    the gram/md5 catalog family at sf0.1): a corpus that fits one
+    parquet split runs ALL row-local compute in ONE task, and AQE then
+    byte-coalesces the exchanges behind it, so the serialization
+    persists downstream. The guard makes it a NO-OP at scale — when the
+    scan already has at least ``defaultParallelism`` partitions (always
+    true at 100 TB), the DataFrame is returned unchanged and no shuffle
+    is added where shuffling raw text would actually cost something.
+    Reachable from the reader via ``read_parquet_table(...,
+    spread_small_scans=True)``.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

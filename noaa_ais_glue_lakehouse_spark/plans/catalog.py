@@ -2930,12 +2930,16 @@ def _spread(df: DataFrame) -> DataFrame:
     runs all of it in ONE task: q372 measured 12 s → 4.5 s at sf0.1
     from this spread alone. At 100 TB the scan already has ~10⁶ splits
     and the condition is false, so no shuffle is added where shuffling
-    the raw text would actually cost something."""
-    sc = df.sparkSession.sparkContext
-    p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    the raw text would actually cost something.
+
+    Round 7: delegates to the library operator (promoted per round-6
+    verdict) so user pipelines get the same fix — also reachable via
+    ``read_parquet_table(..., spread_small_scans=True)``."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        spread_partitions,
+    )
+
+    return spread_partitions(df)
 
 
 def _word_ngrams(toks: F.Column, n: int) -> F.Column:

@@ -18,13 +18,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def read_parquet_table(spark: SparkSession, path: str, ns_ts_cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+def read_parquet_table(
+    spark: SparkSession,
+    path: str,
+    ns_ts_cols: tuple[str, ...] = ("ts",),
+    spread_small_scans: bool = False,
+) -> DataFrame:
     """Parquet scan with ns-timestamp normalization.
 
     ``ns_ts_cols`` names columns that are ns-precision in the source files;
     they arrive as LongType (nanos since epoch) under the nanosAsLong conf
     and are converted to micros timestamps here. Columns already read as
     timestamps are left untouched, so the same reader works on us/ms files.
+
+    ``spread_small_scans=True`` applies
+    :func:`~noaa_ais_glue_lakehouse_spark.operators.ordering.spread_partitions`
+    — a round-robin repartition to ``defaultParallelism`` ONLY when the
+    scan produced fewer partitions (a table fitting one parquet split
+    otherwise runs all downstream row-local compute in one task; 3–12×
+    measured on gram/hash-heavy pipelines). At scale the scan already
+    has more splits than cores and the flag is a guaranteed no-op, so
+    it is safe to leave on for compute-bound pipelines.
     """
     # Runtime-settable; must be applied here (not only at session build) because
     # callers may pass in an externally built SparkSession that never went
@@ -62,6 +76,12 @@ def read_parquet_table(spark: SparkSession, path: str, ns_ts_cols: tuple[str, ..
             # spark.sql.timestampType and silently stay NTZ on sessions that
             # set it.
             df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    if spread_small_scans:
+        from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+            spread_partitions,
+        )
+
+        df = spread_partitions(df)
     return df
 
 

@@ -76,3 +76,34 @@ def test_global_running_sum_no_single_partition_window(spark):
     )
     out = global_running_sum(df, ["t"], "v", num_partitions=4)
     assert out.count() == 100
+
+
+def test_spread_partitions_plan_conditions(spark, tmp_path):
+    """(a) a single-split parquet scan gains exactly one round-robin
+    exchange at defaultParallelism; (b) a scan/input already at >=
+    defaultParallelism partitions is returned UNCHANGED — no exchange
+    added at scale (the no-op guard the 100 TB claim rests on)."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import spread_partitions
+    from noaa_ais_glue_lakehouse_spark.sources.readers import read_parquet_table
+
+    p = spark.sparkContext.defaultParallelism
+
+    # (a) one small file -> one scan split -> spread to p via round-robin
+    path = str(tmp_path / "one_split")
+    spark.range(0, 1000).coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert scan.rdd.getNumPartitions() == 1
+    spread = spread_partitions(scan)
+    assert spread.rdd.getNumPartitions() == p
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan or "roundrobin" in plan.lower()
+
+    # reader flag reaches the same fix
+    via_reader = read_parquet_table(spark, path, spread_small_scans=True)
+    assert via_reader.rdd.getNumPartitions() == p
+
+    # (b) already-parallel input: identical object back, no exchange
+    wide = spark.range(0, 1000).repartition(p)
+    assert spread_partitions(wide) is wide
+    wide2 = spark.range(0, 1000).repartition(p + 3)
+    assert spread_partitions(wide2) is wide2
