@@ -23747,3 +23747,99 @@ def q386_dtw_day_profile_portable(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(l1).cast("long").alias("l1_cost_cents"),
         (F.expr(l1) - F.col("d66")).cast("long").alias("warp_gain_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: versioned-table audit through the oracle gate, portable sketch
+# upgrades, and the operator additions of this round
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q387_time_travel_diff",
+    build_time_exec=(
+        "writes two table versions (write_versioned) into a tempdir at "
+        "plan-build time so read_version time travel is exercised under "
+        "the oracle gate; bounded |users| snapshot writes"
+    ),
+    oracle="""
+    WITH old AS (
+      SELECT user_id, status, value_cents FROM (
+        SELECT user_id, event_type AS status,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+      ) WHERE rn = 1
+    ),
+    new AS (
+      SELECT user_id, status, value_cents FROM (
+        SELECT user_id, event_type AS status,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           o.status AS old_status, o.value_cents AS old_value_cents,
+           n.status AS new_status, n.value_cents AS new_value_cents
+    FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.status IS DISTINCT FROM n.status
+       OR o.value_cents IS DISTINCT FROM n.value_cents
+    """,
+)
+def q387_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X317 — TIME-TRAVEL AUDIT: q134's snapshot diff computed between
+    two PINNED VERSIONS of a versioned table (write_versioned →
+    read_version(1) vs read_version(2)) instead of two ad-hoc filters —
+    the "what did this publish actually change?" audit exactly as a
+    lakehouse runs it against its table format. The day-14 snapshot is
+    committed as v1, the month-end snapshot as v2, then both flow back
+    through read_version and operators/state.snapshot_diff; the oracle
+    recomputes both relations directly from events, so a value-hash
+    match proves the versioned store's write→commit→time-travel round
+    trip is byte-faithful (not just row-countable) AND that version
+    pins return the exact relation that was committed — through the
+    manifest-CAS commit protocol added this round.
+
+    Scale: both snapshots are |users|-sized latest-state rollups; the
+    diff is one full-outer equi-join on the key. The versioned layer
+    adds no data movement beyond the parquet write/read."""
+    import tempfile
+
+    from noaa_ais_glue_lakehouse_spark.operators.sessionize import (
+        latest_per_entity,
+    )
+    from noaa_ais_glue_lakehouse_spark.operators.state import snapshot_diff
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        write_versioned,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+    def snap(df):
+        return latest_per_entity(df, "user_id", "ts", ["event_id"]).select(
+            "user_id", "status", "value_cents"
+        )
+
+    table = tempfile.mkdtemp(prefix="q387_versions_")
+    v1 = write_versioned(
+        snap(ev.filter(F.to_date("ts") < F.lit("2024-01-15").cast("date"))),
+        table,
+    )
+    v2 = write_versioned(snap(ev), table)
+    old = read_version(spark, table, v1)
+    new = read_version(spark, table, v2)
+    return snapshot_diff(old, new, ["user_id"])
