@@ -35,7 +35,7 @@ test:
 # The documented-quadratic anchors (q61/q171/fixed-geometry LSH) are
 # exempt by design — their escapes are what's budgeted.
 scaling:
-	test -d .tmp/scaleB || python tools/synth_scale.py .tmp
+	test -d .tmp/scaleB -a -d .tmp/scaleA4 || python tools/synth_scale.py .tmp
 	python -u tools/scale_probe.py .tmp \
 	  q27_minhash_near_dups q314_rendezvous_detection \
 	  q343_winnow_near_dups_capped q345_repeated_substring_spans \

@@ -63,6 +63,9 @@ HEADLINE = [
     "q186_ordered_funnel",      # K-step funnel as one array fold
     "q381_knn_adaptive_radius", # density-adaptive spatial kNN (round 6)
     "q382_kendall_tau_b",       # contingency-collapse ordinal stats (round 6)
+    "q343_winnow_near_dups_capped",  # df-capped winnowing near-dup (production dedup path)
+    "q372_ngram_novelty_hashed",  # hashed-gram novelty transport (production path)
+    "q383_minhash_portable",    # portable minhash-LSH (hash-checked dedup anchor)
 ]
 
 

@@ -10,6 +10,14 @@ cache cleared + JVM GC between runs so one query's index cache or GC
 debt doesn't bill the next. Reported exponent = log10(tB/tA); rows-out
 at both scales contextualize whether the ANSWER grew superlinearly.
 
+Sub-3s-A-wall protocol (round 7): when the scaleA wall sits below ~3 s
+it is dominated by Spark's fixed per-query overhead, so the log-ratio
+exponent is noise (round 6: q381 flapped 1.11→1.34 on an IDENTICAL B
+wall purely from A-wall jitter). For those probes the exponent is
+re-based on the 4× corpus: exponent = log(tB/tA4) / log(10/4), both
+walls above the floor. The JSON entry carries ``protocol: "A4->B"``
+and ``t_a4_sec`` so SCALING.md can show which base was used.
+
 Usage: python tools/scale_probe.py [.tmp] [q27_minhash_near_dups ...]
 Prints one JSON line; feed it into SCALING.md.
 """
@@ -92,6 +100,7 @@ def main() -> None:
         QUERIES + ["cosine085_fixed_geometry", "cosine085_auto_geometry"]
     )
     dir_a = os.path.join(root, "scaleA")
+    dir_a4 = os.path.join(root, "scaleA4")
     dir_b = os.path.join(root, "scaleB")
 
     from pyspark.sql import SparkSession
@@ -127,6 +136,12 @@ def main() -> None:
         _run(name, dir_a)  # untimed JIT warmup
         ta = min(_run(name, dir_a)[0] for _ in range(2))
         rows_a = _run(name, dir_a)[1]
+        # sub-3s A walls sit inside Spark's fixed-overhead floor; re-base
+        # the exponent on the 4x corpus so both walls measure data work
+        ta4 = rows_a4 = None
+        if ta < 3.0 and os.path.isdir(dir_a4):
+            ta4 = min(_run(name, dir_a4)[0] for _ in range(2))
+            rows_a4 = _run(name, dir_a4)[1]
         tb, rows_b = _run(name, dir_b)
         # short B walls are noise-dominated on a contended host (round 6:
         # a 18s B wall measured 36s once, flipping its exponent 1.01 ->
@@ -134,16 +149,27 @@ def main() -> None:
         # steal and aren't worth doubling.
         if tb < 60:
             tb = min(tb, _run(name, dir_b)[0])
+        if ta4 is not None:
+            exponent = round(
+                math.log10(tb / ta4) / math.log10(10.0 / 4.0), 2
+            )
+        else:
+            exponent = round(math.log10(tb / ta), 2)
         out[name] = {
             "t_a_sec": round(ta, 2),
             "t_b_sec": round(tb, 2),
             "rows_a": rows_a,
             "rows_b": rows_b,
-            "time_exponent": round(math.log10(tb / ta), 2),
+            "time_exponent": exponent,
             "rows_ratio": round(rows_b / max(rows_a, 1), 1),
         }
-        print(f"# {name}: A {ta:.2f}s/{rows_a} rows -> B {tb:.2f}s/{rows_b} "
-              f"rows, exponent {out[name]['time_exponent']}",
+        if ta4 is not None:
+            out[name]["t_a4_sec"] = round(ta4, 2)
+            out[name]["rows_a4"] = rows_a4
+            out[name]["protocol"] = "A4->B (A wall below 3s overhead floor)"
+        base = f"A4 {ta4:.2f}s" if ta4 is not None else f"A {ta:.2f}s"
+        print(f"# {name}: A {ta:.2f}s/{rows_a} rows ({base}) -> "
+              f"B {tb:.2f}s/{rows_b} rows, exponent {exponent}",
               file=sys.stderr, flush=True)
     print(json.dumps({"sf_pair": [dir_a, dir_b], "cpus": 32, "queries": out}))
 

@@ -137,7 +137,12 @@ def _gen_events(rng: np.random.Generator, n_events: int, days: int) -> pa.Table:
 
 
 def synth(out_root: str, n_docs_a: int = 5000) -> None:
-    for tag, mult in (("scaleA", 1), ("scaleB", 10)):
+    # scaleA4 (4x) exists for the sub-3s-A-wall protocol: when a probe's
+    # scaleA wall sits inside Spark's fixed-overhead floor, the exponent
+    # log10(tB/tA) is noise-dominated (round 6 measured q381 flapping
+    # 1.11->1.34 on an identical B wall). scale_probe re-bases those
+    # probes on A4->B (a 2.5x step whose BOTH walls are above the floor).
+    for tag, mult in (("scaleA", 1), ("scaleA4", 4), ("scaleB", 10)):
         d = os.path.join(out_root, tag)
         os.makedirs(d, exist_ok=True)
         rng = np.random.default_rng(7)  # same seed: B extends A's process
