@@ -12,7 +12,7 @@
 ROUND ?= 6
 WORKERS ?= 6
 
-.PHONY: selfcheck-report bench test scaling
+.PHONY: selfcheck-report bench test scaling scaling-ladder
 
 selfcheck-report:
 	{ echo "== hostile sf0.01 =="; \
@@ -47,3 +47,14 @@ scaling:
 	  q383_minhash_portable q214_triangle_count q179_event_type_pagerank \
 	  | tee .tmp/scale_probe_last.json
 	python tools/check_scaling.py .tmp/scale_probe_last.json
+
+# Two-decade ladder (A -> B -> C = 1x -> 10x -> 100x) for the five
+# cheapest linear-claimed probes: per-segment exponents catch curvature
+# (log-factor creep in the gram families) that one decade can't.
+scaling-ladder:
+	test -d .tmp/scaleC || python tools/synth_scale.py .tmp 5000 --with-c
+	python -u tools/scale_probe.py .tmp --with-c \
+	  q27_minhash_near_dups q343_winnow_near_dups_capped \
+	  q345_repeated_substring_spans q357_stop_detection \
+	  q383_minhash_portable \
+	  | tee .tmp/scale_ladder_last.json

@@ -23870,3 +23870,318 @@ def q387_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = read_version(spark, table, v1)
     new = read_version(spark, table, v2)
     return snapshot_diff(old, new, ["user_id"])
+
+
+@register(
+    "q388_tpch_q6_revenue_delta",
+    oracle="""
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+             AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q388_tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X318 — TPC-H Q6 shape (forecasting revenue change): the revenue
+    that would have been gained by eliminating small discounts on
+    small-quantity orders in one year — a pure filter-and-aggregate
+    whose entire predicate set (date range, discount band, quantity
+    cap) must reach the parquet scan as pushed filters; completes the
+    engine's TPC-H shape coverage to all 22 together with q389–q392.
+    Revenue summed in exact integer cents (order-free).
+
+    Scale: zero shuffles beyond the final 1-row aggregate; the scan
+    reads 4 columns of the 11 (ReadSchema pruning)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q389_tpch_q12_priority_by_class",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_returnflag
+    """,
+)
+def q389_tpch_q12_priority_by_class(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X319 — TPC-H Q12 shape (shipping modes and order priority): per
+    shipping class, how many high- vs low-priority orders it carried —
+    the join + dual-conditional-count pattern that audits whether
+    cheaper ship modes delay critical orders. The testdata star schema
+    has no l_shipmode column, so l_returnflag is the class dimension;
+    the SHAPE (fact-to-dim equi-join, IN-list priority split, the
+    shipped-after-ordered sanity predicate as a non-equi filter ON TOP
+    of the equi-join) is Q12's. reference: the Athena corpus' Q16-Q18
+    analytic family (SURVEY §2.11) stops at single-table rollups.
+
+    Scale: one shuffle on orderkey (or broadcast at dim-sized orders);
+    the priority split is conditional aggregation, not a second scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q390_tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+               AS supplycost_cents
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p.p_partkey, p.p_type, ps.suppkey, ps.supplycost_cents,
+             MIN(ps.supplycost_cents) OVER (PARTITION BY p.p_partkey)
+               AS min_cost_cents
+      FROM part p
+      JOIN ps ON ps.partkey = p.p_partkey
+      JOIN eu ON eu.s_suppkey = ps.suppkey
+      WHERE p.p_size = 25 AND p.p_type = 'STANDARD'
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           c.p_partkey, c.supplycost_cents
+    FROM cand c JOIN eu ON eu.s_suppkey = c.suppkey
+    WHERE c.supplycost_cents = c.min_cost_cents
+    """,
+)
+def q390_tpch_q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X320 — TPC-H Q2 shape (minimum-cost supplier): for every size-25
+    STANDARD part, the European supplier(s) offering it at the minimum
+    supply cost — the classic correlated-scalar-subquery (cost =
+    (SELECT MIN(...) for this part)) DECORRELATED into a per-part
+    window-min, the plan Catalyst itself rewrites correlated subqueries
+    into. The star schema has no partsupp table, so the (part, supplier)
+    cost relation derives from lineitem: supplycost = min observed unit
+    price in exact cents (IEEE-identical division both engines).
+
+    Scale: the region/nation/supplier side collapses to a broadcast;
+    the ps rollup is one map-side-combinable aggregation on
+    (part, supplier); the per-part min is a window over the already
+    part-clustered join output — no row explosion anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        F.min(
+            cents(F.col("l_extendedprice") / F.col("l_quantity"))
+        ).alias("supplycost_cents")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(
+            F.broadcast(nat), nat.n_nationkey == sup.s_nationkey
+        )
+        .join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        part.join(ps, ps.partkey == part.p_partkey)
+        .join(F.broadcast(eu), eu.s_suppkey == ps.suppkey)
+        .withColumn(
+            "min_cost_cents",
+            F.min("supplycost_cents").over(
+                Window.partitionBy("p_partkey")
+            ),
+        )
+    )
+    return cand.filter(
+        F.col("supplycost_cents") == F.col("min_cost_cents")
+    ).select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", "supplycost_cents"
+    )
+
+
+@register(
+    "q391_tpch_q16_supplier_relationship",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    ), excluded AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT IN ('PROMO')
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q391_tpch_q16_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X321 — TPC-H Q16 shape (parts/supplier relationship): how many
+    suppliers can supply parts of given brand/type/size combinations,
+    EXCLUDING suppliers on a complaints list — the NOT IN
+    anti-join + COUNT(DISTINCT) rollup. partsupp derives from lineitem
+    (distinct (part, supplier) pairs); the complaints list is the
+    negative-balance suppliers (the schema has no comment column to
+    regex, the exclusion SHAPE is what Q16 exercises).
+
+    Scale: the exclusion list is tiny → broadcast LEFT ANTI join (never
+    a NOT-IN NULL trap: keys are non-null by construction); the distinct
+    pair relation partial-aggregates map-side before the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).distinct()
+    excluded = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    return (
+        ps.join(
+            F.broadcast(excluded),
+            ps.suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(part, part.p_partkey == F.col("partkey"))
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(F.countDistinct("suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q392_tpch_q20_dominant_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), small_parts AS (
+      SELECT p_partkey FROM part WHERE p_type = 'SMALL'
+    ), dominant AS (
+      SELECT s.suppkey
+      FROM shipped s
+      JOIN small_parts sp ON sp.p_partkey = s.partkey
+      JOIN (SELECT partkey, SUM(qty) AS total_qty
+            FROM shipped GROUP BY 1) t ON t.partkey = s.partkey
+      WHERE 2 * s.qty > t.total_qty
+    )
+    SELECT DISTINCT sup.s_name, n.n_name
+    FROM supplier sup
+    JOIN nation n ON n.n_nationkey = sup.s_nationkey
+    WHERE sup.s_suppkey IN (SELECT suppkey FROM dominant)
+    """,
+)
+def q392_tpch_q20_dominant_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X322 — TPC-H Q20 shape (potential part promotion): suppliers who
+    shipped MORE THAN HALF of some SMALL part's total 1997 volume — the
+    doubly-nested IN subquery with a correlated aggregate threshold
+    (availqty > 0.5·sum(qty) in stock Q20), decorrelated into a
+    per-part total join with the integer-safe 2·qty > total comparison
+    (no 0.5 float). Quantities are integral in this corpus; ROUND
+    makes that explicit so the sums are exact int64 on both engines.
+
+    Scale: threshold decorrelation turns the correlated subquery into
+    one extra map-side-combinable rollup on partkey reusing the same
+    shuffle key as the (part, supplier) aggregate; the supplier→nation
+    resolution is a broadcast semi-join at |dominant| rows."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+    small_parts = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    totals = shipped.groupBy("partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(
+            F.broadcast(small_parts),
+            small_parts.p_partkey == shipped.partkey,
+        )
+        .join(totals, "partkey")
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .select("suppkey")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        sup.join(
+            F.broadcast(dominant), dominant.suppkey == sup.s_suppkey,
+            "left_semi",
+        )
+        .join(F.broadcast(nat), nat.n_nationkey == sup.s_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+    )

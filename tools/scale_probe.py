@@ -18,7 +18,13 @@ re-based on the 4× corpus: exponent = log(tB/tA4) / log(10/4), both
 walls above the floor. The JSON entry carries ``protocol: "A4->B"``
 and ``t_a4_sec`` so SCALING.md can show which base was used.
 
-Usage: python tools/scale_probe.py [.tmp] [q27_minhash_near_dups ...]
+Two-decade ladder (round 7): pass ``--with-c`` (and generate the 100×
+corpus with ``synth_scale.py --with-c``) to add a single timed pass at
+scaleC for each probe. The entry then carries ``t_c_sec``, ``rows_c``
+and ``exponent_bc`` = log10(tC/tB) alongside the A-side exponent —
+two segments catch curvature (log-factor creep) one decade can't.
+
+Usage: python tools/scale_probe.py [.tmp] [--with-c] [q27_... ...]
 Prints one JSON line; feed it into SCALING.md.
 """
 
@@ -95,13 +101,20 @@ def main() -> None:
     sys.path.insert(
         0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    root = sys.argv[1] if len(sys.argv) > 1 else ".tmp"
-    names = sys.argv[2:] or (
+    argv = [a for a in sys.argv[1:] if a != "--with-c"]
+    with_c = "--with-c" in sys.argv[1:]
+    root = argv[0] if argv else ".tmp"
+    names = argv[1:] or (
         QUERIES + ["cosine085_fixed_geometry", "cosine085_auto_geometry"]
     )
     dir_a = os.path.join(root, "scaleA")
     dir_a4 = os.path.join(root, "scaleA4")
     dir_b = os.path.join(root, "scaleB")
+    dir_c = os.path.join(root, "scaleC")
+    if with_c and not os.path.isdir(dir_c):
+        raise SystemExit(
+            f"--with-c: {dir_c} missing; run synth_scale.py {root} --with-c"
+        )
 
     from pyspark.sql import SparkSession
 
@@ -167,9 +180,20 @@ def main() -> None:
             out[name]["t_a4_sec"] = round(ta4, 2)
             out[name]["rows_a4"] = rows_a4
             out[name]["protocol"] = "A4->B (A wall below 3s overhead floor)"
+        if with_c:
+            tc, rows_c = _run(name, dir_c)
+            out[name]["t_c_sec"] = round(tc, 2)
+            out[name]["rows_c"] = rows_c
+            out[name]["exponent_bc"] = round(math.log10(tc / tb), 2)
         base = f"A4 {ta4:.2f}s" if ta4 is not None else f"A {ta:.2f}s"
+        seg_c = (
+            f", C {out[name]['t_c_sec']}s exponent_bc "
+            f"{out[name]['exponent_bc']}"
+            if with_c
+            else ""
+        )
         print(f"# {name}: A {ta:.2f}s/{rows_a} rows ({base}) -> "
-              f"B {tb:.2f}s/{rows_b} rows, exponent {exponent}",
+              f"B {tb:.2f}s/{rows_b} rows, exponent {exponent}{seg_c}",
               file=sys.stderr, flush=True)
     print(json.dumps({"sf_pair": [dir_a, dir_b], "cpus": 32, "queries": out}))
 

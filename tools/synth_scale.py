@@ -136,13 +136,22 @@ def _gen_events(rng: np.random.Generator, n_events: int, days: int) -> pa.Table:
     )
 
 
-def synth(out_root: str, n_docs_a: int = 5000) -> None:
+def synth(
+    out_root: str, n_docs_a: int = 5000, with_c: bool = False
+) -> None:
     # scaleA4 (4x) exists for the sub-3s-A-wall protocol: when a probe's
     # scaleA wall sits inside Spark's fixed-overhead floor, the exponent
     # log10(tB/tA) is noise-dominated (round 6 measured q381 flapping
     # 1.11->1.34 on an identical B wall). scale_probe re-bases those
     # probes on A4->B (a 2.5x step whose BOTH walls are above the floor).
-    for tag, mult in (("scaleA", 1), ("scaleA4", 4), ("scaleB", 10)):
+    #
+    # scaleC (100x, opt-in: --with-c) gives the flagship linear set a
+    # SECOND decade: one decade is a single data point on the exponent;
+    # A->B->C catches curvature (log-factor creep) a single decade can't.
+    tags = [("scaleA", 1), ("scaleA4", 4), ("scaleB", 10)]
+    if with_c:
+        tags.append(("scaleC", 100))
+    for tag, mult in tags:
         d = os.path.join(out_root, tag)
         os.makedirs(d, exist_ok=True)
         rng = np.random.default_rng(7)  # same seed: B extends A's process
@@ -163,6 +172,7 @@ def synth(out_root: str, n_docs_a: int = 5000) -> None:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else ".tmp"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
-    synth(out, n)
+    args = [a for a in sys.argv[1:] if a != "--with-c"]
+    out = args[0] if args else ".tmp"
+    n = int(args[1]) if len(args) > 1 else 5000
+    synth(out, n, with_c="--with-c" in sys.argv[1:])
