@@ -24185,3 +24185,531 @@ def q392_tpch_q20_dominant_supplier(
         .select("s_name", "n_name")
         .distinct()
     )
+
+
+@register(
+    "q393_versioned_cdc_rollforward",
+    build_time_exec=(
+        "writes three table versions (initial snapshot + two CDC-batch "
+        "merges) into a tempdir at plan-build time so the incremental "
+        "rollforward v(n+1) = apply_cdc(read_version(n), batch) is "
+        "exercised under the oracle gate; bounded |users| writes"
+    ),
+    oracle="""
+    WITH snap AS (
+      SELECT DISTINCT
+             user_id + CASE WHEN user_id % 9 = 0 THEN 1000 ELSE 0 END AS user_id,
+             'init' AS status, CAST(0 AS BIGINT) AS value_cents
+      FROM events WHERE user_id < 100
+    ),
+    latest AS (
+      SELECT user_id, op, status, value_cents FROM (
+        SELECT user_id,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+               event_type AS status,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id, status, value_cents FROM snap
+    WHERE user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT user_id, status, value_cents FROM latest WHERE op IN ('I', 'U')
+    """,
+)
+def q393_versioned_cdc_rollforward(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X323 — INCREMENTAL VERSIONED ROLL-FORWARD: the nightly lakehouse
+    loop state_v(n+1) = apply_cdc(read_version(n), batch_n) →
+    write_versioned, run for an initial snapshot plus two time-ordered
+    CDC batches (month split at day 15), returning the latest version.
+    Composes q113's changelog replay with q387's versioned store: the
+    oracle replays the WHOLE changelog in one pass, so a hash match
+    proves that incremental per-batch merges committed through the
+    manifest-CAS store compose to exactly the full-replay state
+    (latest-wins over time-ordered batches is associative) — the
+    property that makes incremental nightly merges + time-travel
+    rollback SAFE to run instead of monthly recomputes.
+
+    Scale: each batch collapses map-side to one row per changed key
+    before its merge shuffle; version writes are |users|-sized. At
+    100 TB this is the difference between touching |changed| rows
+    nightly and |table| rows monthly, with every intermediate state
+    pinned for rollback."""
+    import tempfile
+
+    from noaa_ais_glue_lakehouse_spark.operators.state import apply_cdc
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        write_versioned,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    snap = (
+        ev.filter(F.col("user_id") < 100)
+        .select(
+            (
+                F.col("user_id")
+                + F.when(F.col("user_id") % 9 == 0, F.lit(1000)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("user_id")
+        )
+        .distinct()
+        .select(
+            "user_id",
+            F.lit("init").alias("status"),
+            F.lit(0).cast("long").alias("value_cents"),
+        )
+    )
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("event_type").alias("status"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    cut = F.lit("2024-01-15").cast("date")
+    table = tempfile.mkdtemp(prefix="q393_versions_")
+    write_versioned(snap, table)
+    for batch in (
+        changes.filter(F.to_date("ts") < cut),
+        changes.filter(F.to_date("ts") >= cut),
+    ):
+        state = apply_cdc(
+            read_version(spark, table),
+            batch,
+            ["user_id"],
+            ["ts", "event_id"],
+            "op",
+        )
+        write_versioned(state, table)
+    return read_version(spark, table)
+
+
+# --- q394: portable product quantization (codebook + identical-text exprs) --
+
+_PQ_M, _PQ_K, _PQ_D = 8, 8, 8  # subspaces × centroids/subspace × dims/subspace
+
+
+def _pq_codebook() -> list:
+    """Deterministic public PQ codebook, c[s][k][d] ∈ [-1.00, 1.00] with
+    two decimals from md5 of the coordinate — the q384 portable-planes
+    move applied to product quantization: both engines parse the SAME
+    decimal literals, so assignments and reconstruction errors are
+    bit-identical."""
+    import hashlib
+
+    return [
+        [
+            [
+                round(
+                    (hashlib.md5(f"pq:{s}:{k}:{d}".encode()).digest()[0] % 201 - 100)
+                    / 100.0,
+                    2,
+                )
+                for d in range(_PQ_D)
+            ]
+            for k in range(_PQ_K)
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+def _pq_exprs(vec_sql: str) -> tuple[list, list, list]:
+    """(dist_aliases, code_exprs, mindist_exprs) — textual SQL fragments
+    shared VERBATIM by the Spark plan (F.expr) and the DuckDB oracle.
+    ``vec_sql(i)`` must be the 1-based element access for each engine's
+    array syntax; argmin ties break to the lowest centroid index via the
+    strict < comparison chain (first minimum wins)."""
+    cb = _pq_codebook()
+    dist_aliases = []
+    code_exprs = []
+    mindist_exprs = []
+    for s in range(_PQ_M):
+        names = []
+        for k in range(_PQ_K):
+            terms = " + ".join(
+                f"({vec_sql.format(i=s * _PQ_D + d + 1)} - ({cb[s][k][d]}))"
+                f" * ({vec_sql.format(i=s * _PQ_D + d + 1)} - ({cb[s][k][d]}))"
+                for d in range(_PQ_D)
+            )
+            names.append(f"_pqd{s}_{k}")
+            dist_aliases.append((f"_pqd{s}_{k}", terms))
+        def _rest_min(rest: list) -> str:
+            return rest[0] if len(rest) == 1 else f"LEAST({', '.join(rest)})"
+
+        cases = " ".join(
+            f"WHEN {names[k]} <= {_rest_min(names[k+1:])} THEN {k}"
+            for k in range(_PQ_K - 1)
+        )
+        code_exprs.append(f"CASE {cases} ELSE {_PQ_K - 1} END")
+        mindist_exprs.append(f"LEAST({', '.join(names)})")
+    return dist_aliases, code_exprs, mindist_exprs
+
+
+def _pq_oracle() -> str:
+    dists, codes, mins = _pq_exprs("CAST(embedding[{i}] AS DOUBLE)")
+    dist_sql = ",\n             ".join(f"{t} AS {n}" for n, t in dists)
+    code_sql = " || ".join(f"CAST(({c}) AS VARCHAR)" for c in codes)
+    err_sql = " + ".join(mins)
+    return f"""
+    WITH d AS (
+      SELECT vec_id,
+             {dist_sql}
+      FROM embeddings
+    )
+    SELECT vec_id,
+           {code_sql} AS pq_code,
+           CAST(FLOOR(({err_sql}) * 1000000) AS BIGINT) AS recon_err_e6
+    FROM d
+    """
+
+
+@register("q394_product_quantization_portable", oracle=_pq_oracle())
+def q394_product_quantization_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X324 — PORTABLE PRODUCT QUANTIZATION (Jégou et al. 2011): each
+    64-dim embedding compressed to 8 sub-codes (8 subspaces × 8
+    centroids → 3 bits each, 24 bits/vector vs 2048) by per-subspace
+    nearest-centroid assignment, with the exact reconstruction error
+    (sum of squared distances to the chosen centroids) emitted in
+    integer micro-units. PQ is THE memory layout behind IVF-ADC ANN
+    serving (q55's list-probing + PQ codes = FAISS IVFADC); this gives
+    the engine the code-assignment kernel as a hash-checked relational
+    operator. The codebook is the q384 portable-family move: md5-derived
+    two-decimal literals both engines parse identically; distances are
+    fixed-order sums, argmin ties break to the lowest index via an
+    identical-text CASE/LEAST chain (k-means-trained codebooks swap in
+    without changing the plan — q318 trains them).
+
+    Scale: pure row-local projection — zero shuffles, zero joins; 64
+    distance expressions per row inside whole-stage codegen. At 100 TB
+    the quantization pass is scan-bound, exactly what a compression
+    kernel should be."""
+    emb = load(spark, sf_dir, "embeddings")
+    dists, codes, mins = _pq_exprs("CAST(element_at(embedding, {i}) AS DOUBLE)")
+    d = emb.select(
+        "vec_id", *[F.expr(t).alias(n) for n, t in dists]
+    )
+    code_col = F.concat(
+        *[F.expr(c).cast("string") for c in codes]
+    )
+    err_col = F.expr(" + ".join(mins))
+    return d.select(
+        "vec_id",
+        code_col.alias("pq_code"),
+        F.floor(err_col * 1000000).cast("long").alias("recon_err_e6"),
+    )
+
+
+@register(
+    "q395_span_corruption",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, CAST(t.pos AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+      ), LATERAL (
+        SELECT UNNEST(tk) AS tok,
+               UNNEST(range(0, len(tk))) AS pos
+      ) t
+    ), flagged AS (
+      SELECT doc_id, tok, pos,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(pos AS VARCHAR)), 1, 2)) AS BIGINT) < 38 AS masked
+      FROM toks
+    ), m AS (
+      SELECT doc_id, tok, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM flagged WHERE masked
+    ), spans AS (
+      SELECT doc_id, tok, pos, grp,
+             DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY grp) - 1
+               AS span_id,
+             MIN(pos) OVER (PARTITION BY doc_id, grp) AS span_start
+      FROM m
+    ), corrupted_pieces AS (
+      SELECT doc_id, pos, tok AS piece
+      FROM flagged WHERE NOT masked
+      UNION ALL
+      SELECT doc_id, pos,
+             '<X' || CAST(span_id AS VARCHAR) || '>' AS piece
+      FROM spans WHERE pos = span_start
+    ), target_pieces AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos = span_start
+                  THEN '<X' || CAST(span_id AS VARCHAR) || '> ' || tok
+                  ELSE tok END AS piece
+      FROM spans
+    ), c AS (
+      SELECT doc_id, md5(string_agg(piece, ' ' ORDER BY pos))
+               AS corrupted_md5
+      FROM corrupted_pieces GROUP BY doc_id
+    ), t2 AS (
+      SELECT doc_id,
+             md5(string_agg(piece, ' ' ORDER BY pos)) AS targets_md5,
+             CAST(COUNT(*) AS BIGINT) AS n_masked,
+             CAST(COUNT(DISTINCT span_start) AS BIGINT) AS n_spans
+      FROM target_pieces
+      JOIN spans USING (doc_id, pos)
+      GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.corrupted_md5, t2.targets_md5, t2.n_spans,
+           t2.n_masked
+    FROM c JOIN t2 USING (doc_id)
+    """,
+)
+def q395_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X325 — T5-STYLE SPAN CORRUPTION (Raffel et al. 2020 §3.1.4): the
+    denoising-pretraining transform — ~15% of token positions masked by
+    a DETERMINISTIC public hash (first md5 byte of doc_id:pos < 38),
+    adjacent masked positions merged into numbered sentinel spans, the
+    corrupted input keeping <Xn> where each span was and the target
+    sequence carrying <Xn> + the removed tokens. Seeded-by-hash means
+    the augmentation is reproducible across reruns AND engines — both
+    sides build byte-identical corrupted/target strings (compared by
+    md5), the property that makes augmented corpora cacheable and
+    auditable instead of RNG-dependent. Docs with no masked position
+    drop out (inner join), matching the trainer convention of skipping
+    unmasked examples.
+
+    Plan: posexplode → hash flag → gaps-and-islands (pos − rank) for
+    span merge → two ordered reassemblies via array_sort(collect_list)
+    (DuckDB mirrors with ORDER BY string_agg). One shuffle on doc_id
+    feeds every window; reassembly reuses the same clustering.
+
+    Scale: everything is per-document; the shuffle carries (doc, pos,
+    token) — linear in corpus tokens, the same transport as the gram
+    family with `_spread` available for single-split corpora."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(F.col("text"))).alias("pos", "tok"),
+    )
+    flagged = toks.select(
+        "doc_id",
+        "tok",
+        F.col("pos").cast("long").alias("pos"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("pos").cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < 38
+        ).alias("masked"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    m = flagged.filter("masked").withColumn(
+        "grp", F.col("pos") - F.row_number().over(wdoc)
+    )
+    spans = m.select(
+        "doc_id",
+        "tok",
+        "pos",
+        (
+            F.dense_rank().over(Window.partitionBy("doc_id").orderBy("grp"))
+            - 1
+        ).alias("span_id"),
+        F.min("pos")
+        .over(Window.partitionBy("doc_id", "grp"))
+        .alias("span_start"),
+    )
+    corrupted_pieces = flagged.filter(~F.col("masked")).select(
+        "doc_id", "pos", F.col("tok").alias("piece")
+    ).unionByName(
+        spans.filter(F.col("pos") == F.col("span_start")).select(
+            "doc_id",
+            "pos",
+            F.concat(
+                F.lit("<X"), F.col("span_id").cast("string"), F.lit(">")
+            ).alias("piece"),
+        )
+    )
+    target_pieces = spans.select(
+        "doc_id",
+        "pos",
+        "span_start",
+        F.when(
+            F.col("pos") == F.col("span_start"),
+            F.concat(
+                F.lit("<X"),
+                F.col("span_id").cast("string"),
+                F.lit("> "),
+                F.col("tok"),
+            ),
+        )
+        .otherwise(F.col("tok"))
+        .alias("piece"),
+    )
+
+    def _joined(df):
+        return F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "piece"))
+                    ),
+                    lambda s: s.piece,
+                ),
+                " ",
+            )
+        )
+
+    c = corrupted_pieces.groupBy("doc_id").agg(
+        _joined(None).alias("corrupted_md5")
+    )
+    t2 = target_pieces.groupBy("doc_id").agg(
+        _joined(None).alias("targets_md5"),
+        F.count(F.lit(1)).cast("long").alias("n_masked"),
+        F.countDistinct("span_start").cast("long").alias("n_spans"),
+    )
+    return c.join(t2, "doc_id").select(
+        "doc_id", "corrupted_md5", "targets_md5", "n_spans", "n_masked"
+    )
+
+
+@register(
+    "q396_kneser_ney_logprob",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross join: attaching the "
+        "distinct-bigram-count scalar for the continuation term (same "
+        "shape as q347's vocabulary scalar)"
+    ),
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, tk FROM toks WHERE len(tk) > 0
+    ), big AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(tk) + 1),
+               i -> struct_pack(
+                 p := CASE WHEN i = 1 THEN '<s>' ELSE tk[i - 1] END,
+                 c := tk[i]))) AS pc
+      FROM nz
+    ), b AS (
+      SELECT doc_id, pc.p AS p, pc.c AS c FROM big
+    ), mb AS (
+      SELECT p, c, COUNT(*) AS cb FROM b GROUP BY p, c
+    ), mp AS (
+      SELECT p, SUM(cb) AS cp, COUNT(*) AS fanout FROM mb GROUP BY p
+    ), cont AS (
+      SELECT c, COUNT(*) AS n_left FROM mb GROUP BY c
+    ), tot AS (
+      SELECT COUNT(*) AS n_bigram_types FROM mb
+    ), scored AS (
+      SELECT b.doc_id, COUNT(*) AS n_tokens,
+             SUM(ln((mb.cb - 0.75) / mp.cp
+                    + (0.75 * mp.fanout / mp.cp)
+                      * (CAST(cont.n_left AS DOUBLE) / tot.n_bigram_types)))
+               AS lp
+      FROM b
+      JOIN mb USING (p, c) JOIN mp USING (p) JOIN cont USING (c)
+      CROSS JOIN tot
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(lp / n_tokens, 6) AS avg_kn_logprob
+    FROM scored
+    """,
+)
+def q396_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X326 — interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.3) — the differentiated twin of q347's
+    add-one model (its docstring is this one's anchor): instead of
+    uniform +1 smoothing, absolute discounting D=0.75 with the mass
+    redistributed by CONTINUATION probability — how many distinct
+    contexts a word follows (n_left/|bigram types|), the correction
+    that stops frequent-but-context-locked words ("francisco") from
+    stealing probability. This is the actual KenLM default smoother,
+    i.e. what a quality-filter LM scores with in production pipelines.
+
+    Every count (cb, cp, fanout = N1+(p·), n_left = N1+(·c),
+    |bigram types|) is an exact int64 relational aggregate; the model
+    is self-fit so every scored bigram has cb ≥ 1 and the discounted
+    term stays positive (cb − 0.75 > 0) — no backoff branch needed.
+    Per-doc mean log-prob follows q347's rounding convention.
+
+    Plan: identical transport to q347 — row-local bigram construction,
+    hash-agg model on (p, c), the context/continuation rollups derive
+    from the (p, c) model relation (bounded by |bigram types|, NOT the
+    corpus), scoring joins the token stream to the model on (p, c).
+
+    Scale: one corpus-linear shuffle on (p, c) plus model-sized
+    rollups; the continuation statistics are free once mb exists."""
+    docs = load(spark, sf_dir, "documents")
+    nz = docs.select("doc_id", tokenize(F.col("text")).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    b = nz.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk")),
+                lambda i: F.struct(
+                    F.when(i == 1, F.lit("<s>"))
+                    .otherwise(F.element_at(F.col("tk"), i - 1))
+                    .alias("p"),
+                    F.element_at(F.col("tk"), i).alias("c"),
+                ),
+            )
+        ).alias("pc"),
+    ).select("doc_id", F.col("pc.p").alias("p"), F.col("pc.c").alias("c"))
+    mb = b.groupBy("p", "c").agg(F.count(F.lit(1)).alias("cb"))
+    mp = mb.groupBy("p").agg(
+        F.sum("cb").alias("cp"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = mb.groupBy("c").agg(F.count(F.lit(1)).alias("n_left"))
+    tot = mb.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    prob = (
+        (F.col("cb") - 0.75) / F.col("cp")
+        + (0.75 * F.col("fanout") / F.col("cp"))
+        * (
+            F.col("n_left").cast("double")
+            / F.col("n_bigram_types")
+        )
+    )
+    scored = (
+        b.join(mb, ["p", "c"])
+        .join(mp, "p")
+        .join(cont, "c")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(prob)).alias("lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("lp") / F.col("n_tokens"), 6).alias("avg_kn_logprob"),
+    )
