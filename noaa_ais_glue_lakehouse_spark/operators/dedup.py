@@ -1270,3 +1270,126 @@ def minhash_near_duplicates_portable(
     return out.select(
         "id_a", "id_b", F.round(jacc, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_contamination_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_pred,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """ASYMMETRIC portable-minhash screen: corpus docs whose Jaccard
+    similarity to ANY document satisfying ``bench_pred`` (the held-out
+    benchmark set) reaches ``threshold`` — FUZZY decontamination, the
+    paraphrase-robust complement of the exact 8-gram screens (q83/q247
+    catch verbatim spans; a lightly-reworded eval item shares few
+    8-grams but keeps a high token-Jaccard, which this catches).
+
+    Same portable md5 construction as
+    :func:`minhash_near_duplicates_portable` (60-bit shingle hashes,
+    (a·x+b) mod 2³¹−1 slots), but the band join is corpus×bench instead
+    of self: the bench side is benchmark-sized, so at scale it
+    BROADCASTS and the corpus never shuffles — the q83 asymmetry
+    argument applied to LSH. Candidates dedupe with a plain distinct
+    (bounded by |bench|·|corpus hits|, cheap on the asymmetric join);
+    the verify is the exact hashed-shingle-set Jaccard, so the output —
+    per contaminated corpus doc, how many bench docs it matches and the
+    max Jaccard — is hash-checkable end-to-end.
+
+    Returns ``(id_col, n_bench_matches, max_jaccard)``.
+    """
+    p = MINHASH_PORTABLE_P
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    shingle = _shingle_expr(text_col, False, 0)
+    exploded = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(shingle).alias("_s"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h60"),
+        )
+        .withColumn("_hp", F.col("_h60") % p)
+    )
+    aggs = [
+        F.min((F.col("_hp") * F.lit(a) + F.lit(b)) % p).alias(f"_h{i}")
+        for i, (a, b) in enumerate(minhash_portable_slot_consts(num_hashes))
+    ]
+    aggs.append(F.collect_set(F.col("_h60")).alias("_sh"))
+    feats = exploded.groupBy(id_col).agg(*aggs).withColumn(
+        "_n", F.size("_sh")
+    )
+    bench = feats.filter(bench_pred)
+    corpus = feats.filter(~bench_pred)
+
+    def banded(side: DataFrame, tag: str) -> DataFrame:
+        return side.select(
+            F.col(id_col).alias(f"id_{tag}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"_h{bi * r + j}").cast("string")
+                                    for j in range(r)
+                                ],
+                            ).alias("key"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("_b"),
+        ).select(f"id_{tag}", "_b.band", "_b.key")
+    cand = (
+        banded(corpus, "a")
+        .join(F.broadcast(banded(bench, "b")), ["band", "key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = feats.select(F.col(id_col), "_sh", "_n")
+    t10 = int(threshold * 10)
+    sized = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_sh").alias("_sha"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sets.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_sh").alias("_shb"),
+                    F.col("_n").alias("_nb"),
+                )
+            ),
+            "id_b",
+        )
+        .filter(
+            F.least("_na", "_nb") * 10 >= F.greatest("_na", "_nb") * t10
+        )
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    jac = F.round(
+        inter.cast("double") / (F.col("_na") + F.col("_nb") - inter), 6
+    )
+    return (
+        sized.select("id_a", "id_b", jac.alias("_j"))
+        .filter(F.col("_j") >= threshold)
+        .groupBy(F.col("id_a").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
+            F.max("_j").alias("max_jaccard"),
+        )
+    )

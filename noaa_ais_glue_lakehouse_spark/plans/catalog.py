@@ -24713,3 +24713,453 @@ def q396_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("lp") / F.col("n_tokens"), 6).alias("avg_kn_logprob"),
     )
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    """Bounded-hop BFS oracle over the winnowing dup graph — chained
+    CTEs (the _cc_oracle move), one relaxation per hop: dist' =
+    min(dist, 1 + min over in-neighbors' dist). Exact for nodes within
+    ``rounds`` hops of a seed; farther nodes are absent BY CONTRACT on
+    both engines, so the row-count gate catches a short engine loop."""
+    ctes = [
+        f"p AS MATERIALIZED ({_WINNOW_PAIRS_SQL})",
+        "edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p"
+        " UNION ALL SELECT id_b, id_a FROM p)",
+        "d0 AS (SELECT DISTINCT src AS node, 0 AS hop FROM edges"
+        " WHERE src % 50 = 0)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""d{k} AS (
+      SELECT node, MIN(hop) AS hop FROM (
+        SELECT node, hop FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.hop + 1 AS hop
+        FROM d{k - 1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS doc_id, CAST(hop AS BIGINT) AS hop
+    FROM d{rounds}"""
+    )
+
+
+@register(
+    "q397_bfs_hops",
+    build_time_exec=(
+        "driver-side work at plan-build time; plan pinned by its own "
+        "recall/oracle tests (winnowing pair generation, q62's input)"
+    ),
+    oracle=_bfs_oracle(4),
+)
+def q397_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X327 — bounded-hop BFS DISTANCES from a seed set over the dup
+    graph: how many hops each document sits from a seed (doc_id % 50
+    == 0 among graph nodes), capped at 4 hops. Complements the
+    component family (q62 tells you WHICH group; this tells you HOW
+    FAR — the contamination-propagation question "is this doc within k
+    near-dup hops of a benchmark/blocklisted doc?" that transitive
+    blocklists and leakage audits ask). Fixed-iteration relational BFS:
+    each round is union + min-rollup (the q179 pagerank shape), so the
+    4-round plan is Catalyst-composed with no driver convergence loop;
+    the oracle runs the identical relaxation as chained CTEs.
+
+    Scale: each round shuffles (node, hop) — frontier-sized, bounded by
+    |graph nodes|, with map-side min-combine; the edge relation is the
+    winnowing pair stream (q61's exact contract; swap q343's df-capped
+    pairs for the production path at corpus scale)."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = winnow_near_duplicates(
+        docs, "doc_id", "text", 8, 4, min_shared=10
+    ).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    dist = (
+        edges.select("src")
+        .distinct()
+        .filter(F.col("src") % 50 == 0)
+        .select(F.col("src").alias("node"), F.lit(0).alias("hop"))
+    )
+    for _ in range(4):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return dist.select(
+        F.col("node").alias("doc_id"), F.col("hop").cast("long").alias("hop")
+    )
+
+
+@register(
+    "q398_randomized_response",
+    oracle="""
+    WITH rr AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
+             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) AS h1,
+             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 3, 2))
+                  AS BIGINT) % 2 AS coin
+      FROM events
+    ), reported AS (
+      SELECT day, truth,
+             CASE WHEN h1 < 64 THEN coin ELSE truth END AS reported
+      FROM rr
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(reported) AS BIGINT) AS n_reported,
+           ROUND((CAST(SUM(reported) AS DOUBLE) / COUNT(*) - 0.25 * 0.5)
+                 / 0.75, 6) AS pi_hat,
+           ROUND(CAST(SUM(truth) AS DOUBLE) / COUNT(*), 6) AS pi_true
+    FROM reported
+    GROUP BY day
+    """,
+)
+def q398_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X328 — RANDOMIZED RESPONSE (Warner 1965) local-DP telemetry: each
+    event reports its sensitive bit truthfully with probability 1−f and
+    a fair coin with probability f=0.25 (ε = ln((1−f/2)/(f/2)) ≈ 1.95
+    local DP), then the per-day rate is DEBIASED by the closed form
+    π̂ = (obs − f/2)/(1−f) — the aggregate-utility-from-private-reports
+    pattern (RAPPOR's core mechanism). Complements the central-DP
+    Laplace release (q196): there noise is added at the aggregator;
+    here each ROW is privatized before collection. The flip decisions
+    are hash-seeded (md5 bytes of event_id), so the "randomization" is
+    reproducible across engines and the debiased estimate itself is
+    hash-checked against the true rate emitted alongside.
+
+    Scale: row-local projection + one day-grained aggregate; nothing
+    but counts crosses the shuffle."""
+    ev = load(spark, sf_dir, "events")
+    md = F.md5(F.col("event_id").cast("string"))
+    rr = ev.select(
+        F.to_date("ts").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "truth"
+        ),
+        F.conv(F.substring(md, 1, 2), 16, 10).cast("long").alias("h1"),
+        (F.conv(F.substring(md, 3, 2), 16, 10).cast("long") % 2).alias(
+            "coin"
+        ),
+    )
+    reported = rr.select(
+        "day",
+        "truth",
+        F.when(F.col("h1") < 64, F.col("coin"))
+        .otherwise(F.col("truth"))
+        .alias("reported"),
+    )
+    return reported.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("reported").cast("long").alias("n_reported"),
+        F.round(
+            (F.sum("reported").cast("double") / F.count(F.lit(1)) - 0.25 * 0.5)
+            / 0.75,
+            6,
+        ).alias("pi_hat"),
+        F.round(F.sum("truth").cast("double") / F.count(F.lit(1)), 6).alias(
+            "pi_true"
+        ),
+    )
+
+
+def _minhash_contamination_oracle(
+    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8,
+    bench_mod: int = 37,
+) -> str:
+    """Asymmetric mirror of _minhash_portable_oracle: identical shingle
+    hashes, slot family and per-band equality, but candidates come from
+    the corpus×benchmark join (bench = doc_id % bench_mod = 0) and the
+    output aggregates per contaminated corpus doc."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        minhash_portable_slot_consts,
+    )
+
+    p = 2147483647
+    r = num_hashes // bands
+    consts = minhash_portable_slot_consts(num_hashes)
+    sig_cols = ",\n             ".join(
+        f"MIN((hp * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_eq = " OR\n        ".join(
+        "("
+        + " AND ".join(f"a.h{bi * r + j} = b.h{bi * r + j}" for j in range(r))
+        + ")"
+        for bi in range(bands)
+    )
+    t10 = int(threshold * 10)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h60
+      FROM (SELECT doc_id, UNNEST(tk) AS tok FROM toks)
+    ), hp AS (
+      SELECT doc_id, h60, h60 % {p} AS hp FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hp GROUP BY doc_id
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.doc_id % {bench_mod} <> 0 AND b.doc_id % {bench_mod} = 0 AND (
+        {band_eq})
+    ), sized AS (
+      SELECT c.id_a, c.id_b, sa.n AS na, sb.n AS nb
+      FROM cand c
+      JOIN sz sa ON sa.doc_id = c.id_a
+      JOIN sz sb ON sb.doc_id = c.id_b
+      WHERE LEAST(sa.n, sb.n) * 10 >= GREATEST(sa.n, sb.n) * {t10}
+    ), inter AS (
+      SELECT s.id_a, s.id_b, s.na, s.nb, COUNT(*) AS i
+      FROM sized s
+      JOIN sh a ON a.doc_id = s.id_a
+      JOIN sh b ON b.doc_id = s.id_b AND b.h60 = a.h60
+      GROUP BY s.id_a, s.id_b, s.na, s.nb
+    ), verified AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS j
+      FROM inter
+      WHERE ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) >= {threshold}
+    )
+    SELECT id_a AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           MAX(j) AS max_jaccard
+    FROM verified GROUP BY id_a
+    """
+
+
+@register(
+    "q399_fuzzy_decontamination",
+    oracle=_minhash_contamination_oracle(),
+)
+def q399_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X329 — FUZZY benchmark decontamination via asymmetric portable
+    minhash-LSH: corpus docs within Jaccard 0.5 of ANY held-out
+    benchmark doc (doc_id % 37 here), with match count and max
+    similarity per flagged doc. The paraphrase-robust complement of the
+    exact 8-gram screens — q83/q247 catch verbatim spans, but a lightly
+    reworded eval item shares few 8-grams while keeping high
+    token-Jaccard (the contamination mode GPT-3's Appendix C and the
+    Llama decontamination notes both flag); near-dup-level screens are
+    what serious pipelines run IN ADDITION to exact ones. Every stage —
+    shingle hashes, slot family, banding, candidate set, exact
+    set-Jaccard verify — is the q383 portable family, so the whole
+    asymmetric pipeline is hash-checked.
+
+    Scale: the benchmark side is eval-suite-sized → its banded
+    signatures BROADCAST and the corpus never shuffles for candidate
+    generation (q83's asymmetry argument applied to LSH); the verify is
+    |candidates|-bounded. operators/dedup.py
+    minhash_contamination_portable."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        minhash_contamination_portable,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_contamination_portable(
+        docs, "doc_id", "text", F.col("doc_id") % 37 == 0, threshold=0.5
+    )
+
+
+def _ivf_adc_bucket_expr(elem: str, n_planes: int = 6, dim: int = 64) -> str:
+    """Coarse-quantizer bucket as IDENTICAL text for both engines: bit j
+    = (explicit left-to-right ±1 dot of plane j with the vector) >= 0,
+    packed into an integer. Planes are q384's portable Rademacher
+    family (table 0)."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        portable_hyperplane_signs,
+    )
+
+    signs = portable_hyperplane_signs(1, n_planes, dim)[0]
+    bits = []
+    for j in range(n_planes):
+        dot = " + ".join(
+            f"{elem.format(i=d + 1)} * ({float(signs[j][d])})"
+            for d in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _ivf_adc_dist_expr(elem: str) -> str:
+    """Subspace squared distance (vector slice vs codebook row columns
+    c1..c8) as identical text; `s` and `c1..c8` are relation columns."""
+    return " + ".join(
+        f"({elem.format(i=f'(s * 8 + {d + 1})')} - c{d + 1})"
+        f" * ({elem.format(i=f'(s * 8 + {d + 1})')} - c{d + 1})"
+        for d in range(8)
+    )
+
+
+def _ivf_adc_codebook_values() -> str:
+    """The q394 PQ codebook as a VALUES relation (s, k, c1..c8)."""
+    cb = _pq_codebook()
+    rows = ", ".join(
+        f"({s}, {k}, {', '.join(str(v) for v in cb[s][k])})"
+        for s in range(_PQ_M)
+        for k in range(_PQ_K)
+    )
+    return rows
+
+
+def _ivf_adc_oracle(query_mod: int = 17, topk: int = 10) -> str:
+    bucket = _ivf_adc_bucket_expr("CAST(embedding[{i}] AS DOUBLE)")
+    dist = _ivf_adc_dist_expr("CAST(e.embedding[{i}] AS DOUBLE)")
+    return f"""
+    WITH cb (s, k, c1, c2, c3, c4, c5, c6, c7, c8) AS (
+      VALUES {_ivf_adc_codebook_values()}
+    ), v AS (
+      SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings
+    ), pd AS (
+      SELECT e.vec_id, cb.s, cb.k, {dist} AS d2
+      FROM v e CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, s, k FROM (
+        SELECT vec_id, s, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, k) AS rn
+        FROM pd
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT vec_id AS q_id, s, k,
+             CAST(FLOOR(d2 * 1000000) AS BIGINT) AS d2_e6
+      FROM pd WHERE vec_id % {query_mod} = 0
+    ), cand AS (
+      SELECT q.vec_id AS q_id, x.vec_id AS x_id
+      FROM v q JOIN v x ON x.bkt = q.bkt AND x.vec_id <> q.vec_id
+      WHERE q.vec_id % {query_mod} = 0
+    ), adc AS (
+      SELECT c.q_id, c.x_id, SUM(l.d2_e6) AS adc_e6
+      FROM cand c
+      JOIN codes cd ON cd.vec_id = c.x_id
+      JOIN lut l ON l.q_id = c.q_id AND l.s = cd.s AND l.k = cd.k
+      GROUP BY c.q_id, c.x_id
+    )
+    SELECT q_id, x_id, CAST(adc_e6 AS BIGINT) AS adc_e6,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT q_id, x_id, adc_e6,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc_e6, x_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {topk}
+    """
+
+
+@register(
+    "q400_ivf_adc_portable",
+    allow_non_equi=(
+        "deliberate bounded cross join of vectors with the 64-row "
+        "broadcast PQ codebook relation (per-subspace distance "
+        "evaluation) - group-cardinality, never row-level"
+    ),
+    oracle=_ivf_adc_oracle(),
+)
+def q400_ivf_adc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X330 — the FULL ANN SERVING STACK, hash-checked end to end:
+    IVF-ADC (FAISS's IVFADC layout, Jégou et al. 2011) with a portable
+    coarse quantizer (q384's Rademacher hyperplanes → 64 inverted
+    lists) over PQ-compressed base vectors (q394's codebook), queried
+    by ASYMMETRIC DISTANCE COMPUTATION: each query precomputes its
+    8×8 subspace-distance LUT once, then every candidate's distance is
+    8 integer LUT lookups summed — never touching the base vectors.
+    Top-10 per query by (ADC, id). Composes the round's portable
+    anchors into the actual serving topology: coarse bucketing bounds
+    candidates (probed-list-sized), PQ codes shrink the index 85×, the
+    LUT join replaces all float math at query time. LUT entries are
+    floored to integer micro-units BEFORE summation so the ADC total is
+    order-free on both engines.
+
+    Plan: codebook (64 rows) and query LUTs broadcast; the base-side
+    code assignment is one broadcast-join + min-struct rollup (shuffle
+    on (vec, s), map-side combinable); candidates come from the
+    bucket equi-join; the ADC join touches |candidates|×8 rows.
+
+    Scale: at corpus size the coarse quantizer grows like q344
+    (planes ~ log2 n → lists ~ n, candidates/query bounded); the ADC
+    path is the memory-bound layout real serving uses — this query is
+    the correctness anchor for it (q55's IVF is the measured scale
+    probe)."""
+    from pyspark.sql import Row
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb_rows = [
+        Row(s=s, k=k, **{f"c{d+1}": float(v) for d, v in enumerate(_pq_codebook()[s][k])})
+        for s in range(_PQ_M)
+        for k in range(_PQ_K)
+    ]
+    cb = spark.createDataFrame(cb_rows)
+    bucket = F.expr(
+        _ivf_adc_bucket_expr("CAST(element_at(embedding, {i}) AS DOUBLE)")
+    )
+    v = emb.select("vec_id", "embedding", bucket.alias("bkt"))
+    dist = F.expr(
+        _ivf_adc_dist_expr(
+            "CAST(element_at(e.embedding, CAST({i} AS INT)) AS DOUBLE)"
+        )
+    )
+    pd = v.alias("e").crossJoin(F.broadcast(cb)).select(
+        F.col("e.vec_id").alias("vec_id"), "s", "k", dist.alias("d2")
+    )
+    codes = (
+        pd.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "k")).alias("m"))
+        .select("vec_id", "s", F.col("m.k").alias("k"))
+    )
+    lut = pd.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        "s",
+        "k",
+        F.floor(F.col("d2") * 1000000).cast("long").alias("d2_e6"),
+    )
+    q = v.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("bkt")
+    )
+    cand = q.join(
+        v.select(F.col("vec_id").alias("x_id"), "bkt"), "bkt"
+    ).filter(F.col("x_id") != F.col("q_id")).select("q_id", "x_id")
+    adc = (
+        cand.join(
+            codes.select(F.col("vec_id").alias("x_id"), "s", "k"), "x_id"
+        )
+        .join(F.broadcast(lut), ["q_id", "s", "k"])
+        .groupBy("q_id", "x_id")
+        .agg(F.sum("d2_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_e6", "x_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "q_id",
+            "x_id",
+            F.col("adc_e6").cast("long").alias("adc_e6"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
