@@ -160,6 +160,35 @@ SHOWCASE = {
         "two-phase aggregate; the concordant/discordant pair join is a "
         "broadcast over the bounded cell relation.",
     ),
+    "q390_tpch_q2_min_cost_supplier": (
+        r"Join|Exchange|Window|HashAggregate",
+        "TPC-H Q2's correlated scalar subquery decorrelated: the "
+        "region-filtered supplier side BROADCASTS, the (part, supplier) "
+        "cost rollup partial-aggregates map-side, and the per-part MIN "
+        "is a window over the part-clustered join output — one shuffle "
+        "on the fact side total.",
+    ),
+    "q394_product_quantization_portable": (
+        r"Scan|project|WholeStageCodegen|Exchange",
+        "PQ assignment is a PURE row-local projection — 64 distance "
+        "expressions inside one WholeStageCodegen span, ZERO exchanges; "
+        "the compression pass stays scan-bound at any scale.",
+    ),
+    "q399_fuzzy_decontamination": (
+        r"Join|Exchange|HashAggregate|Broadcast",
+        "Asymmetric LSH: the benchmark side's banded signatures "
+        "BROADCAST (eval suites are KBs), so corpus candidate "
+        "generation never shuffles the corpus; the exact-Jaccard "
+        "verify touches |candidates| rows only.",
+    ),
+    "q400_ivf_adc_portable": (
+        r"Join|Exchange|HashAggregate|Broadcast|Window",
+        "IVF-ADC serving topology: the 64-row codebook and the per-query "
+        "LUTs broadcast; base-code assignment is one map-side-combinable "
+        "min-struct rollup; candidates come from the coarse-bucket "
+        "equi-join and the ADC join is integer LUT lookups — no float "
+        "math and no base-vector bytes at query time.",
+    ),
 }
 
 
