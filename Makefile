@@ -42,6 +42,7 @@ scaling:
 	  q347_bigram_logprob q349_ngram_novelty q372_ngram_novelty_hashed \
 	  q357_stop_detection q359_grid_dbscan_clusters q363_cpa_screening \
 	  q369_containment_pairs cosine085_auto_geometry \
+	  cosine085_saturated_geometry \
 	  cc_on_capped_pairs q381_knn_adaptive_radius \
 	  q33_ann_lsh_topk q55_ivf_topk q64_cosine_dup_cluster \
 	  q383_minhash_portable q214_triangle_count q179_event_type_pagerank \

@@ -117,6 +117,17 @@ def lsh_geometry_for(
     near-quadratic there); the DEDUP regime (t ≥ 0.8) sizes cleanly
     (e.g. t=0.85, n=50k → (8, 10)).
 
+    Round-7 bound: the same walk-down implies LSH linearity has an
+    UPPER BOUND in n, not only the threshold bound below. At
+    (t, recall, max_tables) the largest feasible b is fixed (e.g. b=10
+    at t=0.85/recall 0.9/L≤16, reached by n ≈ 2·10⁵), so for larger
+    corpora the bucket size grows ~n/2^b and the candidate term turns
+    quadratic at ANY threshold. Past that n*, the production
+    cosine-dedup paths are IVF (q55) and clustered SemDeDup (q64) —
+    both decade-measured sub-linear; this function's regime is n ≤ n*.
+    (`cosine085_saturated_geometry` in tools/scale_probe.py documents
+    the post-saturation regime empirically.)
+
     ``max_tables`` is 16, not the recall integral's asymptote, because
     table count is ALSO a per-candidate cost, not just a recall knob:
     the first-agreeing-table dedup guard in

@@ -23148,12 +23148,24 @@ def q381_knn_adaptive_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r",
         )
     )
-    q = pts.crossJoin(F.broadcast(rr)).select(
-        "event_id",
-        "lat",
-        "lon",
-        F.floor(F.col("lat") / F.col("r")).alias("cy"),
-        F.floor(F.col("lon") / F.col("r")).alias("cx"),
+    # Repartition the POINT side by cell BEFORE the broadcast join: the
+    # broadcast hash join preserves this partitioning, and the ranking
+    # window below declares (cy, cx, event_id) — a superset of the hash
+    # keys — so Catalyst reuses THIS exchange instead of shuffling the
+    # ~k-per-point CANDIDATE stream (the candidate exchange was the
+    # dominant super-constant at decade-B; points are 1/k the rows).
+    # Each event has exactly one (cy, cx), so per-(cy, cx, event_id)
+    # ranks equal per-event ranks.
+    q = (
+        pts.crossJoin(F.broadcast(rr))
+        .select(
+            "event_id",
+            "lat",
+            "lon",
+            F.floor(F.col("lat") / F.col("r")).alias("cy"),
+            F.floor(F.col("lon") / F.col("r")).alias("cx"),
+        )
+        .repartition(F.col("cy"), F.col("cx"))
     )
     dist2 = (F.col("lat") - F.col("rlat")) * (F.col("lat") - F.col("rlat")) + (
         F.col("lon") - F.col("rlon")
@@ -23161,10 +23173,14 @@ def q381_knn_adaptive_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         q.join(F.broadcast(rc), ["cy", "cx"])
         .filter(F.col("event_id") != F.col("ref_id"))
-        .select("event_id", "ref_id", dist2.alias("dist2"), "r")
+        .select(
+            "cy", "cx", "event_id", "ref_id", dist2.alias("dist2"), "r"
+        )
         .filter(F.col("dist2") <= F.col("r") * F.col("r"))
     )
-    w = Window.partitionBy("event_id").orderBy("dist2", "ref_id")
+    w = Window.partitionBy("cy", "cx", "event_id").orderBy(
+        "dist2", "ref_id"
+    )
     return (
         cand.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= 3)

@@ -18,6 +18,16 @@ Probes deliberately NOT budgeted (documented worst cases, not claims):
                                   IVF (q55) / clustered SemDeDup (q64).
   cosine085_fixed_geometry      — fixed-geometry LSH, measured 1.83-1.88;
                                   retired from production paths in round 6
+  cosine085_auto_geometry       — measures the L(n) geometry TRANSITION
+                                  (tables 5→8 across the 8k→20k probe
+                                  sizes).
+  cosine085_saturated_geometry  — the pinned (10, 15) endpoint of the
+                                  walk-down: for n beyond n* ≈ 2e5 at
+                                  (t=0.85, recall 0.9, L≤16) buckets
+                                  grow ~n/1024, so LSH linearity has a
+                                  measured UPPER BOUND in n; the
+                                  budgeted scale paths past n* are
+                                  q55 IVF / q64 clustered.
   q61_winnow_near_dups          — exact contract, gram-space saturation
   q171_jaccard_prefix_filter    — exact contract, flat-vocab worst case
 Their escapes (q343 df-cap, auto geometry at dedup thresholds, q27
@@ -45,7 +55,15 @@ BUDGETS = {
     "q359_grid_dbscan_clusters": 1.2,
     "q363_cpa_screening": 1.2,
     "q369_containment_pairs": 1.25,  # measured 1.02 at the linear floor
-    "cosine085_auto_geometry": 1.2,
+    # No cosine085 LSH probe is budgeted (round 7): the recall-vs-tables
+    # walk-down pins b at 10 for every n >= ~2e5 at (t=0.85, recall 0.9,
+    # L<=16), so beyond that n* the bucket size grows ~n/1024 and
+    # hyperplane LSH EXITS its linear regime at ANY threshold — the
+    # round-6 "t<0.5 is infeasible" finding generalized to an n-bound.
+    # The budgeted cosine-dedup scale paths past n* are q55 (IVF) and
+    # q64 (clustered SemDeDup), both measured sub-linear below; the two
+    # cosine085 probes stay in the probe list as documented records of
+    # the transition (auto) and post-saturation (saturated) regimes.
     "cc_on_capped_pairs": 1.2,  # CC isolated from its pair generator
     # Round 7: re-measured under the A4->B protocol (scale_probe re-bases
     # sub-3s A walls on the 4x corpus so both walls sit above Spark's

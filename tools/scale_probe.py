@@ -75,6 +75,24 @@ def _extra_probes():
             emb, 64, "vec_id", "embedding", threshold=0.85, auto_geometry=True
         )
 
+    def saturated(spark, d):
+        # the walk-down's ENDPOINT: lsh_geometry_for emits (10 planes,
+        # 15 tables) for every n >= ~2e5 at (t=0.85, recall 0.9, L<=16)
+        # because more planes would need L > 16 tables to hold recall.
+        # Pinned here at both scales, this probe documents the
+        # POST-SATURATION regime: bucket size grows ~n/1024, so the
+        # candidate term is quadratic and the measured exponent climbs
+        # with n (1.1-1.3 at these sizes, ->2 asymptotically). LSH
+        # linearity therefore has an n-UPPER-BOUND, not just the
+        # round-6 threshold bound; past n* the production cosine-dedup
+        # paths are q55 IVF / q64 clustered (budgeted). Unbudgeted by
+        # design — a documented record, like fixed_geometry.
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return cosine_near_duplicates(
+            emb, 64, "vec_id", "embedding", threshold=0.85,
+            n_planes=10, n_tables=15,
+        )
+
     def cc_capped(spark, d):
         # CC in ISOLATION from the pair generator's own scaling: q62
         # measured 1.53 but consumes q61's documented-quadratic candidate
@@ -93,6 +111,7 @@ def _extra_probes():
     return {
         "cosine085_fixed_geometry": fixed,
         "cosine085_auto_geometry": auto,
+        "cosine085_saturated_geometry": saturated,
         "cc_on_capped_pairs": cc_capped,
     }
 
