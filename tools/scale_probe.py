@@ -200,15 +200,22 @@ def main() -> None:
             out[name]["rows_a4"] = rows_a4
             out[name]["protocol"] = "A4->B (A wall below 3s overhead floor)"
         if with_c:
-            tc, rows_c = _run(name, dir_c)
-            out[name]["t_c_sec"] = round(tc, 2)
-            out[name]["rows_c"] = rows_c
-            out[name]["exponent_bc"] = round(math.log10(tc / tb), 2)
+            # one probe's C-pass failure (e.g. spill disk exhaustion on a
+            # corpus-artifact quadratic) must not kill the whole artifact
+            try:
+                tc, rows_c = _run(name, dir_c)
+                out[name]["t_c_sec"] = round(tc, 2)
+                out[name]["rows_c"] = rows_c
+                out[name]["exponent_bc"] = round(math.log10(tc / tb), 2)
+            except Exception as exc:  # noqa: BLE001 - record and move on
+                out[name]["c_error"] = str(exc).splitlines()[0][:200]
+                print(f"# {name}: scaleC FAILED: {out[name]['c_error']}",
+                      file=sys.stderr, flush=True)
         base = f"A4 {ta4:.2f}s" if ta4 is not None else f"A {ta:.2f}s"
         seg_c = (
             f", C {out[name]['t_c_sec']}s exponent_bc "
             f"{out[name]['exponent_bc']}"
-            if with_c
+            if with_c and "t_c_sec" in out[name]
             else ""
         )
         print(f"# {name}: A {ta:.2f}s/{rows_a} rows ({base}) -> "
