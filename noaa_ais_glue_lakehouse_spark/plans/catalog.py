@@ -25179,3 +25179,449 @@ def q400_ivf_adc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def _pq_code_oracle_cte() -> str:
+    """Shared oracle CTE: per-vector per-subspace PQ code assignment
+    (q394's construction, reused by the audit queries)."""
+    dists, codes, _ = _pq_exprs("CAST(embedding[{i}] AS DOUBLE)")
+    dist_sql = ",\n             ".join(f"{t} AS {n}" for n, t in dists)
+    code_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, ({codes[s]}) AS k FROM d"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH d AS (
+      SELECT vec_id,
+             {dist_sql}
+      FROM embeddings
+    ), assign AS (
+      {code_rows}
+    )"""
+
+
+@register(
+    "q401_pq_codebook_balance",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross join attaching the "
+        "corpus-size scalar to the per-subspace rollup - "
+        "group-cardinality, never row-level"
+    ),
+    oracle=_pq_code_oracle_cte()
+    + """
+    , cells AS (
+      SELECT s, k, COUNT(*) AS n FROM assign GROUP BY s, k
+    ), tot AS (SELECT COUNT(*) AS n_vec FROM embeddings)
+    SELECT s,
+           CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           ROUND(SUM(CAST(n AS DOUBLE) * n) * 8.0
+                 / (CAST(t.n_vec AS DOUBLE) * t.n_vec), 6)
+             AS imbalance_factor,
+           ROUND(-SUM((CAST(n AS DOUBLE) / t.n_vec)
+                      * ln(CAST(n AS DOUBLE) / t.n_vec)) / ln(8.0), 6)
+             AS utilization_entropy
+    FROM cells CROSS JOIN tot t
+    GROUP BY s, t.n_vec
+    """,
+)
+def q401_pq_codebook_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X331 — PQ CODEBOOK-BALANCE AUDIT: per subspace, how evenly the
+    corpus spreads over the 8 codes — codes used, largest cell, the
+    FAISS imbalance factor K·Σp² (1.0 = perfectly balanced, K = one
+    cell holds everything; quantizer-health metric served alongside
+    every FAISS index), and normalized utilization entropy. A skewed
+    subspace means its codebook wastes bits and ADC (q400) loses
+    resolution — this is the audit that tells you to retrain the
+    codebook (q318's k-means) on your corpus instead of shipping the
+    default. Assignment is q394's identical-text construction, so the
+    audit itself is hash-checked.
+
+    Scale: row-local assignment → one ≤64-cell rollup; the corpus is
+    touched once with zero joins on the big side."""
+    emb = load(spark, sf_dir, "embeddings")
+    dists, codes, _ = _pq_exprs(
+        "CAST(element_at(embedding, CAST({i} AS INT)) AS DOUBLE)"
+    )
+    d = emb.select("vec_id", *[F.expr(t).alias(n) for n, t in dists])
+    assign = None
+    for s in range(_PQ_M):
+        part = d.select(
+            "vec_id", F.lit(s).alias("s"), F.expr(codes[s]).alias("k")
+        )
+        assign = part if assign is None else assign.unionByName(part)
+    cells = assign.groupBy("s", "k").agg(F.count(F.lit(1)).alias("n"))
+    tot = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    p = F.col("n").cast("double") / F.col("n_vec")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("s", "n_vec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_codes_used"),
+            F.max("n").cast("long").alias("max_cell"),
+            F.round(
+                F.sum(F.col("n").cast("double") * F.col("n"))
+                * 8.0
+                / (F.col("n_vec").cast("double") * F.col("n_vec")),
+                6,
+            ).alias("imbalance_factor"),
+            F.round(
+                -F.sum(p * F.log(p)) / F.log(F.lit(8.0)), 6
+            ).alias("utilization_entropy"),
+        )
+        .select(
+            "s",
+            "n_codes_used",
+            "max_cell",
+            "imbalance_factor",
+            "utilization_entropy",
+        )
+    )
+
+
+# Poisson(1) CDF thresholds as shared literals (identical text in both
+# engines): weight w = first k with u < F(k), else 8.
+_POIS1_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119", "0.9999897508637437",
+)
+
+
+def _pois_weight_expr(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {f} THEN {k}" for k, f in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {cases} ELSE 8 END"
+
+
+@register(
+    "q402_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents,
+             r.r AS r,
+             {_pois_weight_expr(
+                 "CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)"
+                 " || ':' || CAST(r.r AS VARCHAR)), 1, 8)) AS BIGINT)"
+                 " / 4294967296.0")} AS w
+      FROM events
+      CROSS JOIN (SELECT UNNEST(range(0, 8)) AS r) r
+    ), rep_means AS (
+      SELECT day, r,
+             CAST(ROUND(CAST(SUM(w * v_cents) AS DOUBLE) / SUM(w))
+                  AS BIGINT) AS m_c
+      FROM reps GROUP BY day, r HAVING SUM(w) > 0
+    ), boot AS (
+      SELECT day, COUNT(*) AS nr, SUM(m_c) AS s1, SUM(m_c * m_c) AS s2
+      FROM rep_means GROUP BY day
+    ), pt AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sv
+      FROM events GROUP BY day
+    )
+    SELECT p.day, CAST(p.n AS BIGINT) AS n,
+           ROUND(CAST(p.sv AS DOUBLE) / p.n, 6) AS mean_cents,
+           ROUND(sqrt(CAST(b.nr * b.s2 - b.s1 * b.s1 AS DOUBLE)
+                      / (b.nr * (b.nr - 1.0)) / b.nr) * 2.0, 6)
+             AS ci_halfwidth_cents
+    FROM pt p JOIN boot b USING (day)
+    """,
+)
+def q402_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X332 — POISSON BOOTSTRAP confidence intervals (the
+    streaming/distributed bootstrap: each row enters replica r with a
+    Poisson(1) weight, so resampling never needs n or a shuffle —
+    Chamandy et al. 2012, the standard production bootstrap at scale):
+    per-day mean value with a ±2·SE(bootstrap) half-width from 8
+    replicas. Weights are hash-seeded (md5 of event_id:replica mapped
+    through the Poisson(1) inverse CDF as shared literals), so the
+    "resampling" is reproducible across engines and the CI itself is
+    hash-checked — the q66/q191 determinism move applied to uncertainty
+    quantification. Replica means round to integer cents BEFORE the
+    across-replica variance, which then computes from exact int64
+    moments (n·s2 − s1², one double division) — order-free.
+
+    Scale: the ×8 replica explode is row-local; per-(day, replica)
+    sums are map-side combinable; nothing but 8 rows/day crosses the
+    final stage. The same plan gives CIs for ANY weighted aggregate."""
+    ev = load(spark, sf_dir, "events")
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
+        " CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"
+    )
+    reps = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            cents(F.col("value")).alias("v_cents"),
+            "event_id",
+        )
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .withColumn("w", F.expr(_pois_weight_expr(u)))
+    )
+    rep_means = (
+        reps.groupBy("day", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("v_cents")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "day",
+            F.round(F.col("swv").cast("double") / F.col("sw"))
+            .cast("long")
+            .alias("m_c"),
+        )
+    )
+    boot = rep_means.groupBy("day").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum("m_c").alias("s1"),
+        F.sum(F.col("m_c") * F.col("m_c")).alias("s2"),
+    )
+    pt = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("sv"),
+    )
+    var_det = (
+        (F.col("nr") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+            "double"
+        )
+        / (F.col("nr") * (F.col("nr") - F.lit(1.0)))
+        / F.col("nr")
+    )
+    return pt.join(boot, "day").select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sv").cast("double") / F.col("n"), 6).alias(
+            "mean_cents"
+        ),
+        F.round(F.sqrt(var_det) * 2.0, 6).alias("ci_halfwidth_cents"),
+    )
+
+
+@register(
+    "q403_path_regex_screen",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(SUM(CASE WHEN regexp_matches(path, '^v+c+p+$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pure_funnel,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'v.*c.*p')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contains_funnel,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'e(e|.e)')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_error_bursts,
+           CAST(MAX(length(path)) AS BIGINT) AS max_path_len
+    FROM paths GROUP BY day
+    """,
+)
+def q403_path_regex_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X333 — PATH-REGEX event screening (MATCH_RECOGNIZE-lite / CEP):
+    each user-day's ordered event sequence collapses to an initials
+    string ('vvcp…'), and behavioral patterns become plain regexes —
+    the pure browse→click→buy funnel (full-match ^v+c+p+$), funnel
+    containment (v.*c.*p), and error bursts (two errors at distance
+    ≤2: e(e|.e)). Spark has no MATCH_RECOGNIZE; this is the idiomatic
+    relational encoding of per-entity sequence patterns (q186's array
+    fold generalized from a fixed step list to arbitrary regular
+    expressions), with a per-day rollup. Both engines apply the same
+    RE2-compatible patterns to byte-identical strings, so the CEP
+    screen itself is hash-checked.
+
+    Scale: one shuffle on (user, day) builds the path (array_sort over
+    collect_list — per-entity sequences are session-sized); the regex
+    evaluation is row-local on |entities| rows, and the rollup is
+    day-grained. Paths are bounded by per-user-day event counts; a
+    pathological entity would cap via the q24-style sampling guard
+    upstream."""
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts",
+                                "event_id",
+                                F.substring("event_type", 1, 1).alias(
+                                    "ini"
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.ini,
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.sum(
+            F.when(F.col("path").rlike("^v+c+p+$"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pure_funnel"),
+        F.sum(F.when(F.col("path").rlike("v.*c.*p"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contains_funnel"),
+        F.sum(F.when(F.col("path").rlike("e(e|.e)"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_error_bursts"),
+        F.max(F.length("path")).cast("long").alias("max_path_len"),
+    )
+
+
+@register(
+    "q404_stream_stream_full_join",
+    allow_non_equi=(
+        "deliberate SINGLE-ROW broadcast cross join: the explicit "
+        "outer-completeness cutoff scalar attached to the DRAINED "
+        "(batch) result of the stream-stream full-outer join"
+    ),
+    oracle="""
+    WITH p AS (
+      SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id AS v_user, ts AS v_ts, event_id AS view_id
+      FROM events WHERE event_type IN ('view') AND user_id % 5 = 0
+    ), cut AS (
+      SELECT MAX(epoch_us(ts)) - 7200000000 AS c FROM events
+      WHERE event_type IN ('purchase', 'view')
+    ), j AS (
+      SELECT p.purchase_id, v.view_id,
+             COALESCE(p.p_user, v.v_user) AS user_id, p.p_ts, v.v_ts
+      FROM p FULL JOIN v
+        ON p.p_user = v.v_user
+       AND epoch_us(v.v_ts) <= epoch_us(p.p_ts)
+       AND epoch_us(v.v_ts) >= epoch_us(p.p_ts) - 600000000
+    )
+    SELECT purchase_id, view_id, user_id,
+           CASE WHEN purchase_id IS NOT NULL AND view_id IS NOT NULL
+                THEN 'both'
+                WHEN view_id IS NULL THEN 'purchase_only'
+                ELSE 'view_only' END AS match_type
+    FROM j, cut
+    WHERE (purchase_id IS NOT NULL AND view_id IS NOT NULL)
+       OR (view_id IS NULL AND epoch_us(p_ts) <= c)
+       OR (purchase_id IS NULL AND epoch_us(v_ts) <= c)
+    """,
+)
+def q404_stream_stream_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X334 — STREAM-STREAM FULL OUTER join under the correctness gate,
+    completing the streaming outer-join family (inner q96, left-outer
+    q272): purchases ⟗ same-user views from the preceding 10 minutes,
+    both sides watermarked file streams drained with availableNow. The
+    FULL form is the reconciliation shape — "every purchase AND every
+    view, matched where possible" — and pins the symmetric contract:
+    UNMATCHED rows on EITHER side are emitted only once the join
+    watermark passes them, so both tails are held in state at
+    end-of-stream. Like q272, both engines apply an EXPLICIT 2h cutoff
+    below the max event time instead of reverse-engineering Spark's
+    internal watermark: matched rows pass untouched, each side's
+    unmatched rows are kept only at-or-below the cutoff. The view side
+    is thinned to user_id % 5 so view-only rows exercise real volume
+    without drowning the match classes.
+
+    Scale: stream-stream joins shuffle both sides on the key; state is
+    bounded by watermark × arrival rate per side — the time-bound
+    condition on BOTH sides is what lets Spark evict (without it,
+    full-outer state grows unboundedly)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    file_schema = spark.read.parquet(path).schema
+
+    def _stream(prefix: str):
+        d = tempfile.mkdtemp(prefix=prefix)
+        os.symlink(os.path.abspath(path), os.path.join(d, "events.parquet"))
+        return spark.readStream.schema(file_schema).parquet(d)
+
+    views = (
+        _stream("q404_v_")
+        .where((F.col("event_type") == "view") & (F.col("user_id") % 5 == 0))
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast(T.TimestampType()).alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        _stream("q404_p_")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast(T.TimestampType()).alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    )
+    name = f"q404_ssfj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q404_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    cut = (
+        spark.read.parquet(path)
+        .where(F.col("event_type").isin("purchase", "view"))
+        .agg(
+            (
+                F.max(F.unix_micros(F.col("ts").cast(T.TimestampType())))
+                - 7200000000
+            ).alias("_cut")
+        )
+    )
+    matched = F.col("purchase_id").isNotNull() & F.col("view_id").isNotNull()
+    return (
+        drained.crossJoin(F.broadcast(cut))
+        .filter(
+            matched
+            | (
+                F.col("view_id").isNull()
+                & (F.unix_micros("p_ts") <= F.col("_cut"))
+            )
+            | (
+                F.col("purchase_id").isNull()
+                & (F.unix_micros("v_ts") <= F.col("_cut"))
+            )
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            F.coalesce("p_user", "v_user").alias("user_id"),
+            F.when(matched, "both")
+            .when(F.col("view_id").isNull(), "purchase_only")
+            .otherwise("view_only")
+            .alias("match_type"),
+        )
+    )

@@ -181,3 +181,32 @@ def test_zorder_key_is_codegen_projection(spark):
     plan = _plan(catalog.queries()["q283_zorder_layout_audit"](spark, SF_DIR))
     assert "shiftright" in plan and "shiftleft" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q381_window_reuses_cell_exchange(spark):
+    """The round-7 q381 plan fix: the per-point ranking window must
+    reuse the point-side (cy, cx) repartition instead of re-shuffling
+    the ~k-per-point CANDIDATE stream — exactly ONE hash exchange in
+    the whole plan (measured 4x on the decade-B wall, SCALING.md)."""
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+    df = queries()["q381_knn_adaptive_radius"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the candidate stream must NOT re-shuffle on event_id: the only
+    # pre-window hash exchange is the point-side cell repartition
+    # (REPARTITION_BY_COL on cy, cx); the exchanges after the rank
+    # filter are the <=3-rows-per-point rollup, which may key however
+    # the aggregate plans.
+    import re
+
+    assert "Exchange hashpartitioning(event_id" not in plan, plan[:4000]
+    rep = re.search(
+        r"Exchange hashpartitioning\(([^)]*)\), REPARTITION_BY_COL", plan
+    )
+    assert rep and "cy" in rep.group(1) and "cx" in rep.group(1), plan[:4000]
+    win = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win and all(
+        k in win.group(1) for k in ("cy", "cx", "event_id")
+    ), win and win.group(1)
