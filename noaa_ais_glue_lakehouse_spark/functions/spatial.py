@@ -158,3 +158,43 @@ def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
     for p in parts[1:]:
         out = out + p
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve via 2-bit block LUT (see q422)
+# ---------------------------------------------------------------------------
+
+#: 2-bit-block Hilbert automaton: (state, x_bits, y_bits) -> (d_digit,
+#: next_state). Exactly the 4 orientations of the 2-D Hilbert curve;
+#: derived offline from the standard xy2d recurrence (Wikipedia
+#: "Hilbert curve", convert (x,y) to d) and pinned by
+#: tests/test_hilbert_lut.py, which re-derives it from the recurrence
+#: and checks the composed 10-bit index exhaustively.
+HILBERT_LUT_2BIT: tuple[tuple[int, int, int, int, int], ...] = (
+    (0,0,0,0,0), (0,0,1,3,1), (0,0,2,4,2), (0,0,3,5,0), (0,1,0,1,2), (0,1,1,2,2), (0,1,2,7,3), (0,1,3,6,0),
+    (0,2,0,14,3), (0,2,1,13,3), (0,2,2,8,2), (0,2,3,9,0), (0,3,0,15,0), (0,3,1,12,1), (0,3,2,11,3), (0,3,3,10,0),
+    (1,0,0,10,1), (1,0,1,11,2), (1,0,2,12,0), (1,0,3,15,1), (1,1,0,9,1), (1,1,1,8,3), (1,1,2,13,2), (1,1,3,14,2),
+    (1,2,0,6,1), (1,2,1,7,2), (1,2,2,2,3), (1,2,3,1,3), (1,3,0,5,1), (1,3,1,4,3), (1,3,2,3,0), (1,3,3,0,1),
+    (2,0,0,0,2), (2,0,1,1,0), (2,0,2,14,1), (2,0,3,15,2), (2,1,0,3,3), (2,1,1,2,0), (2,1,2,13,1), (2,1,3,12,3),
+    (2,2,0,4,0), (2,2,1,7,1), (2,2,2,8,0), (2,2,3,11,1), (2,3,0,5,2), (2,3,1,6,2), (2,3,2,9,2), (2,3,3,10,2),
+    (3,0,0,10,3), (3,0,1,9,3), (3,0,2,6,3), (3,0,3,5,3), (3,1,0,11,0), (3,1,1,8,1), (3,1,2,7,0), (3,1,3,4,1),
+    (3,2,0,12,2), (3,2,1,13,0), (3,2,2,2,1), (3,2,3,3,2), (3,3,0,15,3), (3,3,1,14,0), (3,3,2,1,1), (3,3,3,0,3),
+)
+
+
+def hilbert_xy2d_py(n: int, x: int, y: int) -> int:
+    """Reference Python xy2d recurrence (driver-side; tests + LUT
+    derivation only — the engine path is the LUT join in q422)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
