@@ -191,6 +191,31 @@ SHOWCASE = {
         "equi-join and the ADC join is integer LUT lookups — no float "
         "math and no base-vector bytes at query time.",
     ),
+    "q422_hilbert_layout_audit": (
+        r"BroadcastHashJoin|Exchange|HashAggregate|FileScan",
+        "LUT-composed Hilbert index: FIVE BroadcastHashJoins against the "
+        "64-row block automaton, zero shuffles before the two 64-bucket "
+        "aggregates. The unrolled loop-carried recurrence alternative "
+        "measurably OOMs Catalyst (projection collapse duplicates the "
+        "(x, y, d) state ~7× per round) — byte-at-a-time LUT joins are "
+        "the scale-safe evaluation of any space-filling curve.",
+    ),
+    "q430_shapley_attribution": (
+        r"Join|Exchange|HashAggregate|Window",
+        "Exact Shapley over 16 coalition chains solved SIMULTANEOUSLY: "
+        "the journey extraction (two user-day windows) runs once behind "
+        "localCheckpoint; all value-iteration rounds operate on a "
+        "(mask, state) relation of ~112 rows, so attribution cost is "
+        "independent of event volume after the first aggregate.",
+    ),
+    "q413_negative_sampling": (
+        r"BroadcastHashJoin|Exchange|HashAggregate|Generate",
+        "Inverse-CDF sampling as a broadcast EQUI-join: the integer CDF "
+        "quantizes onto 1024 slots (|vocab|+1024-row broadcast table), "
+        "each hash-seeded draw joins on its slot and exact-filters "
+        "lo <= u < hi — the alias-table pattern, shuffle-free until the "
+        "token-grain summary.",
+    ),
 }
 
 
