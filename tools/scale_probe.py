@@ -108,11 +108,51 @@ def _extra_probes():
         )
         return connected_components(pairs)
 
+    def bfs_capped(spark, d):
+        # q397's BFS in ISOLATION from its pair generator: the registered
+        # form consumes q61's exact-contract (documented-quadratic) winnow
+        # stream and measured 1.53 — the same inheritance q62/q65 carry.
+        # Running the identical 4-round checkpointed relaxation on the
+        # df-capped (linear) q343 pairs separates the loop's own exponent.
+        from pyspark.sql import functions as F
+        from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+        pairs = queries()["q343_winnow_near_dups_capped"](spark, d).select(
+            "id_a", "id_b"
+        )
+        edges = (
+            pairs.unionByName(
+                pairs.select(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                )
+            )
+            .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .localCheckpoint()
+        )
+        dist = (
+            edges.select("src")
+            .distinct()
+            .filter(F.col("src") % 50 == 0)
+            .select(F.col("src").alias("node"), F.lit(0).alias("hop"))
+        )
+        for _ in range(4):
+            relaxed = dist.join(edges, dist.node == edges.src).select(
+                F.col("dst").alias("node"), (F.col("hop") + 1).alias("hop")
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("hop").alias("hop"))
+                .localCheckpoint()
+            )
+        return dist
+
     return {
         "cosine085_fixed_geometry": fixed,
         "cosine085_auto_geometry": auto,
         "cosine085_saturated_geometry": saturated,
         "cc_on_capped_pairs": cc_capped,
+        "bfs_on_capped_pairs": bfs_capped,
     }
 
 
