@@ -50,7 +50,9 @@ def connected_components(
     ``checkpoint_dir``: when set, iterations use reliable ``checkpoint()``
     into that directory instead of ``localCheckpoint()`` — the right choice
     on a real cluster, where localCheckpoint pins executor storage and dies
-    with a lost executor. ``raise_on_unconverged``: exhausting
+    with a lost executor. When None, the session conf
+    ``spark_graft.checkpoint_dir`` is consulted (operators/checkpointing.py)
+    so one setting covers every iterative query. ``raise_on_unconverged``: exhausting
     ``max_iterations`` before the fixed point means the returned labels
     would be WRONG (two nodes of one component under different labels →
     survivor selection keeps both), so the default is to raise rather than
@@ -64,9 +66,13 @@ def connected_components(
             return df.checkpoint()
 
     else:
+        # fall back to the session-level conf (spark_graft.checkpoint_dir)
+        # shared by all iterative catalog queries
+        from noaa_ais_glue_lakehouse_spark.operators.checkpointing import (
+            iteration_checkpointer,
+        )
 
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+        _ckpt = iteration_checkpointer(spark)
 
     # materialize the edge list once — it feeds every round, and leaving it
     # lazy would re-run the (possibly expensive) pair-producing pipeline

@@ -572,7 +572,10 @@ def read_version(
 
 
 def vacuum_versions(
-    spark: SparkSession, path: str, keep_last: int = 1
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    orphan_grace_ms: int = 900_000,
 ) -> dict:
     """Physically delete all but the newest ``keep_last`` versions of a
     :func:`write_versioned` table, plus any orphan data/staging dirs no
@@ -582,14 +585,24 @@ def vacuum_versions(
     contract: this IS the explicit vacuum. The latest version is never
     touched (``keep_last`` is clamped to ≥1). Time travel to the kept
     versions keeps working; pinned reads of removed versions raise
-    ``ValueError`` afterwards, by design. Must not run concurrently
-    with an in-flight writer (a writer between its data rename and its
-    manifest create looks like an orphan).
+    ``ValueError`` afterwards, by design.
+
+    SAFE TO RUN CONCURRENTLY WITH WRITERS: an in-flight writer between
+    its data rename and its manifest CAS is indistinguishable from a
+    crashed writer's orphan by name alone, so the orphan sweep is
+    AGE-GATED — only unreferenced dirs whose modification time is older
+    than ``orphan_grace_ms`` (default 15 min) are deleted. A live writer
+    finishes rename→manifest in seconds, so its data dir is always
+    younger than the grace window when the sweep inspects it; genuinely
+    crashed writers' orphans age past the window and get collected on
+    the next vacuum. Setting ``orphan_grace_ms=0`` restores the old
+    eager sweep (only safe when no writer can be in flight).
 
     Returns ``{"removed_versions": [...], "kept_versions": [...],
-    "swept_orphans": [...]}``.
+    "swept_orphans": [...], "skipped_young_orphans": [...]}``.
     """
     import json as _json
+    import time as _time
 
     fs, root, man_dir, HPath = _versioned_fs(spark, path)
     if not fs.exists(man_dir):
@@ -615,15 +628,23 @@ def vacuum_versions(
             fs.delete(HPath(f"{root.toString()}/{data_dir}"), True)
         fs.delete(versions[v], False)
     swept = []
+    skipped_young = []
+    now_ms = int(_time.time() * 1000)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if name == "_manifests" or name in referenced:
             continue
         if st.isDirectory():
+            if now_ms - st.getModificationTime() < orphan_grace_ms:
+                # could be a live writer between data rename and manifest
+                # CAS — leave it; a real orphan ages into the next vacuum
+                skipped_young.append(name)
+                continue
             swept.append(name)
             fs.delete(st.getPath(), True)
     return {
         "removed_versions": removed,
         "kept_versions": kept,
         "swept_orphans": swept,
+        "skipped_young_orphans": skipped_young,
     }

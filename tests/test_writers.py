@@ -526,8 +526,13 @@ def test_vacuum_versions_keeps_latest_sweeps_orphans(spark, tmp_path):
     path = str(tmp_path / "vt")
     for i in range(1, 5):
         write_versioned(spark.createDataFrame([(i,)], ["id"]), path)
-    # orphan from a "crashed" writer: data dir with no manifest
+    # orphan from a "crashed" writer: data dir with no manifest, aged
+    # past the grace window (a fresh one is skipped — see the race test)
     spark.createDataFrame([(99,)], ["id"]).write.parquet(f"{path}/d-deadbeef")
+    import time
+
+    old = time.time() - 3600
+    os.utime(f"{path}/d-deadbeef", (old, old))
     report = vacuum_versions(spark, path, keep_last=2)
     assert report["removed_versions"] == [1, 2]
     assert report["kept_versions"] == [3, 4]
@@ -544,3 +549,39 @@ def test_vacuum_versions_keeps_latest_sweeps_orphans(spark, tmp_path):
     report2 = vacuum_versions(spark, path, keep_last=0)
     assert report2["kept_versions"] == [4]
     assert {r["id"] for r in read_version(spark, path).collect()} == {4}
+
+
+def test_vacuum_during_write_race_preserves_inflight_commit(spark, tmp_path):
+    """A vacuum racing an in-flight writer (data renamed, manifest not
+    yet created) must NOT sweep the writer's data: the age gate skips
+    young unreferenced dirs, so the writer's subsequent manifest CAS
+    lands on intact data. orphan_grace_ms=0 restores the eager sweep."""
+    import json
+    import os
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    write_versioned(spark.createDataFrame([(1,)], ["id"]), path)
+    # freeze the writer mid-protocol: data dir published, no manifest yet
+    spark.createDataFrame([(7,), (8,)], ["id"]).write.parquet(
+        f"{path}/d-inflight0001"
+    )
+    report = vacuum_versions(spark, path, keep_last=1)
+    assert "d-inflight0001" in report["skipped_young_orphans"]
+    assert report["swept_orphans"] == []
+    assert os.path.isdir(f"{path}/d-inflight0001")
+    # the writer resumes: manifest CAS commits version 2 on intact data
+    with open(f"{path}/_manifests/2.json", "w") as f:
+        json.dump({"version": 2, "data_dir": "d-inflight0001", "n_rows": 2}, f)
+    assert {r["id"] for r in read_version(spark, path, 2).collect()} == {7, 8}
+    # eager mode (grace 0) is still available for quiesced maintenance
+    spark.createDataFrame([(99,)], ["id"]).write.parquet(f"{path}/d-crashed")
+    report2 = vacuum_versions(spark, path, keep_last=2, orphan_grace_ms=0)
+    assert "d-crashed" in report2["swept_orphans"]
+    assert not os.path.exists(f"{path}/d-crashed")
+    assert {r["id"] for r in read_version(spark, path, 2).collect()} == {7, 8}
