@@ -81,3 +81,72 @@ def test_no_rdd_api():
     pat = re.compile(r"\.rdd\b(?!\.getNumPartitions)|sparkContext\.parallelize")
     offenders = [f for f, src in _sources() if pat.search(src)]
     assert not offenders, f"RDD API in: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# int64 hash-multiply overflow class (round-7 verdict ask #2)
+# ---------------------------------------------------------------------------
+#
+# The portable hash family multiplies ids by ~2^31-sized Knuth primes
+# (2654435761, 2246822519). An UNREDUCED `id * prime` wraps silently in
+# Spark and errors in DuckDB once ids pass ~2^31.7 — divergent failure
+# modes at corpus scale that every past instance (q361/q365/q376) had to
+# be caught by hand. This scan closes the class mechanically: every
+# multiplication by a [2^31, 2^33) integer literal must have a visible
+# pre-reduction (`% 2147483648`, `pmod(..., 1 << 31)`, or a reduced
+# multiplier like `(2654435761 % 3)`) within the preceding context, or
+# be an allowlisted pure-Python (arbitrary-precision) site.
+
+_BIG_MUL_SAFE_MARKERS = ("2147483648", "pmod", "1 << 31", "1<<31")
+
+# (relative file, required nearby substring) -> justification
+_BIG_MUL_PY_SCALAR_SITES = {
+    ("operators/dedup.py", "minhash_portable_slot_consts"):
+        "driver-side Python int math (arbitrary precision, cannot wrap); "
+        "constants are reduced mod P before any column expression",
+}
+
+
+def _big_mul_occurrences(src: str):
+    """Yield (offset, literal) for every ``*``-adjacent integer literal
+    in [2^31, 2^33) — multiplier or multiplicand position, Python/SQL/
+    F.lit alike. `% literal` (modulus) uses are ignored."""
+    for m in re.finditer(r"\b(\d{10})\b", src):
+        v = int(m.group(1))
+        # odd only: the hash primes are odd; even 10-digit literals are
+        # unit scale factors (3600000000) or the 2^31/2^32 moduli
+        if not (2**31 <= v < 2**33) or v % 2 == 0:
+            continue
+        line_start = src.rfind("\n", 0, m.start()) + 1
+        if src[line_start:m.start()].lstrip().startswith("#"):
+            continue  # comment
+        before = src[max(0, m.start() - 24):m.start()]
+        after = src[m.end():m.end() + 24]
+        left_mul = re.search(r"\*\s*(?:F\.lit\()?\s*$", before)
+        right_mul = re.match(r"\s*\)?\s*\*", after)
+        # `lit % small` immediately after the literal = reduced multiplier
+        reduced_multiplier = re.match(r"\s*%\s*\d{1,6}\b", after)
+        if (left_mul or right_mul) and not reduced_multiplier:
+            yield m.start(), m.group(1)
+
+
+def test_hash_prime_multiplies_are_pre_reduced():
+    offenders = []
+    for f, src in _sources():
+        for off, lit in _big_mul_occurrences(src):
+            ctx = src[max(0, off - 260):off]
+            if any(mk in ctx for mk in _BIG_MUL_SAFE_MARKERS):
+                continue
+            line_no = src.count("\n", 0, off) + 1
+            allowed = False
+            for (af, near), _why in _BIG_MUL_PY_SCALAR_SITES.items():
+                if f == af and near in src[max(0, off - 2000):off + 2000]:
+                    allowed = True
+                    break
+            if not allowed:
+                offenders.append(f"{f}:{line_no} (* {lit})")
+    assert not offenders, (
+        "unreduced big-prime multiply (int64 overflow at corpus-scale ids; "
+        "pre-reduce with `% 2147483648` / pmod on BOTH engines): "
+        + ", ".join(offenders)
+    )
