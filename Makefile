@@ -46,13 +46,16 @@ scaling:
 	  cc_on_capped_pairs q381_knn_adaptive_radius \
 	  q33_ann_lsh_topk q55_ivf_topk q64_cosine_dup_cluster \
 	  q383_minhash_portable q214_triangle_count q179_event_type_pagerank \
-	  q397_bfs_hops bfs_on_capped_pairs \
+	  q397_bfs_hops bfs_on_capped_pairs q446_bfs_hops_capped \
 	  | tee .tmp/scale_probe_last.json
 	python tools/check_scaling.py .tmp/scale_probe_last.json
 
 # Two-decade ladder (A -> B -> C = 1x -> 10x -> 100x) for the five
 # cheapest linear-claimed probes: per-segment exponents catch curvature
 # (log-factor creep in the gram families) that one decade can't.
+# GATING since round 8: check_scaling.py --ladder enforces A->B AND B->C
+# budgets (q345's adjudicated curvature gets 1.45; q383's scaleC
+# c_error is adjudicated — see LADDER_C_ERROR_OK); breaches fail CI.
 scaling-ladder:
 	test -d .tmp/scaleC || python tools/synth_scale.py .tmp 5000 --with-c
 	python -u tools/scale_probe.py .tmp --with-c \
@@ -60,3 +63,5 @@ scaling-ladder:
 	  q345_repeated_substring_spans q357_stop_detection \
 	  q383_minhash_portable \
 	  | tee .tmp/scale_ladder_last.json
+	python tools/check_scaling.py .tmp/scale_probe_last.json \
+	  --ladder .tmp/scale_ladder_last.json

@@ -284,6 +284,7 @@ def main() -> None:
     # sub-second the query is.
     drift: dict[str, dict] = {}
     best_ever: dict[str, float] = {}
+    best_probe = float("inf")  # fastest single-thread probe any round saw
     here = os.path.dirname(os.path.abspath(__file__))
     for f in sorted(os.listdir(here)):
         if not re.fullmatch(r"BENCH_r\d+\.json", f):
@@ -291,6 +292,18 @@ def main() -> None:
         try:
             with open(os.path.join(here, f)) as fh:
                 doc = json.load(fh)
+            # fastest single-thread probe across prior rounds (probe_norm
+            # input); probes survive driver tail-truncation, so regex the
+            # raw document rather than relying on a parsed field
+            doc_sf = doc.get("sf", (doc.get("parsed") or {}).get("sf"))
+            if doc_sf == sf or (doc_sf is None and f'"sf": {sf}' in doc.get("tail", "")):
+                raw = doc.get("tail", "") + json.dumps(doc.get("parsed") or {})
+                for mm in re.finditer(
+                    r'"cpu_probe_(?:before|after)_sec":\s*([0-9.]+)', raw
+                ):
+                    pv = float(mm.group(1))
+                    if pv > 0:
+                        best_probe = min(best_probe, pv)
             parsed = doc.get("parsed") or doc
             if (not isinstance(parsed, dict) or parsed.get("sf") != sf
                     or "queries" not in parsed):
@@ -341,14 +354,30 @@ def main() -> None:
     # frequency, which is a constant property of the box, not steal.
     NOMINAL_EFF = 19.0
     steal_factor = max(1.0, NOMINAL_EFF / max(eff_par_before, 1.0))
+    # probe_norm (round-7 verdict #5): single-thread slowdown of THIS run
+    # vs the fastest probe any prior round recorded. The 32-way eff probe
+    # misses interference that slows every core uniformly (r7: probe 27%
+    # slower than r6, eff_par 1.01 — six phantom "engine-or-unknown"
+    # drifts); normalizing the explained-ratio budget by the probe delta
+    # makes the classifier self-explaining on a noisy host.
+    probe_norm = (
+        max(1.0, probe_before / best_probe)
+        if best_probe < float("inf")
+        else 1.0
+    )
     for name, med in times.items():
         b = best_ever.get(name)
         if b and med > 1.25 * b:
             ratio = round(med / b, 2)
-            if ratio <= 1.5 * steal_factor:
-                # within what measured steal explains; on an unloaded
-                # host (steal ~1.0) a <=1.5x ratio is plain run noise
-                cause = "host" if steal_factor >= 1.1 else "noise"
+            if ratio <= 1.5 * steal_factor * probe_norm:
+                # within what measured steal + single-thread probe delta
+                # explain; on an unloaded host (both ~1.0) a <=1.5x
+                # ratio is plain run noise
+                cause = (
+                    "host"
+                    if steal_factor >= 1.1 or probe_norm >= 1.1
+                    else "noise"
+                )
             else:
                 cause = "engine-or-unknown"
             drift[name] = {
@@ -357,6 +386,7 @@ def main() -> None:
                 "ratio": ratio,
                 "cause": cause,
                 "steal_factor": round(steal_factor, 2),
+                "probe_norm": round(probe_norm, 2),
             }
 
     # throughput probes against the published baseline shapes

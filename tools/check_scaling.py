@@ -86,25 +86,122 @@ BUDGETS = {
     # below, and the raw q397 form stays an unbudgeted documented
     # record like cosine085_saturated_geometry.
     "bfs_on_capped_pairs": 1.2,
+    # Round 8: q446 registers the capped BFS as a first-class catalog
+    # query (the round-7 verdict ask); budget it alongside its probe twin.
+    "q446_bfs_hops_capped": 1.2,
+}
+
+# Two-decade ladder budgets (round 8, verdict ask #8): B->C exponents for
+# the five cheapest linear-claimed probes, so second-decade curvature
+# fails CI instead of depending on a human reading SCALING.md. Values are
+# the round-7 measured ranges plus noise headroom:
+#   q27 0.49-0.53, q343 0.89-0.93, q357 0.48-0.72 -> budget 1.2 (the
+#   linear-claim standard); q345 measured 1.07-1.28 — the ADJUDICATED
+#   fixed-vocab gram-saturation curvature (SCALING.md round-7 addendum
+#   2) — budgeted at 1.45: the known curvature passes, anything WORSE
+#   (a new regression on top of the corpus artifact) fails.
+LADDER_BC_BUDGETS = {
+    "q27_minhash_near_dups": 1.2,
+    "q343_winnow_near_dups_capped": 1.2,
+    "q345_repeated_substring_spans": 1.45,
+    "q357_stop_detection": 1.2,
+    "q383_minhash_portable": 1.2,
+}
+
+# Probes whose scaleC pass is EXPECTED to fail on this synthetic corpus,
+# with the adjudicated reason (a recorded c_error passes the gate; a
+# missing probe or an un-adjudicated c_error still fails):
+LADDER_C_ERROR_OK = {
+    "q383_minhash_portable": (
+        "fixed-vocab corpus artifact: VOCAB_N held at 5,000 while n grows "
+        "100x keeps J_rand at 0.08, so the banded join's noise term "
+        "n^2*L*J_rand^4 goes quadratic and the verify-side array "
+        "transport exhausts spill (SCALING.md round-7 addendum 2; q27 — "
+        "same banding, cheaper transport — completed C at 0.53)"
+    ),
 }
 
 
-def main() -> int:
-    raw = (
-        open(sys.argv[1]).read() if len(sys.argv) > 1 else sys.stdin.read()
-    )
+def _load_probe_doc(path_or_stdin: str | None) -> dict | None:
+    raw = open(path_or_stdin).read() if path_or_stdin else sys.stdin.read()
     # scale_probe prints '# progress' lines on stderr and one JSON line on
     # stdout, but tolerate a tee'd mixed file: take the last {...} line.
     json_lines = [ln for ln in raw.splitlines() if ln.startswith("{")]
     if not json_lines:
-        src = sys.argv[1] if len(sys.argv) > 1 else "<stdin>"
+        src = path_or_stdin or "<stdin>"
         print(
             f"ERROR: no JSON probe line found in {src} — scale_probe likely "
             "crashed before printing results; inspect its stderr above.",
             file=sys.stderr,
         )
+        return None
+    return json.loads(json_lines[-1])
+
+
+def _check_ladder(ladder_path: str) -> int:
+    """Gate the two-decade ladder artifact: A->B (shared BUDGETS) and
+    B->C (LADDER_BC_BUDGETS) per probe; an adjudicated c_error passes
+    only for LADDER_C_ERROR_OK entries."""
+    doc = _load_probe_doc(ladder_path)
+    if doc is None:
         return 2
-    doc = json.loads(json_lines[-1])
+    queries = doc.get("queries", {})
+    failures = []
+    for name, bc_budget in LADDER_BC_BUDGETS.items():
+        q = queries.get(name)
+        if q is None:
+            print(f"MISSING ladder probe: {name}")
+            failures.append((name, "missing", bc_budget))
+            continue
+        ab = q.get("time_exponent")
+        ab_budget = BUDGETS.get(name, 1.2)
+        if ab is not None and ab > ab_budget:
+            print(f"BREACH  {name}: A->B exponent {ab} (budget {ab_budget})")
+            failures.append((name, ab, ab_budget))
+        if "exponent_bc" in q:
+            bc = q["exponent_bc"]
+            status = "OK" if bc <= bc_budget else "BREACH"
+            print(
+                f"{status:7s} {name}: B->C exponent {bc} (budget "
+                f"{bc_budget}), B {q['t_b_sec']}s -> C {q['t_c_sec']}s"
+            )
+            if bc > bc_budget:
+                failures.append((name, bc, bc_budget))
+        elif "c_error" in q:
+            if name in LADDER_C_ERROR_OK:
+                print(
+                    f"OK      {name}: scaleC c_error (adjudicated: "
+                    f"{LADDER_C_ERROR_OK[name][:80]}...)"
+                )
+            else:
+                print(f"BREACH  {name}: un-adjudicated scaleC c_error: "
+                      f"{q['c_error']}")
+                failures.append((name, "c_error", bc_budget))
+        else:
+            print(f"BREACH  {name}: no C segment in ladder output")
+            failures.append((name, "no_c", bc_budget))
+    if failures:
+        print(
+            "LADDER-BUDGET FAIL: "
+            + ", ".join(f"{n} {e}" for n, e, _ in failures)
+        )
+        return 1
+    print(f"LADDER-BUDGET OK: {len(LADDER_BC_BUDGETS)} probes within budget")
+    return 0
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    ladder_path = None
+    if "--ladder" in args:
+        i = args.index("--ladder")
+        ladder_path = args[i + 1]
+        del args[i:i + 2]
+        if not args:  # ladder-only invocation
+            return _check_ladder(ladder_path)
+    doc = _load_probe_doc(args[0] if args else None)
+    if doc is None:
+        return 2
     queries = doc.get("queries", {})
     failures = []
     missing = []
@@ -137,6 +234,8 @@ def main() -> int:
         print("SCALING-BUDGET FAIL: missing probes")
         return 1
     print(f"SCALING-BUDGET OK: {len(BUDGETS)} probes within budget")
+    if ladder_path is not None:
+        return _check_ladder(ladder_path)
     return 0
 
 
