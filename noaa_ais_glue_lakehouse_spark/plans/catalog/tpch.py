@@ -1,0 +1,1645 @@
+"""TPC-H-shaped analytics queries.
+
+Moved verbatim from the single-file catalog in the round-8 package
+split; see _shared for the helpers and _registry for the decorator.
+"""
+
+from noaa_ais_glue_lakehouse_spark.plans.catalog._registry import (  # noqa: F401
+    get_query,
+    register,
+)
+from noaa_ais_glue_lakehouse_spark.plans.catalog._shared import *  # noqa: F401,F403
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_charge,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0, 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/CAST(COUNT(*) AS DOUBLE)/100.0, 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_discount*10000) AS BIGINT)) AS DOUBLE)/COUNT(*)/10000.0, 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the A1/A2 groupBy-agg core with derived metrics (A4).
+
+    Filter + projection push down to the parquet scan; the aggregate is a
+    single hash-agg with map-side partials.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty_c = cents(F.col("l_quantity"))
+    price_c = cents(F.col("l_extendedprice"))
+    disc_price_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    charge_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+    ).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+        (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(disc_price_c).cast("double") / 100.0).alias("sum_disc_price"),
+        (F.sum(charge_c).cast("double") / 100.0).alias("sum_charge"),
+        F.round(F.sum(qty_c).cast("double") / n / 100.0, 6).alias("avg_qty"),
+        F.round(F.sum(price_c) / n.cast("double") / 100.0, 6).alias("avg_price"),
+        F.round(F.sum(disc_bp).cast("double") / n / 10000.0, 6).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+
+@register(
+    "q15_revenue_per_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q15_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4 — fact-to-dim equi-join chain with explicit broadcast of the
+    small dimensions (nation: 25 rows; customer at sf — AQE decides).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev_c).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+
+@register(
+    "q16_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q16_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — anti-join (the QA 'missing voyages' check)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+
+@register(
+    "q17_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q17_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — semi-join restriction (voyage-key filtering idiom)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+
+@register(
+    "q18_supplier_lookup",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q18_supplier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — generic left lookup-join chain against broadcast dims (the
+    reference's join_lookup, ``utils/common_functions_raw.py:163-175``).
+    """
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial kernels over synthetic deterministic coordinates (P5, P9, P10, Q16)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q72_part_type_revenue",
+    oracle="""
+    SELECT p.p_type,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)/100.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def q72_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shape fact⋈dim revenue rollup over the part table: the
+    dimension side broadcasts (|part| « |lineitem|), integer-cents sums
+    keep the aggregate order-independent for cross-engine hashing."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+
+@register(
+    "q133_blame_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT l1.l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+          )
+    GROUP BY l1.l_suppkey
+    """,
+)
+def q133_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest subquery pattern in the corpus:
+    doubly-correlated EXISTS + NOT EXISTS over a self-joined fact
+    ("suppliers who were the SOLE late shipper in a multi-supplier
+    order"). Catalyst decorrelates both subqueries into left-semi and
+    left-anti hash joins on l_orderkey — no per-row re-execution, three
+    hash joins total, all on the same key so co-partitioning (bucketing
+    by orderkey) removes every exchange at scale. 'Late' is shipdate
+    more than 90 days after the order date (this dataset carries no
+    receipt/commit dates)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    li.createOrReplaceTempView("q133_lineitem")
+    orders.createOrReplaceTempView("q133_orders")
+    return spark.sql(
+        """
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM q133_lineitem l JOIN q133_orders o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+        SELECT l1.l_suppkey AS suppkey,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late l1
+        WHERE EXISTS (
+                SELECT 1 FROM q133_lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+              )
+        GROUP BY l1.l_suppkey
+        """
+    )
+
+
+
+@register(
+    "q152_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)
+                    - CAST(ROUND(p.p_retailprice * 70) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+             AS profit_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q152_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — the widest join in the corpus: the lineitem fact
+    enriched through orders (fact⋈fact on orderkey), part and supplier
+    (broadcast-sized here; bucketed co-partition at scale) and the
+    nation dim, rolled up to profit per nation-year (revenue minus a
+    70%-of-retail supply-cost proxy — this dataset carries no partsupp
+    cost table). Catalyst orders the joins; the dims broadcast, so the
+    fact is shuffled only for the orderkey join and the final rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    revenue = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cost = F.round(F.col("p_retailprice") * 70).cast("long") * F.col(
+        "l_quantity"
+    ).cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(revenue - cost).cast("long").alias("profit_cents"))
+    )
+
+
+
+@register(
+    "q167_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+       OR (p_type  = 'PROMO'   AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 30 AND 50)
+    """,
+)
+def q167_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicate spanning both join sides.
+
+    Catalyst cannot push the full disjunction below the join (each arm
+    references both tables), so the classic manual rewrite applies: the
+    part-side projection of the disjunction IS pushable, and prefiltering
+    part before the broadcast join shrinks the build side to the union of
+    the three arms. The residual disjunction is evaluated post-join as a
+    single codegen'd predicate. At 100 TB the fact side streams through
+    one broadcast join with no shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    part_side = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(20, 50))
+    )
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(15, 35)
+    )
+    arm3 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(30, 50)
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(part_side)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0)
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+
+@register(
+    "q168_custdist",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q168_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of per-customer order counts,
+    including zero-order customers (the left join keeps them; COUNT of a
+    nullable column counts only matches).
+
+    Two aggregations: the first shuffles on c_custkey (the join key, so
+    AQE reuses the exchange), the second is over |customers| rows and
+    collapses to |distinct counts| — tiny. The join-side filter on
+    o_orderpriority is part of the JOIN condition, not a WHERE (a WHERE
+    would turn the left join into an inner one).
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+
+@register(
+    "q169_important_parts",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the (total, n_parts) scalar attached to the |parts|-sized rollup (TPC-H Q11's scalar subquery in HAVING)",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS value_cents
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           CAST(value_cents AS DOUBLE)/100.0 AS part_value
+    FROM pv
+    WHERE CAST(value_cents AS DOUBLE)
+          > CAST((SELECT SUM(value_cents) FROM pv) AS DOUBLE)
+            / (SELECT COUNT(*) FROM pv) * 1.3
+    """,
+)
+def q169_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — groups whose value exceeds a threshold derived
+    from a GLOBAL aggregate (scalar subquery in HAVING; here 1.3x the
+    mean per-part value, which is scale-invariant where Q11's fixed
+    fraction would select everything or nothing as |parts| grows).
+
+    One shuffle builds the per-part rollup; the global total is an
+    aggregate of that |parts|-sized result, broadcast back as a
+    single-row cross join — the rollup is computed once and reused for
+    both sides (cache-free: Catalyst's ReuseExchange dedups the scan).
+    Value arithmetic is exact integer cents; only the final comparison is
+    double.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("value_cents")
+    )
+    total = pv.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") / F.col("n_parts") * 1.3
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_cents").cast("double") / 100.0).alias("part_value"),
+        )
+    )
+
+
+
+@register(
+    "q170_rich_inactive_customers",
+    allow_non_equi="deliberate SINGLE-ROW broadcast cross join: the global average- balance gate attached to the customer scan (TPC-H Q22's scalar subquery)",
+    oracle="""
+    WITH gate AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, length(c_name)-1, 2) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_bal
+    FROM customer, gate
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def q170_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — above-global-average balance AND no urgent
+    orders (scalar-subquery gate + anti-join), grouped by a derived code
+    (last two digits of the customer name, standing in for Q22's country
+    code; the urgency filter stands in for Q22's 7-year recency window,
+    which this dataset's 30-day span can't express).
+
+    The global average is exact (integer-cents sum / count, one double
+    division both engines perform identically) and broadcast as a
+    single row; the NOT EXISTS is a left-anti hash join on c_custkey.
+    At scale: one shuffle for the anti-join (or none if orders' custkey
+    projection is small enough to broadcast), then a tiny group-by on
+    the 2-digit code.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    gate = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                (F.sum(cents(F.col("c_acctbal"))).cast("double") / 100.0)
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(gate))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(
+            F.substring(F.col("c_name"), -2, 2).alias("code")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            (F.sum(cents(F.col("c_acctbal"))) / 100.0).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path additions: prefix-filter exact Jaccard join, parallel global
+# prefix-scan concurrency, duration-weighted averages, OHLC downsampling
+# (X98-X101)
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "q258_waiting_supplier",
+    oracle="""
+    WITH j AS (
+      SELECT l_orderkey, l_suppkey,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) > 365 AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM j l1
+    WHERE late
+      AND EXISTS (SELECT 1 FROM j l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM j l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY 1 ORDER BY numwait DESC, suppkey LIMIT 10
+    """,
+)
+def q258_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-corpus — TPC-H Q21's shape (suppliers who kept orders waiting):
+    late lines on multi-supplier orders where NO other supplier was
+    late. The oracle states it in the literal correlated
+    EXISTS / NOT EXISTS form; this side is the DECORRELATED rewrite a
+    100 TB plan needs — both quantifiers collapse into one per-order
+    aggregate:
+
+      EXISTS(other supplier)        <=> n_suppliers(order) >= 2
+      NOT EXISTS(other late suppl.) <=> n_late_suppliers(order) = 1
+                                        (given this line is late)
+
+    so instead of two correlated self-joins over lineitem the plan is
+    ONE per-order aggregation joined back on the order key — the same
+    shuffle the lines already need. "Late" = shipped > 365 days after
+    the order date (this synthetic corpus has no commit/receipt dates).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            > 365
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    qual = (
+        j.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        qual.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+        .limit(10)
+    )
+
+
+
+@register("q263_rater_agreement", allow_non_equi="deliberate 1-row x 1-row cross join: (n, agree) totals paired with the chance-agreement scalar for Cohen's kappa", oracle=_kappa_oracle())
+def q263_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X192 — inter-rater agreement (Cohen's kappa) between two labelers:
+    the declared ``lang`` column and the langid heuristic (q31) — the
+    label-QA statistic an annotation pipeline publishes before trusting
+    a labeler (kappa corrects raw agreement for chance agreement of the
+    two raters' marginal distributions).
+
+    Plan shape: one row-local labeling pass, one 1-row (n, agree)
+    aggregate, two |labels|-sized marginal rollups equi-joined and
+    reduced to a 1-row chance-agreement scalar, then a deliberate
+    1-row x 1-row cross join pairing the two scalars. Every statistic is
+    an exact integer count until the three mirrored final divisions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        F.col("lang").alias("label_a"),
+        langid_guess(F.col("text")).alias("label_b"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
+        ).alias("agree"),
+    )
+    ma = g.groupBy(F.col("label_a").alias("l")).agg(F.count(F.lit(1)).alias("ca"))
+    mb = g.groupBy(F.col("label_b").alias("l")).agg(F.count(F.lit(1)).alias("cb"))
+    ex = ma.join(mb, "l").agg(F.sum(F.col("ca") * F.col("cb")).alias("sum_ab"))
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pe = F.col("sum_ab").cast("double") / (n * n)
+    return (
+        tot.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: remaining classic TPC-H decorrelation shapes over the
+# available tables (no partsupp in the testdata, so Q2/Q11/Q16/Q20's
+# supplier-part bridge shapes are out of reach by construction).
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "q264_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS rc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rc AS DOUBLE)/100.0 AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE rc = (SELECT MAX(rc) FROM revenue)
+    """,
+)
+def q264_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s) by quarter revenue: a revenue
+    "view" (per-supplier rollup), its scalar MAX, and an equality gate.
+
+    Decorrelation: the classic form creates a view and compares against
+    ``(SELECT MAX(...) FROM view)``. Here the rollup is computed once and
+    the max attached by an EQUI-join on the revenue value itself (the
+    1-row max side broadcasts) — no second scan of lineitem, no non-equi
+    join, ties kept exactly as the SQL does. Revenue sums are exact
+    integer cents so both engines agree on which suppliers tie at max.
+    The supplier dim (100 rows at sf0.01) broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("rc")
+        )
+    )
+    mx = rev.agg(F.max("rc").alias("rc"))
+    return (
+        rev.join(F.broadcast(mx), "rc")
+        .join(
+            F.broadcast(supp),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rc").cast("double") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+
+@register(
+    "q265_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sq,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+      AND 5 * CAST(ROUND(l_quantity*100) AS BIGINT) * cnt < sq
+    """,
+)
+def q265_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from lines whose quantity is under 20%
+    of the part's average quantity (the correlated AVG subquery).
+
+    Decorrelated into a per-part rollup joined back on l_partkey — both
+    the rollup and the join shuffle on the SAME key, so the exchange is
+    computed once and reused. The 20%-of-average gate is evaluated in
+    exact integers (``5·qty·cnt < sum``) instead of a float division, so
+    boundary rows can't flip between engines. The filtered part dim
+    broadcasts; its filter prunes before the join (PushedFilters).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    qtyc = cents(F.col("l_quantity"))
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qtyc).alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") == "Brand#3")
+                    & (F.col("p_type") == "ECONOMY")
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.lit(5) * qtyc * F.col("cnt") < F.col("sq"))
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice"))).cast("double")
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+
+@register(
+    "q266_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey AS ok,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sumq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 19000
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           CAST(sumq AS DOUBLE)/100.0 AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = ok
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q266_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — customers with orders whose line quantities sum
+    past a threshold (the ``IN (GROUP BY ... HAVING)`` subquery).
+
+    Decorrelated: the HAVING rollup IS the driving table — no IN, no
+    semi-join-then-rejoin double scan of lineitem. The surviving order
+    keys (few) join orders on its key, then the customer dim broadcasts.
+    Quantity sums are exact integer cents so threshold ties agree across
+    engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("sumq"))
+        .filter(F.col("sumq") > 19000)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("ok"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            (F.col("sumq").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+
+@register(
+    "q267_late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q267_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority counts over orders having at
+    least one late line (EXISTS with a correlated date comparison; the
+    testdata has no commitdate, so "late" is shipped >60 days after the
+    order date).
+
+    The EXISTS decorrelates to LEFT SEMI join with the date predicate
+    inside the join condition — one pass over lineitem, no DISTINCT
+    dedup of multiple matching lines (semi join stops at the first
+    match per order). The orders date filter prunes before the join.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+
+@register(
+    "q268_nation_pair_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(vol) AS DOUBLE)/100.0 AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS vol
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def q268_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — shipping volume between a nation pair, both
+    directions, by ship year.
+
+    Join order is the scale-aware one: the only big table (lineitem,
+    date-filtered at the scan) joins orders on the order key, then every
+    dimension side — customer, supplier, and both nation legs —
+    BROADCASTS (all are ≤ |customers| rows). The disjunctive nation-pair
+    predicate runs after both nation names are attached, exactly as the
+    reference SQL's WHERE does; at 100 TB one could pre-filter the two
+    nation keys into the supplier/customer broadcasts, but the predicate
+    here keeps the oracle's both-directions tie handling obvious.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("_ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("_nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("_ns_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nc), F.col("_nc_key") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: Gopher repetition suite, epoch shuffle/sharding, FIM
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "q294_blocklist_screen",
+    oracle="""
+    WITH terms AS (
+      SELECT * FROM (VALUES
+        ('latency', 'slow'), ('latency', 'big'),
+        ('vendor', 'spark'), ('vendor', 'hash'),
+        ('pii', 'customer'), ('pii', 'key')
+      ) t(category, term)
+    ), toks AS (
+      SELECT doc_id, source,
+             UNNEST(list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')))
+               AS tok
+      FROM documents
+    ), hits AS (
+      SELECT DISTINCT t.doc_id, t.source, m.category
+      FROM toks t JOIN terms m ON m.term = t.tok
+    ), perdoc AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(h.n_categories, 0) AS n_categories
+      FROM documents d
+      LEFT JOIN (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_categories
+        FROM hits GROUP BY doc_id
+      ) h ON h.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_categories > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN n_categories >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_category
+    FROM perdoc GROUP BY source
+    """,
+)
+def q294_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category blocklist screening (safety/PII term taxonomy → per-doc
+    category hits → per-source flag rates) — the filter stage every
+    production corpus runs before training. Token-exact matching (never
+    substring: 'key' must not flag 'monkey'): the doc's DISTINCT token
+    set explodes once and equi-joins the broadcast taxonomy; per-doc
+    distinct categories then roll up to source-level flagged /
+    multi-category counts. Left join keeps zero-hit docs in the
+    denominator. Swap the VALUES taxonomy for a real one (CSAM/PII/
+    toxicity lists) without touching the plan."""
+    docs = load(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [(c, t) for c, ts in _BLOCKLIST.items() for t in ts],
+        ["category", "term"],
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok"),
+    )
+    hits = (
+        toks.join(F.broadcast(terms), toks.tok == terms.term)
+        .select("doc_id", "category")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_categories"))
+    )
+    perdoc = docs.select("doc_id", "source").join(hits, "doc_id", "left").select(
+        "source", F.coalesce("n_categories", F.lit(0)).alias("n_categories")
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_categories") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("n_categories") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_category"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H join/agg shapes expressible on these tables:
+# Q3, Q5, Q8, Q10, Q14 (q295-q299)
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "q295_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_cents DESC, orderkey LIMIT 10
+    """,
+)
+def q295_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the classic 3-way sel-join-agg —
+    segment-filtered customers broadcast into orders, date predicates
+    pushed to BOTH fact scans before the orderkey join, revenue in exact
+    integer cents, top-10 via TakeOrdered (never a global sort). The
+    shape AQE loves: both filters are scan-level PushedFilters, and the
+    customer side collapses to a broadcast."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .select("orderkey", "revenue_cents", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue_cents").desc(), "orderkey")
+        .limit(10)
+    )
+
+
+
+@register(
+    "q296_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q296_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue where the supplier and
+    the customer share a nation inside one region — the 6-way star whose
+    selective dims (nation⋈region, supplier) all broadcast, leaving the
+    orders⋈lineitem hash join as the only real shuffle. The
+    same-nation condition rides the supplier join (equi on BOTH keys),
+    never a post-join filter."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == li.l_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nr), nr.n_nationkey == supp.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+
+
+
+@register(
+    "q297_national_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS vol_cents,
+             sn.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol_cents
+                         ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(SUM(vol_cents) AS BIGINT) AS market_cents,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol_cents
+                              ELSE 0 END) AS DOUBLE)
+                 / SUM(vol_cents), 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q297_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of all PROMO-part revenue sold
+    into the AMERICA region's market, what fraction came from NATION_7
+    suppliers, per year — the conditional-sum-over-star shape. The share
+    is a single pass (CASE inside SUM, no self-join of the market
+    against itself); every dim broadcasts; the only big shuffle is
+    lineitem⋈orders."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nat.alias("cn").join(
+        F.broadcast(reg), F.col("cn.n_regionkey") == reg.r_regionkey
+    )
+    sn = nat.alias("sn")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(cn), F.col("cn.n_nationkey") == cust.c_nationkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn.n_nationkey") == supp.s_nationkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "vol_cents"
+            ),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("vol_cents")).otherwise(0)
+    ).cast("long")
+    return vol.groupBy("o_year").agg(
+        nation_cents.alias("nation_cents"),
+        F.sum("vol_cents").cast("long").alias("market_cents"),
+        F.round(
+            nation_cents.cast("double") / F.sum("vol_cents"), 6
+        ).alias("mkt_share"),
+    )
+
+
+
+@register(
+    "q298_returned_items",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           n.n_name AS nation, c.c_acctbal AS acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue_cents DESC, custkey LIMIT 20
+    """,
+)
+def q298_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned the
+    most revenue in a quarter — returnflag filter pushed to the lineitem
+    scan, date filter to orders, nation broadcast, one hash aggregation
+    on the customer grain, top-20 TakeOrdered."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), nat.n_nationkey == cust.c_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .select("custkey", "name", "revenue_cents", "nation", "acctbal")
+        .orderBy(F.col("revenue_cents").desc(), "custkey")
+        .limit(20)
+    )
+
+
+
+@register(
+    "q299_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                         * 100) AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                       * 100) AS BIGINT)), 6) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q299_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    shipped revenue — conditional sum over a broadcast part join, month
+    predicate pushed to the lineitem scan, exact cents inside both the
+    numerator and the denominator, one division at the end."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    )
+    return j.agg(
+        F.round(F.lit(100.0) * promo / F.sum(rev), 6).alias("promo_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RL-data prep, batching efficiency, entropy filtering, chunk stitching,
+# exact global percentiles (q300-q304)
+# ---------------------------------------------------------------------------
+
+
+
+@register(
+    "q388_tpch_q6_revenue_delta",
+    oracle="""
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+             AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q388_tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X318 — TPC-H Q6 shape (forecasting revenue change): the revenue
+    that would have been gained by eliminating small discounts on
+    small-quantity orders in one year — a pure filter-and-aggregate
+    whose entire predicate set (date range, discount band, quantity
+    cap) must reach the parquet scan as pushed filters; completes the
+    engine's TPC-H shape coverage to all 22 together with q389–q392.
+    Revenue summed in exact integer cents (order-free).
+
+    Scale: zero shuffles beyond the final 1-row aggregate; the scan
+    reads 4 columns of the 11 (ReadSchema pruning)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+
+@register(
+    "q389_tpch_q12_priority_by_class",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_returnflag
+    """,
+)
+def q389_tpch_q12_priority_by_class(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X319 — TPC-H Q12 shape (shipping modes and order priority): per
+    shipping class, how many high- vs low-priority orders it carried —
+    the join + dual-conditional-count pattern that audits whether
+    cheaper ship modes delay critical orders. The testdata star schema
+    has no l_shipmode column, so l_returnflag is the class dimension;
+    the SHAPE (fact-to-dim equi-join, IN-list priority split, the
+    shipped-after-ordered sanity predicate as a non-equi filter ON TOP
+    of the equi-join) is Q12's. reference: the Athena corpus' Q16-Q18
+    analytic family (SURVEY §2.11) stops at single-table rollups.
+
+    Scale: one shuffle on orderkey (or broadcast at dim-sized orders);
+    the priority split is conditional aggregation, not a second scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+
+@register(
+    "q390_tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+               AS supplycost_cents
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p.p_partkey, p.p_type, ps.suppkey, ps.supplycost_cents,
+             MIN(ps.supplycost_cents) OVER (PARTITION BY p.p_partkey)
+               AS min_cost_cents
+      FROM part p
+      JOIN ps ON ps.partkey = p.p_partkey
+      JOIN eu ON eu.s_suppkey = ps.suppkey
+      WHERE p.p_size = 25 AND p.p_type = 'STANDARD'
+    )
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           c.p_partkey, c.supplycost_cents
+    FROM cand c JOIN eu ON eu.s_suppkey = c.suppkey
+    WHERE c.supplycost_cents = c.min_cost_cents
+    """,
+)
+def q390_tpch_q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X320 — TPC-H Q2 shape (minimum-cost supplier): for every size-25
+    STANDARD part, the European supplier(s) offering it at the minimum
+    supply cost — the classic correlated-scalar-subquery (cost =
+    (SELECT MIN(...) for this part)) DECORRELATED into a per-part
+    window-min, the plan Catalyst itself rewrites correlated subqueries
+    into. The star schema has no partsupp table, so the (part, supplier)
+    cost relation derives from lineitem: supplycost = min observed unit
+    price in exact cents (IEEE-identical division both engines).
+
+    Scale: the region/nation/supplier side collapses to a broadcast;
+    the ps rollup is one map-side-combinable aggregation on
+    (part, supplier); the per-part min is a window over the already
+    part-clustered join output — no row explosion anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        F.min(
+            cents(F.col("l_extendedprice") / F.col("l_quantity"))
+        ).alias("supplycost_cents")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(
+            F.broadcast(nat), nat.n_nationkey == sup.s_nationkey
+        )
+        .join(F.broadcast(reg), reg.r_regionkey == nat.n_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        part.join(ps, ps.partkey == part.p_partkey)
+        .join(F.broadcast(eu), eu.s_suppkey == ps.suppkey)
+        .withColumn(
+            "min_cost_cents",
+            F.min("supplycost_cents").over(
+                Window.partitionBy("p_partkey")
+            ),
+        )
+    )
+    return cand.filter(
+        F.col("supplycost_cents") == F.col("min_cost_cents")
+    ).select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", "supplycost_cents"
+    )
+
+
+
+@register(
+    "q391_tpch_q16_supplier_relationship",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    ), excluded AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT IN ('PROMO')
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q391_tpch_q16_supplier_relationship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X321 — TPC-H Q16 shape (parts/supplier relationship): how many
+    suppliers can supply parts of given brand/type/size combinations,
+    EXCLUDING suppliers on a complaints list — the NOT IN
+    anti-join + COUNT(DISTINCT) rollup. partsupp derives from lineitem
+    (distinct (part, supplier) pairs); the complaints list is the
+    negative-balance suppliers (the schema has no comment column to
+    regex, the exclusion SHAPE is what Q16 exercises).
+
+    Scale: the exclusion list is tiny → broadcast LEFT ANTI join (never
+    a NOT-IN NULL trap: keys are non-null by construction); the distinct
+    pair relation partial-aggregates map-side before the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).distinct()
+    excluded = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    return (
+        ps.join(
+            F.broadcast(excluded),
+            ps.suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(part, part.p_partkey == F.col("partkey"))
+        .groupBy(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")
+        )
+        .agg(F.countDistinct("suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+
+@register(
+    "q392_tpch_q20_dominant_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), small_parts AS (
+      SELECT p_partkey FROM part WHERE p_type = 'SMALL'
+    ), dominant AS (
+      SELECT s.suppkey
+      FROM shipped s
+      JOIN small_parts sp ON sp.p_partkey = s.partkey
+      JOIN (SELECT partkey, SUM(qty) AS total_qty
+            FROM shipped GROUP BY 1) t ON t.partkey = s.partkey
+      WHERE 2 * s.qty > t.total_qty
+    )
+    SELECT DISTINCT sup.s_name, n.n_name
+    FROM supplier sup
+    JOIN nation n ON n.n_nationkey = sup.s_nationkey
+    WHERE sup.s_suppkey IN (SELECT suppkey FROM dominant)
+    """,
+)
+def q392_tpch_q20_dominant_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X322 — TPC-H Q20 shape (potential part promotion): suppliers who
+    shipped MORE THAN HALF of some SMALL part's total 1997 volume — the
+    doubly-nested IN subquery with a correlated aggregate threshold
+    (availqty > 0.5·sum(qty) in stock Q20), decorrelated into a
+    per-part total join with the integer-safe 2·qty > total comparison
+    (no 0.5 float). Quantities are integral in this corpus; ROUND
+    makes that explicit so the sums are exact int64 on both engines.
+
+    Scale: threshold decorrelation turns the correlated subquery into
+    one extra map-side-combinable rollup on partkey reusing the same
+    shuffle key as the (part, supplier) aggregate; the supplier→nation
+    resolution is a broadcast semi-join at |dominant| rows."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+    small_parts = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    totals = shipped.groupBy("partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(
+            F.broadcast(small_parts),
+            small_parts.p_partkey == shipped.partkey,
+        )
+        .join(totals, "partkey")
+        .filter(2 * F.col("qty") > F.col("total_qty"))
+        .select("suppkey")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        sup.join(
+            F.broadcast(dominant), dominant.suppkey == sup.s_suppkey,
+            "left_semi",
+        )
+        .join(F.broadcast(nat), nat.n_nationkey == sup.s_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+    )
+
+
