@@ -3209,3 +3209,118 @@ def q433_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _opq_signed_perm(dim: int = 64) -> tuple[list[int], list[int]]:
+    """Deterministic signed permutation (an orthogonal rotation both
+    engines can restate as literal index arithmetic): position i reads
+    coordinate perm[i] scaled by sign[i] ∈ {−1, +1}, both md5-derived
+    (the q384/q394 portable-family move)."""
+    import hashlib
+
+    perm = sorted(
+        range(1, dim + 1),
+        key=lambda d: hashlib.md5(f"opq:{d}".encode()).hexdigest(),
+    )
+    sign = [
+        1 if hashlib.md5(f"opqs:{d}".encode()).digest()[0] % 2 == 0 else -1
+        for d in range(1, dim + 1)
+    ]
+    return perm, sign
+
+
+class _OpqElem:
+    """Element-accessor template: ``format(i=k)`` returns the SIGNED
+    PERMUTED coordinate text, so _pq_exprs builds the rotated-space
+    distance expressions from the same code path as the plain ones."""
+
+    def __init__(self, base: str, perm: list[int], sign: list[int]):
+        self.base, self.perm, self.sign = base, perm, sign
+
+    def format(self, i: int) -> str:
+        return (
+            f"({self.sign[i - 1]}.0 * "
+            f"{self.base.format(i=self.perm[i - 1])})"
+        )
+
+
+def _opq_oracle() -> str:
+    perm, sign = _opq_signed_perm()
+    base = "CAST(embedding[{i}] AS DOUBLE)"
+    dist_plain, _, mins_plain = _pq_exprs(base)
+    dists_rot, _, _ = _pq_exprs(_OpqElem(base, perm, sign))
+    plain_sql = ",\n             ".join(f"{t} AS {n}" for n, t in dist_plain)
+    rot_sql = ",\n             ".join(
+        f"{t} AS r{n}" for n, t in dists_rot
+    )
+    err_plain = " + ".join(mins_plain)
+    # the rotated mins reuse the plain alias names; rebuild with r-prefix
+    err_rot = " + ".join(
+        "LEAST(" + ", ".join(f"r_pqd{s}_{k}" for k in range(_PQ_K)) + ")"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH d AS (
+      SELECT vec_id,
+             {plain_sql},
+             {rot_sql}
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(FLOOR(({err_plain}) * 1000000) AS BIGINT) AS err_plain_e6,
+           CAST(FLOOR(({err_rot}) * 1000000) AS BIGINT) AS err_rot_e6,
+           CAST(CASE WHEN FLOOR(({err_rot}) * 1000000)
+                          < FLOOR(({err_plain}) * 1000000)
+                     THEN 1 ELSE 0 END AS BIGINT) AS improved
+    FROM d
+    """
+
+
+@register("q452_opq_rotation_audit", oracle=_opq_oracle())
+def q452_opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X382 — OPQ-STYLE ROTATION AUDIT (Ge et al. 2013: Optimized
+    Product Quantization rotates the space before quantizing so
+    subspaces carry balanced variance): quantize every embedding with
+    q394's portable codebook twice — in the original basis and in a
+    deterministic SIGNED-PERMUTATION rotation (orthogonal, so true
+    distances are preserved; md5-derived like every portable-family
+    artifact) — and emit both integer-micro reconstruction errors plus
+    the improved flag. This is the measurement OPQ training iterates
+    on (rotate → quantize → compare); the engine kernel is the
+    paired-error audit, with the rotation swappable for a trained one
+    without changing the plan. The rotated distance expressions come
+    from the SAME _pq_exprs builder via an element-accessor template
+    (signed permuted coordinate text), so both engines parse identical
+    arithmetic.
+
+    Scale: pure row-local projection like q394 — zero shuffles, 128
+    distance expressions per row inside whole-stage codegen; the audit
+    aggregate is one reduce on top if wanted."""
+    perm, sign = _opq_signed_perm()
+    base = "CAST(element_at(embedding, {i}) AS DOUBLE)"
+    dist_plain, _, mins_plain = _pq_exprs(base)
+    dists_rot, _, _ = _pq_exprs(_OpqElem(base, perm, sign))
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        *[F.expr(t).alias(n) for n, t in dist_plain],
+        *[F.expr(t).alias(f"r{n}") for n, t in dists_rot],
+    )
+    err_plain = F.expr(" + ".join(mins_plain))
+    err_rot = F.expr(
+        " + ".join(
+            "LEAST(" + ", ".join(f"r_pqd{s}_{k}" for k in range(_PQ_K)) + ")"
+            for s in range(_PQ_M)
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.floor(err_plain * 1000000).cast("long").alias("err_plain_e6"),
+        F.floor(err_rot * 1000000).cast("long").alias("err_rot_e6"),
+        F.when(
+            F.floor(err_rot * 1000000) < F.floor(err_plain * 1000000), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("improved"),
+    )

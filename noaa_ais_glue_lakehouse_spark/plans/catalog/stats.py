@@ -5585,3 +5585,719 @@ def q445_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q448_kruskal_wallis",
+    allow_non_equi=(
+        "two 1-row scalar relations (grand totals, tie sum) crossJoin-"
+        "attached onto the k-row per-type rank-sum table"
+    ),
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), g1 AS (
+      SELECT et, vc, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY et, vc
+    ), gv AS (
+      SELECT vc, CAST(SUM(t) AS BIGINT) AS tv,
+             COALESCE(SUM(SUM(t)) OVER (ORDER BY vc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM g1 GROUP BY vc
+    ), rj AS (
+      SELECT g1.et,
+             CAST(SUM(g1.t) AS BIGINT) AS nj,
+             CAST(SUM(g1.t * (2 * gv.below + gv.tv + 1)) AS BIGINT) AS r2j
+      FROM g1 JOIN gv USING (vc) GROUP BY g1.et
+    ), ties AS (
+      SELECT CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tsum FROM gv
+    ), tot AS (
+      SELECT CAST(SUM(nj) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(0.0,
+               list((CAST(r2j AS DOUBLE) / 2.0) * (CAST(r2j AS DOUBLE) / 2.0)
+                    / nj ORDER BY et)),
+               (acc, x) -> acc + x) AS sum_term
+      FROM rj
+    ), stat AS (
+      SELECT n, k,
+             12.0 * sum_term / (CAST(n AS DOUBLE) * (n + 1))
+               - 3.0 * (n + 1) AS h,
+             CAST(k AS DOUBLE) - 1.0 AS df,
+             1.0 - (CAST(tsum AS DOUBLE) / n)
+                   / (CAST(n AS DOUBLE) * n - 1.0) AS c
+      FROM tot, ties
+    ), chi AS (
+      SELECT n, k, h, df, c, h / c AS chi2 FROM stat
+    ), seed AS (
+      SELECT *, POW(chi2 / df, 1.0 / 3.0) AS t0 FROM chi
+    ), wh1 AS (
+      SELECT *, (2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0 AS t1 FROM seed
+    ), wh2 AS (
+      SELECT *, (2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0 AS t2 FROM wh1
+    ), wh AS (
+      SELECT *, (t2 - (1.0 - 2.0 / (9.0 * df)))
+                / SQRT(2.0 / (9.0 * df)) AS z
+      FROM wh2
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM wh
+    )
+    SELECT n AS n_rows, k AS n_groups,
+           ROUND(h, 6) AS h_stat,
+           ROUND(h / c, 6) AS h_corrected,
+           df,
+           ROUND(z, 6) AS wh_z,
+           ROUND(CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0
+                      ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END, 6)
+             AS p_value
+    FROM p
+    """,
+)
+def q448_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X378 — KRUSKAL–WALLIS H (tie-corrected, Wilson–Hilferty p): the
+    k-group generalization of q412's Mann–Whitney — "do the k event
+    types draw value from the same distribution?" asked rank-wise, the
+    right omnibus test when heavy tails make ANOVA's means the wrong
+    summary. Rank machinery is q412's doubled-integer form lifted to a
+    GLOBAL ranking: tied ranks collapse to (value, type) grain, the
+    per-type doubled rank sum 2·R_j = Σ t_j·(2·below+t+1) stays exact
+    int64, and the tie sum Σ(t³−t) is an integer aggregate. The one
+    float reduction Σ R_j²/n_j folds over a SORTED k-element array
+    (list_reduce / F.aggregate — the q158 fold discipline), so both
+    engines add the same doubles in the same order. The chi-square
+    upper tail uses the q426 Wilson–Hilferty chain (POW seed + two
+    Newton cube-root rounds, identical text) at df = k−1.
+
+    Scale: one aggregate to (value, type) grain, one prefix sum at
+    value-group grain (single ordered exchange over GROUP-grain rows,
+    not raw rows), a k-row reduce; map-side combine everywhere."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("et"), cents(F.col("value")).alias("vc")
+    )
+    g1 = v.groupBy("et", "vc").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    gv = g1.groupBy("vc").agg(F.sum("t").cast("long").alias("tv"))
+    wv = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    gv = gv.select(
+        "vc", "tv", F.coalesce(F.sum("tv").over(wv), F.lit(0)).alias("below")
+    )
+    rj = (
+        g1.join(gv, "vc")
+        .groupBy("et")
+        .agg(
+            F.sum("t").cast("long").alias("nj"),
+            F.sum(F.col("t") * (2 * F.col("below") + F.col("tv") + 1))
+            .cast("long")
+            .alias("r2j"),
+        )
+    )
+    ties = gv.agg(
+        F.sum(F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv"))
+        .cast("long")
+        .alias("tsum")
+    )
+    term = (
+        (F.col("r2j").cast("double") / 2.0)
+        * (F.col("r2j").cast("double") / 2.0)
+        / F.col("nj")
+    )
+    tot = rj.agg(
+        F.sum("nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("et", term.alias("term")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("sum_term"),
+    )
+    stat = tot.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "k",
+        (
+            12.0 * F.col("sum_term")
+            / (F.col("n").cast("double") * (F.col("n") + 1))
+            - 3.0 * (F.col("n") + 1)
+        ).alias("h"),
+        (F.col("k").cast("double") - 1.0).alias("df"),
+        (
+            1.0
+            - (F.col("tsum").cast("double") / F.col("n"))
+            / (F.col("n").cast("double") * F.col("n") - 1.0)
+        ).alias("c"),
+    )
+    chi = stat.withColumn("chi2", F.col("h") / F.col("c"))
+    wh = (
+        chi.withColumn("t0", F.expr("POW(chi2 / df, 1.0 / 3.0)"))
+        .withColumn("t1", F.expr("(2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0"))
+        .withColumn("t2", F.expr("(2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0"))
+        .withColumn(
+            "z",
+            F.expr(
+                "(t2 - (1.0 - 2.0 / (9.0 * df))) / SQRT(2.0 / (9.0 * df))"
+            ),
+        )
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return wh.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.round("h", 6).alias("h_stat"),
+        F.round(F.col("h") / F.col("c"), 6).alias("h_corrected"),
+        "df",
+        F.round("z", 6).alias("wh_z"),
+        F.round(
+            F.expr(
+                f"CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0"
+                f" ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END"
+            ),
+            6,
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "q449_cochrans_q",
+    allow_non_equi=(
+        "one 1-row column-totals scalar crossJoin-attached onto the "
+        "1-row row-totals scalar to assemble the closed-form Q ratio"
+    ),
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk,
+             event_type AS et
+      FROM events
+      WHERE event_type IN ('click', 'purchase', 'error')
+    ), rowt AS (
+      SELECT user_id, wk, CAST(COUNT(*) AS BIGINT) AS r
+      FROM wk GROUP BY user_id, wk
+    ), rsum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             CAST(SUM(r) AS BIGINT) AS s,
+             CAST(SUM(r * r) AS BIGINT) AS r2
+      FROM rowt
+    ), colt AS (
+      SELECT CAST(SUM(CASE WHEN et = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2,
+             CAST(SUM(CASE WHEN et = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c3
+      FROM wk
+    ), q AS (
+      SELECT n_subjects, s,
+             2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - s * s)
+               / (3 * s - r2) AS q_stat
+      FROM rsum, colt
+    )
+    SELECT n_subjects,
+           CAST(s AS BIGINT) AS s_total,
+           ROUND(q_stat, 6) AS q_stat,
+           CAST(2 AS BIGINT) AS df,
+           ROUND(EXP(-q_stat / 2.0), 6) AS p_value
+    FROM q
+    """,
+)
+def q449_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X379 — COCHRAN'S Q (the k-treatment McNemar, q439's
+    generalization): across (user, week) subjects, do the three binary
+    behaviors click / purchase / error occur at the same rate, paired
+    WITHIN subject so between-user activity differences cancel — the
+    matched-design omnibus a product team needs before reading three
+    marginal rates against each other. Entirely exact integer
+    arithmetic: Q = (k−1)·(k·ΣC_j² − S²)/(k·S − ΣR_u²) is a ratio of
+    integer aggregates (k = 3 fixed, C_j column totals as three
+    conditional sums — order-free), and the df = 2 chi-square upper
+    tail has the CLOSED FORM p = exp(−Q/2), so no polynomial
+    approximation is even needed.
+
+    Scale: one distinct-ify to (user, week, type) grain, one subject-
+    grain rollup, two scalar reduces; nothing wider than a subject row
+    shuffles."""
+    ev = load(spark, sf_dir, "events")
+    k = 3
+    wk = (
+        ev.filter(F.col("event_type").isin("click", "purchase", "error"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 604800000000").alias("wk"),
+            F.col("event_type").alias("et"),
+        )
+        .distinct()
+    )
+    rowt = wk.groupBy("user_id", "wk").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    rsum = rowt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum("r").cast("long").alias("s"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("r2"),
+    )
+    colt = wk.agg(
+        *[
+            F.sum(F.when(F.col("et") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i + 1}")
+            for i, t in enumerate(["click", "purchase", "error"])
+        ]
+    )
+    q = rsum.crossJoin(F.broadcast(colt)).select(
+        "n_subjects",
+        "s",
+        (
+            (k - 1)
+            * (
+                k
+                * (
+                    F.col("c1") * F.col("c1")
+                    + F.col("c2") * F.col("c2")
+                    + F.col("c3") * F.col("c3")
+                )
+                - F.col("s") * F.col("s")
+            ).cast("double")
+            / (k * F.col("s") - F.col("r2"))
+        ).alias("q_stat"),
+    )
+    return q.select(
+        "n_subjects",
+        F.col("s").alias("s_total"),
+        F.round("q_stat", 6).alias("q_stat"),
+        F.lit(2).cast("long").alias("df"),
+        F.round(F.exp(-F.col("q_stat") / 2.0), 6).alias("p_value"),
+    )
+
+
+@register(
+    "q450_dunn_posthoc",
+    allow_non_equi=(
+        "the k-row per-type rank table self-joins on et_a < et_b "
+        "(k*(k-1)/2 = 10 pairs, group-cardinality) and two 1-row "
+        "scalars (N, tie sum) broadcast-attach onto it"
+    ),
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), g1 AS (
+      SELECT et, vc, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY et, vc
+    ), gv AS (
+      SELECT vc, CAST(SUM(t) AS BIGINT) AS tv,
+             COALESCE(SUM(SUM(t)) OVER (ORDER BY vc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM g1 GROUP BY vc
+    ), rj AS (
+      SELECT g1.et,
+             CAST(SUM(g1.t) AS BIGINT) AS nj,
+             CAST(SUM(g1.t * (2 * gv.below + gv.tv + 1)) AS BIGINT) AS r2j
+      FROM g1 JOIN gv USING (vc) GROUP BY g1.et
+    ), ties AS (
+      SELECT CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tsum FROM gv
+    ), tot AS (SELECT CAST(SUM(nj) AS BIGINT) AS n FROM rj),
+    pairs AS (
+      SELECT a.et AS et_a, b.et AS et_b,
+             a.nj AS na, b.nj AS nb,
+             CAST(a.r2j AS DOUBLE) / (2.0 * a.nj)
+               - CAST(b.r2j AS DOUBLE) / (2.0 * b.nj) AS rdiff,
+             (CAST(n AS DOUBLE) * (n + 1) / 12.0
+              - CAST(tsum AS DOUBLE) / (12.0 * (n - 1)))
+             * (1.0 / a.nj + 1.0 / b.nj) AS varr
+      FROM rj a JOIN rj b ON a.et < b.et, tot, ties
+    ), z AS (
+      SELECT et_a, et_b, na, nb,
+             rdiff / SQRT(varr) AS z
+      FROM pairs
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM z
+    )
+    SELECT et_a, et_b, na AS n_a, nb AS n_b,
+           ROUND(z, 6) AS z_score,
+           ROUND(LEAST(1.0, 10.0 * ({_P_TWO_SIDED_EXPR})), 6)
+             AS p_bonferroni
+    FROM p
+    """,
+)
+def q450_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X380 — DUNN'S POST-HOC pairwise test (Dunn 1964), the follow-up
+    q448's omnibus demands: WHICH event-type pairs differ in value
+    rank? Each pair's z uses the pooled rank variance N(N+1)/12 minus
+    the shared tie correction Σ(t³−t)/(12(N−1)) — the mean ranks and
+    tie sum come from the SAME doubled-integer machinery as q448 (one
+    global tie-group pass feeds both the omnibus and all 10 pairwise
+    tests), and p-values are Bonferroni-adjusted by the k(k−1)/2 = 10
+    comparisons (capped at 1). Running Dunn without the tie term or
+    with per-pair re-ranking are the two classic implementation bugs;
+    both are structurally impossible here because there is exactly one
+    ranking.
+
+    Scale: identical to q448 plus a k×k self-join at GROUP grain."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("et"), cents(F.col("value")).alias("vc")
+    )
+    g1 = v.groupBy("et", "vc").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    gv = g1.groupBy("vc").agg(F.sum("t").cast("long").alias("tv"))
+    wv = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    gv = gv.select(
+        "vc", "tv", F.coalesce(F.sum("tv").over(wv), F.lit(0)).alias("below")
+    )
+    rj = (
+        g1.join(gv, "vc")
+        .groupBy("et")
+        .agg(
+            F.sum("t").cast("long").alias("nj"),
+            F.sum(F.col("t") * (2 * F.col("below") + F.col("tv") + 1))
+            .cast("long")
+            .alias("r2j"),
+        )
+    )
+    ties = gv.agg(
+        F.sum(F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv"))
+        .cast("long")
+        .alias("tsum")
+    )
+    tot = rj.agg(F.sum("nj").cast("long").alias("n"))
+    a = rj.select(
+        F.col("et").alias("et_a"), F.col("nj").alias("na"), F.col("r2j").alias("r2a")
+    )
+    b = rj.select(
+        F.col("et").alias("et_b"), F.col("nj").alias("nb"), F.col("r2j").alias("r2b")
+    )
+    pairs = (
+        a.join(b, F.col("et_a") < F.col("et_b"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "et_a",
+            "et_b",
+            "na",
+            "nb",
+            (
+                F.col("r2a").cast("double") / (2.0 * F.col("na"))
+                - F.col("r2b").cast("double") / (2.0 * F.col("nb"))
+            ).alias("rdiff"),
+            (
+                (
+                    F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+                    - F.col("tsum").cast("double") / (12.0 * (F.col("n") - 1))
+                )
+                * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            ).alias("varr"),
+        )
+    )
+    z = pairs.withColumn("z", F.col("rdiff") / F.sqrt(F.col("varr")))
+    p = z.withColumn("az", F.expr("ABS(z)")).withColumn(
+        "tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))")
+    )
+    return p.select(
+        "et_a",
+        "et_b",
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round("z", 6).alias("z_score"),
+        F.round(
+            F.least(F.lit(1.0), 10.0 * F.expr(_P_TWO_SIDED_EXPR)), 6
+        ).alias("p_bonferroni"),
+    )
+
+
+@register(
+    "q451_cliffs_delta",
+    oracle="""
+    WITH v AS (
+      SELECT dayofweek(CAST(ts AS DATE)) AS wd,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), grp AS (
+      SELECT wd, vc,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(g1) AS BIGINT) AS t1
+      FROM v GROUP BY wd, vc
+    ), rk AS (
+      SELECT wd, vc, t, t1,
+             COALESCE(SUM(t) OVER (PARTITION BY wd ORDER BY vc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM grp
+    ), agg AS (
+      SELECT wd,
+             CAST(SUM(t1) AS BIGINT) AS n1,
+             CAST(SUM(t - t1) AS BIGINT) AS n2,
+             CAST(SUM(t1 * (2 * (below + 1) + t - 1)) AS BIGINT) AS r1x2
+      FROM rk GROUP BY wd
+    ), d AS (
+      SELECT wd, n1, n2,
+             r1x2 - n1 * (n1 + 1) - n1 * n2 AS signed2
+      FROM agg
+    )
+    SELECT wd AS weekday, n1, n2,
+           ROUND(CAST(signed2 AS DOUBLE) / (n1 * n2), 6) AS cliffs_delta,
+           CASE WHEN ABS(CAST(signed2 AS DOUBLE) / (n1 * n2)) < 0.147
+                  THEN 'negligible'
+                WHEN ABS(CAST(signed2 AS DOUBLE) / (n1 * n2)) < 0.33
+                  THEN 'small'
+                WHEN ABS(CAST(signed2 AS DOUBLE) / (n1 * n2)) < 0.474
+                  THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM d
+    """,
+)
+def q451_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X381 — CLIFF'S DELTA ordinal effect size (Cliff 1993), the
+    magnitude companion to q412's Mann–Whitney significance (the same
+    pairing q443 gives q143 and q438 gives q315): δ = P(X>Y) − P(X<Y)
+    for purchase-vs-other values per weekday, read off the SAME
+    doubled-integer rank machinery — δ·n1·n2 = 2·U1 − n1·n2 =
+    (2·R1 − n1(n1+1)) − n1·n2 is exact int64 (ties cancel in the
+    subtraction), so the only float is the final normalization.
+    Magnitude bands are Romano et al. (2006) thresholds as an
+    identical-text CASE. A metrics reviewer needs δ because with 10⁵
+    rows per arm U rejects at practically-zero effects; δ is
+    sample-size-free.
+
+    Scale: q412's exact shape — one (weekday, value)-grain aggregate,
+    one group-grain prefix sum, a 7-row reduce."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        (F.dayofweek(F.to_date("ts")) - 1).cast("long").alias("wd"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        cents(F.col("value")).alias("vc"),
+    )
+    grp = v.groupBy("wd", "vc").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("g1").cast("long").alias("t1"),
+    )
+    wwd = (
+        Window.partitionBy("wd")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = grp.select(
+        "wd",
+        "vc",
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(wwd), F.lit(0)).alias("below"),
+    )
+    agg = rk.groupBy("wd").agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
+        F.sum(F.col("t1") * (2 * (F.col("below") + 1) + F.col("t") - 1))
+        .cast("long")
+        .alias("r1x2"),
+    )
+    d = agg.select(
+        "wd",
+        "n1",
+        "n2",
+        (
+            F.col("r1x2")
+            - F.col("n1") * (F.col("n1") + 1)
+            - F.col("n1") * F.col("n2")
+        ).alias("signed2"),
+    )
+    delta = F.col("signed2").cast("double") / (F.col("n1") * F.col("n2"))
+    return d.select(
+        F.col("wd").alias("weekday"),
+        "n1",
+        "n2",
+        F.round(delta, 6).alias("cliffs_delta"),
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+        .alias("magnitude"),
+    )
+
+
+@register(
+    "q453_brown_forsythe",
+    allow_non_equi=(
+        "one 1-row grand-totals scalar crossJoin-attached onto the "
+        "k-row per-type deviation table to assemble the F ratio"
+    ),
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), g1 AS (
+      SELECT et, vc, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY et, vc
+    ), nj AS (
+      SELECT et, CAST(SUM(t) AS BIGINT) AS n FROM g1 GROUP BY et
+    ), rk AS (
+      SELECT g1.et, g1.vc, g1.t, nj.n,
+             COALESCE(SUM(g1.t) OVER (PARTITION BY g1.et ORDER BY g1.vc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM g1 JOIN nj USING (et)
+    ), med AS (
+      SELECT et, vc AS m
+      FROM rk
+      WHERE below < (n + 1) // 2 AND below + t >= (n + 1) // 2
+    ), z AS (
+      SELECT g1.et, ABS(g1.vc - med.m) AS zv, g1.t
+      FROM g1 JOIN med USING (et)
+    ), per AS (
+      SELECT et,
+             CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t * zv) AS BIGINT) AS sz,
+             CAST(SUM(t * zv * zv) AS BIGINT) AS sz2
+      FROM z GROUP BY et
+    ), folds AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(sz) AS BIGINT) AS s,
+             list_reduce(list_prepend(0.0,
+               list(CAST(sz AS DOUBLE) * sz / n ORDER BY et)),
+               (acc, x) -> acc + x) AS sum_b,
+             list_reduce(list_prepend(0.0,
+               list(CAST(sz2 AS DOUBLE) - CAST(sz AS DOUBLE) * sz / n
+                    ORDER BY et)),
+               (acc, x) -> acc + x) AS sum_w
+      FROM per
+    ), f AS (
+      SELECT nn, k,
+             ((sum_b - CAST(s AS DOUBLE) * s / nn) / (k - 1))
+             / (sum_w / (nn - k)) AS f_stat,
+             CAST(k AS DOUBLE) - 1.0 AS df
+      FROM folds
+    ), chi AS (
+      SELECT nn, k, f_stat, df, (k - 1) * f_stat AS chi2 FROM f
+    ), seed AS (
+      SELECT *, POW(chi2 / df, 1.0 / 3.0) AS t0 FROM chi
+    ), wh1 AS (
+      SELECT *, (2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0 AS t1 FROM seed
+    ), wh2 AS (
+      SELECT *, (2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0 AS t2 FROM wh1
+    ), wh AS (
+      SELECT *, (t2 - (1.0 - 2.0 / (9.0 * df)))
+                / SQRT(2.0 / (9.0 * df)) AS z
+      FROM wh2
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM wh
+    )
+    SELECT nn AS n_rows, k AS n_groups,
+           ROUND(f_stat, 6) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(nn - k AS BIGINT) AS df2,
+           ROUND(CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0
+                      ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END, 6)
+             AS p_approx
+    FROM p
+    """,
+)
+def q453_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X383 — BROWN–FORSYTHE variance-homogeneity test (Levene's test
+    with the MEDIAN center — the robust form): do the k event types
+    have equal value SPREAD? This is the assumption check the
+    equal-variance tests (q315 CUPED, q438 pooled effect sizes) lean
+    on, and heteroscedasticity is itself the finding when a segment's
+    values fan out. Per-group medians are exact counting quantiles at
+    (type, value)-group grain (lower median, below < target ≤ below+t);
+    absolute deviations stay integers, so the per-group moments (Σz,
+    Σz²) are exact int64, and both F-ratio sums fold over SORTED
+    k-element arrays (the q448 discipline — between-group Σ S_j²/n_j
+    squares would pass 2^63). The upper tail is the large-N chi-square
+    approximation (k−1)·F ~ χ²_{k−1} through the q426 Wilson–Hilferty
+    chain; exact F-distribution tails need the incomplete beta, which
+    neither engine exposes portably — df1/df2 are published so a
+    caller can do the exact lookup.
+
+    Scale: two (type, value)-grain aggregates, a per-type prefix sum
+    at group grain, a k-row reduce; map-side combine everywhere."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("et"), cents(F.col("value")).alias("vc")
+    )
+    g1 = v.groupBy("et", "vc").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    nj = g1.groupBy("et").agg(F.sum("t").cast("long").alias("n"))
+    wet = (
+        Window.partitionBy("et")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = g1.join(F.broadcast(nj), "et").select(
+        "et",
+        "vc",
+        "t",
+        "n",
+        F.coalesce(F.sum("t").over(wet), F.lit(0)).alias("below"),
+    )
+    med = rk.filter(
+        (F.col("below") < F.expr("(n + 1) DIV 2"))
+        & (F.col("below") + F.col("t") >= F.expr("(n + 1) DIV 2"))
+    ).select("et", F.col("vc").alias("m"))
+    z = g1.join(F.broadcast(med), "et").select(
+        "et", F.abs(F.col("vc") - F.col("m")).alias("zv"), "t"
+    )
+    per = z.groupBy("et").agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("zv")).cast("long").alias("sz"),
+        F.sum(F.col("t") * F.col("zv") * F.col("zv")).cast("long").alias("sz2"),
+    )
+    term_b = F.col("sz").cast("double") * F.col("sz") / F.col("n")
+    term_w = (
+        F.col("sz2").cast("double")
+        - F.col("sz").cast("double") * F.col("sz") / F.col("n")
+    )
+    folds = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sz").cast("long").alias("s"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("et", term_b.alias("tb")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["tb"],
+        ).alias("sum_b"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("et", term_w.alias("tw")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["tw"],
+        ).alias("sum_w"),
+    )
+    f = folds.select(
+        "nn",
+        "k",
+        (
+            (
+                (
+                    F.col("sum_b")
+                    - F.col("s").cast("double") * F.col("s") / F.col("nn")
+                )
+                / (F.col("k") - 1)
+            )
+            / (F.col("sum_w") / (F.col("nn") - F.col("k")))
+        ).alias("f_stat"),
+        (F.col("k").cast("double") - 1.0).alias("df"),
+    )
+    wh = (
+        f.withColumn("chi2", (F.col("k") - 1) * F.col("f_stat"))
+        .withColumn("t0", F.expr("POW(chi2 / df, 1.0 / 3.0)"))
+        .withColumn("t1", F.expr("(2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0"))
+        .withColumn("t2", F.expr("(2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0"))
+        .withColumn(
+            "z",
+            F.expr(
+                "(t2 - (1.0 - 2.0 / (9.0 * df))) / SQRT(2.0 / (9.0 * df))"
+            ),
+        )
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return wh.select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.round("f_stat", 6).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("nn") - F.col("k")).cast("long").alias("df2"),
+        F.round(
+            F.expr(
+                f"CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0"
+                f" ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END"
+            ),
+            6,
+        ).alias("p_approx"),
+    )
