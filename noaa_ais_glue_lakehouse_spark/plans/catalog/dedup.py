@@ -2995,3 +2995,70 @@ def q447_cosine_dup_clustered_portable(
         .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+@register(
+    "q455_cross_source_clusters",
+    build_time_exec=(
+        "driver-side work at plan-build time; plan pinned by its own "
+        "recall/oracle tests (df-capped winnowing pairs + the "
+        "connected-components loop, q343/q62's inputs)"
+    ),
+    oracle=_cc_oracle(
+        """, labeled AS (
+      SELECT c.component, d.source
+      FROM comp c JOIN documents d ON d.doc_id = c.node
+    ), per AS (
+      SELECT component,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM labeled GROUP BY component
+    )
+    SELECT n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(MAX(n_docs) AS BIGINT) AS largest_component""",
+        pairs_sql=_WINNOW_PAIRS_CAPPED_SQL,
+    )
+    + " FROM per GROUP BY n_sources",
+)
+def q455_cross_source_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X385 — CROSS-SOURCE DUPLICATE-CLUSTER AUDIT on the PRODUCTION
+    pair stream: connected components over q343's df-capped winnowing
+    pairs (the first oracle-checked CC on the capped stream — the
+    cc_on_capped_pairs scale probe, measured exponent ~0.8, promoted
+    to a catalog query the way q446 promoted the BFS), each component
+    labeled with its documents' sources and rolled up to a source-
+    diversity histogram: how many dup clusters live inside ONE feed
+    (dedup locally, cheap) vs span feeds (the expensive global-dedup
+    case, and the signal that two vendors resell the same crawl —
+    q194's head-fingerprint screen asked at full near-dup strength).
+    Complements q65 (which picks survivors) with the acquisition-policy
+    view.
+
+    Scale: capped pairs are linear (budget-gated 0.81); CC is
+    per-round checkpointed min-label + pointer halving; the source
+    labeling is one doc-grain equi-join; everything after lives at
+    component grain."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        connected_components,
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = winnow_near_duplicates(
+        docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    labeled = comp.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    per = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return per.groupBy("n_sources").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.max("n_docs").cast("long").alias("largest_component"),
+    )

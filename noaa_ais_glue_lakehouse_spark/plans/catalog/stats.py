@@ -6301,3 +6301,258 @@ def q453_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_approx"),
     )
+
+
+@register(
+    "q456_negbin_moments_fit",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY event_type, day
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM dc GROUP BY event_type
+    ), mv AS (
+      SELECT event_type, g,
+             CAST(s AS DOUBLE) / g AS mean,
+             (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / g)
+               / (g - 1) AS var
+      FROM m
+    )
+    SELECT event_type,
+           g AS n_days,
+           ROUND(mean, 6) AS mean_daily,
+           ROUND(var, 6) AS var_daily,
+           CASE WHEN var > mean THEN ROUND(mean * mean / (var - mean), 6)
+                ELSE NULL END AS nb_r,
+           CASE WHEN var > mean THEN ROUND(mean / var, 6)
+                ELSE NULL END AS nb_p,
+           CASE WHEN var > mean
+                THEN ROUND(POW(mean / var,
+                               mean * mean / (var - mean)), 6)
+                ELSE NULL END AS nb_p_zero
+    FROM mv
+    """,
+)
+def q456_negbin_moments_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X386 — NEGATIVE-BINOMIAL METHOD-OF-MOMENTS FIT of daily event
+    counts per type: when q426's dispersion test rejects Poisson, this
+    is the next model a capacity planner fits — NB(r, p) with
+    r = m²/(v−m), p = m/v (MoM closed forms; Lawless 1987), plus the
+    fitted zero-day probability p^r that calibrates "how often do we
+    expect a silent day?" alerting thresholds. Overdispersion is the
+    NORM for bursty telemetry, so the Poisson-rate capacity math
+    underprovisions tails; the NB fit prices them. Moments come from
+    the same exact integer (count, sum, sum-of-squares) aggregates as
+    q426 — the two queries share one shape, test then fit. Types with
+    v ≤ m publish NULL fits (NB degenerate there) rather than a
+    garbage negative r, on both engines.
+
+    Scale: one (type, day) aggregate + one type-grain reduce."""
+    ev = load(spark, sf_dir, "events")
+    dc = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    m = dc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    mv = m.select(
+        "event_type",
+        "g",
+        (F.col("s").cast("double") / F.col("g")).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("g")
+            )
+            / (F.col("g") - 1)
+        ).alias("var"),
+    )
+    over = F.col("var") > F.col("mean")
+    nb_r = F.col("mean") * F.col("mean") / (F.col("var") - F.col("mean"))
+    return mv.select(
+        "event_type",
+        F.col("g").alias("n_days"),
+        F.round("mean", 6).alias("mean_daily"),
+        F.round("var", 6).alias("var_daily"),
+        F.when(over, F.round(nb_r, 6)).alias("nb_r"),
+        F.when(over, F.round(F.col("mean") / F.col("var"), 6)).alias("nb_p"),
+        F.when(
+            over,
+            F.round(F.pow(F.col("mean") / F.col("var"), nb_r), 6),
+        ).alias("nb_p_zero"),
+    )
+
+
+@register(
+    "q457_cooks_distance",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM d GROUP BY user_id
+      HAVING COUNT(*) >= 8
+    ), fit AS (
+      SELECT user_id, n, sx, sy, sxx,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx_c,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy_c,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy_c
+      FROM m
+    ), rowstat AS (
+      SELECT d.user_id, d.x, d.y, f.n,
+             CAST(d.y AS DOUBLE)
+               - ((CAST(f.sy AS DOUBLE) - f.beta * f.sx) / f.n
+                  + f.beta * d.x) AS e,
+             1.0 / f.n
+               + (CAST(d.x AS DOUBLE) - CAST(f.sx AS DOUBLE) / f.n)
+                 * (CAST(d.x AS DOUBLE) - CAST(f.sx AS DOUBLE) / f.n)
+                 / f.sxx_c AS h,
+             (f.syy_c - f.beta * f.sxy_c) / (f.n - 2) AS s2
+      FROM d JOIN fit f USING (user_id)
+    ), cook AS (
+      SELECT user_id, x, e, h, n,
+             (e * e / (2.0 * GREATEST(s2, 1e-9)))
+               * (h / ((1.0 - h) * (1.0 - h))) AS cooks_d
+      FROM rowstat
+    ), ranked AS (
+      SELECT user_id, x, e, h, cooks_d,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY cooks_d DESC, x) AS rk
+      FROM cook
+    )
+    SELECT user_id, x AS day_idx,
+           ROUND(cooks_d, 6) AS cooks_d,
+           ROUND(h, 6) AS leverage,
+           ROUND(e, 4) AS residual_cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q457_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X387 — COOK'S DISTANCE influence audit for the per-entity OLS
+    trend (q130/q234's closed-form regression, now with the regression
+    DIAGNOSTIC a forecaster needs before trusting the slope): for each
+    user's daily-revenue-vs-time fit, which days singlehandedly steer
+    the line? D_i = e_i²·h_i / (p·s²·(1−h_i)²) with p = 2, computed
+    entirely from the exact integer moment vector (n, Σx, Σy, Σxx,
+    Σxy, Σyy) — leverage, residual and s² are all closed forms over
+    those moments, so every float expression is row-local
+    identical-text arithmetic with NO float aggregation anywhere. Top-3
+    per user by (D, day): the days to inspect for promo spikes / data
+    glitches before shipping the q234 forecast.
+
+    Scale: one (user, day) rollup, one user-grain moment reduce, one
+    moment-broadcast join back to day rows, a partitioned top-3
+    window. The moment relation is user-grain — tiny next to events."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y"))
+    m = (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    fit = m.select(
+        "user_id",
+        "n",
+        "sx",
+        "sy",
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        ).alias("sxx_c"),
+        (
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+        ).alias("beta"),
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        ).alias("syy_c"),
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+        ).alias("sxy_c"),
+    )
+    rowstat = d.join(F.broadcast(fit), "user_id").select(
+        "user_id",
+        "x",
+        "n",
+        (
+            F.col("y").cast("double")
+            - (
+                (F.col("sy").cast("double") - F.col("beta") * F.col("sx"))
+                / F.col("n")
+                + F.col("beta") * F.col("x")
+            )
+        ).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("x").cast("double") - F.col("sx").cast("double") / F.col("n"))
+            * (F.col("x").cast("double") - F.col("sx").cast("double") / F.col("n"))
+            / F.col("sxx_c")
+        ).alias("h"),
+        (
+            (F.col("syy_c") - F.col("beta") * F.col("sxy_c"))
+            / (F.col("n") - 2)
+        ).alias("s2"),
+    )
+    cook = rowstat.select(
+        "user_id",
+        "x",
+        "e",
+        "h",
+        (
+            (F.col("e") * F.col("e") / (2.0 * F.greatest(F.col("s2"), F.lit(1e-9))))
+            * (F.col("h") / ((1.0 - F.col("h")) * (1.0 - F.col("h"))))
+        ).alias("cooks_d"),
+    )
+    ranked = cook.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("cooks_d"), "x")
+        ),
+    ).filter(F.col("rk") <= 3)
+    return ranked.select(
+        "user_id",
+        F.col("x").alias("day_idx"),
+        F.round("cooks_d", 6).alias("cooks_d"),
+        F.round("h", 6).alias("leverage"),
+        F.round("e", 4).alias("residual_cents"),
+        F.col("rk").cast("long").alias("rk"),
+    )

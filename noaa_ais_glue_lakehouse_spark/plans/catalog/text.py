@@ -4569,3 +4569,96 @@ def q427_unseen_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q454_source_scorecard",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, lang, doc_id,
+             md5(text) AS h,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                  '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    ), per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM base GROUP BY source
+    ), langs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rk
+      FROM base GROUP BY source, lang
+    )
+    SELECT p.source, p.n_docs,
+           ROUND(1.0 - CAST(p.n_unique AS DOUBLE) / p.n_docs, 6)
+             AS exact_dup_rate,
+           CAST((p.total_tokens * 1000000) // p.n_docs AS BIGINT)
+             AS mean_tokens_e6,
+           CAST((p.total_chars * 1000000)
+                // GREATEST(p.total_tokens, 1) AS BIGINT)
+             AS chars_per_token_e6,
+           l.lang AS majority_lang,
+           ROUND(CAST(l.nl AS DOUBLE) / p.n_docs, 6) AS majority_lang_share
+    FROM per p JOIN langs l ON l.source = p.source AND l.rk = 1
+    """,
+)
+def q454_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X384 — PER-SOURCE DATA-QUALITY SCORECARD: the one-scan summary a
+    corpus curator reads before setting mixture weights (q184/q246) —
+    per source: exact-duplicate rate (md5-distinct vs rows, the q25
+    signal at audit grain), token volume, mean doc length and
+    chars-per-token (micro-int floor division — a tokenizer-cost and
+    boilerplate proxy), majority language and its share (declared-label
+    concentration; a low share flags mixed or mislabeled feeds for the
+    q407 chunk-level audit). Complements q213's corpus-level data card
+    with the per-feed grain acquisition decisions happen at.
+
+    Scale: one pass to source grain (md5 + token count are row-local),
+    one (source, lang) rollup with a group-grain top-1 window; no
+    joins wider than the |sources|-row relations."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    langs = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("nl"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("nl"), "lang")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return per.join(langs, "source").select(
+        "source",
+        "n_docs",
+        F.round(
+            1.0 - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        F.expr("(total_tokens * 1000000) DIV n_docs").alias("mean_tokens_e6"),
+        F.expr(
+            "(total_chars * 1000000) DIV GREATEST(total_tokens, 1)"
+        ).alias("chars_per_token_e6"),
+        F.col("lang").alias("majority_lang"),
+        F.round(F.col("nl").cast("double") / F.col("n_docs"), 6).alias(
+            "majority_lang_share"
+        ),
+    )
