@@ -468,8 +468,15 @@ def _list_manifest_versions(fs, man_dir) -> dict:
     }
 
 
-def write_versioned(df: DataFrame, path: str) -> int:
+def write_versioned(df: DataFrame, path: str, audit=None) -> int:
     """Append a new immutable VERSION of a table and return its number.
+
+    ``audit``: optional callable ``DataFrame -> None`` invoked on the
+    RE-READ staged data after the data rename but BEFORE the manifest
+    CAS — the Write-Audit-Publish hook (:func:`write_versioned_wap`).
+    An audit that raises aborts the publish: no manifest is created,
+    readers never see the version, and the orphaned data dir ages into
+    the next :func:`vacuum_versions` sweep.
 
     Layout: ``path/d-{token}/`` holds the parquet data under a
     writer-unique name; ``path/_manifests/{N}.json`` commits version N
@@ -520,6 +527,10 @@ def write_versioned(df: DataFrame, path: str) -> int:
     dest = HPath(f"{root.toString()}/{data_name}")
     if not fs.rename(HPath(staging), dest):
         raise IOError(f"versioned write: data rename failed: {dest}")
+    if audit is not None:
+        # audit the exact bytes readers would see; a raise aborts the
+        # publish (manifest never created — WAP's whole point)
+        audit(spark.read.parquet(dest.toString()))
     manifest_bytes = None
     n = max(_list_manifest_versions(fs, man_dir), default=0) + 1
     for _ in range(1000):  # bounded CAS retry; each loss means a real commit
@@ -648,3 +659,33 @@ def vacuum_versions(
         "swept_orphans": swept,
         "skipped_young_orphans": skipped_young,
     }
+
+
+def write_versioned_wap(df: DataFrame, path: str, rules) -> int:
+    """WRITE-AUDIT-PUBLISH onto a versioned table (the Iceberg/Netflix
+    WAP pattern on this layer's primitives): stage + rename the data,
+    run the declarative expectations engine (operators/expectations.py)
+    against the exact staged bytes readers would get, and commit the
+    manifest ONLY if every rule passes. On failure raises ``ValueError``
+    naming the failing rules with violation counts; the staged data dir
+    is left unreferenced — invisible to every reader, reclaimed by
+    :func:`vacuum_versions` after the grace window — so a bad batch can
+    never become a readable version, and a GOOD publish is still the
+    same crash/race-safe CAS as :func:`write_versioned`.
+
+    reference: jobs/raw_to_staging.py:40-44 writes blind; this is the
+    gated form a production lake runs.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.expectations import check
+
+    def _audit(staged: DataFrame) -> None:
+        rows = check(staged, rules).collect()  # rule-count-bounded
+        failing = [r for r in rows if r["passed"] == 0]
+        if failing:
+            detail = ", ".join(
+                f"{r['rule']}={r['n_violations']}/{r['n_rows']}"
+                for r in failing
+            )
+            raise ValueError(f"WAP audit failed, publish aborted: {detail}")
+
+    return write_versioned(df, path, audit=_audit)

@@ -24,8 +24,11 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "noaa_ais_glue_lakehouse_spa
 #     count, not row count)
 #   - delete_keys_partition_scoped: affected-partition tuples ×2 plus
 #     emptied-partition tuples — all distinct-partition-bounded
+#   - write_versioned_wap: the WAP audit report — one row per RULE
+#     (rule-count-bounded, never data-bounded)
 ALLOWED_COLLECT_SITES = {
     ("operators/similarity.py", "_pair_cosine_by_index_udf"): 1,
+    ("sources/writers.py", "write_versioned_wap"): 1,
     ("operators/similarity.py", "_train_centroids"): 1,
     ("operators/tokenizer.py", "_bpe_merge_rounds"): 1,
     ("sources/writers.py", "list_partitions"): 1,

@@ -585,3 +585,41 @@ def test_vacuum_during_write_race_preserves_inflight_commit(spark, tmp_path):
     assert "d-crashed" in report2["swept_orphans"]
     assert not os.path.exists(f"{path}/d-crashed")
     assert {r["id"] for r in read_version(spark, path, 2).collect()} == {7, 8}
+
+
+def test_wap_publishes_only_clean_batches(spark, tmp_path):
+    """write_versioned_wap: a failing audit must leave NO readable
+    version (manifest never created, staged dir orphaned for vacuum);
+    a passing audit commits the normal CAS version."""
+    import os
+
+    import pytest
+
+    from noaa_ais_glue_lakehouse_spark.operators.expectations import (
+        in_range,
+        not_null,
+    )
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        vacuum_versions,
+        write_versioned_wap,
+    )
+
+    path = str(tmp_path / "vt")
+    rules = [not_null("v"), in_range("v", 0, 100)]
+    good = spark.createDataFrame([(1,), (50,)], ["v"])
+    assert write_versioned_wap(good, path, rules) == 1
+    assert {r["v"] for r in read_version(spark, path).collect()} == {1, 50}
+    bad = spark.createDataFrame([(7,), (999,)], ["v"])
+    with pytest.raises(ValueError, match="WAP audit failed"):
+        write_versioned_wap(bad, path, rules)
+    # still exactly one readable version; bad bytes unreachable
+    assert {r["v"] for r in read_version(spark, path).collect()} == {1, 50}
+    manifests = [
+        f for f in os.listdir(f"{path}/_manifests") if f.endswith(".json")
+    ]
+    assert manifests == ["1.json"]
+    # the orphaned staged dir is vacuum's job (age-gated)
+    rep = vacuum_versions(spark, path, keep_last=1, orphan_grace_ms=0)
+    assert len(rep["swept_orphans"]) == 1
+    assert write_versioned_wap(good, path, rules) == 2
