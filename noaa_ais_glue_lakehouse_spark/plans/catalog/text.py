@@ -4662,3 +4662,235 @@ def q454_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "majority_lang_share"
         ),
     )
+
+
+@register(
+    "q458_mattr_lexical_diversity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t.tok, CAST(t.pos AS BIGINT) + 1 AS p
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents
+      ), LATERAL (
+        SELECT UNNEST(tk) AS tok,
+               UNNEST(range(0, len(tk))) AS pos
+      ) t
+    ), n AS (
+      SELECT doc_id, CAST(MAX(p) AS BIGINT) AS n FROM toks GROUP BY doc_id
+    ), lagged AS (
+      SELECT toks.doc_id, p, n.n,
+             COALESCE(LAG(p) OVER (PARTITION BY toks.doc_id, tok
+                                   ORDER BY p), 0) AS q
+      FROM toks JOIN n USING (doc_id)
+    ), contrib AS (
+      SELECT doc_id, n,
+             GREATEST(0, LEAST(p, n - 49)
+                         - GREATEST(p - 49, q + 1, 1) + 1) AS c
+      FROM lagged WHERE n >= 50
+    )
+    SELECT doc_id, n AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS distinct_window_sum,
+           ROUND(CAST(SUM(c) AS DOUBLE) / (50.0 * (n - 49)), 6) AS mattr_50
+    FROM contrib GROUP BY doc_id, n
+    """,
+)
+def q458_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X388 — MATTR (Moving-Average Type-Token Ratio, Covington &
+    McFall 2010) at window 50, computed EXACTLY without materializing
+    any window: plain TTR (q164's shape) confounds diversity with
+    document length; MATTR fixes that by averaging TTR over every
+    50-token window — naively O(n·W) sliding distinct-counts. The
+    relational closed form here: an occurrence at position p whose
+    previous same-token occurrence sits at q is the window's FIRST of
+    its type exactly for starts s ∈ [max(p−49, q+1, 1), min(p, n−49)],
+    so Σ_windows distinct(window) = Σ_occurrences of that interval
+    length — ONE lag window over (doc, token) and an integer sum
+    replace the quadratic sweep, and MATTR = sum / (50·(n−49)) is
+    exact to the rounding. The training-data use: length-robust
+    repetitiveness screening that q82's duplicate-n-gram rate and
+    q164's raw TTR both misread on long docs.
+
+    Scale: posexplode to token grain, one (doc, token)-partitioned lag,
+    one doc-grain rollup — linear, no window materialization."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("p"), "tok")
+    n = toks.groupBy("doc_id").agg(F.max("p").cast("long").alias("n"))
+    lagged = (
+        toks.join(n, "doc_id")
+        .filter(F.col("n") >= 50)
+        .select(
+            "doc_id",
+            "p",
+            "n",
+            F.coalesce(
+                F.lag("p").over(
+                    Window.partitionBy("doc_id", "tok").orderBy("p")
+                ),
+                F.lit(0),
+            ).alias("q"),
+        )
+    )
+    contrib = lagged.select(
+        "doc_id",
+        "n",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col("p"), F.col("n") - 49)
+            - F.greatest(F.col("p") - 49, F.col("q") + 1, F.lit(1))
+            + 1,
+        ).alias("c"),
+    )
+    return contrib.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("long").alias("distinct_window_sum"),
+        F.round(
+            F.sum("c").cast("double") / (50.0 * (F.col("n") - 49)), 6
+        ).alias("mattr_50"),
+    ).select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "distinct_window_sum",
+        "mattr_50",
+    )
+
+
+@register(
+    "q459_burrows_delta",
+    allow_non_equi=(
+        "the |sources|-row z-profile table self-joins on src_a < src_b "
+        "(190 pairs, group-cardinality); the 50-word vocabulary and the "
+        "1-row source-count scalar broadcast"
+    ),
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok FROM toks GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok LIMIT 50
+    ), st AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS total FROM toks
+      GROUP BY source
+    ), cnt AS (
+      SELECT t.source, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks t JOIN vocab v ON t.tok = v.tok
+      GROUP BY t.source, t.tok
+    ), f AS (
+      SELECT st.source, v.tok,
+             COALESCE(cnt.c, 0) * 1000000 // st.total AS f_e6
+      FROM st CROSS JOIN vocab v
+      LEFT JOIN cnt ON cnt.source = st.source AND cnt.tok = v.tok
+    ), mom AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS s,
+             CAST(SUM(f_e6) AS BIGINT) AS sf,
+             CAST(SUM(f_e6 * f_e6) AS BIGINT) AS sf2
+      FROM f GROUP BY tok
+    ), z AS (
+      SELECT f.source, f.tok,
+             (CAST(f.f_e6 AS DOUBLE) - CAST(m.sf AS DOUBLE) / m.s)
+             / SQRT(GREATEST(
+                 (CAST(m.sf2 AS DOUBLE) - CAST(m.sf AS DOUBLE) * m.sf / m.s)
+                 / (m.s - 1), 1e-12)) AS z
+      FROM f JOIN mom m USING (tok)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           ROUND(list_reduce(list_prepend(0.0,
+             list(ABS(a.z - b.z) ORDER BY a.tok)),
+             (acc, x) -> acc + x) / 50.0, 6) AS burrows_delta
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q459_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X389 — BURROWS' DELTA stylometric distance between sources
+    (Burrows 2002; the standard authorship-attribution metric): z-score
+    each source's relative frequency of the 50 most common corpus words
+    against the across-source distribution, then Δ(a,b) = mean |z_a −
+    z_b|. For a training pipeline this is DATASET FORENSICS — two feeds
+    with near-zero Delta are stylistically one source (a resold crawl,
+    a mirrored dump) even when q455's content-level dup audit is clean,
+    and mixture weights treating them as independent double-count the
+    style. Frequencies quantize to exact ppm integers (count·10⁶ DIV
+    total) so the per-word across-source moments are exact int64; the
+    one float reduction per pair (50 |z|-gaps) folds over a
+    word-sorted array (the q448/q158 fold discipline). Top-50 vocab is
+    deterministic ((count, tok) tiebreak).
+
+    Scale: one token pass; everything after lives on |sources|×50
+    relations. The vocabulary broadcast bounds the count join."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .orderBy(F.desc("cn"), "tok")
+        .limit(50)
+        .select("tok")
+    )
+    st = toks.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("total"))
+    cnt = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    f = (
+        st.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr("COALESCE(c, 0) * 1000000 DIV total").alias("f_e6"),
+        )
+    )
+    mom = f.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("f_e6").cast("long").alias("sf"),
+        F.sum(F.col("f_e6") * F.col("f_e6")).cast("long").alias("sf2"),
+    )
+    z = f.join(F.broadcast(mom), "tok").select(
+        "source",
+        "tok",
+        (
+            (F.col("f_e6").cast("double") - F.col("sf").cast("double") / F.col("s"))
+            / F.sqrt(
+                F.greatest(
+                    (
+                        F.col("sf2").cast("double")
+                        - F.col("sf").cast("double") * F.col("sf") / F.col("s")
+                    )
+                    / (F.col("s") - 1),
+                    F.lit(1e-12),
+                )
+            )
+        ).alias("z"),
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "tok", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), "tok", F.col("z").alias("zb")
+    )
+    pairs = a.join(b, "tok").filter(F.col("src_a") < F.col("src_b"))
+    gap = F.abs(F.col("za") - F.col("zb"))
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("tok", gap.alias("g")))
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r["g"],
+            )
+            / 50.0,
+            6,
+        ).alias("burrows_delta")
+    )
