@@ -3449,3 +3449,173 @@ def q443_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q460_behavior_edit_distance",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             substr(event_type, 1, 1) AS ch
+      FROM events
+    ), sig AS (
+      SELECT user_id, day,
+             string_agg(ch, '' ORDER BY ts, event_id) AS s
+      FROM e GROUP BY user_id, day
+    ), lagged AS (
+      SELECT user_id, day, s,
+             LAG(s) OVER (PARTITION BY user_id ORDER BY day) AS prev_s,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM sig
+    )
+    SELECT user_id, day,
+           CAST(levenshtein(prev_s, s) AS BIGINT) AS edit_dist,
+           CAST(len(s) AS BIGINT) AS n_today,
+           CAST(len(prev_s) AS BIGINT) AS n_prev,
+           ROUND(CAST(levenshtein(prev_s, s) AS DOUBLE)
+                 / GREATEST(len(s), len(prev_s)), 6) AS drift
+    FROM lagged
+    WHERE prev_s IS NOT NULL AND prev_day = day - 1
+    """,
+)
+def q460_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X390 — DAY-OVER-DAY BEHAVIORAL DRIFT per user by sequence edit
+    distance: each (user, day)'s ordered event-type initials form a
+    signature string; consecutive-day Levenshtein (normalized by the
+    longer signature) measures how much the user's behavioral PROGRAM
+    changed — 0 = same routine, 1 = completely different — the
+    session-shape drift signal that count-based churn metrics (q199)
+    and transition matrices (q97) both smooth away. Signature order is
+    total ((ts, event_id) tiebreak), the distance is Spark's native
+    levenshtein (JVM DP kernel, no UDF), and only adjacent-day pairs
+    compare (prev_day = day − 1), so gaps never fake drift.
+
+    Scale: one (user, day) ordered aggregation, one per-user lag, a
+    row-local DP on day-length strings — linear in events; no pairwise
+    user explosion anywhere."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    sig = e.groupBy("user_id", "day").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda r: r["ch"],
+            ),
+        ).alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = sig.select(
+        "user_id",
+        "day",
+        "s",
+        F.lag("s").over(w).alias("prev_s"),
+        F.lag("day").over(w).alias("prev_day"),
+    ).filter(
+        F.col("prev_s").isNotNull()
+        & (F.col("prev_day") == F.date_sub(F.col("day"), 1))
+    )
+    dist = F.levenshtein("prev_s", "s")
+    return lagged.select(
+        "user_id",
+        "day",
+        dist.cast("long").alias("edit_dist"),
+        F.length("s").cast("long").alias("n_today"),
+        F.length("prev_s").cast("long").alias("n_prev"),
+        F.round(
+            dist.cast("double")
+            / F.greatest(F.length("s"), F.length("prev_s")),
+            6,
+        ).alias("drift"),
+    )
+
+
+@register(
+    "q461_markov_entropy_rate",
+    allow_non_equi=(
+        "one 1-row total-transitions scalar crossJoin-attached onto "
+        "the |types|-row per-state entropy table"
+    ),
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), big AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), ni AS (
+      SELECT cur, CAST(SUM(n_ij) AS BIGINT) AS n_i FROM big GROUP BY cur
+    ), terms AS (
+      SELECT b.cur, b.nxt,
+             -(CAST(b.n_ij AS DOUBLE) / ni.n_i)
+               * LOG2(CAST(b.n_ij AS DOUBLE) / ni.n_i) AS t
+      FROM big b JOIN ni USING (cur)
+    ), st AS (
+      SELECT cur,
+             list_reduce(list_prepend(0.0, list(t ORDER BY nxt)),
+               (acc, x) -> acc + x) AS h_cond
+      FROM terms GROUP BY cur
+    ), tot AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n FROM ni)
+    SELECT st.cur AS state, ni.n_i AS n_transitions,
+           ROUND(st.h_cond, 6) AS h_cond_bits,
+           ROUND(CAST(ni.n_i AS DOUBLE) / n, 6) AS p_state,
+           ROUND(st.h_cond * ni.n_i / n, 6) AS rate_contribution_bits
+    FROM st JOIN ni USING (cur), tot
+    """,
+)
+def q461_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X391 — EMPIRICAL ENTROPY RATE of the per-user event-type Markov
+    chain (plug-in estimator over q97's bigram counts): per state i the
+    conditional entropy H_i = −Σ_j p(j|i)·log2 p(j|i) and its
+    occupancy-weighted contribution — Σ_i contributions is the chain's
+    bits-per-event. This is the PREDICTABILITY budget of user behavior:
+    near 0 bits means next actions are deterministic given the current
+    one (q241's next-event predictor will look great for free); near
+    log2(k) means transition features carry nothing and sequence models
+    are wasted capacity. Bigram counts are exact integers at matrix
+    grain; each H_i folds over its ≤k successor terms in sorted-j order
+    (the q448 fold discipline), so both engines sum identical doubles
+    identically.
+
+    Scale: one per-user lead window (entity-partitioned), one matrix-
+    grain aggregate; everything after lives on ≤k² rows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    big = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ij")
+    )
+    wcur = Window.partitionBy("cur")
+    p = F.col("n_ij").cast("double") / F.sum("n_ij").over(wcur)
+    big = big.withColumn("term", -p * F.log2(p))
+    st = big.groupBy("cur").agg(
+        F.sum("n_ij").cast("long").alias("n_i"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("nxt", F.col("term").alias("t")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["t"],
+        ).alias("h_cond"),
+    )
+    tot = st.agg(F.sum("n_i").cast("long").alias("n"))
+    return st.crossJoin(F.broadcast(tot)).select(
+        F.col("cur").alias("state"),
+        F.col("n_i").alias("n_transitions"),
+        F.round("h_cond", 6).alias("h_cond_bits"),
+        F.round(F.col("n_i").cast("double") / F.col("n"), 6).alias("p_state"),
+        F.round(F.col("h_cond") * F.col("n_i") / F.col("n"), 6).alias(
+            "rate_contribution_bits"
+        ),
+    )
