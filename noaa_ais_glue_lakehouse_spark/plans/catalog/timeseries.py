@@ -3133,3 +3133,207 @@ def q440_changepoint_localization(
     )
 
 
+
+
+def _hurst_oracle() -> str:
+    # R/S at one block size w: blocks of w consecutive days; within a
+    # block, R = max - min of the centered prefix sums, S = population
+    # std; both engines see identical text. Means over blocks and the
+    # final 3-point log-log slope fold in sorted order.
+    per_w = """
+    , blk{w} AS (
+      SELECT (di // {w}) AS b, di, yc,
+             SUM(yc) OVER (PARTITION BY (di // {w})) AS bs,
+             COUNT(*) OVER (PARTITION BY (di // {w})) AS bn
+      FROM days WHERE di < (SELECT (COUNT(*) // {w}) * {w} FROM days)
+    ), pre{w} AS (
+      SELECT b, di,
+             SUM(CAST(yc AS DOUBLE) - CAST(bs AS DOUBLE) / bn)
+               OVER (PARTITION BY b ORDER BY di) AS cum,
+             CAST(yc AS DOUBLE) - CAST(bs AS DOUBLE) / bn AS dev
+      FROM blk{w}
+    ), mom{w} AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(yc * yc) AS BIGINT) AS sy2
+      FROM blk{w} GROUP BY b
+    ), rs{w} AS (
+      SELECT p.b,
+             (MAX(p.cum) - MIN(p.cum))
+             / GREATEST(SQRT((CAST(m.sy2 AS DOUBLE)
+                              - CAST(m.sy AS DOUBLE) * m.sy / m.n) / m.n),
+                        1e-9) AS rs
+      FROM pre{w} p JOIN mom{w} m USING (b)
+      GROUP BY p.b, m.sy2, m.sy, m.n
+    ), m{w} AS (
+      SELECT list_reduce(list_prepend(0.0, list(rs ORDER BY b)),
+               (acc, x) -> acc + x) / COUNT(*) AS mean_rs,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM rs{w}
+    )"""
+    return (
+        """
+    WITH d0 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY day
+    ), days AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS di, yc
+      FROM d0
+    )"""
+        + "".join(per_w.format(w=w) for w in (7, 14, 28))
+        + """
+    , pts AS (
+      SELECT LN(7.0) AS x1, LN(m7.mean_rs) AS y1,
+             LN(14.0) AS x2, LN(m14.mean_rs) AS y2,
+             LN(28.0) AS x3, LN(m28.mean_rs) AS y3,
+             m7.n_blocks AS b7, m14.n_blocks AS b14, m28.n_blocks AS b28,
+             m7.mean_rs AS rs7, m14.mean_rs AS rs14, m28.mean_rs AS rs28
+      FROM m7, m14, m28
+    )
+    SELECT b7 AS n_blocks_7, b14 AS n_blocks_14, b28 AS n_blocks_28,
+           ROUND(rs7, 6) AS mean_rs_7,
+           ROUND(rs14, 6) AS mean_rs_14,
+           ROUND(rs28, 6) AS mean_rs_28,
+           ROUND((3.0 * (x1*y1 + x2*y2 + x3*y3)
+                  - (x1 + x2 + x3) * (y1 + y2 + y3))
+                 / (3.0 * (x1*x1 + x2*x2 + x3*x3)
+                    - (x1 + x2 + x3) * (x1 + x2 + x3)), 6) AS hurst_h
+    FROM pts
+    """
+    )
+
+
+@register(
+    "q462_hurst_exponent",
+    allow_non_equi=(
+        "three 1-row per-block-size mean-R/S scalars crossJoin-combined "
+        "into the 1-row log-log fit"
+    ),
+    oracle=_hurst_oracle(),
+)
+def q462_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X392 — HURST EXPONENT of daily revenue by rescaled-range (R/S)
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969): long-range
+    dependence triage — H ≈ 0.5 means increments are memoryless (q426's
+    world), H > 0.5 persistent trends (todays's highs beget tomorrow's
+    — q317's backtest horizons should stretch), H < 0.5 mean-reversion.
+    Blocks of w ∈ {7, 14, 28} days; per block R = range of centered
+    prefix sums over S = population std (identical-text doubles); mean
+    R/S per w folds over blocks in block order (the q448 discipline);
+    H = 3-point closed-form OLS slope of ln(R/S) on ln(w). Day counts
+    are exact integer cents until the per-block float step, and every
+    float reduction is ordered.
+
+    Scale: the series lives at DAY grain — one events rollup, then
+    window math over a relation with one row per day; the three block
+    sizes reuse the same day relation."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("yc")
+    )
+    days = d0.select(
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("long")
+        .alias("di"),
+        "yc",
+    )
+    n_days = days.agg(F.count(F.lit(1)).alias("nd"))
+    ms = []
+    for w in (7, 14, 28):
+        blk = (
+            days.crossJoin(F.broadcast(n_days))
+            .filter(F.col("di") < F.expr(f"(nd DIV {w}) * {w}"))
+            .select(
+                F.expr(f"di DIV {w}").alias("b"),
+                "di",
+                "yc",
+            )
+        )
+        wb = Window.partitionBy("b")
+        mom = blk.groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("yc").cast("long").alias("sy"),
+            F.sum(F.col("yc") * F.col("yc")).cast("long").alias("sy2"),
+        )
+        dev = blk.select(
+            "b",
+            "di",
+            (
+                F.col("yc").cast("double")
+                - F.sum("yc").over(wb).cast("double") / F.count("*").over(wb)
+            ).alias("dev"),
+        )
+        pre = dev.withColumn(
+            "cum",
+            F.sum("dev").over(
+                Window.partitionBy("b")
+                .orderBy("di")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        # R from order-pinned prefix sums (MAX/MIN are order-free); S from
+        # EXACT integer block moments - no float group-aggregation anywhere
+        rs = (
+            pre.groupBy("b")
+            .agg(F.max("cum").alias("mx"), F.min("cum").alias("mn"))
+            .join(F.broadcast(mom), "b")
+            .select(
+                "b",
+                (
+                    (F.col("mx") - F.col("mn"))
+                    / F.greatest(
+                        F.sqrt(
+                            (
+                                F.col("sy2").cast("double")
+                                - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+                            )
+                            / F.col("n")
+                        ),
+                        F.lit(1e-9),
+                    )
+                ).alias("rs"),
+            )
+        )
+        m = rs.agg(
+            (
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("b", F.col("rs").alias("r")))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["r"],
+                )
+                / F.count(F.lit(1))
+            ).alias(f"rs{w}"),
+            F.count(F.lit(1)).cast("long").alias(f"b{w}"),
+        )
+        ms.append(m)
+    pts = (
+        ms[0]
+        .crossJoin(F.broadcast(ms[1]))
+        .crossJoin(F.broadcast(ms[2]))
+        .select(
+            "*",
+            *[
+                F.log(F.lit(float(w))).alias(f"x{i+1}")
+                for i, w in enumerate((7, 14, 28))
+            ],
+            F.log("rs7").alias("y1"),
+            F.log("rs14").alias("y2"),
+            F.log("rs28").alias("y3"),
+        )
+    )
+    slope = F.expr(
+        "(3.0 * (x1*y1 + x2*y2 + x3*y3)"
+        " - (x1 + x2 + x3) * (y1 + y2 + y3))"
+        " / (3.0 * (x1*x1 + x2*x2 + x3*x3)"
+        " - (x1 + x2 + x3) * (x1 + x2 + x3))"
+    )
+    return pts.select(
+        F.col("b7").alias("n_blocks_7"),
+        F.col("b14").alias("n_blocks_14"),
+        F.col("b28").alias("n_blocks_28"),
+        F.round("rs7", 6).alias("mean_rs_7"),
+        F.round("rs14", 6).alias("mean_rs_14"),
+        F.round("rs28", 6).alias("mean_rs_28"),
+        F.round(slope, 6).alias("hurst_h"),
+    )
