@@ -4894,3 +4894,150 @@ def q459_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("burrows_delta")
     )
+
+
+def _maxcover_oracle(rounds: int = 5) -> str:
+    ctes = [
+        """grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, md5(substr(lower(text), i, 8)) AS g
+      FROM documents, UNNEST(range(1, length(lower(text)) - 6)) AS t(i)
+      WHERE length(text) >= 8
+    )""",
+        """r1 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY doc_id
+    )""",
+        "w1 AS (SELECT doc_id, cnt FROM r1 ORDER BY cnt DESC, doc_id LIMIT 1)",
+        """c1 AS MATERIALIZED (
+      SELECT DISTINCT g FROM grams JOIN w1 USING (doc_id)
+    )""",
+    ]
+    for k in range(2, rounds + 1):
+        sel = " UNION ALL ".join(f"SELECT doc_id FROM w{j}" for j in range(1, k))
+        ctes.append(
+            f"""r{k} AS (
+      SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grams gr
+      ANTI JOIN c{k - 1} c ON gr.g = c.g
+      ANTI JOIN ({sel}) s ON gr.doc_id = s.doc_id
+      GROUP BY gr.doc_id
+    )"""
+        )
+        ctes.append(
+            f"w{k} AS (SELECT doc_id, cnt FROM r{k} ORDER BY cnt DESC,"
+            " doc_id LIMIT 1)"
+        )
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT g FROM c{k - 1}
+      UNION
+      SELECT g FROM grams JOIN w{k} USING (doc_id)
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS rank, w{k}.doc_id, w{k}.cnt AS new_grams,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{k}) AS total_covered"
+        f" FROM w{k}"
+        for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(new_grams AS BIGINT) AS new_grams, total_covered
+    FROM ({finals})"""
+    )
+
+
+@register(
+    "q463_greedy_coverage_selection",
+    build_time_exec=(
+        "5 unrolled greedy rounds checkpoint the covered-gram relation "
+        "and the 1-row winner each round so the gram subtree executes "
+        "once per round, not 2^rounds times"
+    ),
+    allow_non_equi=(
+        "each round crossJoins the 1-row winner scalar onto the gram "
+        "relation to split newly-covered grams - 1-row broadcast, "
+        "never row-level"
+    ),
+    oracle=_maxcover_oracle(5),
+)
+def q463_greedy_coverage_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X393 — GREEDY COVERAGE-MAXIMIZING DATA SELECTION (facility
+    location / max-cover; the submodular-selection shape behind
+    diversity-targeted corpus curation): 5 unrolled greedy rounds each
+    pick the document adding the most UNCOVERED distinct char-8-grams
+    (md5'd, the q343 gram family), publishing (rank, doc_id, new_grams,
+    total_covered) — the classic (1−1/e)-approximate solution to "pick
+    k docs covering the most n-gram space", which is how a curation
+    run seeds few-shot pools and dedup-aware eval probes (Lin &
+    Bilmes 2011 for the submodular framing). Greedy ties break to the
+    lowest doc_id on both engines (ORDER BY cnt DESC, doc_id ≡
+    max(struct(cnt, −doc_id))); selected docs are excluded from later
+    rounds; every round is one anti-join + count + 1-row argmax.
+
+    Scale: the gram relation builds once (checkpointed); each round
+    touches |uncovered grams| which shrinks monotonically; the winner
+    is a 1-row broadcast. k is the only unrolled axis — for large k,
+    switch to the lazier stochastic-greedy variant (same kernel)."""
+    from noaa_ais_glue_lakehouse_spark.operators.checkpointing import (
+        iteration_checkpointer,
+    )
+
+    _ckpt = iteration_checkpointer(spark)
+    docs = load(spark, sf_dir, "documents")
+    grams = _ckpt(
+        docs.filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(lower(text)) - 7),"
+                    " i -> md5(substring(lower(text), i, 8)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    covered = None
+    selected_rows = []
+    out_rows = []
+    for k in range(1, 6):
+        rem = grams
+        if covered is not None:
+            rem = rem.join(covered, "g", "left_anti")
+        for wdf in selected_rows:
+            rem = rem.join(F.broadcast(wdf.select("doc_id")), "doc_id", "left_anti")
+        counts = rem.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        winner = _ckpt(
+            counts.agg(
+                F.max(F.struct("cnt", (-F.col("doc_id")).alias("negid"))).alias("m")
+            ).select(
+                (-F.col("m.negid")).cast("long").alias("doc_id"),
+                F.col("m.cnt").cast("long").alias("cnt"),
+            )
+        )
+        selected_rows.append(winner)
+        newly = grams.join(F.broadcast(winner.select("doc_id")), "doc_id").select("g")
+        covered = _ckpt(
+            newly if covered is None else covered.unionByName(newly).distinct()
+        )
+        tot = covered.agg(F.count(F.lit(1)).cast("long").alias("total_covered"))
+        out_rows.append(
+            winner.crossJoin(F.broadcast(tot)).select(
+                F.lit(k).cast("long").alias("rank"),
+                "doc_id",
+                F.col("cnt").alias("new_grams"),
+                "total_covered",
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
