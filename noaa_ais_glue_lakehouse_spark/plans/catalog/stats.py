@@ -6556,3 +6556,375 @@ def q457_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("e", 4).alias("residual_cents"),
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+@register(
+    "q464_runs_test",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY day
+    ), mv AS (
+      SELECT day, yc, LAG(yc) OVER (ORDER BY day) AS prev FROM d0
+    ), signs AS (
+      SELECT day, CASE WHEN yc > prev THEN 1 ELSE 0 END AS s
+      FROM mv WHERE prev IS NOT NULL AND yc <> prev
+    ), runs AS (
+      SELECT s, CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                       OR LAG(s) OVER (ORDER BY day) <> s
+                     THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ), agg AS (
+      SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+             CAST(SUM(s) AS BIGINT) AS n_up,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_down
+      FROM runs
+    ), z AS (
+      SELECT r, n_up, n_down,
+             1.0 + 2.0 * n_up * n_down / (n_up + n_down) AS mu,
+             (2.0 * n_up * n_down
+              * (2.0 * n_up * n_down - n_up - n_down))
+             / ((n_up + n_down) * (n_up + n_down)
+                * (n_up + n_down - 1.0)) AS var
+      FROM agg
+    ), p AS (
+      SELECT r, n_up, n_down, mu,
+             (r - mu) / SQRT(GREATEST(var, 1e-12)) AS z
+      FROM z
+    )
+    SELECT r AS n_runs, n_up, n_down,
+           ROUND(mu, 6) AS expected_runs,
+           ROUND(z, 6) AS z_score,
+           ROUND({_P_TWO_SIDED_EXPR}, 6) AS p_value
+    FROM (SELECT *, ABS(z) AS az,
+                 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt FROM p)
+    """,
+)
+def q464_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X394 — WALD–WOLFOWITZ RUNS TEST on daily revenue direction: are
+    up/down moves random, or do they streak (momentum) / alternate
+    (mean-reversion)? The distribution-free companion to q462's Hurst
+    exponent — Hurst measures the MAGNITUDE memory, runs the SIGN
+    memory. Runs, up-count and down-count are exact integers from one
+    day-ordered lag (ties yc = prev are dropped, the standard
+    treatment); μ and σ² have the classic closed forms, z and the
+    two-sided p use the shared normal polynomial. At day grain the
+    whole test is a ~60-row relation after one events rollup.
+
+    Scale: one day rollup + two ordered lags at day grain."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("yc")
+    )
+    w = Window.orderBy("day")
+    mv = d0.select("day", "yc", F.lag("yc").over(w).alias("prev"))
+    signs = mv.filter(
+        F.col("prev").isNotNull() & (F.col("yc") != F.col("prev"))
+    ).select("day", F.when(F.col("yc") > F.col("prev"), 1).otherwise(0).alias("s"))
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(Window.orderBy("day")).isNull()
+            | (F.lag("s").over(Window.orderBy("day")) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_down"),
+    )
+    z = agg.select(
+        "r",
+        "n_up",
+        "n_down",
+        (
+            1.0
+            + 2.0 * F.col("n_up") * F.col("n_down")
+            / (F.col("n_up") + F.col("n_down"))
+        ).alias("mu"),
+        (
+            (
+                2.0 * F.col("n_up") * F.col("n_down")
+                * (
+                    2.0 * F.col("n_up") * F.col("n_down")
+                    - F.col("n_up")
+                    - F.col("n_down")
+                )
+            )
+            / (
+                (F.col("n_up") + F.col("n_down"))
+                * (F.col("n_up") + F.col("n_down"))
+                * (F.col("n_up") + F.col("n_down") - 1.0)
+            )
+        ).alias("var"),
+    )
+    p = z.withColumn(
+        "z", (F.col("r") - F.col("mu")) / F.sqrt(F.greatest(F.col("var"), F.lit(1e-12)))
+    ).withColumn("az", F.expr("ABS(z)")).withColumn(
+        "tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))")
+    )
+    return p.select(
+        F.col("r").alias("n_runs"),
+        "n_up",
+        "n_down",
+        F.round("mu", 6).alias("expected_runs"),
+        F.round("z", 6).alias("z_score"),
+        F.round(F.expr(_P_TWO_SIDED_EXPR), 6).alias("p_value"),
+    )
+
+
+@register(
+    "q465_jarque_bera",
+    allow_non_equi=(
+        "one 1-row integer-moment scalar crossJoin-attached onto the "
+        "day relation to standardize before the ordered folds"
+    ),
+    oracle="""
+    WITH d0 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY day
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yc) AS BIGINT) AS s,
+             CAST(SUM(yc * yc) AS BIGINT) AS s2
+      FROM d0
+    ), z AS (
+      SELECT d0.day,
+             (CAST(d0.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+             / SQRT(GREATEST((CAST(m.s2 AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n, 1e-12)) AS z
+      FROM d0, m
+    ), folds AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0, list(z * z * z ORDER BY day)),
+               (acc, x) -> acc + x) AS s3,
+             list_reduce(list_prepend(0.0, list(z * z * z * z ORDER BY day)),
+               (acc, x) -> acc + x) AS s4
+      FROM z
+    ), jb AS (
+      SELECT n, s3 / n AS skew, s4 / n - 3.0 AS exkurt,
+             (n / 6.0) * ((s3 / n) * (s3 / n)
+                          + (s4 / n - 3.0) * (s4 / n - 3.0) / 4.0) AS jb
+      FROM folds
+    )
+    SELECT n AS n_days,
+           ROUND(skew, 6) AS skewness,
+           ROUND(exkurt, 6) AS excess_kurtosis,
+           ROUND(jb, 6) AS jb_stat,
+           ROUND(EXP(-jb / 2.0), 6) AS p_value
+    FROM jb
+    """,
+)
+def q465_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X395 — JARQUE–BERA normality test of daily revenue: skewness and
+    excess kurtosis folded into one statistic, JB = n/6·(S² + K²/4),
+    with the EXACT df = 2 chi-square tail p = exp(−JB/2) (the q449
+    closed form). The gate before any test that assumes Gaussian daily
+    totals (q315's CUPED variance math, q438's pooled d) — heavy-tailed
+    revenue fails here first. Standardization uses exact integer
+    (n, Σy, Σy²); the 3rd/4th-power sums are per-row doubles folded in
+    DAY order (int64 can't hold Σy⁴ at cents scale, so the fold
+    discipline — q448/q462 — carries the higher moments instead).
+
+    Scale: one day rollup; everything else is a ~60-row relation."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("yc")
+    )
+    m = d0.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("s2"),
+    )
+    z = d0.crossJoin(F.broadcast(m)).select(
+        "day",
+        (
+            (F.col("yc").cast("double") - F.col("s").cast("double") / F.col("n"))
+            / F.sqrt(
+                F.greatest(
+                    (
+                        F.col("s2").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    / F.col("n"),
+                    F.lit(1e-12),
+                )
+            )
+        ).alias("z"),
+    )
+    folds = z.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("day", (F.col("z") ** 3).alias("z3"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["z3"],
+        ).alias("s3"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("day", (F.col("z") ** 4).alias("z4"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["z4"],
+        ).alias("s4"),
+    )
+    jb = folds.select(
+        "n",
+        (F.col("s3") / F.col("n")).alias("skew"),
+        (F.col("s4") / F.col("n") - 3.0).alias("exkurt"),
+        (
+            (F.col("n") / 6.0)
+            * (
+                (F.col("s3") / F.col("n")) * (F.col("s3") / F.col("n"))
+                + (F.col("s4") / F.col("n") - 3.0)
+                * (F.col("s4") / F.col("n") - 3.0)
+                / 4.0
+            )
+        ).alias("jb"),
+    )
+    return jb.select(
+        F.col("n").alias("n_days"),
+        F.round("skew", 6).alias("skewness"),
+        F.round("exkurt", 6).alias("excess_kurtosis"),
+        F.round("jb", 6).alias("jb_stat"),
+        F.round(F.exp(-F.col("jb") / 2.0), 6).alias("p_value"),
+    )
+
+
+@register(
+    "q466_durbin_watson",
+    allow_non_equi=(
+        "one 1-row OLS-moment scalar crossJoin-attached onto the day "
+        "relation to compute residuals before the ordered folds"
+    ),
+    oracle="""
+    WITH d0 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY day
+    ), days AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS x, yc
+      FROM d0
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * yc) AS BIGINT) AS sxy
+      FROM days
+    ), fit AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+             CAST(sy AS DOUBLE) / n AS ybar,
+             CAST(sx AS DOUBLE) / n AS xbar
+      FROM m
+    ), e AS (
+      SELECT days.x,
+             CAST(days.yc AS DOUBLE)
+               - (fit.ybar + fit.beta * (days.x - fit.xbar)) AS e
+      FROM days, fit
+    ), lagd AS (
+      SELECT x, e, LAG(e) OVER (ORDER BY x) AS ep FROM e
+    ), folds AS (
+      SELECT (SELECT list_reduce(list_prepend(0.0,
+                list(e * e ORDER BY x)), (acc, v) -> acc + v) FROM e) AS see,
+             (SELECT list_reduce(list_prepend(0.0,
+                list((e - ep) * (e - ep) ORDER BY x)), (acc, v) -> acc + v)
+              FROM lagd WHERE ep IS NOT NULL) AS sdd,
+             (SELECT n FROM fit) AS n
+    )
+    SELECT n AS n_days,
+           ROUND(sdd / GREATEST(see, 1e-12), 6) AS dw_stat,
+           ROUND(1.0 - (sdd / GREATEST(see, 1e-12)) / 2.0, 6) AS rho1_approx
+    FROM folds
+    """,
+)
+def q466_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X396 — DURBIN–WATSON autocorrelation test on the residuals of
+    the daily-revenue trend fit: DW = Σ(e_t − e_{t−1})²/Σe_t², with
+    DW ≈ 2(1−ρ₁) published as rho1_approx. THE diagnostic q234's
+    per-group OLS forecast needs before its confidence claims: DW ≪ 2
+    (positive residual autocorrelation) means the trend's standard
+    errors are optimistic and a lagged term belongs in the model —
+    complementing q462 (long memory) and q464 (sign memory) with the
+    residual-level check. The fit comes from exact integer moments;
+    residuals are row-local doubles; both quadratic forms fold in day
+    order (the q448 discipline).
+
+    Scale: one day rollup; day-grain windows and folds after."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("yc")
+    )
+    days = d0.select(
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("long")
+        .alias("x"),
+        "yc",
+    )
+    m = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxy"),
+    )
+    fit = m.select(
+        "n",
+        (
+            (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("beta"),
+        (F.col("sy").cast("double") / F.col("n")).alias("ybar"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+    e = days.crossJoin(F.broadcast(fit)).select(
+        "x",
+        "n",
+        (
+            F.col("yc").cast("double")
+            - (F.col("ybar") + F.col("beta") * (F.col("x") - F.col("xbar")))
+        ).alias("e"),
+    )
+    lagd = e.select(
+        "x", "e", F.lag("e").over(Window.orderBy("x")).alias("ep")
+    )
+    see = e.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("x", (F.col("e") * F.col("e")).alias("v")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["v"],
+        ).alias("see"),
+        F.max("n").alias("n"),
+    )
+    sdd = lagd.filter(F.col("ep").isNotNull()).agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "x",
+                        ((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))).alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["v"],
+        ).alias("sdd")
+    )
+    dw = F.col("sdd") / F.greatest(F.col("see"), F.lit(1e-12))
+    return see.crossJoin(F.broadcast(sdd)).select(
+        F.col("n").alias("n_days"),
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(1.0 - dw / 2.0, 6).alias("rho1_approx"),
+    )
