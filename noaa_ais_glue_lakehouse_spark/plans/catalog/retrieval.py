@@ -3324,3 +3324,118 @@ def q452_opq_rotation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("improved"),
     )
+
+
+@register(
+    "q467_query_likelihood_dirichlet",
+    allow_non_equi=(
+        "one 1-row collection-statistics scalar crossJoin-attached "
+        "onto the per-doc tf relation"
+    ),
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS dl,
+             CAST(len(list_filter(ts, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+             CAST(len(list_filter(ts, x -> x = 'join')) AS BIGINT) AS tf_join,
+             CAST(len(list_filter(ts, x -> x = 'window')) AS BIGINT) AS tf_window
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS ts
+        FROM documents
+      )
+    ), stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) AS coll_len,
+             CAST(SUM(tf_spark) AS DOUBLE) AS ctf_spark,
+             CAST(SUM(tf_join) AS DOUBLE) AS ctf_join,
+             CAST(SUM(tf_window) AS DOUBLE) AS ctf_window
+      FROM base
+    ), scored AS (
+      SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+             CAST(ROUND(LN((tf_spark + 2000.0 * ctf_spark / coll_len)
+                           / (dl + 2000.0)) * 1000000) AS BIGINT)
+             + CAST(ROUND(LN((tf_join + 2000.0 * ctf_join / coll_len)
+                             / (dl + 2000.0)) * 1000000) AS BIGINT)
+             + CAST(ROUND(LN((tf_window + 2000.0 * ctf_window / coll_len)
+                             / (dl + 2000.0)) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM base, stats
+    )
+    SELECT doc_id, dl AS doc_len, tf_spark, tf_join, tf_window,
+           score_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM scored
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q467_query_likelihood_dirichlet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X397 — QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (Zhai
+    & Lafferty 2001; μ = 2000), the language-modeling ranking family
+    next to q218's BM25 over the same fixed query: score(q, d) =
+    Σ_w log((tf + μ·P(w|C)) / (|d| + μ)). The two families disagree
+    exactly where hybrid retrieval needs both (QL's length behavior is
+    a prior, BM25's a saturation curve), and q227's reciprocal-rank
+    fusion is the consumer. Per-term log-scores quantize to integer
+    micros BEFORE the 3-term sum (the q218 discipline), so the total
+    is order-free; top-20 by (score, doc_id).
+
+    Scale: one token pass to per-doc tf columns (conditional size()
+    on the token array — no explode), a 1-row collection-stats
+    broadcast, TakeOrdered top-20."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in ("spark", "join", "window")
+        ],
+    )
+    stats = base.agg(
+        F.sum("dl").cast("double").alias("coll_len"),
+        *[
+            F.sum(f"tf_{t}").cast("double").alias(f"ctf_{t}")
+            for t in ("spark", "join", "window")
+        ],
+    )
+    term = lambda t: F.round(
+        F.log(
+            (F.col(f"tf_{t}") + 2000.0 * F.col(f"ctf_{t}") / F.col("coll_len"))
+            / (F.col("dl") + 2000.0)
+        )
+        * 1000000
+    ).cast("long")
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        "tf_spark",
+        "tf_join",
+        "tf_window",
+        (term("spark") + term("join") + term("window")).alias("score_micro"),
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score_micro"), "doc_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "doc_id",
+            F.col("dl").alias("doc_len"),
+            "tf_spark",
+            "tf_join",
+            "tf_window",
+            "score_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
