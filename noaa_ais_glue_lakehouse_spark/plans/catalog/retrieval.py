@@ -3439,3 +3439,99 @@ def q467_query_likelihood_dirichlet(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "q469_source_centroid_drift",
+    allow_non_equi=(
+        "the 64-row global-centroid relation broadcast-joins the "
+        "per-label dim relation on the dim key; one 1-row scalar "
+        "attach for corpus size"
+    ),
+    oracle="""
+    WITH dims AS (
+      SELECT label, u.i AS i,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ), per AS (
+      SELECT label, i,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dims GROUP BY label, i
+    ), gcent AS (
+      SELECT i, CAST(SUM(sx) AS BIGINT) AS gx, CAST(SUM(n) AS BIGINT) AS gn
+      FROM per GROUP BY i
+    ), gaps AS (
+      SELECT p.label, p.i, p.n,
+             CAST(p.sx AS DOUBLE) / p.n - CAST(g.gx AS DOUBLE) / g.gn AS d
+      FROM per p JOIN gcent g USING (i)
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           ROUND(SQRT(list_reduce(list_prepend(0.0,
+                 list(d * d ORDER BY i)), (acc, v) -> acc + v)) / 1000000.0,
+                 6) AS centroid_drift
+    FROM gaps GROUP BY label
+    """,
+)
+def q469_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X399 — PER-LABEL EMBEDDING-CENTROID DRIFT: L2 distance between
+    each label's embedding centroid and the corpus centroid, from
+    EXACT integer-micro coordinate sums (the q231/q318 micro-int
+    move: coordinates round to 1e-6 once, then every mean is a ratio
+    of exact integers). This is embedding-space dataset drift at the
+    slice grain — the retrieval-side analog of q140's PSI and q374's
+    KS: a label whose centroid sits far from the corpus mean gets
+    systematically different ANN recall (IVF probes tune to the global
+    density), and a centroid that MOVES between snapshots means the
+    upstream encoder or content changed. The 64-term distance folds in
+    dimension order (the q448 discipline).
+
+    Scale: one explode to (label, dim) grain — 64 rows per vector
+    pre-aggregated map-side; the global centroid derives from the
+    per-label sums (no second scan); everything after is
+    |labels|×64."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("xf").cast("double") * 1_000_000).cast("long").alias("x"),
+    )
+    per = dims.groupBy("label", "i").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    glob = per.groupBy("i").agg(
+        F.sum("sx").cast("long").alias("gx"),
+        F.sum("n").cast("long").alias("gn"),
+    )
+    gaps = per.join(F.broadcast(glob), "i").select(
+        "label",
+        "i",
+        "n",
+        (
+            F.col("sx").cast("double") / F.col("n")
+            - F.col("gx").cast("double") / F.col("gn")
+        ).alias("d"),
+    )
+    return gaps.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("i", (F.col("d") * F.col("d")).alias("v"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, r: acc + r["v"],
+                )
+            )
+            / 1000000.0,
+            6,
+        ).alias("centroid_drift"),
+    )

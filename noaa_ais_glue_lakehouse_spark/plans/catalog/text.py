@@ -5041,3 +5041,139 @@ def q463_greedy_coverage_selection(
     for r in out_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "q468_split_distribution_shift",
+    allow_non_equi=(
+        "one 1-row arm-totals scalar crossJoin-attached onto the "
+        "vocab-grain count relation"
+    ),
+    oracle=r"""
+    WITH toks AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'val' END AS arm,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ), cnt AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN arm = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ct,
+             CAST(SUM(CASE WHEN arm = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cv
+      FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cv) AS BIGINT) AS nv,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM cnt
+    ), terms AS (
+      SELECT tok,
+             CAST(ct AS DOUBLE) / nt AS p,
+             CAST(cv AS DOUBLE) / nv AS q
+      FROM cnt, tot
+    ), qterm AS (
+      SELECT tok,
+             CAST(ROUND(CASE WHEN p > 0
+                  THEN p * LOG2(p / ((p + q) / 2.0)) ELSE 0.0 END
+                  * 1000000000) AS BIGINT) AS jp_e9,
+             CAST(ROUND(CASE WHEN q > 0
+                  THEN q * LOG2(q / ((p + q) / 2.0)) ELSE 0.0 END
+                  * 1000000000) AS BIGINT) AS jq_e9
+      FROM terms
+    )
+    SELECT (SELECT nt FROM tot) AS n_train_tokens,
+           (SELECT nv FROM tot) AS n_val_tokens,
+           (SELECT vocab FROM tot) AS vocab_size,
+           ROUND((CAST(SUM(jp_e9) AS DOUBLE)
+                  + CAST(SUM(jq_e9) AS DOUBLE)) / 2.0e9, 6) AS js_divergence
+    FROM qterm
+    """,
+)
+def q468_split_distribution_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X398 — TRAIN/VAL TOKEN-DISTRIBUTION SHIFT: Jensen–Shannon
+    divergence between the token unigram distributions of the id-hash
+    train/val split (the q105/q13-family 80/20 md5 split). A val set
+    drawn i.i.d. should sit at JS ≈ 0; real pipelines drift when the
+    split key correlates with source or time, and THIS number is the
+    gate — an eval on a shifted val set mis-ranks checkpoints before a
+    single model trains. Per-token JS terms quantize to nano-int
+    BEFORE summation (the q434 ppm discipline, so the vocab-grain sum
+    is order-free in both engines); counts and totals are exact
+    integers throughout.
+
+    Scale: one token pass to vocab grain, conditional sums (one
+    shuffle), a 1-row reduce. Vocab-grain term rows never leave the
+    JVM."""
+    docs = load(spark, sf_dir, "documents")
+    arm = F.when(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 10"
+        )
+        < 8,
+        "train",
+    ).otherwise("val")
+    toks = docs.select(
+        arm.alias("arm"), F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("arm") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(F.col("arm") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("cv"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cv").cast("long").alias("nv"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        (F.col("ct").cast("double") / F.col("nt")).alias("p"),
+        (F.col("cv").cast("double") / F.col("nv")).alias("q"),
+        "nt",
+        "nv",
+        "vocab",
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    qterm = terms.select(
+        "nt",
+        "nv",
+        "vocab",
+        F.round(
+            F.when(F.col("p") > 0, F.col("p") * F.log2(F.col("p") / m)).otherwise(
+                0.0
+            )
+            * 1000000000
+        )
+        .cast("long")
+        .alias("jp_e9"),
+        F.round(
+            F.when(F.col("q") > 0, F.col("q") * F.log2(F.col("q") / m)).otherwise(
+                0.0
+            )
+            * 1000000000
+        )
+        .cast("long")
+        .alias("jq_e9"),
+    )
+    return qterm.groupBy("nt", "nv", "vocab").agg(
+        F.round(
+            (
+                F.sum("jp_e9").cast("double")
+                + F.sum("jq_e9").cast("double")
+            )
+            / 2.0e9,
+            6,
+        ).alias("js_divergence")
+    ).select(
+        F.col("nt").alias("n_train_tokens"),
+        F.col("nv").alias("n_val_tokens"),
+        F.col("vocab").alias("vocab_size"),
+        "js_divergence",
+    )
