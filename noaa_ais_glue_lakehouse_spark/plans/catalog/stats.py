@@ -6928,3 +6928,169 @@ def q466_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dw, 6).alias("dw_stat"),
         F.round(1.0 - dw / 2.0, 6).alias("rho1_approx"),
     )
+
+
+@register(
+    "q470_by_fdr_screen",
+    allow_non_equi=(
+        "the 1-row harmonic-constant aggregate and the 1-row k* "
+        "aggregates crossJoin back onto the bounded test grid "
+        "(~|types|x|days| rows, never raw events)"
+    ),
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), d AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(vc) AS BIGINT) AS s_d
+      FROM v GROUP BY event_type, day
+    ), t AS (
+      SELECT event_type,
+             CAST(SUM(n_d) AS BIGINT) AS n_t,
+             CAST(SUM(s_d) AS BIGINT) AS s_t
+      FROM d GROUP BY event_type
+    ), t2 AS (
+      SELECT event_type, CAST(SUM(vc * vc) AS BIGINT) AS s2_t
+      FROM v GROUP BY event_type
+    ), z AS (
+      SELECT d.event_type, d.day, d.n_d,
+             {_Z_DAY_VS_TYPE_EXPR.replace("s_d", "d.s_d")
+                                 .replace("n_d", "d.n_d")} AS z
+      FROM d JOIN t USING (event_type) JOIN t2 USING (event_type)
+    ), p AS (
+      SELECT event_type, day, n_d, z, az, tt,
+             ROUND({_P_TWO_SIDED_EXPR}, 6) AS p_r
+      FROM (SELECT *, ABS(z) AS az,
+                   1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+            FROM z)
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY p_r, event_type, day) AS bh_rank,
+             COUNT(*) OVER () AS m
+      FROM p
+    ), harm AS (
+      SELECT list_reduce(list_prepend(0.0,
+               list(1.0 / bh_rank ORDER BY bh_rank)),
+               (acc, x) -> acc + x) AS c_m
+      FROM ranked
+    ), kstar AS (
+      SELECT r.*,
+             MAX(CASE WHEN r.p_r <= r.bh_rank * 0.05 / (r.m * h.c_m)
+                      THEN r.bh_rank ELSE 0 END) OVER () AS k_star_by,
+             MAX(CASE WHEN r.p_r <= r.bh_rank * 0.05 / r.m
+                      THEN r.bh_rank ELSE 0 END) OVER () AS k_star_bh,
+             h.c_m AS c_m
+      FROM ranked r, harm h
+    )
+    SELECT event_type, day,
+           ROUND(z, 6) AS z_score,
+           p_r AS p_value,
+           CAST(bh_rank AS BIGINT) AS bh_rank,
+           ROUND(c_m, 6) AS harmonic_m,
+           CAST(CASE WHEN bh_rank <= k_star_bh THEN 1 ELSE 0 END AS BIGINT)
+             AS discovery_bh,
+           CAST(CASE WHEN bh_rank <= k_star_by THEN 1 ELSE 0 END AS BIGINT)
+             AS discovery_by
+    FROM kstar
+    """,
+)
+def q470_by_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X400 — BENJAMINI–YEKUTIELI FDR screen (Benjamini & Yekutieli
+    2001): q409's BH step-up assumes independent-or-PRDS p-values, but
+    the per-(type, day) anomaly grid is NOT independent — one bursty
+    day moves every type's moments — and BY is the dependence-robust
+    form: the threshold shrinks by the harmonic constant c(m) = Σ 1/i.
+    Both discovery columns are published side by side, so the reader
+    sees exactly which alerts only survive the optimistic assumption.
+    The harmonic constant folds in rank order (the q448 discipline);
+    everything upstream is q409's machinery verbatim — same z grid,
+    same shared-text normal polynomial.
+
+    Scale: identical to q409 — the grid is |types|×|days|, never raw
+    events; one extra rank-ordered fold."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        cents(F.col("value")).alias("vc"),
+    )
+    d = v.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("vc").cast("long").alias("s_d"),
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("n_d").cast("long").alias("n_t"),
+        F.sum("s_d").cast("long").alias("s_t"),
+    )
+    t2 = v.groupBy("event_type").agg(
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("s2_t")
+    )
+    z = (
+        d.join(F.broadcast(t), "event_type")
+        .join(F.broadcast(t2), "event_type")
+        .withColumn("z", F.expr(_Z_DAY_VS_TYPE_EXPR))
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+        .withColumn("p_r", F.round(F.expr(_P_TWO_SIDED_EXPR), 6))
+    )
+    w = Window.orderBy("p_r", "event_type", "day")
+    ranked = z.select(
+        "event_type",
+        "day",
+        "z",
+        "p_r",
+        F.row_number().over(w).alias("bh_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    harm = ranked.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("bh_rank", (1.0 / F.col("bh_rank")).alias("h"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["h"],
+        ).alias("c_m")
+    )
+    kstar = (
+        ranked.crossJoin(F.broadcast(harm))
+        .withColumn(
+            "k_star_by",
+            F.max(
+                F.when(
+                    F.col("p_r")
+                    <= F.col("bh_rank") * 0.05 / (F.col("m") * F.col("c_m")),
+                    F.col("bh_rank"),
+                ).otherwise(F.lit(0))
+            ).over(Window.partitionBy()),
+        )
+        .withColumn(
+            "k_star_bh",
+            F.max(
+                F.when(
+                    F.col("p_r") <= F.col("bh_rank") * 0.05 / F.col("m"),
+                    F.col("bh_rank"),
+                ).otherwise(F.lit(0))
+            ).over(Window.partitionBy()),
+        )
+    )
+    return kstar.select(
+        "event_type",
+        "day",
+        F.round("z", 6).alias("z_score"),
+        F.col("p_r").alias("p_value"),
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        F.round("c_m", 6).alias("harmonic_m"),
+        F.when(F.col("bh_rank") <= F.col("k_star_bh"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("discovery_bh"),
+        F.when(F.col("bh_rank") <= F.col("k_star_by"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("discovery_by"),
+    )
