@@ -7094,3 +7094,107 @@ def q470_by_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("discovery_by"),
     )
+
+
+@register(
+    "q472_lin_concordance",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY day
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM d
+    ), stat AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx,
+             CAST(sy AS DOUBLE) / n AS my,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n AS vx,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n AS vy,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / n AS cxy
+      FROM m
+    )
+    SELECT n AS n_days,
+           ROUND(cxy / SQRT(GREATEST(vx * vy, 1e-12)), 6) AS pearson_r,
+           ROUND(2.0 * cxy
+                 / (vx + vy + (mx - my) * (mx - my)), 6) AS lin_ccc,
+           ROUND((2.0 * cxy / (vx + vy + (mx - my) * (mx - my)))
+                 / GREATEST(ABS(cxy / SQRT(GREATEST(vx * vy, 1e-12))),
+                            1e-12), 6) AS accuracy_cb
+    FROM stat
+    """,
+)
+def q472_lin_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X402 — LIN'S CONCORDANCE CORRELATION COEFFICIENT (Lin 1989)
+    between daily purchase and click revenue: Pearson's r rewards any
+    linear relationship, but CCC = 2·cov/(σx²+σy²+(μx−μy)²) only
+    rewards agreement with the y = x line — the AGREEMENT statistic for
+    method comparison (does the cheap metric reproduce the expensive
+    one, does the replica pipeline reproduce the primary?). The ratio
+    CCC/|r| is Lin's accuracy (bias-correction) factor C_b, isolating
+    how much disagreement is location/scale shift vs scatter. Entirely
+    exact integer moments (n, Σx, Σy, Σx², Σy², Σxy) and one-row
+    identical-text float closed forms — zero float aggregation.
+
+    Scale: one conditional-sum day rollup + a 1-row reduce."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents(F.col("value"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "click", cents(F.col("value"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    stat = m.select(
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (
+            (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+            / F.col("n")
+        ).alias("vx"),
+        (
+            (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+            / F.col("n")
+        ).alias("vy"),
+        (
+            (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+            / F.col("n")
+        ).alias("cxy"),
+    )
+    r = F.col("cxy") / F.sqrt(F.greatest(F.col("vx") * F.col("vy"), F.lit(1e-12)))
+    ccc = (
+        2.0
+        * F.col("cxy")
+        / (F.col("vx") + F.col("vy") + (F.col("mx") - F.col("my")) * (F.col("mx") - F.col("my")))
+    )
+    return stat.select(
+        F.col("n").alias("n_days"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(ccc, 6).alias("lin_ccc"),
+        F.round(ccc / F.greatest(F.abs(r), F.lit(1e-12)), 6).alias("accuracy_cb"),
+    )

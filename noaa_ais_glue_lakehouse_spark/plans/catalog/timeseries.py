@@ -3337,3 +3337,153 @@ def q462_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rs28", 6).alias("mean_rs_28"),
         F.round(slope, 6).alias("hurst_h"),
     )
+
+
+@register(
+    "q471_pacf_durbin_levinson",
+    allow_non_equi=(
+        "day-grain lag self-joins (t vs t+k) and a 1-row moment scalar; "
+        "never raw events"
+    ),
+    oracle="""
+    WITH d0 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY day
+    ), days AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, yc
+      FROM d0
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS s
+      FROM days
+    ), c AS (
+      SELECT a.t,
+             (CAST(a.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+               * (CAST(a.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n) AS p0,
+             (CAST(a.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+               * (CAST(b1.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n) AS p1,
+             (CAST(a.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+               * (CAST(b2.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n) AS p2,
+             (CAST(a.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+               * (CAST(b3.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n) AS p3
+      FROM days a
+      LEFT JOIN days b1 ON b1.t = a.t + 1
+      LEFT JOIN days b2 ON b2.t = a.t + 2
+      LEFT JOIN days b3 ON b3.t = a.t + 3, m
+    ), folds AS (
+      SELECT
+        list_reduce(list_prepend(0.0, list(p0 ORDER BY t)),
+          (acc, x) -> acc + x) AS c0,
+        list_reduce(list_prepend(0.0,
+          list(COALESCE(p1, 0.0) ORDER BY t)), (acc, x) -> acc + x) AS c1,
+        list_reduce(list_prepend(0.0,
+          list(COALESCE(p2, 0.0) ORDER BY t)), (acc, x) -> acc + x) AS c2,
+        list_reduce(list_prepend(0.0,
+          list(COALESCE(p3, 0.0) ORDER BY t)), (acc, x) -> acc + x) AS c3
+      FROM c
+    ), rho AS (
+      SELECT c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3 FROM folds
+    ), dl AS (
+      SELECT r1, r2, r3,
+             r1 AS phi11,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+      FROM rho
+    ), dl2 AS (
+      SELECT *,
+             r1 * (1.0 - phi22) AS phi21
+      FROM dl
+    )
+    SELECT ROUND(r1, 6) AS rho1, ROUND(r2, 6) AS rho2, ROUND(r3, 6) AS rho3,
+           ROUND(phi11, 6) AS pacf1,
+           ROUND(phi22, 6) AS pacf2,
+           ROUND((r3 - phi21 * r2 - phi22 * r1)
+                 / (1.0 - phi21 * r1 - phi22 * r2), 6) AS pacf3
+    FROM dl2
+    """,
+)
+def q471_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X401 — PARTIAL AUTOCORRELATION (lags 1–3) of daily revenue via
+    the Durbin–Levinson recursion unrolled: the AR-ORDER diagnostic —
+    q257's raw ACF decays geometrically under ANY AR(1), so it can't
+    tell AR(1) from AR(3); PACF cuts off sharply at the true order,
+    which is the lag count q234's forecast and q466's DW correction
+    actually need. Autocovariances are day-ordered float folds over
+    the centered lag products (the q448 discipline; means from exact
+    integer moments); φ11/φ22/φ33 are the closed-form DL steps on a
+    1-row relation — identical text, no iteration.
+
+    Scale: one day rollup; three day-grain lag equi-joins (t = t+k);
+    folds over ≤|days| rows."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("yc")
+    )
+    days = d0.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        "yc",
+    )
+    m = days.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+    )
+    a = days.select(F.col("t"), F.col("yc").alias("y0"))
+    for k in (1, 2, 3):
+        a = a.join(
+            days.select(
+                (F.col("t") - k).alias("t"), F.col("yc").alias(f"y{k}")
+            ),
+            "t",
+            "left",
+        )
+    ybar = F.col("s").cast("double") / F.col("n")
+    c = a.crossJoin(F.broadcast(m)).select(
+        "t",
+        ((F.col("y0") - ybar) * (F.col("y0") - ybar)).alias("p0"),
+        *[
+            F.when(
+                F.col(f"y{k}").isNotNull(),
+                (F.col("y0") - ybar) * (F.col(f"y{k}") - ybar),
+            )
+            .otherwise(0.0)
+            .alias(f"p{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    def fold(col):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("t", F.col(col).alias("v")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["v"],
+        )
+
+    folds = c.agg(
+        fold("p0").alias("c0"),
+        fold("p1").alias("c1"),
+        fold("p2").alias("c2"),
+        fold("p3").alias("c3"),
+    )
+    rho = folds.select(
+        (F.col("c1") / F.col("c0")).alias("r1"),
+        (F.col("c2") / F.col("c0")).alias("r2"),
+        (F.col("c3") / F.col("c0")).alias("r3"),
+    )
+    dl = rho.select(
+        "*",
+        F.col("r1").alias("phi11"),
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1.0 - F.col("r1") * F.col("r1"))
+        ).alias("phi22"),
+    ).withColumn("phi21", F.col("r1") * (1.0 - F.col("phi22")))
+    return dl.select(
+        F.round("r1", 6).alias("rho1"),
+        F.round("r2", 6).alias("rho2"),
+        F.round("r3", 6).alias("rho3"),
+        F.round("phi11", 6).alias("pacf1"),
+        F.round("phi22", 6).alias("pacf2"),
+        F.round(
+            (F.col("r3") - F.col("phi21") * F.col("r2") - F.col("phi22") * F.col("r1"))
+            / (1.0 - F.col("phi21") * F.col("r1") - F.col("phi22") * F.col("r2")),
+            6,
+        ).alias("pacf3"),
+    )
