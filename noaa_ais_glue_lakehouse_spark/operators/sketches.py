@@ -213,8 +213,11 @@ _H_MOD = 4294967291  # largest prime < 2^32
 def _hash_pos(key, i: int, m: int) -> "F.Column":
     # pre-reduce mod 2^31 BEFORE the prime multiply: (2^31-1)*_H1_MUL
     # stays under 2^63, where an unreduced 64-bit key would wrap in Spark
-    # and error in DuckDB (divergent failure modes at corpus-scale ids)
-    k = key % F.lit(2147483648)
+    # and error in DuckDB (divergent failure modes at corpus-scale ids).
+    # SIGN-SAFE reduction (pmod, not %): % keeps the dividend's sign in
+    # both engines, so a signed hash key (e.g. xxhash64) would otherwise
+    # yield NEGATIVE positions, silently breaking the [0, m) contract.
+    k = F.pmod(key, F.lit(2147483648))
     g1 = (k * F.lit(_H1_MUL) + F.lit(_H1_ADD)) % F.lit(_H_MOD)
     g2 = (k * F.lit(_H2_MUL) + F.lit(_H2_ADD)) % F.lit(_H_MOD)
     return (g1 + F.lit(i) * g2 + F.lit(i * i)) % F.lit(m)
@@ -222,8 +225,9 @@ def _hash_pos(key, i: int, m: int) -> "F.Column":
 
 def hash_pos_sql(key_expr: str, i_expr: str, m: int) -> str:
     """The DuckDB-side rendering of ``_hash_pos`` (same integer math,
-    same mod-2^31 pre-reduction)."""
-    k = f"(({key_expr}) % 2147483648)"
+    same sign-safe mod-2^31 pre-reduction — the double-% idiom is
+    DuckDB's pmod)."""
+    k = f"((({key_expr}) % 2147483648 + 2147483648) % 2147483648)"
     g1 = f"({k}*{_H1_MUL} + {_H1_ADD}) % {_H_MOD}"
     g2 = f"({k}*{_H2_MUL} + {_H2_ADD}) % {_H_MOD}"
     return f"(({g1}) + ({i_expr})*({g2}) + ({i_expr})*({i_expr})) % {m}"

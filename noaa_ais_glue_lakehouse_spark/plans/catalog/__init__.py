@@ -1,5 +1,5 @@
 """Query catalog package (round-8 split of the single-file
-catalog.py). Importing this package registers all 447 queries;
+catalog.py). Importing this package registers every catalog query;
 the public surface (queries/oracle_sql/register/...) is
 unchanged from the single-file era.
 """
@@ -21,6 +21,7 @@ from noaa_ais_glue_lakehouse_spark.plans.catalog.text import *  # noqa: F401,F40
 from noaa_ais_glue_lakehouse_spark.plans.catalog.geo import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.timeseries import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.stats import *  # noqa: F401,F403
+from noaa_ais_glue_lakehouse_spark.plans.catalog.stats_tests import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.events import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.graph import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.streaming import *  # noqa: F401,F403

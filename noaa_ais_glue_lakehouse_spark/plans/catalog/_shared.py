@@ -88,9 +88,93 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def cents(col) -> F.Column:
-    """Exact integer-cents of a double column (order-independent sums)."""
+    """Exact integer-cents of a double column (order-independent sums).
+
+    Safe ONLY on cent-quantized inputs (exactly 2 decimal places, as all
+    TPC-H money columns here are — verified 0 violations at sf0.1): the
+    nearest-double of d.cc times 100 lands within ~1e-11 of an integer,
+    never on the .5 rounding boundary.  NEVER wrap a PRODUCT of two such
+    doubles (the q388/X318 class — see the money-product helpers below);
+    test_code_hygiene.py rejects cents()-around-a-product.
+    """
     return F.round(col * 100).cast("long")
 
+
+# ---------------------------------------------------------------------------
+# Exact-money products (the q388/X318 rounding class, closed in round 9).
+#
+# ROUND applied to a product of two cent-quantized doubles is NOT
+# cross-engine deterministic: price*discount*100 can land EXACTLY on the
+# .5 boundary (measured: ~313 lineitem rows at sf0.1 within 1e-9 of it),
+# and which way a binary .5 rounds differs between rounding
+# implementations (JVM BigDecimal HALF_UP on the shortest decimal repr
+# vs a C library round on the binary value).  The discipline: recover an
+# exact integer PER FACTOR first — ROUND(price*100) and ROUND(disc*100)
+# are boundary-free on 2-dp data — then multiply integers and round
+# half-up with pure integer arithmetic ((x + 50) DIV 100), which is
+# identical by construction in Spark and DuckDB.  Assumes non-negative
+# money factors (true for every TPC-H money column; DIV truncates toward
+# zero, so the half-up identity needs x >= 0).  q473_rounding_canary
+# pins these contracts with synthetic boundary values.
+# ---------------------------------------------------------------------------
+
+
+def disc_price_cents(
+    price: str = "l_extendedprice", discount: str = "l_discount"
+) -> F.Column:
+    """price*(1-discount) in exact half-up integer cents (boundary-free)."""
+    return F.expr(
+        f"(CAST(ROUND({price} * 100) AS BIGINT)"
+        f" * (100 - CAST(ROUND({discount} * 100) AS BIGINT)) + 50) DIV 100"
+    )
+
+
+def charge_cents(
+    price: str = "l_extendedprice",
+    discount: str = "l_discount",
+    tax: str = "l_tax",
+) -> F.Column:
+    """price*(1-discount)*(1+tax) in exact half-up integer cents."""
+    return F.expr(
+        f"(CAST(ROUND({price} * 100) AS BIGINT)"
+        f" * (100 - CAST(ROUND({discount} * 100) AS BIGINT))"
+        f" * (100 + CAST(ROUND({tax} * 100) AS BIGINT)) + 5000) DIV 10000"
+    )
+
+
+def disc_rev_cents(
+    price: str = "l_extendedprice", discount: str = "l_discount"
+) -> F.Column:
+    """price*discount in exact half-up integer cents (TPC-H Q6 revenue)."""
+    return F.expr(
+        f"(CAST(ROUND({price} * 100) AS BIGINT)"
+        f" * CAST(ROUND({discount} * 100) AS BIGINT) + 50) DIV 100"
+    )
+
+
+def sql_disc_price_cents(p: str = "") -> str:
+    """DuckDB mirror of disc_price_cents (// is integer division)."""
+    return (
+        f"((CAST(ROUND({p}l_extendedprice * 100) AS BIGINT)"
+        f" * (100 - CAST(ROUND({p}l_discount * 100) AS BIGINT)) + 50) // 100)"
+    )
+
+
+def sql_charge_cents(p: str = "") -> str:
+    """DuckDB mirror of charge_cents."""
+    return (
+        f"((CAST(ROUND({p}l_extendedprice * 100) AS BIGINT)"
+        f" * (100 - CAST(ROUND({p}l_discount * 100) AS BIGINT))"
+        f" * (100 + CAST(ROUND({p}l_tax * 100) AS BIGINT)) + 5000) // 10000)"
+    )
+
+
+def sql_disc_rev_cents(p: str = "") -> str:
+    """DuckDB mirror of disc_rev_cents."""
+    return (
+        f"((CAST(ROUND({p}l_extendedprice * 100) AS BIGINT)"
+        f" * CAST(ROUND({p}l_discount * 100) AS BIGINT) + 50) // 100)"
+    )
 
 
 SESSION_GAP_SECONDS = 1800.0

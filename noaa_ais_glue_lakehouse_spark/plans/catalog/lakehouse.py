@@ -561,11 +561,10 @@ def q134_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q142_order_reconciliation",
-    oracle="""
+    oracle=f"""
     WITH line_sums AS (
       SELECT l_orderkey,
-             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                            * 100) AS BIGINT)) AS line_cents
+             SUM({sql_charge_cents()}) AS line_cents
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o.o_orderstatus AS orderstatus,
@@ -595,12 +594,7 @@ def q142_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the layout)."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    line_cents = F.round(
-        F.col("l_extendedprice")
-        * (1 - F.col("l_discount"))
-        * (1 + F.col("l_tax"))
-        * 100
-    ).cast("long")
+    line_cents = charge_cents()
     sums = li.groupBy("l_orderkey").agg(F.sum(line_cents).alias("line_cents"))
     joined = orders.join(
         sums, orders["o_orderkey"] == sums["l_orderkey"], "left"

@@ -13,12 +13,12 @@ from noaa_ais_glue_lakehouse_spark.plans.catalog._shared import *  # noqa: F401,
 
 @register(
     "q01_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
            CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
-           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_disc_price,
-           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_charge,
+           CAST(SUM({sql_disc_price_cents()}) AS DOUBLE)/100.0 AS sum_disc_price,
+           CAST(SUM({sql_charge_cents()}) AS DOUBLE)/100.0 AS sum_charge,
            ROUND(CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0, 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/CAST(COUNT(*) AS DOUBLE)/100.0, 6) AS avg_price,
            ROUND(CAST(SUM(CAST(ROUND(l_discount*10000) AS BIGINT)) AS DOUBLE)/COUNT(*)/10000.0, 6) AS avg_disc,
@@ -39,12 +39,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qty_c = cents(F.col("l_quantity"))
     price_c = cents(F.col("l_extendedprice"))
-    disc_price_c = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    charge_c = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
-    ).cast("long")
+    disc_price_c = disc_price_cents()
+    charge_c = charge_cents()
     disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -62,9 +58,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_revenue_per_nation",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+           CAST(SUM({sql_disc_price_cents('l.')}) AS DOUBLE)/100.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -81,9 +77,7 @@ def q15_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
+    rev_c = disc_price_cents()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -167,9 +161,9 @@ def q18_supplier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q72_part_type_revenue",
-    oracle="""
+    oracle=f"""
     SELECT p.p_type,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS DOUBLE)/100.0
+           CAST(SUM({sql_disc_price_cents('l.')}) AS DOUBLE)/100.0
              AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -186,14 +180,9 @@ def q72_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .groupBy("p_type")
         .agg(
-            (
-                F.sum(
-                    F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-                        "long"
-                    )
-                ).cast("double")
-                / 100.0
-            ).alias("revenue"),
+            (F.sum(disc_price_cents()).cast("double") / 100.0).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
@@ -267,12 +256,12 @@ def q133_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q152_profit_by_nation_year",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
-                         AS BIGINT)
-                    - CAST(ROUND(p.p_retailprice * 70) AS BIGINT)
+           CAST(SUM({sql_disc_price_cents('l.')}
+                    - ((CAST(ROUND(p.p_retailprice * 100) AS BIGINT) * 70
+                        + 50) // 100)
                       * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
              AS profit_cents
     FROM lineitem l
@@ -296,12 +285,13 @@ def q152_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
-    revenue = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    cost = F.round(F.col("p_retailprice") * 70).cast("long") * F.col(
-        "l_quantity"
-    ).cast("long")
+    revenue = disc_price_cents()
+    # 70%-of-retail in cents via exact integers: ROUND(retail*70) on the
+    # double is the same .5-boundary class (retail_cents*70/100 hits x.5
+    # whenever retail_cents*70 % 100 == 50).
+    cost = F.expr(
+        "(CAST(ROUND(p_retailprice * 100) AS BIGINT) * 70 + 50) DIV 100"
+    ) * F.col("l_quantity").cast("long")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
@@ -318,8 +308,8 @@ def q152_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q167_disjunctive_predicates",
-    oracle="""
-    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0
+    oracle=f"""
+    SELECT CAST(SUM({sql_disc_price_cents()}) AS DOUBLE)/100.0
              AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -368,8 +358,7 @@ def q167_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(arm1 | arm2 | arm3)
         .agg(
-            (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0)
-            .alias("revenue"),
+            (F.sum(disc_price_cents()) / 100.0).alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
@@ -666,10 +655,10 @@ def q263_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q264_top_revenue_supplier",
-    oracle="""
+    oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS rc
+             SUM({sql_disc_price_cents()}) AS rc
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -701,10 +690,7 @@ def q264_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .alias("rc")
-        )
+        .agg(F.sum(disc_price_cents()).alias("rc"))
     )
     mx = rev.agg(F.max("rc").alias("rc"))
     return (
@@ -882,13 +868,13 @@ def q267_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q268_nation_pair_volume",
-    oracle="""
+    oracle=f"""
     SELECT supp_nation, cust_nation, yr,
            CAST(SUM(vol) AS DOUBLE)/100.0 AS revenue
     FROM (
       SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS yr,
-             CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS vol
+             {sql_disc_price_cents()} AS vol
       FROM lineitem
       JOIN orders   ON o_orderkey = l_orderkey
       JOIN customer ON c_custkey = o_custkey
@@ -949,11 +935,9 @@ def q268_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("yr"),
         )
         .agg(
-            (
-                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-                .cast("double")
-                / 100.0
-            ).alias("revenue")
+            (F.sum(disc_price_cents()).cast("double") / 100.0).alias(
+                "revenue"
+            )
         )
     )
 
@@ -1050,10 +1034,9 @@ def q294_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q295_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey AS orderkey,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
-                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(SUM({sql_disc_price_cents('l.')}) AS BIGINT) AS revenue_cents,
            o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -1090,9 +1073,7 @@ def q295_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("orderpriority"),
         )
         .agg(
-            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("long")
-            .alias("revenue_cents")
+            F.sum(disc_price_cents()).cast("long").alias("revenue_cents")
         )
         .select("orderkey", "revenue_cents", "orderdate", "orderpriority")
         .orderBy(F.col("revenue_cents").desc(), "orderkey")
@@ -1103,10 +1084,9 @@ def q295_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q296_local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
-                    AS BIGINT)) AS BIGINT) AS revenue_cents
+           CAST(SUM({sql_disc_price_cents('l.')}) AS BIGINT) AS revenue_cents
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1148,9 +1128,7 @@ def q296_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nr), nr.n_nationkey == supp.s_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("long")
-            .alias("revenue_cents")
+            F.sum(disc_price_cents()).cast("long").alias("revenue_cents")
         )
     )
 
@@ -1158,11 +1136,10 @@ def q296_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q297_national_market_share",
-    oracle="""
+    oracle=f"""
     WITH vol AS (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
-                  AS BIGINT) AS vol_cents,
+             {sql_disc_price_cents('l.')} AS vol_cents,
              sn.n_name AS supp_nation
       FROM part p
       JOIN lineitem l ON l.l_partkey = p.p_partkey
@@ -1211,9 +1188,7 @@ def q297_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("sn.n_nationkey") == supp.s_nationkey)
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "vol_cents"
-            ),
+            disc_price_cents().alias("vol_cents"),
             F.col("sn.n_name").alias("supp_nation"),
         )
     )
@@ -1232,10 +1207,9 @@ def q297_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q298_returned_items",
-    oracle="""
+    oracle=f"""
     SELECT c.c_custkey AS custkey, c.c_name AS name,
-           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
-                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(SUM({sql_disc_price_cents('l.')}) AS BIGINT) AS revenue_cents,
            n.n_name AS nation, c.c_acctbal AS acctbal
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -1271,9 +1245,7 @@ def q298_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("acctbal"),
         )
         .agg(
-            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .cast("long")
-            .alias("revenue_cents")
+            F.sum(disc_price_cents()).cast("long").alias("revenue_cents")
         )
         .select("custkey", "name", "revenue_cents", "nation", "acctbal")
         .orderBy(F.col("revenue_cents").desc(), "custkey")
@@ -1284,12 +1256,10 @@ def q298_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q299_promo_revenue",
-    oracle="""
+    oracle=f"""
     SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                         * 100) AS BIGINT) ELSE 0 END)
-                 / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
-                       * 100) AS BIGINT)), 6) AS promo_pct,
+                    THEN {sql_disc_price_cents('l.')} ELSE 0 END)
+                 / SUM({sql_disc_price_cents('l.')}), 6) AS promo_pct,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
@@ -1307,7 +1277,7 @@ def q299_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load(spark, sf_dir, "part")
     j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
-    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = disc_price_cents()
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     )
@@ -1326,8 +1296,8 @@ def q299_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q388_tpch_q6_revenue_delta",
-    oracle="""
-    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT))
+    oracle=f"""
+    SELECT SUM({sql_disc_rev_cents()})
              AS revenue_cents,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -1358,9 +1328,7 @@ def q388_tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
-            .cast("long")
-            .alias("revenue_cents"),
+            F.sum(disc_rev_cents()).cast("long").alias("revenue_cents"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
     )
@@ -1643,3 +1611,100 @@ def q392_tpch_q20_dominant_supplier(
     )
 
 
+
+
+@register(
+    "q473_rounding_canary",
+    oracle=f"""
+    WITH li AS (
+      SELECT k,
+             CAST(k AS DOUBLE)/100 AS l_extendedprice,
+             CAST(k % 100 AS DOUBLE)/100 AS l_discount,
+             CAST((k * 7) % 100 AS DOUBLE)/100 AS l_tax
+      FROM range(0, 10000) t(k)
+    )
+    SELECT
+      CAST(SUM(CASE WHEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) <> k
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_price_recovery,
+      CAST(SUM(CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) <> k % 100
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_disc_recovery,
+      CAST(SUM(CASE WHEN {sql_disc_price_cents()} <>
+               (k * (100 - k % 100) + 50) // 100
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_disc_price_pipeline,
+      CAST(SUM((k * (100 - k % 100) + 50) // 100) AS BIGINT)
+        AS halfup_checksum,
+      CAST(SUM({sql_charge_cents()}) AS BIGINT) AS charge_checksum,
+      CAST(SUM((k * (100 - k % 100) + 50) // 100) AS DOUBLE)/100.0
+        AS dollars_checksum
+    FROM li
+    """,
+)
+def q473_rounding_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X403 — cross-engine rounding canary (round-8 verdict ask #2).
+
+    Pins, on a synthetic 10k-value spine that sweeps EVERY cent residue
+    through every discount percent, the exact rounding contracts the
+    TPC-H money family relies on — so any engine/oracle rounding
+    divergence (a driver DuckDB upgrade, a JVM rounding change) fails
+    loudly HERE, at one labeled query, instead of surfacing as a random
+    money-query hash flip. The contract inventory:
+
+    1. ``v_price_recovery`` / ``v_disc_recovery`` = 0: per-FACTOR exact
+       integer recovery — ROUND(x*100) of a 2-dp-quantized double is
+       boundary-free and returns the exact integer in both engines
+       (cents() in _shared.py; every money factor uses this).
+    2. ``v_disc_price_pipeline`` = 0: the full double→integer helper
+       pipeline (disc_price_cents / sql_disc_price_cents) agrees with
+       pure-integer arithmetic ``(pc*(100-dp)+50) DIV 100`` on every
+       residue INCLUDING the exact .5 products that made q388
+       engine-dependent before round 9.
+    3. ``halfup_checksum``: half-up integer rounding is plain integer
+       ops — identical by construction in Spark (DIV) and DuckDB (//).
+    4. ``charge_checksum``: the 3-factor e6 path (charge_cents) —
+       price*(1-disc)*(1+tax) cents — is deterministic end to end.
+    5. ``dollars_checksum``: the mirrored publish division
+       ``CAST(cents AS DOUBLE)/100.0`` is IEEE-correctly-rounded and
+       bit-identical across engines for cent sums < 2^53.
+
+    Deliberately EXCLUDED: ROUND applied to a double that lands on the
+    .5 boundary — the engine no longer relies on it anywhere (the
+    test_code_hygiene money-product scan enforces that), so the canary
+    must not fail on builds that merely disagree about it.
+
+    Scale: constant 10k-row spine, no input tables, one aggregate."""
+    li = (
+        spark.range(0, 10000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id").cast("double") / 100).alias("l_extendedprice"),
+            ((F.col("id") % 100).cast("double") / 100).alias("l_discount"),
+            (((F.col("id") * 7) % 100).cast("double") / 100).alias("l_tax"),
+        )
+    )
+    int_ref = F.expr("(k * (100 - k % 100) + 50) DIV 100")
+    return li.agg(
+        F.sum(
+            F.when(
+                F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+                != F.col("k"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_price_recovery"),
+        F.sum(
+            F.when(
+                F.expr("CAST(ROUND(l_discount * 100) AS BIGINT)")
+                != F.col("k") % 100,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_disc_recovery"),
+        F.sum(F.when(disc_price_cents() != int_ref, 1).otherwise(0))
+        .cast("long")
+        .alias("v_disc_price_pipeline"),
+        F.sum(int_ref).cast("long").alias("halfup_checksum"),
+        F.sum(charge_cents()).cast("long").alias("charge_checksum"),
+        (F.sum(int_ref).cast("double") / 100.0).alias("dollars_checksum"),
+    )

@@ -456,6 +456,28 @@ def _versioned_fs(spark: SparkSession, path: str):
     return fs, root, man_dir, HPath
 
 
+def _touch(fs, hpath) -> None:
+    """Create-or-recreate a zero-byte file, refreshing its mtime."""
+    out = fs.create(hpath, True)
+    out.close()
+
+
+def _fs_now_ms(fs, man_dir, HPath) -> int:
+    """Filesystem-clock 'now': the mtime of a freshly created probe file
+    on the SAME filesystem the age gate reads mtimes from, so the orphan
+    grace window is immune to driver↔storage clock skew (and degrades
+    loudly, not silently, on stores with synthetic mtimes)."""
+    import uuid as _uuid
+
+    probe = HPath(f"{man_dir.toString()}/.now-{_uuid.uuid4().hex[:8]}")
+    out = fs.create(probe, True)
+    out.close()
+    try:
+        return fs.getFileStatus(probe).getModificationTime()
+    finally:
+        fs.delete(probe, False)
+
+
 def _list_manifest_versions(fs, man_dir) -> dict:
     """{version_number: hadoop Path} for every committed manifest."""
     if not fs.exists(man_dir):
@@ -468,15 +490,30 @@ def _list_manifest_versions(fs, man_dir) -> dict:
     }
 
 
-def write_versioned(df: DataFrame, path: str, audit=None) -> int:
+def write_versioned(
+    df: DataFrame, path: str, audit=None, heartbeat_ms: int = 60_000
+) -> int:
     """Append a new immutable VERSION of a table and return its number.
 
     ``audit``: optional callable ``DataFrame -> None`` invoked on the
-    RE-READ staged data after the data rename but BEFORE the manifest
-    CAS — the Write-Audit-Publish hook (:func:`write_versioned_wap`).
-    An audit that raises aborts the publish: no manifest is created,
-    readers never see the version, and the orphaned data dir ages into
-    the next :func:`vacuum_versions` sweep.
+    RE-READ staged data BEFORE the publish rename — the
+    Write-Audit-Publish hook (:func:`write_versioned_wap`). The rename
+    is atomic and does not change bytes, so the audit sees the exact
+    bytes readers would get, while the rename→manifest-CAS window stays
+    seconds wide no matter how long the audit runs (an audit between
+    rename and CAS would widen the window a concurrent
+    :func:`vacuum_versions` must out-wait). An audit that raises aborts
+    the publish: no manifest is created, readers never see the version,
+    and the orphaned staging dir ages into the next vacuum sweep.
+
+    ``heartbeat_ms``: while this writer is in flight it maintains a
+    liveness marker ``_manifests/.inflight-{token}``, re-touched every
+    ``heartbeat_ms`` by a daemon thread, so a concurrent
+    :func:`vacuum_versions` can tell a LIVE writer's staging/data dir
+    from a crashed writer's orphan even when the write itself outlasts
+    the vacuum grace window (multi-minute 100 TB partition writes). The
+    marker is removed on every exit path; after a crash it simply ages
+    past the grace window along with the orphan it guarded.
 
     Layout: ``path/d-{token}/`` holds the parquet data under a
     writer-unique name; ``path/_manifests/{N}.json`` commits version N
@@ -514,6 +551,7 @@ def write_versioned(df: DataFrame, path: str, audit=None) -> int:
     failure mode this closes).
     """
     import json as _json
+    import threading as _threading
     import uuid as _uuid
 
     spark = df.sparkSession
@@ -521,34 +559,57 @@ def write_versioned(df: DataFrame, path: str, audit=None) -> int:
     fs.mkdirs(man_dir)
     token = _uuid.uuid4().hex[:12]
     staging = f"{root.toString()}/.staging-{token}"
-    df.write.mode("overwrite").parquet(staging)
-    n_rows = spark.read.parquet(staging).count()
-    data_name = f"d-{token}"
-    dest = HPath(f"{root.toString()}/{data_name}")
-    if not fs.rename(HPath(staging), dest):
-        raise IOError(f"versioned write: data rename failed: {dest}")
-    if audit is not None:
-        # audit the exact bytes readers would see; a raise aborts the
-        # publish (manifest never created — WAP's whole point)
-        audit(spark.read.parquet(dest.toString()))
-    manifest_bytes = None
-    n = max(_list_manifest_versions(fs, man_dir), default=0) + 1
-    for _ in range(1000):  # bounded CAS retry; each loss means a real commit
-        man_path = HPath(f"{man_dir.toString()}/{n}.json")
+    marker = HPath(f"{man_dir.toString()}/.inflight-{token}")
+    _touch(fs, marker)
+    stop = _threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(heartbeat_ms / 1000.0):
+            try:
+                _touch(fs, marker)
+            except Exception:
+                return  # marker gone (vacuum of a finished write) — stop
+
+    beater = _threading.Thread(target=_beat, daemon=True)
+    beater.start()
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        n_rows = spark.read.parquet(staging).count()
+        if audit is not None:
+            # audit the staging bytes BEFORE the publish rename (rename
+            # is atomic and byte-preserving, so this IS what readers
+            # would see); a raise aborts the publish with the manifest
+            # never created — WAP's whole point
+            audit(spark.read.parquet(staging))
+        data_name = f"d-{token}"
+        dest = HPath(f"{root.toString()}/{data_name}")
+        if not fs.rename(HPath(staging), dest):
+            raise IOError(f"versioned write: data rename failed: {dest}")
+        n = max(_list_manifest_versions(fs, man_dir), default=0) + 1
+        for _ in range(1000):  # bounded CAS retry; each loss = real commit
+            man_path = HPath(f"{man_dir.toString()}/{n}.json")
+            try:
+                out = fs.create(man_path, False)  # CAS: fail if exists
+            except Exception:
+                n += 1  # lost the race to a concurrent committer
+                continue
+            manifest_bytes = _json.dumps(
+                {"version": n, "data_dir": data_name, "n_rows": n_rows}
+            ).encode("utf-8")
+            out.write(bytearray(manifest_bytes))
+            out.close()
+            return n
+        raise IOError(
+            f"versioned write: could not claim a version after 1000 tries: "
+            f"{path}"
+        )
+    finally:
+        stop.set()
+        beater.join(timeout=5.0)
         try:
-            out = fs.create(man_path, False)  # CAS: fail if exists
+            fs.delete(marker, False)
         except Exception:
-            n += 1  # lost the race to a concurrent committer
-            continue
-        manifest_bytes = _json.dumps(
-            {"version": n, "data_dir": data_name, "n_rows": n_rows}
-        ).encode("utf-8")
-        out.write(bytearray(manifest_bytes))
-        out.close()
-        return n
-    raise IOError(
-        f"versioned write: could not claim a version after 1000 tries: {path}"
-    )
+            pass  # marker already swept; nothing to clean
 
 
 def read_version(
@@ -598,22 +659,31 @@ def vacuum_versions(
     versions keeps working; pinned reads of removed versions raise
     ``ValueError`` afterwards, by design.
 
-    SAFE TO RUN CONCURRENTLY WITH WRITERS: an in-flight writer between
-    its data rename and its manifest CAS is indistinguishable from a
-    crashed writer's orphan by name alone, so the orphan sweep is
-    AGE-GATED — only unreferenced dirs whose modification time is older
-    than ``orphan_grace_ms`` (default 15 min) are deleted. A live writer
-    finishes rename→manifest in seconds, so its data dir is always
-    younger than the grace window when the sweep inspects it; genuinely
-    crashed writers' orphans age past the window and get collected on
-    the next vacuum. Setting ``orphan_grace_ms=0`` restores the old
-    eager sweep (only safe when no writer can be in flight).
+    SAFE TO RUN CONCURRENTLY WITH WRITERS — a LIVENESS guarantee, not
+    just a grace window: every :func:`write_versioned` writer maintains
+    a ``_manifests/.inflight-{token}`` marker re-touched every
+    ``heartbeat_ms`` (default 60 s) for as long as it runs, and the
+    sweep skips any unreferenced ``d-{token}``/``.staging-{token}`` dir
+    whose marker is younger than ``orphan_grace_ms`` — so even a write
+    or audit that runs for HOURS (100 TB partitions) cannot lose its
+    data to a concurrent vacuum. The age gate itself is belt-and-braces
+    on top: dirs without a live marker are still only deleted once
+    their own mtime is older than ``orphan_grace_ms`` (default 15 min),
+    and "now" is read from the SAME filesystem (a probe file's mtime,
+    :func:`_fs_now_ms`), immune to driver↔storage clock skew. A crashed
+    writer's marker stops beating, ages past the window together with
+    its orphan, and both get collected on the next vacuum. Setting
+    ``orphan_grace_ms=0`` restores the old eager sweep (only safe when
+    no writer can be in flight). NOTE: the mtime gate assumes real
+    directory mtimes (local/HDFS); on object stores with synthetic dir
+    mtimes the MARKER path still works (markers are files), but the
+    no-marker fallback degrades to eager — run vacuum only from the
+    writer's quiesce window there.
 
     Returns ``{"removed_versions": [...], "kept_versions": [...],
     "swept_orphans": [...], "skipped_young_orphans": [...]}``.
     """
     import json as _json
-    import time as _time
 
     fs, root, man_dir, HPath = _versioned_fs(spark, path)
     if not fs.exists(man_dir):
@@ -640,19 +710,42 @@ def vacuum_versions(
         fs.delete(versions[v], False)
     swept = []
     skipped_young = []
-    now_ms = int(_time.time() * 1000)
+    now_ms = _fs_now_ms(fs, man_dir, HPath)
+    inflight = {}  # writer token -> marker (path, mtime)
+    for st in fs.listStatus(man_dir):
+        nm = st.getPath().getName()
+        if nm.startswith(".inflight-"):
+            inflight[nm[len(".inflight-"):]] = (
+                st.getPath(),
+                st.getModificationTime(),
+            )
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if name == "_manifests" or name in referenced:
             continue
         if st.isDirectory():
-            if now_ms - st.getModificationTime() < orphan_grace_ms:
-                # could be a live writer between data rename and manifest
-                # CAS — leave it; a real orphan ages into the next vacuum
+            tok = None
+            if name.startswith("d-"):
+                tok = name[2:]
+            elif name.startswith(".staging-"):
+                tok = name[len(".staging-"):]
+            beating = (
+                tok in inflight
+                and now_ms - inflight[tok][1] < orphan_grace_ms
+            )
+            if beating or (
+                now_ms - st.getModificationTime() < orphan_grace_ms
+            ):
+                # a live writer (fresh heartbeat marker) or a young dir
+                # that may belong to one — leave it; a real orphan's
+                # marker stops beating and ages into the next vacuum
                 skipped_young.append(name)
                 continue
             swept.append(name)
             fs.delete(st.getPath(), True)
+    for tok, (mpath, mtime) in inflight.items():
+        if now_ms - mtime >= orphan_grace_ms:
+            fs.delete(mpath, False)  # stale marker from a crashed writer
     return {
         "removed_versions": removed,
         "kept_versions": kept,
@@ -663,15 +756,18 @@ def vacuum_versions(
 
 def write_versioned_wap(df: DataFrame, path: str, rules) -> int:
     """WRITE-AUDIT-PUBLISH onto a versioned table (the Iceberg/Netflix
-    WAP pattern on this layer's primitives): stage + rename the data,
-    run the declarative expectations engine (operators/expectations.py)
-    against the exact staged bytes readers would get, and commit the
-    manifest ONLY if every rule passes. On failure raises ``ValueError``
-    naming the failing rules with violation counts; the staged data dir
-    is left unreferenced — invisible to every reader, reclaimed by
-    :func:`vacuum_versions` after the grace window — so a bad batch can
-    never become a readable version, and a GOOD publish is still the
-    same crash/race-safe CAS as :func:`write_versioned`.
+    WAP pattern on this layer's primitives): stage the data, run the
+    declarative expectations engine (operators/expectations.py) against
+    the exact staged bytes readers would get (the publish rename is
+    atomic and byte-preserving, so auditing BEFORE it audits the same
+    bytes while keeping the rename→commit window seconds wide), then
+    rename + commit the manifest ONLY if every rule passes. On failure
+    raises ``ValueError`` naming the failing rules with violation
+    counts; the staging dir is left unreferenced — invisible to every
+    reader, reclaimed by :func:`vacuum_versions` after the grace window
+    — so a bad batch can never become a readable version, and a GOOD
+    publish is still the same crash/race-safe CAS as
+    :func:`write_versioned`.
 
     reference: jobs/raw_to_staging.py:40-44 writes blind; this is the
     gated form a production lake runs.

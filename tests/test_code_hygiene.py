@@ -153,3 +153,66 @@ def test_hash_prime_multiplies_are_pre_reduced():
         "pre-reduce with `% 2147483648` / pmod on BOTH engines): "
         + ", ".join(offenders)
     )
+
+
+# ---------------------------------------------------------------------------
+# cents-of-a-product rounding class (round-8 verdict ask #1, q388/X318)
+# ---------------------------------------------------------------------------
+#
+# ROUND applied to a PRODUCT of cent-quantized doubles lands EXACTLY on
+# the .5 rounding boundary (~313 lineitem rows at sf0.1 measured within
+# 1e-9 of it), and which way a binary .5 rounds differs between engine
+# builds (JVM BigDecimal HALF_UP on the shortest decimal repr vs a C
+# library round on the binary value) — q388 hash-FAILed the round-8
+# driver gate this way while passing the local oracle. Money products
+# must recover exact integers PER FACTOR and round half-up in pure
+# integer arithmetic: use disc_price_cents / charge_cents /
+# disc_rev_cents and their sql_* mirrors in plans/catalog/_shared.py.
+# ROUND(money_col * 10^k) stays legal: a 2-dp column times a multiple of
+# 100 is never near the boundary.
+
+_MONEY_COL = r"(?:l_extendedprice|l_discount|l_tax|p_retailprice|o_totalprice)"
+_MONEY_PRODUCT_PATTERNS = [
+    # the exact-integer helper (single-quantized-column contract) around
+    # a product — the original q388 form
+    re.compile(r"(?<![\w_])cents\(\s*F\.col\([^)]+\)\s*\*"),
+    # Spark F.round over a money column times anything but a power of ten
+    re.compile(
+        r"F\.round\(\s*F\.col\(\"" + _MONEY_COL
+        + r"\"\)\s*\*(?!\s*(?:100|10000|1000000)\b)"
+    ),
+    # SQL ROUND over a money column times anything but a power of ten
+    re.compile(
+        r"(?i)\bround\(\s*(?:[a-z]+\.)?" + _MONEY_COL
+        + r"\s*\*(?!\s*(?:100|10000|1000000)\b)"
+    ),
+]
+
+
+def _all_sources():
+    yield from _sources()
+    root = PKG.parent
+    for extra in ("tests", "tools"):
+        for p in (root / extra).rglob("*.py"):
+            if p.name == "test_code_hygiene.py":
+                continue
+            yield p.relative_to(root).as_posix(), p.read_text()
+    for name in ("__spark_entry__.py", "bench.py"):
+        p = root / name
+        if p.exists():
+            yield name, p.read_text()
+
+
+def test_no_round_of_money_products():
+    offenders = []
+    for f, src in _all_sources():
+        for pat in _MONEY_PRODUCT_PATTERNS:
+            for m in pat.finditer(src):
+                line_no = src.count("\n", 0, m.start()) + 1
+                offenders.append(f"{f}:{line_no} ({m.group(0)[:48]!r})")
+    assert not offenders, (
+        "ROUND/cents() applied to a money PRODUCT (cross-engine "
+        ".5-boundary nondeterminism, the q388/X318 class; use the "
+        "integer-product helpers in plans/catalog/_shared.py): "
+        + ", ".join(offenders)
+    )

@@ -623,3 +623,82 @@ def test_wap_publishes_only_clean_batches(spark, tmp_path):
     rep = vacuum_versions(spark, path, keep_last=1, orphan_grace_ms=0)
     assert len(rep["swept_orphans"]) == 1
     assert write_versioned_wap(good, path, rules) == 2
+
+
+def test_vacuum_skips_slow_writer_past_grace_via_heartbeat(spark, tmp_path):
+    """A writer whose write/audit outlasts the grace window must STILL
+    survive a concurrent vacuum: its .inflight-{token} liveness marker
+    keeps beating, and the sweep honors a fresh marker even when the
+    staging/data dir's own mtime has aged past the grace window."""
+    import os
+    import time
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        read_version,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    write_versioned(spark.createDataFrame([(1,)], ["id"]), path)
+
+    vacuumed = {}
+
+    def _slow_audit(staged):
+        # simulate a multi-minute audit: age the staging dir PAST the
+        # grace window, then run a concurrent vacuum while "auditing"
+        token = [
+            d for d in os.listdir(path) if d.startswith(".staging-")
+        ][0][len(".staging-"):]
+        old = time.time() - 3600
+        os.utime(f"{path}/.staging-{token}", (old, old))
+        vacuumed["report"] = vacuum_versions(
+            spark, path, keep_last=1, orphan_grace_ms=2_000
+        )
+        vacuumed["token"] = token
+
+    v = write_versioned(
+        spark.createDataFrame([(7,), (8,)], ["id"]),
+        path,
+        audit=_slow_audit,
+        heartbeat_ms=50,
+    )
+    # the concurrent vacuum saw the aged dir but skipped it (live marker)
+    rep = vacuumed["report"]
+    assert f".staging-{vacuumed['token']}" in rep["skipped_young_orphans"]
+    assert rep["swept_orphans"] == []
+    # the slow writer's commit landed on intact data
+    assert {r["id"] for r in read_version(spark, path, v).collect()} == {7, 8}
+    # marker cleaned up after the publish
+    assert not [
+        f
+        for f in os.listdir(f"{path}/_manifests")
+        if f.startswith(".inflight-")
+    ]
+
+
+def test_vacuum_sweeps_crashed_writer_marker_and_orphan(spark, tmp_path):
+    """A crashed writer's marker stops beating: once BOTH the marker and
+    the orphan dir age past the grace window, the sweep collects both."""
+    import json
+    import os
+    import time
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    write_versioned(spark.createDataFrame([(1,)], ["id"]), path)
+    # fabricate a crashed writer: orphan data dir + stale marker
+    spark.createDataFrame([(9,)], ["id"]).write.parquet(f"{path}/d-dead01")
+    with open(f"{path}/_manifests/.inflight-dead01", "w"):
+        pass
+    old = time.time() - 3600
+    os.utime(f"{path}/d-dead01", (old, old))
+    os.utime(f"{path}/_manifests/.inflight-dead01", (old, old))
+    rep = vacuum_versions(spark, path, keep_last=1, orphan_grace_ms=2_000)
+    assert "d-dead01" in rep["swept_orphans"]
+    assert not os.path.exists(f"{path}/d-dead01")
+    assert not os.path.exists(f"{path}/_manifests/.inflight-dead01")

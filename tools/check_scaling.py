@@ -195,6 +195,9 @@ def main() -> int:
     ladder_path = None
     if "--ladder" in args:
         i = args.index("--ladder")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            print("usage: check_scaling.py [PROBE.json] [--ladder LADDER.json]")
+            return 2
         ladder_path = args[i + 1]
         del args[i:i + 2]
         if not args:  # ladder-only invocation
@@ -224,19 +227,22 @@ def main() -> int:
         print(f"unbudgeted probes (documented exceptions): {extra}")
     if missing:
         print(f"MISSING budgeted probes (not in probe output): {missing}")
+    main_rc = 0
     if failures:
         print(
             "SCALING-BUDGET FAIL: "
             + ", ".join(f"{n} {e} > {b}" for n, e, b in failures)
         )
-        return 1
-    if missing:
+        main_rc = 1
+    elif missing:
         print("SCALING-BUDGET FAIL: missing probes")
-        return 1
-    print(f"SCALING-BUDGET OK: {len(BUDGETS)} probes within budget")
-    if ladder_path is not None:
-        return _check_ladder(ladder_path)
-    return 0
+        main_rc = 1
+    else:
+        print(f"SCALING-BUDGET OK: {len(BUDGETS)} probes within budget")
+    # run the ladder gate UNCONDITIONALLY so its breaches are never
+    # hidden behind a main-gate failure; combine exit codes
+    ladder_rc = _check_ladder(ladder_path) if ladder_path is not None else 0
+    return max(main_rc, ladder_rc)
 
 
 if __name__ == "__main__":

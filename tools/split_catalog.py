@@ -4,8 +4,9 @@ plans/catalog/ package (registry + shared helpers + domain modules).
 Round-8 verdict ask #7: single-file growth (+8.6k lines in round 7
 alone) is the main maintainability risk. The split is MECHANICAL — every
 top-level block moves verbatim; only module boundaries and imports are
-new — so the 447-query registry, oracle strings, and def citations are
-preserved byte-for-byte. Verified afterwards by the full selfcheck.
+new — so the full query registry (447 entries at split time), oracle
+strings, and def citations are preserved byte-for-byte. Verified
+afterwards by the full selfcheck.
 
 Run from the repo root: python tools/split_catalog.py
 """
