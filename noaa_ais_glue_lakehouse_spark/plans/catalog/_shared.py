@@ -2358,5 +2358,115 @@ def _clustered_cosine_oracle(threshold: float = 0.4) -> str:
 
 
 
+def _rounded_cosine_sql(a: str = "a", b: str = "b") -> str:
+    """The q46/q384 exact-cosine convention as DuckDB text: list_sum
+    dot (matches the engine's zip_with left fold), 4-dp rounding so the
+    float boundary is identical across engines."""
+    return (
+        f"ROUND(list_sum(list_transform(list_zip({a}.embedding,"
+        f" {b}.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform({a}.embedding,"
+        " x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform({b}.embedding,"
+        " x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4)"
+    )
+
+
+def _lsh_topk_portable_oracle(
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    query_max: int = 10,
+) -> str:
+    """DuckDB oracle for the portable multi-table hyperplane-LSH TOP-K
+    serving shape (q474): same ±1 plane literals and bit packing as
+    _cosine_lsh_portable_oracle, tables stacked into (vec_id, tbl, bkt)
+    rows, candidates = DISTINCT union of per-table bucket joins against
+    the query set, exact 4-dp cosine, top-k per query with the
+    (cosine DESC, x_id) total order."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        portable_hyperplane_signs,
+    )
+
+    signs = portable_hyperplane_signs(n_tables, n_planes, dim)
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for j in range(n_planes):
+            arr = "[" + ", ".join(
+                f"{float(s):.1f}" for s in signs[t][j]
+            ) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip(embedding, {arr}),"
+                f" p -> CAST(p[1] AS DOUBLE) * p[2]))"
+            )
+            bits.append(
+                f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        bucket_exprs.append("(" + " + ".join(bits) + f") AS bk{t}")
+    buckets = ",\n             ".join(bucket_exprs)
+    stacked = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {t} AS tbl, bk{t} AS bkt FROM sig"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {buckets}
+      FROM embeddings
+    ), stacked AS (
+      {stacked}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS x_id
+      FROM stacked q
+      JOIN stacked c ON q.tbl = c.tbl AND q.bkt = c.bkt
+      WHERE q.vec_id < {query_max} AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.q_id, cand.x_id, {_rounded_cosine_sql()} AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN embeddings b ON b.vec_id = cand.x_id
+    )
+    SELECT q_id, x_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT q_id, x_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, x_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+def _ivf_topk_portable_oracle(k: int = 5, query_mod: int = 17) -> str:
+    """DuckDB oracle for the portable IVF TOP-K serving shape (q475):
+    q400's coarse quantizer (q384 planes, table 0 → 64 inverted lists),
+    candidates from the query's own list, exact 4-dp cosine scoring,
+    top-k per query with the (cosine DESC, x_id) total order."""
+    bucket = _ivf_adc_bucket_expr("CAST(embedding[{i}] AS DOUBLE)")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding, ({bucket}) AS bkt FROM embeddings
+    ), cand AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS x_id
+      FROM v q JOIN v c ON q.bkt = c.bkt
+      WHERE q.vec_id % {query_mod} = 0 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.q_id, cand.x_id, {_rounded_cosine_sql()} AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN embeddings b ON b.vec_id = cand.x_id
+    )
+    SELECT q_id, x_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT q_id, x_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, x_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
 # export EVERYTHING (incl. underscore helpers) to the domain modules
 __all__ = [_n for _n in dir() if not _n.startswith('__') and _n != 'annotations']

@@ -312,7 +312,11 @@ def q65_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END dedup: winnowing near-dup pairs → connected components →
     min-id survivor per component + all untouched docs (dedup_by_components)
     — the full pairs→groups→survivors chain a training pipeline runs, fully
-    hash-checked against a recursive-CTE oracle (deterministic family)."""
+    hash-checked against a recursive-CTE oracle (deterministic family).
+    This form consumes q61's exact-contract pair stream (the anchor);
+    q476_dedup_survivors_capped is the oracle-checked PRODUCTION twin on
+    q343's df-capped linear stream (max_df=64 — the same knob on the
+    shared winnow_near_duplicates operator)."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import (
         dedup_by_components,
         winnow_near_duplicates,
@@ -349,7 +353,9 @@ def q69_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection: per near-dup component keep the
     LONGEST document (ties → min id) instead of the min-id representative
     — what production corpus dedup keeps. Same recursive-CTE oracle as
-    q65 with an argmax-per-component ranking."""
+    q65 with an argmax-per-component ranking. Capped production form:
+    pass max_df=64 to winnow_near_duplicates (q476's pattern — its
+    oracle swaps in _WINNOW_PAIRS_CAPPED_SQL the same way)."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import (
         dedup_by_components,
         winnow_near_duplicates,
@@ -594,7 +600,9 @@ def q138_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     studies warn about). Uses the deterministic winnowing pair graph, so
     the whole assignment — and the zero-violation property itself,
     emitted as a column — is hash-checked against the recursive-CTE
-    oracle."""
+    oracle. Capped production form: pass max_df=64 to
+    winnow_near_duplicates and swap _WINNOW_PAIRS_CAPPED_SQL into the
+    oracle (the q476 pattern)."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import (
         winnow_near_duplicates,
     )
@@ -2482,11 +2490,34 @@ def q383_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q397_bfs_hops",
     build_time_exec=(
         "driver-side work at plan-build time; plan pinned by its own "
+        "recall/oracle tests (df-capped winnowing pair generation, "
+        "q343's stream)"
+    ),
+    oracle=_bfs_oracle(4, _WINNOW_PAIRS_CAPPED_SQL),
+)
+def q397_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X327 — bounded-hop BFS distances from a seed set over the dup
+    graph, UNSUFFIXED NAME NOW SERVING THE PRODUCTION (df-capped) FORM
+    (round-8 verdict ask #8: the default name should be the scale path,
+    the exact contract moves to ``q397_bfs_hops_exact`` the way O(n²)
+    baselines are tagged ``baseline_only``). Delegates to
+    q446_bfs_hops_capped — one implementation, two registry entries,
+    same oracle."""
+    return q446_bfs_hops_capped(spark, sf_dir)
+
+
+@register(
+    "q397_bfs_hops_exact",
+    baseline_only=True,  # exact-contract input is quadratic on
+    # saturating gram spaces (decade exponent 1.49-1.53, SCALING.md);
+    # the unsuffixed q397 name serves the capped production form
+    build_time_exec=(
+        "driver-side work at plan-build time; plan pinned by its own "
         "recall/oracle tests (winnowing pair generation, q62's input)"
     ),
     oracle=_bfs_oracle(4),
 )
-def q397_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q397_bfs_hops_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X327 — bounded-hop BFS DISTANCES from a seed set over the dup
     graph: how many hops each document sits from a seed (doc_id % 50
     == 0 among graph nodes), capped at 4 hops. Complements the
@@ -2501,7 +2532,8 @@ def q397_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round shuffles (node, hop) — frontier-sized, bounded by
     |graph nodes|, with map-side min-combine; the edge relation is the
     winnowing pair stream (q61's exact contract — this form is the
-    exact-answer anchor; q446_bfs_hops_capped is the PRODUCTION twin on
+    EXACT-ANSWER ANCHOR, registered ``baseline_only`` since round 9;
+    the unsuffixed q397_bfs_hops serves q446's PRODUCTION twin on
     q343's df-capped linear stream). The edge list and
     each round's distances are localCheckpoint-ed (the
     connected_components pattern, operators/dedup.py:74): ``dist`` is
@@ -3061,4 +3093,52 @@ def q455_cross_source_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_components"),
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.max("n_docs").cast("long").alias("largest_component"),
+    )
+
+
+@register(
+    "q476_dedup_survivors_capped",
+    build_time_exec=(
+        "driver-side work at plan-build time; plan pinned by its own "
+        "recall/oracle tests (df-capped winnowing pair generation, "
+        "q343's stream)"
+    ),
+    oracle=_cc_oracle(
+        """, losers AS (SELECT node FROM comp WHERE component <> node)
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node""",
+        pairs_sql=_WINNOW_PAIRS_CAPPED_SQL,
+    ),
+)
+def q476_dedup_survivors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X406 — the END-TO-END dedup chain (pairs → connected components →
+    min-id survivor per component + untouched docs) on the PRODUCTION
+    df-capped pair stream (round-8 verdict ask #5): q65's consumer shape
+    with q343's max_df=64 MOSS boilerplate cap in the pair generator, so
+    the survivors question a training pipeline actually ships — "which
+    docs remain after near-dup collapse at corpus scale" — is
+    oracle-checked on the LINEAR-candidate stream, not only on q61's
+    exact-contract quadratic one. q65/q69/q138 keep the exact stream as
+    their registered anchors; the max_df knob is the same parameter on
+    the shared winnow_near_duplicates operator, so the capped form of
+    each consumer is one argument away.
+
+    Scale: pair generation |fps|*max_df^2/2-bounded (linear, q343's
+    measured 0.85 B→C); CC rounds are min-rollups with map-side combine,
+    checkpointed; survivor selection is one anti-join + one min-rollup.
+    """
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        dedup_by_components,
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = winnow_near_duplicates(
+        docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    )
+    survivors = dedup_by_components(
+        docs, pairs.select("id_a", "id_b"), "doc_id"
+    )
+    return survivors.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
     )

@@ -25,7 +25,10 @@ def q32_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q33_ann_lsh_topk")  # rows-only: approximate by design
 def q33_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (the scale path). Recall vs the exact
-    baseline is asserted in tests/test_similarity.py.
+    baseline is asserted in tests/test_similarity.py; the hash-gated
+    twin of this SERVING SHAPE (multi-table buckets → candidate union →
+    exact scoring → deterministic top-k) is q474_lsh_topk_portable —
+    same grain, portable plane family, full DuckDB oracle.
     """
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
@@ -44,7 +47,10 @@ def q33_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q55_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse k-means quantizer + probed exact
     scoring) — the inverted-file alternative to the q33 LSH path; recall
-    vs brute force asserted in tests/test_similarity.py."""
+    vs brute force asserted in tests/test_similarity.py. The hash-gated
+    twin of this SERVING SHAPE (coarse assign → probe list → exact
+    scoring → deterministic top-k) is q475_ivf_topk_portable — same
+    grain, portable coarse quantizer, full DuckDB oracle."""
     from noaa_ais_glue_lakehouse_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -3534,4 +3540,150 @@ def q469_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0,
             6,
         ).alias("centroid_drift"),
+    )
+
+
+@register(
+    "q474_lsh_topk_portable",
+    oracle=_lsh_topk_portable_oracle(k=5, n_planes=6, n_tables=8),
+)
+def q474_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X404 — PORTABLE MULTI-TABLE LSH TOP-K SERVING, hash-checked end
+    to end: the q33 serving SHAPE (per-query approximate nearest
+    neighbors from the union of 8 hyperplane tables' buckets) rebuilt
+    on q384's deterministic ±1 plane family so the WHOLE top-k pipeline
+    — signature bits, bucket keys, the per-table candidate union, the
+    exact 4-dp cosine scores AND the final (cosine DESC, x_id) ranks —
+    reproduces bit-identically on DuckDB. Closes the round-8 verdict's
+    last un-anchored rows-only shape: q33 keeps the fast numpy-Gaussian
+    family as the production path; THIS query is its oracle-checked
+    twin at the same grain (query, neighbor, score, rank).
+
+    Plan: the query side (10 ids × 8 tables = 80 rows) BROADCASTS into
+    the stacked (vec_id, tbl, bkt) relation — candidate generation is
+    one broadcast equi-join, id-only (no vectors through the shuffle);
+    vectors re-attach at |candidates| via two equi-joins; ranking is
+    one window partitioned by query.
+
+    Scale: candidates/query are bucket-bounded (64 buckets/table);
+    planes grow ~log2 n to hold bucket size (q344's geometry note), and
+    the query side of a serving join is small by construction, so the
+    broadcast shape IS the 100 TB plan."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_similarity,
+        portable_hyperplane_signs,
+    )
+
+    n_planes, n_tables, dim, k = 6, 8, 64, 5
+    emb = load(spark, sf_dir, "embeddings")
+    signs = portable_hyperplane_signs(n_tables, n_planes, dim)
+    vec = F.col("embedding")
+
+    def bucket_expr(t: int):
+        acc = F.lit(0)
+        for j in range(n_planes):
+            s_arr = F.array(*[F.lit(float(s)) for s in signs[t][j]])
+            dot = F.aggregate(
+                F.zip_with(vec, s_arr, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return acc
+
+    stacked = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), bucket_expr(t).alias("bkt")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select("vec_id", "_b.tbl", "_b.bkt")
+    q = stacked.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bkt"
+    )
+    cand = (
+        stacked.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("x_id"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", vec.alias("_v"))
+    pairs = (
+        cand.join(vecs.withColumnRenamed("vec_id", "q_id"), "q_id")
+        .withColumnRenamed("_v", "_va")
+        .join(vecs.withColumnRenamed("vec_id", "x_id"), "x_id")
+        .withColumnRenamed("_v", "_vb")
+    )
+    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "x_id")
+    return (
+        pairs.select("q_id", "x_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "x_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register(
+    "q475_ivf_topk_portable",
+    oracle=_ivf_topk_portable_oracle(k=5, query_mod=17),
+)
+def q475_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X405 — PORTABLE IVF TOP-K SERVING, hash-checked end to end: the
+    q55 serving SHAPE (coarse quantizer → probe the query's inverted
+    list → exact scoring → top-k) on q400's portable coarse quantizer
+    (q384 planes, table 0 → 64 lists), exact 4-dp cosine scoring and
+    the deterministic (cosine DESC, x_id) rank order. q55 keeps the
+    k-means quantizer as the production path (recall-pinned in
+    tests/test_similarity.py); THIS query is its oracle-checked twin at
+    the same grain, completing the round-8 verdict ask: every ANN
+    serving topology (multi-table LSH q474, IVF q475, IVF-ADC q400)
+    now has a hash-gated anchor.
+
+    Plan: one equi-self-join on the list id generates candidates
+    (list-size-bounded, the IVF contract), vectors ride the join (the
+    list relation is |corpus| rows), one window ranks per query.
+
+    Scale: at corpus size lists grow ~n/64 unless planes grow with
+    log2 n (the documented geometry knob); candidates/query stay
+    list-bounded — IVF's whole point — and the scoring join never
+    exceeds |queries| × |list|."""
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    k = 5
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        _ivf_adc_bucket_expr("CAST(element_at(embedding, {i}) AS DOUBLE)")
+    )
+    v = emb.select("vec_id", "embedding", bucket.alias("bkt"))
+    q = v.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("_va"),
+        "bkt",
+    )
+    cand = (
+        v.join(F.broadcast(q), "bkt")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("x_id"),
+            "_va",
+            F.col("embedding").alias("_vb"),
+        )
+    )
+    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "x_id")
+    return (
+        cand.select("q_id", "x_id", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "x_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )

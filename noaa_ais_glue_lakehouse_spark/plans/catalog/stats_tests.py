@@ -3279,3 +3279,786 @@ def q472_lin_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ccc, 6).alias("lin_ccc"),
         F.round(ccc / F.greatest(F.abs(r), F.lit(1e-12)), 6).alias("accuracy_cb"),
     )
+
+
+@register(
+    "q477_welch_anova",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), per AS (
+      SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s,
+             CAST(SUM(vc * vc) AS BIGINT) AS s2
+      FROM v GROUP BY et
+    ), d AS (
+      SELECT et, n,
+             CAST(s AS DOUBLE) / n AS m,
+             CAST(n AS DOUBLE)
+             / GREATEST((CAST(s2 AS DOUBLE)
+                         - CAST(s AS DOUBLE) * s / n) / (n - 1),
+                        1e-9) AS w
+      FROM per
+    ), folds AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(0.0, list(w ORDER BY et)),
+                         (acc, x) -> acc + x) AS bw,
+             list_reduce(list_prepend(0.0, list(w * m ORDER BY et)),
+                         (acc, x) -> acc + x) AS swm,
+             list_reduce(list_prepend(0.0, list(w * m * m ORDER BY et)),
+                         (acc, x) -> acc + x) AS swm2,
+             list_reduce(list_prepend(0.0,
+                         list(1.0 / (n - 1) ORDER BY et)),
+                         (acc, x) -> acc + x) AS c1,
+             list_reduce(list_prepend(0.0,
+                         list(w / (n - 1) ORDER BY et)),
+                         (acc, x) -> acc + x) AS c2,
+             list_reduce(list_prepend(0.0,
+                         list(w * w / (n - 1) ORDER BY et)),
+                         (acc, x) -> acc + x) AS c3
+      FROM d
+    ), lam AS (
+      SELECT nn, k, bw, swm, swm2,
+             c1 - 2.0 * c2 / bw + c3 / (bw * bw) AS lambda
+      FROM folds
+    ), f AS (
+      SELECT nn, k, lambda,
+             ((swm2 - swm * swm / bw) / (k - 1))
+             / (1.0 + (2.0 * (k - 2) / (k * k - 1.0)) * lambda) AS f_stat
+      FROM lam
+    ), chi AS (
+      SELECT nn, k, lambda, f_stat,
+             (k - 1) * f_stat AS chi2, CAST(k AS DOUBLE) - 1.0 AS df
+      FROM f
+    ), seed AS (
+      SELECT *, POW(chi2 / df, 1.0 / 3.0) AS t0 FROM chi
+    ), wh1 AS (
+      SELECT *, (2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0 AS t1 FROM seed
+    ), wh2 AS (
+      SELECT *, (2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0 AS t2 FROM wh1
+    ), wh AS (
+      SELECT *, (t2 - (1.0 - 2.0 / (9.0 * df)))
+                / SQRT(2.0 / (9.0 * df)) AS z
+      FROM wh2
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM wh
+    )
+    SELECT nn AS n_rows, k AS n_groups,
+           ROUND(f_stat, 6) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           ROUND((k * k - 1.0) / (3.0 * lambda), 6) AS df2,
+           ROUND(CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0
+                      ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END, 6)
+             AS p_approx
+    FROM p
+    """,
+)
+def q477_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X407 — WELCH'S HETEROSCEDASTIC ONE-WAY ANOVA: do the k event
+    types have equal mean value WITHOUT assuming equal variances — the
+    test q453 (Brown–Forsythe) says classic ANOVA would get wrong here
+    (the synthetic types have very different spreads). Weights
+    w_j = n_j/s_j²; the between-group numerator uses the expansion
+    Σw(m−m̄_w)² = Σwm² − (Σwm)²/Σw and Welch's Λ = Σ(1−w/W)²/(n−1)
+    expands to per-group folds c1 − 2c2/W + c3/W², so EVERY k-element
+    float reduction is a fold over a SORTED array (the q448/q453
+    discipline) built from exact int64 moments. Satterthwaite df2 is
+    published; the tail is the (k−1)F ~ χ²_{k−1} large-N approximation
+    through the q426 Wilson–Hilferty chain (exact Welch tails need the
+    incomplete beta — df1/df2 let a caller do the lookup).
+
+    Scale: one (type)-grain integer aggregate, one k-row fold."""
+    ev = load(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.col("event_type").alias("et"), cents(F.col("value")).alias("vc")
+        )
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vc").cast("long").alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).cast("long").alias("s2"),
+        )
+    )
+    d = per.select(
+        "et",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        (
+            F.col("n").cast("double")
+            / F.greatest(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / (F.col("n") - 1),
+                F.lit(1e-9),
+            )
+        ).alias("w"),
+    )
+
+    def _fold(term, alias):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("et", term.alias("x")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["x"],
+        ).alias(alias)
+
+    folds = d.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _fold(F.col("w"), "bw"),
+        _fold(F.col("w") * F.col("m"), "swm"),
+        _fold(F.col("w") * F.col("m") * F.col("m"), "swm2"),
+        _fold(F.lit(1.0) / (F.col("n") - 1), "c1"),
+        _fold(F.col("w") / (F.col("n") - 1), "c2"),
+        _fold(F.col("w") * F.col("w") / (F.col("n") - 1), "c3"),
+    )
+    wh = (
+        folds.withColumn(
+            "lambda",
+            F.expr("c1 - 2.0 * c2 / bw + c3 / (bw * bw)"),
+        )
+        .withColumn(
+            "f_stat",
+            F.expr(
+                "((swm2 - swm * swm / bw) / (k - 1))"
+                " / (1.0 + (2.0 * (k - 2) / (k * k - 1.0)) * lambda)"
+            ),
+        )
+        .withColumn("chi2", F.expr("(k - 1) * f_stat"))
+        .withColumn("df", F.expr("CAST(k AS DOUBLE) - 1.0"))
+        .withColumn("t0", F.expr("POW(chi2 / df, 1.0 / 3.0)"))
+        .withColumn("t1", F.expr("(2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0"))
+        .withColumn("t2", F.expr("(2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0"))
+        .withColumn(
+            "z",
+            F.expr(
+                "(t2 - (1.0 - 2.0 / (9.0 * df))) / SQRT(2.0 / (9.0 * df))"
+            ),
+        )
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return wh.select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.round("f_stat", 6).alias("f_stat"),
+        (F.col("k") - 1).cast("long").alias("df1"),
+        F.round(F.expr("(k * k - 1.0) / (3.0 * lambda)"), 6).alias("df2"),
+        F.round(
+            F.expr(
+                f"CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0"
+                f" ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END"
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+@register(
+    "q478_bartlett_test",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), per AS (
+      SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s,
+             CAST(SUM(vc * vc) AS BIGINT) AS s2
+      FROM v GROUP BY et
+    ), d AS (
+      SELECT et, n,
+             GREATEST((CAST(s2 AS DOUBLE)
+                       - CAST(s AS DOUBLE) * s / n) / (n - 1),
+                      1e-9) AS var
+      FROM per
+    ), folds AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(0.0,
+                         list((n - 1) * var ORDER BY et)),
+                         (acc, x) -> acc + x) AS sp_num,
+             list_reduce(list_prepend(0.0,
+                         list((n - 1) * ln(var) ORDER BY et)),
+                         (acc, x) -> acc + x) AS sl,
+             list_reduce(list_prepend(0.0,
+                         list(1.0 / (n - 1) ORDER BY et)),
+                         (acc, x) -> acc + x) AS c1
+      FROM d
+    ), t AS (
+      SELECT nn, k,
+             ((nn - k) * ln(sp_num / (nn - k)) - sl)
+             / (1.0 + (c1 - 1.0 / (nn - k)) / (3.0 * (k - 1))) AS chi2,
+             CAST(k AS DOUBLE) - 1.0 AS df
+      FROM folds
+    ), seed AS (
+      SELECT *, POW(chi2 / df, 1.0 / 3.0) AS t0 FROM t
+    ), wh1 AS (
+      SELECT *, (2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0 AS t1 FROM seed
+    ), wh2 AS (
+      SELECT *, (2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0 AS t2 FROM wh1
+    ), wh AS (
+      SELECT *, (t2 - (1.0 - 2.0 / (9.0 * df)))
+                / SQRT(2.0 / (9.0 * df)) AS z
+      FROM wh2
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM wh
+    )
+    SELECT nn AS n_rows, k AS n_groups,
+           ROUND(chi2, 6) AS bartlett_chi2,
+           CAST(k - 1 AS BIGINT) AS df,
+           ROUND(CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0
+                      ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END, 6)
+             AS p_approx
+    FROM p
+    """,
+)
+def q478_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X408 — BARTLETT'S TEST of variance homogeneity: the classic
+    (normality-sensitive) counterpart to q453's robust Brown–Forsythe —
+    publishing both is how a stats shelf lets the caller trade power
+    against robustness. Per-group variances come from exact int64
+    moments; the two k-element float reductions (Σ(n−1)s², Σ(n−1)ln s²)
+    fold over SORTED arrays; ln is the single libm call per group
+    (q378's convention), and the χ²_{k−1} upper tail goes through the
+    q426 Wilson–Hilferty chain.
+
+    Scale: one (type)-grain integer aggregate, one k-row fold."""
+    ev = load(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.col("event_type").alias("et"), cents(F.col("value")).alias("vc")
+        )
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vc").cast("long").alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).cast("long").alias("s2"),
+        )
+    )
+    d = per.select(
+        "et",
+        "n",
+        F.greatest(
+            (
+                F.col("s2").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1),
+            F.lit(1e-9),
+        ).alias("var"),
+    )
+
+    def _fold(term, alias):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("et", term.alias("x")))),
+            F.lit(0.0),
+            lambda acc, r: acc + r["x"],
+        ).alias(alias)
+
+    folds = d.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _fold((F.col("n") - 1) * F.col("var"), "sp_num"),
+        _fold((F.col("n") - 1) * F.log(F.col("var")), "sl"),
+        _fold(F.lit(1.0) / (F.col("n") - 1), "c1"),
+    )
+    wh = (
+        folds.withColumn(
+            "chi2",
+            F.expr(
+                "((nn - k) * ln(sp_num / (nn - k)) - sl)"
+                " / (1.0 + (c1 - 1.0 / (nn - k)) / (3.0 * (k - 1)))"
+            ),
+        )
+        .withColumn("df", F.expr("CAST(k AS DOUBLE) - 1.0"))
+        .withColumn("t0", F.expr("POW(chi2 / df, 1.0 / 3.0)"))
+        .withColumn("t1", F.expr("(2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0"))
+        .withColumn("t2", F.expr("(2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0"))
+        .withColumn(
+            "z",
+            F.expr(
+                "(t2 - (1.0 - 2.0 / (9.0 * df))) / SQRT(2.0 / (9.0 * df))"
+            ),
+        )
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return wh.select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.round("chi2", 6).alias("bartlett_chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.round(
+            F.expr(
+                f"CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0"
+                f" ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END"
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+@register(
+    "q479_mood_median_test",
+    allow_non_equi=(
+        "1-row broadcast scalars (grand median, grand totals) "
+        "crossJoin-attached onto the value rollup and the k-row "
+        "per-type table - group-cardinality, never row-level"
+    ),
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), g1 AS (
+      SELECT vc, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY vc
+    ), tot AS (
+      SELECT CAST(SUM(t) AS BIGINT) AS n FROM g1
+    ), rk AS (
+      SELECT g1.vc, g1.t, tot.n,
+             COALESCE(SUM(g1.t) OVER (ORDER BY g1.vc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM g1 CROSS JOIN tot
+    ), med AS (
+      SELECT vc AS m FROM rk
+      WHERE below < (n + 1) // 2 AND below + t >= (n + 1) // 2
+    ), per AS (
+      SELECT v.et,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN v.vc > med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a_i
+      FROM v CROSS JOIN med GROUP BY v.et
+    ), g AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS nn,
+             CAST(SUM(a_i) AS BIGINT) AS aa,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM per
+    ), chi AS (
+      SELECT g.nn, g.aa, g.k,
+             list_reduce(list_prepend(0.0, list(
+               POW(a_i - CAST(n_i AS DOUBLE) * g.aa / g.nn, 2)
+                 / (CAST(n_i AS DOUBLE) * g.aa / g.nn)
+               + POW((n_i - a_i)
+                     - CAST(n_i AS DOUBLE) * (g.nn - g.aa) / g.nn, 2)
+                 / (CAST(n_i AS DOUBLE) * (g.nn - g.aa) / g.nn)
+               ORDER BY et)),
+               (acc, x) -> acc + x) AS chi2
+      FROM per CROSS JOIN g
+      GROUP BY g.nn, g.aa, g.k
+    ), t AS (
+      SELECT nn, aa, k, chi2, CAST(k AS DOUBLE) - 1.0 AS df FROM chi
+    ), seed AS (
+      SELECT *, POW(chi2 / df, 1.0 / 3.0) AS t0 FROM t
+    ), wh1 AS (
+      SELECT *, (2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0 AS t1 FROM seed
+    ), wh2 AS (
+      SELECT *, (2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0 AS t2 FROM wh1
+    ), wh AS (
+      SELECT *, (t2 - (1.0 - 2.0 / (9.0 * df)))
+                / SQRT(2.0 / (9.0 * df)) AS z
+      FROM wh2
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM wh
+    ), m2 AS (SELECT m FROM med)
+    SELECT p.nn AS n_rows, p.k AS n_groups,
+           m2.m AS grand_median_cents,
+           p.aa AS n_above,
+           ROUND(p.chi2, 6) AS chi2,
+           CAST(p.k - 1 AS BIGINT) AS df,
+           ROUND(CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0
+                      ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END, 6)
+             AS p_approx
+    FROM p CROSS JOIN m2
+    """,
+)
+def q479_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X409 — MOOD'S MEDIAN TEST: the k-group location test that only
+    asks "above or below the GRAND median?" — maximally robust (cares
+    about nothing but the sign of the deviation), the standard
+    companion to Kruskal–Wallis (q448) when outliers or heavy ties make
+    even rank sums suspect. The grand median is the exact counting
+    quantile at (value)-group grain (the q453 lower-median rule);
+    per-group above-counts are pure int64; the 2×k chi-square folds
+    per-group double terms over a SORTED array; χ²_{k−1} tail via the
+    q426 Wilson–Hilferty chain.
+
+    Scale: a value-grain rollup + one prefix-sum window for the
+    median, one (type)-grain conditional count, one k-row fold. The
+    1-row median/totals attach by broadcast."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("et"), cents(F.col("value")).alias("vc")
+    )
+    g1 = v.groupBy("vc").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    w_all = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    n_total = g1.agg(F.sum("t").cast("long").alias("n"))
+    rk = g1.join(F.broadcast(n_total)).select(
+        "vc", "t", "n", F.coalesce(F.sum("t").over(w_all), F.lit(0)).alias("below")
+    )
+    med = rk.filter(
+        (F.col("below") < F.expr("(n + 1) DIV 2"))
+        & (F.col("below") + F.col("t") >= F.expr("(n + 1) DIV 2"))
+    ).select(F.col("vc").alias("m"))
+    per = (
+        v.join(F.broadcast(med))
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum(F.when(F.col("vc") > F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("a_i"),
+        )
+    )
+    g = per.agg(
+        F.sum("n_i").cast("long").alias("nn"),
+        F.sum("a_i").cast("long").alias("aa"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    term = F.expr(
+        "POW(a_i - CAST(n_i AS DOUBLE) * aa / nn, 2)"
+        " / (CAST(n_i AS DOUBLE) * aa / nn)"
+        " + POW((n_i - a_i) - CAST(n_i AS DOUBLE) * (nn - aa) / nn, 2)"
+        " / (CAST(n_i AS DOUBLE) * (nn - aa) / nn)"
+    )
+    chi = (
+        per.join(F.broadcast(g))
+        .groupBy("nn", "aa", "k")
+        .agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("et", term.alias("x")))
+                ),
+                F.lit(0.0),
+                lambda acc, r: acc + r["x"],
+            ).alias("chi2")
+        )
+    )
+    wh = (
+        chi.withColumn("df", F.expr("CAST(k AS DOUBLE) - 1.0"))
+        .withColumn("t0", F.expr("POW(chi2 / df, 1.0 / 3.0)"))
+        .withColumn("t1", F.expr("(2.0 * t0 + (chi2 / df) / (t0 * t0)) / 3.0"))
+        .withColumn("t2", F.expr("(2.0 * t1 + (chi2 / df) / (t1 * t1)) / 3.0"))
+        .withColumn(
+            "z",
+            F.expr(
+                "(t2 - (1.0 - 2.0 / (9.0 * df))) / SQRT(2.0 / (9.0 * df))"
+            ),
+        )
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return wh.join(F.broadcast(med)).select(
+        F.col("nn").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.col("m").alias("grand_median_cents"),
+        F.col("aa").alias("n_above"),
+        F.round("chi2", 6).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.round(
+            F.expr(
+                f"CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0"
+                f" ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END"
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+@register(
+    "q480_grubbs_test",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), per AS (
+      SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s,
+             CAST(SUM(vc * vc) AS BIGINT) AS s2,
+             CAST(MIN(vc) AS BIGINT) AS mn,
+             CAST(MAX(vc) AS BIGINT) AS mx
+      FROM v GROUP BY et
+    ), d AS (
+      SELECT et, n, mn, mx,
+             CAST(s AS DOUBLE) / n AS mean,
+             SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                            - CAST(s AS DOUBLE) * s / n) / (n - 1),
+                           1e-9)) AS sd,
+             (n * (mx + mn) >= 2 * s) AS hi_side
+      FROM per
+    )
+    SELECT et AS event_type, n,
+           ROUND(mean, 6) AS mean_cents,
+           ROUND(sd, 6) AS sd_cents,
+           ROUND(GREATEST(mx - mean, mean - mn) / sd, 6) AS g_stat,
+           CASE WHEN hi_side THEN mx ELSE mn END AS outlier_cents
+    FROM d ORDER BY et
+    """,
+)
+def q480_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X410 — GRUBBS' OUTLIER TEST statistic per event type: the most
+    extreme deviation from the group mean in sd units,
+    G = max(x̄−min, max−x̄)/s, with the offending value published — the
+    single-most-suspicious-point audit that complements the bulk
+    outlier screens (q94 zscore, q145 robust, q351 HBOS). Entirely
+    closed-form from five exact int64 moments (n, Σx, Σx², min, max) —
+    no row-level doubles at all — and the WHICH-side decision
+    (max-or-min) is the INTEGER comparison n·(max+min) ≥ 2·Σx, so the
+    published outlier value can never flip on a float boundary. G's
+    critical value needs the t quantile (not portably expressible);
+    n is published so a caller can do the lookup.
+
+    Scale: one (type)-grain integer aggregate; k rows out."""
+    ev = load(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.col("event_type").alias("et"), cents(F.col("value")).alias("vc")
+        )
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vc").cast("long").alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).cast("long").alias("s2"),
+            F.min("vc").cast("long").alias("mn"),
+            F.max("vc").cast("long").alias("mx"),
+        )
+    )
+    d = per.select(
+        "et",
+        "n",
+        "mn",
+        "mx",
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / (F.col("n") - 1),
+                F.lit(1e-9),
+            )
+        ).alias("sd"),
+        (F.col("n") * (F.col("mx") + F.col("mn")) >= 2 * F.col("s")).alias(
+            "hi_side"
+        ),
+    )
+    return d.select(
+        F.col("et").alias("event_type"),
+        "n",
+        F.round("mean", 6).alias("mean_cents"),
+        F.round("sd", 6).alias("sd_cents"),
+        F.round(
+            F.greatest(
+                F.col("mx") - F.col("mean"), F.col("mean") - F.col("mn")
+            )
+            / F.col("sd"),
+            6,
+        ).alias("g_stat"),
+        F.when(F.col("hi_side"), F.col("mx"))
+        .otherwise(F.col("mn"))
+        .cast("long")
+        .alias("outlier_cents"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q481_permutation_test_portable",
+    allow_non_equi=(
+        "1-row broadcast observed-statistic scalar crossJoin-attached "
+        "onto the 64-row permutation table - group-cardinality, never "
+        "row-level"
+    ),
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS treat
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), obs AS (
+      SELECT CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN treat = 1 THEN vc ELSE 0 END) AS BIGINT)
+               AS s_t,
+             CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN treat = 0 THEN vc ELSE 0 END) AS BIGINT)
+               AS s_c
+      FROM base
+    ), perms AS (
+      SELECT b.event_id, b.vc, i.i,
+             CASE WHEN (b.treat
+                        + CAST(concat('0x', substr(md5(concat('perm|',
+                              CAST(b.event_id AS VARCHAR), '|',
+                              CAST(i.i AS VARCHAR))), 1, 15))
+                           AS BIGINT) % 2) % 2 = 1
+                  THEN 1 ELSE 0 END AS lbl
+      FROM base b CROSS JOIN range(1, 65) i(i)
+    ), per AS (
+      SELECT i,
+             CAST(SUM(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN lbl = 1 THEN vc ELSE 0 END) AS BIGINT)
+               AS s_t,
+             CAST(SUM(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN lbl = 0 THEN vc ELSE 0 END) AS BIGINT)
+               AS s_c
+      FROM perms GROUP BY i
+    ), diffs AS (
+      SELECT per.i,
+             CAST(per.s_t AS DOUBLE) / per.n_t
+             - CAST(per.s_c AS DOUBLE) / per.n_c AS d,
+             CAST(obs.s_t AS DOUBLE) / obs.n_t
+             - CAST(obs.s_c AS DOUBLE) / obs.n_c AS d_obs
+      FROM per CROSS JOIN obs
+      WHERE per.n_t > 0 AND per.n_c > 0
+    )
+    SELECT o.n_t AS n_treat, o.n_c AS n_ctrl,
+           ROUND(CAST(o.s_t AS DOUBLE) / o.n_t
+                 - CAST(o.s_c AS DOUBLE) / o.n_c, 6) AS d_obs_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN ABS(d) >= ABS(d_obs) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_extreme,
+           ROUND((SUM(CASE WHEN ABS(d) >= ABS(d_obs) THEN 1 ELSE 0 END)
+                  + 1.0) / (COUNT(*) + 1.0), 6) AS p_mc
+    FROM diffs CROSS JOIN obs o
+    GROUP BY o.n_t, o.n_c, o.s_t, o.s_c
+    """,
+)
+def q481_permutation_test_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X411 — PORTABLE RANDOMIZATION (PERMUTATION) TEST for the
+    purchase-vs-view mean value difference: 64 deterministic
+    md5-seeded relabelings (the random-REALLOCATION variant — each
+    row's group flips on a hash bit of (event_id, perm), so both
+    engines materialize the IDENTICAL null ensemble literal-for-
+    literal), the observed |mean diff| compared against the ensemble,
+    Monte-Carlo p = (#extreme + 1)/(B + 1). This is the
+    distribution-free significance machine the parametric shelf
+    (q226 z, q477 Welch) gets audited against — no normality, no
+    variance model, just exchangeability. All per-perm moments are
+    exact int64 (cents); only the final 64 mean-diffs are doubles,
+    computed from identical integer operands on both engines.
+
+    Scale: the 64× blowup happens INSIDE one map-side-combinable
+    aggregate to (perm, label) grain — 130 rows out of the shuffle
+    regardless of corpus size; the observed scalar broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "event_id",
+        cents(F.col("value")).alias("vc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "treat"
+        ),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("treat") == 1, F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("s_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treat") == 0, F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("s_c"),
+    )
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm|"),
+                        F.col("event_id").cast("string"),
+                        F.lit("|"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    perms = base.select(
+        "event_id",
+        "vc",
+        "treat",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i"),
+    ).select(
+        "i",
+        "vc",
+        F.when((F.col("treat") + flip) % 2 == 1, 1).otherwise(0).alias("lbl"),
+    )
+    per = perms.groupBy("i").agg(
+        F.sum(F.when(F.col("lbl") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("lbl") == 1, F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("s_t"),
+        F.sum(F.when(F.col("lbl") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("lbl") == 0, F.col("vc")).otherwise(0))
+        .cast("long")
+        .alias("s_c"),
+    )
+    obs_r = obs.select(
+        F.col("n_t").alias("o_n_t"),
+        F.col("s_t").alias("o_s_t"),
+        F.col("n_c").alias("o_n_c"),
+        F.col("s_c").alias("o_s_c"),
+    )
+    d = F.col("s_t").cast("double") / F.col("n_t") - F.col("s_c").cast(
+        "double"
+    ) / F.col("n_c")
+    d_obs = F.col("o_s_t").cast("double") / F.col("o_n_t") - F.col(
+        "o_s_c"
+    ).cast("double") / F.col("o_n_c")
+    return (
+        per.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+        .join(F.broadcast(obs_r))
+        .select(
+            "o_n_t",
+            "o_n_c",
+            d.alias("d"),
+            d_obs.alias("d_obs"),
+        )
+        .groupBy("o_n_t", "o_n_c", "d_obs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_perms"),
+            F.sum(
+                F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            F.col("o_n_t").alias("n_treat"),
+            F.col("o_n_c").alias("n_ctrl"),
+            F.round("d_obs", 6).alias("d_obs_cents"),
+            "n_perms",
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme") + F.lit(1.0))
+                / (F.col("n_perms") + F.lit(1.0)),
+                6,
+            ).alias("p_mc"),
+        )
+    )
