@@ -2468,5 +2468,32 @@ def _ivf_topk_portable_oracle(k: int = 5, query_mod: int = 17) -> str:
     """
 
 
+def _lcs8_alias_chain() -> list[tuple[str, str]]:
+    """The 8×8 LCS dynamic program UNROLLED as 64 (alias, expression)
+    pairs over token columns a1..a8 / b1..b8 — emitted as the SAME text
+    for Spark and DuckDB (lateral column-alias references), the
+    _dtw6_alias_chain pattern applied to longest-common-subsequence:
+    L_ij = GREATEST(L_{i-1,j}, L_{i,j-1}, L_{i-1,j-1} + [a_i = b_j]),
+    all int64, no recursion, no UDF. l88 is the LCS length — the
+    ROUGE-L kernel (q484)."""
+    out = []
+    for i in range(1, 9):
+        for j in range(1, 9):
+            eq = f"(CASE WHEN a{i} = b{j} THEN 1 ELSE 0 END)"
+            if i == 1 and j == 1:
+                e = eq
+            elif i == 1:
+                e = f"GREATEST(l1{j - 1}, {eq})"
+            elif j == 1:
+                e = f"GREATEST(l{i - 1}1, {eq})"
+            else:
+                e = (
+                    f"GREATEST(l{i - 1}{j}, l{i}{j - 1},"
+                    f" l{i - 1}{j - 1} + {eq})"
+                )
+            out.append((f"l{i}{j}", e))
+    return out
+
+
 # export EVERYTHING (incl. underscore helpers) to the domain modules
 __all__ = [_n for _n in dir() if not _n.startswith('__') and _n != 'annotations']

@@ -3142,3 +3142,137 @@ def q476_dedup_survivors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "doc_id", F.length("text").cast("long").alias("n_chars")
     )
+
+
+@register(
+    "q486_blocking_quality_audit",
+    allow_non_equi=(
+        "1-row grand-total scalars crossJoin-attached to assemble the "
+        "reduction/completeness ratios - group-cardinality, never "
+        "row-level"
+    ),
+    oracle=f"""
+    WITH keys AS (
+      SELECT doc_id, source, n_chars // 32 AS len_bucket
+      FROM documents
+    ), blocks AS (
+      SELECT source, len_bucket, CAST(COUNT(*) AS BIGINT) AS m
+      FROM keys GROUP BY source, len_bucket
+    ), cand AS (
+      SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS cand_pairs,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM blocks
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS total_pairs
+      FROM keys
+    ), truth AS (
+      SELECT id_a, id_b FROM ({_simhash_md5_oracle(3, 4)}) s
+    ), cap AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN ka.source = kb.source
+                            AND ka.len_bucket = kb.len_bucket
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_captured
+      FROM truth t
+      JOIN keys ka ON ka.doc_id = t.id_a
+      JOIN keys kb ON kb.doc_id = t.id_b
+    )
+    SELECT tot.n_docs, cand.n_blocks, tot.total_pairs, cand.cand_pairs,
+           CAST((tot.total_pairs - cand.cand_pairs) * 1000000
+                // tot.total_pairs AS BIGINT) AS reduction_ratio_ppm,
+           cap.n_true, cap.n_captured,
+           CAST(CASE WHEN cap.n_true > 0
+                     THEN cap.n_captured * 1000000 // cap.n_true
+                     ELSE 1000000 END AS BIGINT) AS completeness_ppm
+    FROM cand CROSS JOIN tot CROSS JOIN cap
+    """,
+)
+def q486_blocking_quality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X416 — RECORD-LINKAGE BLOCKING QUALITY AUDIT: for the
+    (source, length-bucket) blocking scheme, the two numbers every
+    blocking design is judged by — REDUCTION RATIO (fraction of the
+    n²/2 comparison space the blocks eliminate, from block sizes alone:
+    Σm(m−1)/2, never materializing a pair) and PAIRS COMPLETENESS
+    (fraction of TRUE near-dup pairs — q28's fully-oracle-checked
+    portable-simhash pair set, recall exactly 1.0 by pigeonhole — whose
+    members share a block). This is the audit that decides whether a
+    cheap blocking key can gate the expensive linkage comparators
+    (q217) at corpus scale; both metrics publish as exact ppm integers.
+
+    Scale: reduction comes from a (source, bucket)-grain count — no
+    pair materialization; completeness joins the |true pairs| relation
+    (tiny) against the doc-key relation twice; the three 1-row scalars
+    broadcast."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id", "source", F.expr("n_chars DIV 32").alias("len_bucket")
+    )
+    blocks = keys.groupBy("source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    cand = blocks.agg(
+        F.sum(F.expr("m * (m - 1) / 2")).cast("long").alias("cand_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    tot = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT)").alias(
+            "total_pairs"
+        ),
+    )
+    truth = simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=3, portable_hash=True
+    ).select("id_a", "id_b")
+    ka = keys.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("len_bucket").alias("lb_a"),
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("len_bucket").alias("lb_b"),
+    )
+    cap = (
+        truth.join(ka, "id_a")
+        .join(kb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(
+                F.when(
+                    (F.col("src_a") == F.col("src_b"))
+                    & (F.col("lb_a") == F.col("lb_b")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_captured"),
+        )
+    )
+    return (
+        cand.join(F.broadcast(tot))
+        .join(F.broadcast(cap))
+        .select(
+            "n_docs",
+            "n_blocks",
+            "total_pairs",
+            "cand_pairs",
+            F.expr(
+                "CAST((total_pairs - cand_pairs) * 1000000"
+                " DIV total_pairs AS BIGINT)"
+            ).alias("reduction_ratio_ppm"),
+            "n_true",
+            "n_captured",
+            F.expr(
+                "CAST(CASE WHEN n_true > 0"
+                " THEN n_captured * 1000000 DIV n_true"
+                " ELSE 1000000 END AS BIGINT)"
+            ).alias("completeness_ppm"),
+        )
+    )

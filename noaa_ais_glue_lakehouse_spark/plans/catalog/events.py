@@ -3619,3 +3619,97 @@ def q461_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_contribution_bits"
         ),
     )
+
+
+@register(
+    "q483_hits_bipartite",
+    allow_non_equi=(
+        "1-row broadcast max-score scalars crossJoin-attached for the "
+        "per-round integer renormalization - group-cardinality, never "
+        "row-level"
+    ),
+    oracle="""
+    WITH edges AS (
+      SELECT user_id AS u, event_type AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY u, t
+    ), a1 AS (
+      SELECT t, CAST(SUM(n) * 1000000 AS BIGINT) AS a FROM edges GROUP BY t
+    ), ma1 AS (SELECT MAX(a) AS m FROM a1),
+    a1n AS (
+      SELECT t, CAST(a * 1000000 // m AS BIGINT) AS a
+      FROM a1 CROSS JOIN ma1
+    ), h1 AS (
+      SELECT e.u, CAST(SUM(e.n * a1n.a) AS BIGINT) AS h
+      FROM edges e JOIN a1n ON a1n.t = e.t GROUP BY e.u
+    ), mh1 AS (SELECT MAX(h) AS m FROM h1),
+    h1n AS (
+      SELECT u, CAST(h * 1000000 // m AS BIGINT) AS h
+      FROM h1 CROSS JOIN mh1
+    ), a2 AS (
+      SELECT e.t, CAST(SUM(e.n * h1n.h) AS BIGINT) AS a,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM edges e JOIN h1n ON h1n.u = e.u GROUP BY e.t
+    ), ma2 AS (SELECT MAX(a) AS m FROM a2)
+    SELECT t AS event_type,
+           CAST(a * 1000000 // m AS BIGINT) AS authority_e6,
+           n_users
+    FROM a2 CROSS JOIN ma2 ORDER BY t
+    """,
+)
+def q483_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X413 — HITS HUBS & AUTHORITIES (Kleinberg 1999) on the
+    user↔event-type bipartite graph, 2 full mutual-reinforcement
+    rounds: an event type is authoritative when engaged by high-hub
+    users, a user is a hub when engaging authoritative types —
+    pagerank's (q179) bipartite sibling, the engagement-quality
+    counterpart to raw frequency. Scores stay EXACT int64 in 10⁻⁶
+    units the whole way: each round is one weighted-sum rollup
+    followed by an integer max-renormalization (score·10⁶ DIV max, the
+    q413 staged-DIV discipline), so both engines materialize identical
+    scores with no float drift across rounds. Renorm bound: Σn·h per
+    round ≤ |events|·10⁶, inside int64 up to ~9×10¹² event rows.
+
+    Scale: rounds are (type)- and (user)-grain weighted rollups with
+    map-side combine; the per-round max is a 1-row broadcast; the edge
+    relation aggregates once to (user, type) grain and is reused."""
+    ev = load(spark, sf_dir, "events")
+    edges = ev.groupBy(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a1 = edges.groupBy("t").agg(
+        (F.sum("n") * 1000000).cast("long").alias("a")
+    )
+    ma1 = a1.agg(F.max("a").alias("m"))
+    a1n = a1.join(F.broadcast(ma1)).select(
+        "t", F.expr("CAST(a * 1000000 DIV m AS BIGINT)").alias("a")
+    )
+    h1 = (
+        edges.join(F.broadcast(a1n), "t")
+        .groupBy("u")
+        .agg(F.sum(F.col("n") * F.col("a")).cast("long").alias("h"))
+    )
+    mh1 = h1.agg(F.max("h").alias("m"))
+    h1n = h1.join(F.broadcast(mh1)).select(
+        "u", F.expr("CAST(h * 1000000 DIV m AS BIGINT)").alias("h")
+    )
+    a2 = (
+        edges.join(h1n, "u")
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("n") * F.col("h")).cast("long").alias("a"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+    )
+    ma2 = a2.agg(F.max("a").alias("m"))
+    return (
+        a2.join(F.broadcast(ma2))
+        .select(
+            F.col("t").alias("event_type"),
+            F.expr("CAST(a * 1000000 DIV m AS BIGINT)").alias(
+                "authority_e6"
+            ),
+            "n_users",
+        )
+        .orderBy("event_type")
+    )

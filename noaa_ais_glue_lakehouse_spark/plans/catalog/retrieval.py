@@ -3687,3 +3687,72 @@ def q475_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("q_id", "x_id", "cosine", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "q485_lsh_param_planner",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band
+      FROM (VALUES (1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))
+           t(b, r)
+    ), probs AS (
+      SELECT bands, rows_per_band,
+             1.0 - POW(1.0 - POW(0.6, rows_per_band), bands) AS p06,
+             1.0 - POW(1.0 - POW(0.8, rows_per_band), bands) AS p08,
+             1.0 - POW(1.0 - POW(0.9, rows_per_band), bands) AS p09
+      FROM spine
+    )
+    SELECT bands, rows_per_band,
+           ROUND(p06, 6) AS p_at_06,
+           ROUND(p08, 6) AS p_at_08,
+           ROUND(p09, 6) AS p_at_09,
+           ROUND(p09 - p06, 6) AS separation,
+           CAST(ROW_NUMBER() OVER (ORDER BY p09 - p06 DESC, bands)
+                AS BIGINT) AS rnk
+    FROM probs
+    """,
+)
+def q485_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X415 — LSH (bands, rows) PARAMETER PLANNER for a 32-hash MinHash
+    budget: for every divisor split b×r = 32, the S-curve collision
+    probability 1−(1−s^r)^b evaluated below (s=0.6), at (s=0.8) and
+    above (s=0.9) the dedup threshold, ranked by the 0.9-vs-0.6
+    SEPARATION — the design table that justifies the engine's own
+    (bands, rows) choices (q27 uses 8×4; this query shows 8×4 and 16×2
+    dominate the separation ranking at t≈0.8, which IS the published
+    rationale). The engine-design-as-a-query pattern: the planner a
+    user would otherwise run offline is itself an oracle-checked
+    catalog member.
+
+    Scale: a 6-row literal spine — constant regardless of corpus."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("bands"),
+                        F.lit(r).cast("long").alias("rows_per_band"),
+                    )
+                    for b, r in [(1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1)]
+                ]
+            )
+        ).alias("s")
+    ).select("s.bands", "s.rows_per_band")
+    probs = spine.select(
+        "bands",
+        "rows_per_band",
+        F.expr("1.0 - POW(1.0 - POW(0.6, rows_per_band), bands)").alias("p06"),
+        F.expr("1.0 - POW(1.0 - POW(0.8, rows_per_band), bands)").alias("p08"),
+        F.expr("1.0 - POW(1.0 - POW(0.9, rows_per_band), bands)").alias("p09"),
+    )
+    w = Window.orderBy((F.col("p09") - F.col("p06")).desc(), "bands")
+    return probs.select(
+        "bands",
+        "rows_per_band",
+        F.round("p06", 6).alias("p_at_06"),
+        F.round("p08", 6).alias("p_at_08"),
+        F.round("p09", 6).alias("p_at_09"),
+        F.round(F.col("p09") - F.col("p06"), 6).alias("separation"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

@@ -5177,3 +5177,216 @@ def q468_split_distribution_shift(
         F.col("vocab").alias("vocab_size"),
         "js_divergence",
     )
+
+
+@register(
+    "q482_feature_hashing_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, UNNEST(tk) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('fh|', tok)), 1, 15))
+                  AS BIGINT) % 64 AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('fs|', tok)),
+                                  1, 15)) AS BIGINT) % 2 = 1
+                  THEN cnt ELSE -cnt END AS v
+      FROM tf
+    ), fv AS (
+      SELECT doc_id, bucket, CAST(SUM(v) AS BIGINT) AS v
+      FROM hashed GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+           CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+           CAST(SUM(v * v) AS BIGINT) AS l2_sq,
+           CAST(SUM(bucket * v) AS BIGINT) AS checksum
+    FROM fv GROUP BY doc_id
+    """,
+)
+def q482_feature_hashing_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X412 — THE HASHING TRICK (Weinberger et al. 2009), portable:
+    every document's bag-of-words projected into a fixed 64-bucket
+    signed feature vector — bucket = md5(token) mod 64, sign from an
+    independent md5 bit (the signed variant that makes collisions
+    cancel in expectation, which is what keeps hashed features
+    unbiased). This is the feature layer a large-scale linear/GBDT
+    quality classifier trains on when the vocabulary is unbounded —
+    fixed dimensionality, no vocab build, no OOV. Published per doc as
+    exact int64 summaries (nnz, L1, L2², a bucket-weighted checksum)
+    so the full vector transport is hash-gated without 64 columns.
+
+    Scale: one (doc, token)-grain count, one (doc, bucket) rollup, one
+    doc rollup — all map-side combinable; no vocabulary state at all
+    (the entire point of hashing features at 100 TB)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh|"), F.col("tok"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 64
+    )
+    sign_bit = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fs|"), F.col("tok"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    hashed = tf.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(sign_bit == 1, F.col("cnt")).otherwise(-F.col("cnt")).alias(
+            "v"
+        ),
+    )
+    fv = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("v").cast("long").alias("v")
+    )
+    return fv.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nnz"),
+        F.sum(F.abs(F.col("v"))).cast("long").alias("l1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("l2_sq"),
+        F.sum(F.col("bucket") * F.col("v")).cast("long").alias("checksum"),
+    )
+
+
+@register(
+    "q484_rouge_l_vs_source_exemplar",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), refs AS (
+      SELECT source, MIN(doc_id) AS ref_id FROM toks GROUP BY source
+    ), pairs AS (
+      SELECT t.doc_id, t.source, t.tk AS tb, r2.tk AS ta
+      FROM toks t
+      JOIN refs r ON r.source = t.source AND t.doc_id <> r.ref_id
+      JOIN toks r2 ON r2.doc_id = r.ref_id
+      WHERE len(t.tk) > 0 AND len(r2.tk) > 0
+    ), cells AS (
+      SELECT doc_id, source,
+             CAST(LEAST(len(ta), 8) AS BIGINT) AS la,
+             CAST(LEAST(len(tb), 8) AS BIGINT) AS lb,
+"""
+    + ",\n".join(
+        f"             COALESCE(ta[{i}], concat('\\u241aa', {i})) AS a{i},\n"
+        f"             COALESCE(tb[{i}], concat('\\u241ab', {i})) AS b{i}"
+        for i in range(1, 9)
+    )
+    + """
+      FROM pairs
+    ), dp AS (
+      SELECT doc_id, source, la, lb,
+"""
+    + ",\n".join(
+        f"             {e} AS {a}" for a, e in _lcs8_alias_chain()
+    )
+    + """
+      FROM cells
+    )
+    SELECT doc_id, source,
+           CAST(l88 AS BIGINT) AS lcs_len, la, lb,
+           CAST(2 * l88 * 1000000 // (la + lb) AS BIGINT)
+             AS rouge_l_f_ppm
+    FROM dp
+    """,
+)
+def q484_rouge_l_vs_source_exemplar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X414 — ROUGE-L of every document against its source's EXEMPLAR
+    (min-id doc), on the first 8 tokens: the LCS-based similarity that
+    summarization/boilerplate audits use — order-sensitive where
+    n-gram Jaccard (q82) is not, so templated intros that reorder
+    words score differently. The 8×8 LCS recurrence is UNROLLED into
+    64 lateral column aliases (the q386 DTW move —
+    _shared._lcs8_alias_chain emits the SAME text for both engines),
+    missing positions padded with side-distinct sentinels so short
+    docs never phantom-match; F1 = 2·LCS/(la+lb) published in exact
+    ppm integers (DIV). The 8-token prefix cap is the fixed-shape
+    price of full unrolling — variable-length ROUGE is where an
+    applyInPandas form would take over (the q352/q386 adjudication).
+
+    Scale: one broadcast of |sources| exemplar token rows into the doc
+    scan, then a pure row-local 64-alias projection inside
+    whole-stage codegen — scan-bound, zero extra shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        tokenize(F.col("text")).alias("tk"),
+    )
+    refs = toks.groupBy("source").agg(F.min("doc_id").alias("ref_id"))
+    t2 = toks.select(
+        F.col("doc_id").alias("rid"),
+        F.col("source").alias("rsrc"),
+        F.col("tk").alias("ta"),
+    )
+    ref_toks = t2.join(
+        F.broadcast(refs.select("ref_id")), t2.rid == F.col("ref_id")
+    ).select("rsrc", "ta")
+    pairs = (
+        toks.join(F.broadcast(refs), "source")
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .join(
+            F.broadcast(ref_toks), F.col("source") == F.col("rsrc")
+        )
+        .filter((F.size("tk") > 0) & (F.size("ta") > 0))
+        .select("doc_id", "source", F.col("tk").alias("tb"), "ta")
+    )
+    cells = pairs.select(
+        "doc_id",
+        "source",
+        F.least(F.size("ta"), F.lit(8)).cast("long").alias("la"),
+        F.least(F.size("tb"), F.lit(8)).cast("long").alias("lb"),
+        *[
+            c
+            for i in range(1, 9)
+            for c in (
+                F.coalesce(
+                    F.element_at("ta", i), F.concat(F.lit("␚a"), F.lit(str(i)))
+                ).alias(f"a{i}"),
+                F.coalesce(
+                    F.element_at("tb", i), F.concat(F.lit("␚b"), F.lit(str(i)))
+                ).alias(f"b{i}"),
+            )
+        ],
+    )
+    dp = cells
+    for alias, expr in _lcs8_alias_chain():
+        dp = dp.withColumn(alias, F.expr(expr))
+    return dp.select(
+        "doc_id",
+        "source",
+        F.col("l88").cast("long").alias("lcs_len"),
+        "la",
+        "lb",
+        F.expr("CAST(2 * l88 * 1000000 DIV (la + lb) AS BIGINT)").alias(
+            "rouge_l_f_ppm"
+        ),
+    )
