@@ -46,7 +46,7 @@ scaling:
 	  cc_on_capped_pairs q381_knn_adaptive_radius \
 	  q33_ann_lsh_topk q55_ivf_topk q64_cosine_dup_cluster \
 	  q383_minhash_portable q214_triangle_count q179_event_type_pagerank \
-	  q397_bfs_hops bfs_on_capped_pairs q446_bfs_hops_capped \
+	  q397_bfs_hops_exact bfs_on_capped_pairs q446_bfs_hops_capped \
 	  | tee .tmp/scale_probe_last.json
 	python tools/check_scaling.py .tmp/scale_probe_last.json
 

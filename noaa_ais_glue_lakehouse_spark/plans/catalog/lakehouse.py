@@ -1509,3 +1509,170 @@ def q393_versioned_cdc_rollforward(
 
 # --- q394: portable product quantization (codebook + identical-text exprs) --
 
+
+
+@register(
+    "q489_consistent_hash_shards",
+    allow_non_equi=(
+        "deliberate bounded cross join of the doc-hash relation with "
+        "the 72-row broadcast virtual-node ring - group-cardinality, "
+        "never row-level"
+    ),
+    oracle="""
+    WITH ring AS (
+      SELECT s.s AS s, v.v AS v,
+             CAST(concat('0x', substr(md5(concat('ring|',
+                  CAST(s.s AS VARCHAR), '|', CAST(v.v AS VARCHAR))),
+                  1, 13)) AS BIGINT) AS vpos
+      FROM range(0, 9) s(s) CROSS JOIN range(0, 8) v(v)
+    ), docs AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('doc|',
+                  CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) AS dpos
+      FROM documents
+    ), deltas AS (
+      SELECT d.doc_id, r.s, r.v,
+             ((r.vpos - d.dpos) % 4503599627370496
+              + 4503599627370496) % 4503599627370496 AS delta
+      FROM docs d CROSS JOIN ring r
+    ), assign AS (
+      SELECT doc_id,
+             MIN(CASE WHEN s < 8 THEN delta * 256 + s * 8 + v END) AS kb,
+             MIN(delta * 256 + s * 8 + v) AS ka
+      FROM deltas GROUP BY doc_id
+    ), sd AS (
+      SELECT doc_id,
+             (kb % 256) // 8 AS sb,
+             (ka % 256) // 8 AS sa
+      FROM assign
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sd),
+    after AS (
+      SELECT sa AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_after,
+             CAST(SUM(CASE WHEN sb <> sa THEN 1 ELSE 0 END) AS BIGINT)
+               AS moved_in
+      FROM sd GROUP BY sa
+    ), before AS (
+      SELECT sb AS shard, CAST(COUNT(*) AS BIGINT) AS n_before
+      FROM sd GROUP BY sb
+    )
+    SELECT a.shard, COALESCE(b.n_before, 0) AS n_before, a.n_after,
+           a.moved_in,
+           CAST(a.n_after * 1000000 // t.n_docs AS BIGINT)
+             AS load_after_ppm
+    FROM after a LEFT JOIN before b ON b.shard = a.shard
+    CROSS JOIN tot t
+    ORDER BY a.shard
+    """,
+)
+def q489_consistent_hash_shards(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X419 — CONSISTENT-HASHING SHARD PLANNER with virtual nodes
+    (Karger et al. 1997): documents placed on a 2⁵² md5 ring against
+    8 shards × 8 vnodes, then the ring re-evaluated WITH A 9TH SHARD
+    ADDED — per shard: load before/after, ppm load factor, and
+    moved_in, which makes consistent hashing's defining invariant
+    VISIBLE IN THE OUTPUT (only the new shard may gain docs;
+    moved_in = 0 on shards 0–7, ~1/9 of the corpus lands on shard 8).
+    This is the data-placement layer a 100 TB lakehouse rebalances
+    with — add capacity without reshuffling the world. Successor
+    lookup is relational: min over the 72-row ring of the sign-safe
+    clockwise distance, tie-broken by (shard, vnode) inside one
+    packed int64 key (delta·256 + s·8 + v) so both engines pick the
+    identical vnode bit-for-bit.
+
+    Scale: |docs|×72 rows through ONE map-side-combinable min
+    aggregate (the ring broadcasts); everything downstream is
+    shard-grain."""
+    docs = load(spark, sf_dir, "documents")
+    ring = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("s"),
+                        F.lit(v).cast("long").alias("v"),
+                    )
+                    for s in range(9)
+                    for v in range(8)
+                ]
+            )
+        ).alias("r")
+    ).select("r.s", "r.v").withColumn(
+        "vpos",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ring|"),
+                        F.col("s").cast("string"),
+                        F.lit("|"),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    d = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("doc|"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("dpos"),
+    )
+    M = 4503599627370496
+    deltas = d.join(F.broadcast(ring)).select(
+        "doc_id",
+        "s",
+        "v",
+        (
+            F.pmod(F.col("vpos") - F.col("dpos"), F.lit(M))
+        ).alias("delta"),
+    )
+    key = F.col("delta") * 256 + F.col("s") * 8 + F.col("v")
+    assign = deltas.groupBy("doc_id").agg(
+        F.min(F.when(F.col("s") < 8, key)).alias("kb"),
+        F.min(key).alias("ka"),
+    )
+    sd = assign.select(
+        F.expr("(kb % 256) DIV 8").alias("sb"),
+        F.expr("(ka % 256) DIV 8").alias("sa"),
+    )
+    tot = sd.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    after = sd.groupBy(F.col("sa").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(F.when(F.col("sb") != F.col("sa"), 1).otherwise(0))
+        .cast("long")
+        .alias("moved_in"),
+    )
+    before = sd.groupBy(F.col("sb").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    return (
+        after.join(before, "shard", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "shard",
+            F.coalesce(F.col("n_before"), F.lit(0))
+            .cast("long")
+            .alias("n_before"),
+            "n_after",
+            "moved_in",
+            F.expr("CAST(n_after * 1000000 DIV n_docs AS BIGINT)").alias(
+                "load_after_ppm"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -4062,3 +4062,375 @@ def q481_permutation_test_portable(
             ).alias("p_mc"),
         )
     )
+
+
+@register(
+    "q487_bayes_ab_normal_approx",
+    oracle=f"""
+    WITH arms AS (
+      SELECT user_id % 2 AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY arm
+    ), post AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN x END) AS x_a,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN x END) AS x_b
+      FROM arms
+    ), m AS (
+      SELECT n_a, x_a, n_b, x_b,
+             (x_a + 1.0) / (n_a + 2.0) AS ma,
+             (x_b + 1.0) / (n_b + 2.0) AS mb,
+             ((x_a + 1.0) / (n_a + 2.0)) * (1.0 - (x_a + 1.0) / (n_a + 2.0))
+               / (n_a + 3.0) AS va,
+             ((x_b + 1.0) / (n_b + 2.0)) * (1.0 - (x_b + 1.0) / (n_b + 2.0))
+               / (n_b + 3.0) AS vb
+      FROM post
+    ), z AS (
+      SELECT *, (mb - ma) / SQRT(va + vb) AS z FROM m
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM z
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           ROUND(ma, 6) AS post_mean_a,
+           ROUND(mb, 6) AS post_mean_b,
+           ROUND(z, 6) AS z_score,
+           ROUND(CASE WHEN z >= 0 THEN 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0
+                      ELSE ({_P_TWO_SIDED_EXPR}) / 2.0 END, 6)
+             AS p_b_beats_a
+    FROM p
+    """,
+)
+def q487_bayes_ab_normal_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X417 — BAYESIAN A/B on purchase conversion (uniform-prior
+    Beta-Binomial posteriors, normal approximation): the
+    decision-quantity P(B > A) that the frequentist shelf (q226 z-test,
+    q405 mSPRT) never emits — posterior means mₐ=(x+1)/(n+2), posterior
+    variances m(1−m)/(n+3), and P(B>A) ≈ Φ((m_b−m_a)/√(v_a+v_b)) through
+    the house Zelen–Severo Φ polynomial. Arms split on the user-id
+    parity hash (the q338 SRM convention). Exact posterior would need
+    the incomplete beta; the normal approximation is standard at these
+    n and the exact int64 (n, x) counts are published for any offline
+    refinement.
+
+    Scale: one conditional-count aggregate; a 2-row pivot; one row out."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    post = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x_b"),
+    )
+    m = (
+        post.withColumn(
+            "ma", F.expr("(CAST(x_a AS DOUBLE) + 1.0) / (n_a + 2.0)")
+        )
+        .withColumn(
+            "mb", F.expr("(CAST(x_b AS DOUBLE) + 1.0) / (n_b + 2.0)")
+        )
+        .withColumn(
+            "va", F.expr("ma * (1.0 - ma) / CAST(n_a + 3 AS DOUBLE)")
+        )
+        .withColumn(
+            "vb", F.expr("mb * (1.0 - mb) / CAST(n_b + 3 AS DOUBLE)")
+        )
+        .withColumn("z", F.expr("(mb - ma) / SQRT(va + vb)"))
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return m.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round("ma", 6).alias("post_mean_a"),
+        F.round("mb", 6).alias("post_mean_b"),
+        F.round("z", 6).alias("z_score"),
+        F.round(
+            F.expr(
+                f"CASE WHEN z >= 0 THEN 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0"
+                f" ELSE ({_P_TWO_SIDED_EXPR}) / 2.0 END"
+            ),
+            6,
+        ).alias("p_b_beats_a"),
+    )
+
+
+@register(
+    "q488_power_curve_planner",
+    allow_non_equi=(
+        "the 5-row MDE spine crossJoins the 1-row baseline-rate scalar "
+        "- group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events
+    ), spine AS (
+      SELECT CAST(lift_pct AS BIGINT) AS lift_pct
+      FROM (VALUES (1), (2), (5), (10), (20)) t(lift_pct)
+    ), calc AS (
+      SELECT s.lift_pct, b.n, b.x,
+             CAST(b.x AS DOUBLE) / b.n AS p0,
+             (CAST(b.x AS DOUBLE) / b.n) * (1.0 + s.lift_pct / 100.0)
+               AS p1
+      FROM spine s CROSS JOIN base b
+    ), nn AS (
+      SELECT lift_pct, n, x, p0, p1,
+             POW(1.959964 * SQRT(2.0 * ((p0 + p1) / 2.0)
+                                 * (1.0 - (p0 + p1) / 2.0))
+                 + 0.841621 * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)), 2)
+             / POW(p1 - p0, 2) AS n_per_arm
+      FROM calc
+    )
+    SELECT lift_pct,
+           ROUND(p0, 6) AS baseline_rate,
+           ROUND(p1, 6) AS target_rate,
+           ROUND(n_per_arm, 2) AS n_per_arm,
+           ROUND(n_per_arm * 2.0 / n, 4) AS corpus_multiples
+    FROM nn ORDER BY lift_pct
+    """,
+)
+def q488_power_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X418 — EXPERIMENT POWER / SAMPLE-SIZE PLANNER: for the measured
+    baseline purchase rate, the two-proportion sample size per arm at
+    α=0.05 (two-sided, z=1.959964) and power 0.80 (z=0.841621) across a
+    relative-MDE spine (1/2/5/10/20%) — the design table an
+    experimentation platform serves BEFORE q226/q405/q487 ever run, and
+    the second engine-design-as-a-query member after q485: it justifies
+    which effect sizes this corpus can even detect (corpus_multiples
+    says how many corpora the 1% MDE needs). Baseline rate is an exact
+    integer ratio; the z literals are written, not computed, so both
+    engines evaluate one identical closed form per spine row.
+
+    Scale: one count aggregate + a 5-row literal spine."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast("long") for v in (1, 2, 5, 10, 20)])
+        ).alias("lift_pct")
+    )
+    calc = (
+        spine.join(F.broadcast(base))
+        .withColumn("p0", F.expr("CAST(x AS DOUBLE) / n"))
+        .withColumn("p1", F.expr("p0 * (1.0 + lift_pct / 100.0)"))
+        .withColumn(
+            "n_per_arm",
+            F.expr(
+                "POW(1.959964 * SQRT(2.0 * ((p0 + p1) / 2.0)"
+                " * (1.0 - (p0 + p1) / 2.0))"
+                " + 0.841621 * SQRT(p0 * (1.0 - p0) + p1 * (1.0 - p1)), 2)"
+                " / POW(p1 - p0, 2)"
+            ),
+        )
+    )
+    return calc.select(
+        "lift_pct",
+        F.round("p0", 6).alias("baseline_rate"),
+        F.round("p1", 6).alias("target_rate"),
+        F.round("n_per_arm", 2).alias("n_per_arm"),
+        F.round(F.expr("n_per_arm * 2.0 / n"), 4).alias("corpus_multiples"),
+    ).orderBy("lift_pct")
+
+
+@register(
+    "q490_cochran_armitage_trend",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(hour(ts) // 6 AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), per AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS x
+      FROM b GROUP BY s
+    ), g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(x) AS BIGINT) AS xx,
+             CAST(SUM(s * x) AS BIGINT) AS sx,
+             CAST(SUM(s * n) AS BIGINT) AS sn,
+             CAST(SUM(s * s * n) AS BIGINT) AS s2n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM per
+    ), z AS (
+      SELECT nn, xx, sx, sn, s2n, k,
+             (sx - CAST(xx AS DOUBLE) * sn / nn)
+             / SQRT((CAST(xx AS DOUBLE) / nn)
+                    * (1.0 - CAST(xx AS DOUBLE) / nn)
+                    * (s2n - CAST(sn AS DOUBLE) * sn / nn)) AS z
+      FROM g
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM z
+    )
+    SELECT nn AS n_rows, xx AS n_success, k AS n_buckets,
+           ROUND(z, 6) AS z_trend,
+           ROUND({_P_TWO_SIDED_EXPR}, 6) AS p_value
+    FROM p
+    """,
+)
+def q490_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X420 — COCHRAN–ARMITAGE TREND TEST: does purchase propensity
+    trend MONOTONICALLY across the ordered time-of-day buckets
+    (0–5/6–11/12–17/18–23h, scores 0..3)? The ordered-groups
+    counterpart to the unordered chi-square (q143) — against an
+    ordered alternative it concentrates the k−1 df into one trend df
+    and beats the omnibus test's power. Everything up to the final z
+    is five exact int64 sums (N, X, Σsx, Σsn, Σs²n); the statistic is
+    one closed form over them; two-sided p through the house Φ
+    polynomial.
+
+    Scale: one (bucket)-grain conditional count, one 4-row rollup."""
+    ev = load(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.expr("CAST(hour(ts) DIV 6 AS BIGINT)").alias("s"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("x"),
+        )
+    )
+    g = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("x").cast("long").alias("xx"),
+        F.sum(F.col("s") * F.col("x")).cast("long").alias("sx"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("long")
+        .alias("s2n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    z = (
+        g.withColumn(
+            "z",
+            F.expr(
+                "(sx - CAST(xx AS DOUBLE) * sn / nn)"
+                " / SQRT((CAST(xx AS DOUBLE) / nn)"
+                " * (1.0 - CAST(xx AS DOUBLE) / nn)"
+                " * (s2n - CAST(sn AS DOUBLE) * sn / nn))"
+            ),
+        )
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return z.select(
+        F.col("nn").alias("n_rows"),
+        F.col("xx").alias("n_success"),
+        F.col("k").alias("n_buckets"),
+        F.round("z", 6).alias("z_trend"),
+        F.round(F.expr(_P_TWO_SIDED_EXPR), 6).alias("p_value"),
+    )
+
+
+@register(
+    "q491_page_trend_test",
+    oracle=f"""
+    WITH wk AS (
+      SELECT user_id, CAST(week(ts) AS BIGINT) AS w,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS vc
+      FROM events
+      WHERE week(ts) IN (1, 2, 3) AND year(ts) = 2024
+      GROUP BY user_id, w
+    ), complete AS (
+      SELECT user_id FROM wk GROUP BY user_id HAVING COUNT(*) = 3
+    ), ranked AS (
+      SELECT wk.user_id, wk.w,
+             CAST(ROW_NUMBER() OVER (PARTITION BY wk.user_id
+                  ORDER BY wk.vc, wk.w) AS BIGINT) AS r
+      FROM wk JOIN complete USING (user_id)
+    ), l AS (
+      SELECT CAST(SUM(w * r) AS BIGINT) AS big_l,
+             CAST(COUNT(*) / 3 AS BIGINT) AS b
+      FROM ranked
+    ), z AS (
+      SELECT big_l, b,
+             (big_l - b * 12.0) / SQRT(b * 2.0) AS z
+      FROM l
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM z
+    )
+    SELECT b AS n_blocks, big_l AS page_l,
+           CAST(b * 12 AS BIGINT) AS expected_l,
+           ROUND(z, 6) AS z_score,
+           ROUND({_P_TWO_SIDED_EXPR}, 6) AS p_value
+    FROM p
+    """,
+)
+def q491_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X421 — PAGE'S L TREND TEST for ordered alternatives in blocked
+    ranks: across ISO weeks 1→2→3, does per-user weekly spend trend in
+    a CONSISTENT direction? The ordered-weeks counterpart to the
+    unordered Friedman/Kendall-W machinery (q442) — L = Σ_j j·R_j
+    weights the per-week rank sums by week order, so a monotone drift
+    that Friedman splits across df lands in one statistic. Blocks are
+    users present in ALL THREE weeks (complete blocks, as the test
+    requires); within-user ranks use the deterministic (value, week)
+    tiebreak; L, E[L] = 12b and Var[L] = 2b (k=3) are exact integers;
+    only the final z and its two-sided tail are doubles.
+
+    Scale: a (user, week)-grain integer rollup, a complete-blocks
+    semi-join, a 3-row-per-user rank window, one global sum."""
+    ev = load(spark, sf_dir, "events")
+    wk = (
+        ev.filter(
+            F.expr("weekofyear(ts) IN (1, 2, 3) AND year(ts) = 2024")
+        )
+        .groupBy(
+            "user_id", F.expr("CAST(weekofyear(ts) AS BIGINT)").alias("w")
+        )
+        .agg(F.sum(cents(F.col("value"))).cast("long").alias("vc"))
+    )
+    complete = (
+        wk.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 3)
+        .select("user_id")
+    )
+    wr = Window.partitionBy("user_id").orderBy("vc", "w")
+    ranked = wk.join(complete, "user_id").select(
+        "user_id", "w", F.row_number().over(wr).cast("long").alias("r")
+    )
+    l = ranked.agg(
+        F.sum(F.col("w") * F.col("r")).cast("long").alias("big_l"),
+        (F.count(F.lit(1)) / 3).cast("long").alias("b"),
+    )
+    z = (
+        l.withColumn("z", F.expr("(big_l - b * 12.0) / SQRT(b * 2.0)"))
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return z.select(
+        F.col("b").alias("n_blocks"),
+        F.col("big_l").alias("page_l"),
+        (F.col("b") * 12).cast("long").alias("expected_l"),
+        F.round("z", 6).alias("z_score"),
+        F.round(F.expr(_P_TWO_SIDED_EXPR), 6).alias("p_value"),
+    )

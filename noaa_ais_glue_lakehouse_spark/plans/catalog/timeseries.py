@@ -3487,3 +3487,185 @@ def q471_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pacf3"),
     )
+
+
+@register(
+    "q492_broken_stick_regression",
+    allow_non_equi=(
+        "the ~30-row day-grain series crossJoins the 21-row candidate-"
+        "breakpoint spine for the segmented-OLS grid (bounded ~630-row "
+        "lattice), and the 1-row winner/global scalars attach by "
+        "broadcast - group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH d0 AS (
+      SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  + 1 AS BIGINT) AS t,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY t
+    ), cand AS (
+      SELECT CAST(b AS BIGINT) AS b FROM range(5, 26) r(b)
+    ), lattice AS (
+      SELECT c.b, d.t, d.y, CASE WHEN d.t <= c.b THEN 0 ELSE 1 END AS side
+      FROM d0 d CROSS JOIN cand c
+    ), seg AS (
+      SELECT b, side,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(t * y) AS BIGINT) AS sty,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM lattice GROUP BY b, side
+    ), fits AS (
+      SELECT b, side, n, sy, sty,
+             (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+               / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+               AS slope,
+             st, stt, syy
+      FROM seg WHERE n >= 2
+    ), sses AS (
+      SELECT b, side, slope,
+             syy - ((sy - slope * st) / n) * sy - slope * sty AS sse
+      FROM fits
+    ), broken AS (
+      SELECT b,
+             SUM(sse) AS sse_broken,
+             MAX(CASE WHEN side = 0 THEN slope END) AS slope_left,
+             MAX(CASE WHEN side = 1 THEN slope END) AS slope_right
+      FROM sses GROUP BY b HAVING COUNT(*) = 2
+    ), single AS (
+      SELECT syy - ((sy - slope * st) / n) * sy - slope * sty AS sse_single
+      FROM (
+        SELECT n, st, sy, stt, sty, syy,
+               (n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)
+                 / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                 AS slope
+        FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(t) AS BIGINT) AS st,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(t * t) AS BIGINT) AS stt,
+                 CAST(SUM(t * y) AS BIGINT) AS sty,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM d0
+        )
+      )
+    ), best AS (
+      SELECT b, sse_broken, slope_left, slope_right,
+             ROW_NUMBER() OVER (ORDER BY sse_broken, b) AS rk
+      FROM broken
+    )
+    SELECT best.b AS break_day,
+           CAST(DATE '2024-01-01' + CAST(best.b - 1 AS INT) AS DATE)
+             AS break_date,
+           ROUND(single.sse_single, 2) AS sse_single,
+           ROUND(best.sse_broken, 2) AS sse_broken,
+           ROUND(1000000.0 * (single.sse_single - best.sse_broken)
+                 / single.sse_single, 2) AS gain_ppm,
+           ROUND(best.slope_left, 6) AS slope_left,
+           ROUND(best.slope_right, 6) AS slope_right
+    FROM best CROSS JOIN single WHERE best.rk = 1
+    """,
+)
+def q492_broken_stick_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X422 — BROKEN-STICK (one-breakpoint segmented) REGRESSION of
+    daily revenue: fit two OLS lines split at every candidate day
+    5..25, pick the breakpoint minimizing total SSE, and publish the
+    single-line SSE alongside — the REGRESSION view of changepoint
+    detection (q? cusum flags WHERE the level shifts; this fits WHAT
+    the trend was on each side and how much the kink explains,
+    gain_ppm). Classic grid-search segmentation (Bai–Perron shape,
+    m=1): every per-side moment is an exact int64 sum over the
+    day×candidate lattice, each side's SSE is the closed-form
+    Syy − â·Sy − b̂·Sty, and the argmin is rank-picked with the
+    deterministic (sse, b) tiebreak.
+
+    Scale: the lattice is |days|×21 — day-grain, corpus-independent
+    after the first rollup; everything else is 21-row arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')"
+            " + 1 AS BIGINT)"
+        ).alias("t")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y"))
+    cand = spark.range(5, 26).select(F.col("id").cast("long").alias("b"))
+    lattice = d0.join(F.broadcast(cand)).select(
+        "b",
+        "t",
+        "y",
+        F.when(F.col("t") <= F.col("b"), 0).otherwise(1).alias("side"),
+    )
+    seg = lattice.groupBy("b", "side").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    slope_expr = (
+        "(n * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy)"
+        " / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)"
+    )
+    sses = (
+        seg.filter(F.col("n") >= 2)
+        .withColumn("slope", F.expr(slope_expr))
+        .withColumn(
+            "sse",
+            F.expr("syy - ((sy - slope * st) / n) * sy - slope * sty"),
+        )
+    )
+    broken = (
+        sses.groupBy("b")
+        .agg(
+            F.sum("sse").alias("sse_broken"),
+            F.max(F.when(F.col("side") == 0, F.col("slope"))).alias(
+                "slope_left"
+            ),
+            F.max(F.when(F.col("side") == 1, F.col("slope"))).alias(
+                "slope_right"
+            ),
+            F.count(F.lit(1)).alias("_sides"),
+        )
+        .filter(F.col("_sides") == 2)
+    )
+    single = (
+        d0.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("st"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .withColumn("slope", F.expr(slope_expr))
+        .select(
+            F.expr(
+                "syy - ((sy - slope * st) / n) * sy - slope * sty"
+            ).alias("sse_single")
+        )
+    )
+    w = Window.orderBy("sse_broken", "b")
+    best = broken.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return best.join(F.broadcast(single)).select(
+        F.col("b").alias("break_day"),
+        F.expr(
+            "CAST(date_add(DATE '2024-01-01', CAST(b - 1 AS INT)) AS DATE)"
+        ).alias("break_date"),
+        F.round("sse_single", 2).alias("sse_single"),
+        F.round("sse_broken", 2).alias("sse_broken"),
+        F.round(
+            F.expr(
+                "1000000.0 * (sse_single - sse_broken) / sse_single"
+            ),
+            2,
+        ).alias("gain_ppm"),
+        F.round("slope_left", 6).alias("slope_left"),
+        F.round("slope_right", 6).alias("slope_right"),
+    )
