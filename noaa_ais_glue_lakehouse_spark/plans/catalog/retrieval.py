@@ -3756,3 +3756,204 @@ def q485_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p09") - F.col("p06"), 6).alias("separation"),
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+def _ivf_probe_flip_sql(j: int) -> str:
+    """Bit-j flip of the coarse bucket in portable integer arithmetic
+    (no engine-specific XOR syntax): b + (1 - 2*((b // 2^j) % 2))*2^j."""
+    p = 1 << j
+    return f"(bkt + (1 - 2 * ((bkt // {p}) % 2)) * {p})"
+
+
+_Q493_BUCKET_SQL = _ivf_adc_bucket_expr("CAST(embedding[{i}] AS DOUBLE)")
+
+
+@register(
+    "q493_ivf_multiprobe_recall",
+    allow_non_equi=(
+        "query-side-bounded brute-force truth relation (|queries| x "
+        "|corpus| cosine grid, the q32 baseline shape) - query-count "
+        "bounded, never corpus x corpus"
+    ),
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             ({_Q493_BUCKET_SQL})
+               AS bkt
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS qe, bkt FROM v
+      WHERE vec_id % 17 = 0
+    ), probes AS (
+      SELECT q_id, 0 AS minh, bkt AS pbkt FROM q
+      {"".join(f'''
+      UNION ALL SELECT q_id, 1, {_ivf_probe_flip_sql(j)} FROM q''' for j in range(6))}
+    ), candpairs AS (
+      SELECT p.q_id, c.vec_id AS x_id, MIN(p.minh) AS minh
+      FROM probes p JOIN v c ON c.bkt = p.pbkt
+      WHERE c.vec_id <> p.q_id
+      GROUP BY p.q_id, c.vec_id
+    ), scored AS (
+      SELECT cp.q_id, cp.x_id, cp.minh,
+             {_rounded_cosine_sql()} AS cosine
+      FROM candpairs cp
+      JOIN embeddings a ON a.vec_id = cp.q_id
+      JOIN embeddings b ON b.vec_id = cp.x_id
+    ), approx AS (
+      SELECT h.h, s.q_id, s.x_id,
+             ROW_NUMBER() OVER (PARTITION BY h.h, s.q_id
+                                ORDER BY s.cosine DESC, s.x_id) AS rnk
+      FROM scored s JOIN (SELECT UNNEST([0, 1]) AS h) h
+        ON s.minh <= h.h
+    ), truth AS (
+      SELECT q_id, x_id FROM (
+        SELECT q.q_id, c.vec_id AS x_id,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_rounded_cosine_sql()} DESC, c.vec_id) AS rnk
+        FROM q
+        JOIN embeddings a ON a.vec_id = q.q_id
+        CROSS JOIN embeddings b
+        JOIN v c ON c.vec_id = b.vec_id
+        WHERE c.vec_id <> q.q_id
+      ) WHERE rnk <= 5
+    ), cnt AS (
+      SELECT h.h,
+             CAST(COUNT(DISTINCT s.q_id) AS BIGINT) AS n_queries,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM scored s JOIN (SELECT UNNEST([0, 1]) AS h) h
+        ON s.minh <= h.h
+      GROUP BY h.h
+    ), hits AS (
+      SELECT a.h, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM approx a JOIN truth t
+        ON t.q_id = a.q_id AND t.x_id = a.x_id
+      WHERE a.rnk <= 5
+      GROUP BY a.h
+    ), tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT CAST(c.h AS BIGINT) AS nprobe_hamming,
+           c.n_queries, c.n_candidates, hits.n_hits, tt.n_truth,
+           CAST(hits.n_hits * 1000000 // tt.n_truth AS BIGINT)
+             AS recall_ppm
+    FROM cnt c JOIN hits ON hits.h = c.h CROSS JOIN tt
+    ORDER BY 1
+    """,
+)
+def q493_ivf_multiprobe_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X423 — IVF MULTI-PROBE RECALL SWEEP: the tuning curve behind
+    q475's nprobe knob, hash-checked — for probe radius h ∈ {0, 1}
+    (own inverted list vs own + all 6 Hamming-1 neighbor lists of the
+    portable coarse quantizer), the candidate volume and the exact
+    recall@5 against the brute-force truth (q32's baseline shape,
+    query-side bounded). This is THE measurement an ANN deployment
+    makes before choosing nprobe: h=1 multiplies candidates ~7× and
+    buys the recall the single-list probe loses to boundary queries.
+    Bucket bit-flips use portable integer arithmetic (no XOR syntax
+    divergence); the pair cosine is computed ONCE per candidate and
+    reused by both radii; ranks use the (cosine DESC, id) total order.
+
+    Scale: candidates stay list-size-bounded (7/64 of the corpus per
+    query at h=1); the truth grid is |queries|×|corpus| — the audit
+    cost, run at eval scale, never in serving."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        _ivf_adc_bucket_expr("CAST(element_at(embedding, {i}) AS DOUBLE)")
+    )
+    v = emb.select("vec_id", "embedding", bucket.alias("bkt"))
+    q = v.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("q_id"), "bkt"
+    )
+    probe_cols = [
+        F.struct(F.lit(0).alias("minh"), F.col("bkt").alias("pbkt"))
+    ] + [
+        F.struct(
+            F.lit(1).alias("minh"),
+            F.expr(_ivf_probe_flip_sql(j).replace("//", "DIV")).alias(
+                "pbkt"
+            ),
+        )
+        for j in range(6)
+    ]
+    probes = q.select(
+        "q_id", F.explode(F.array(*probe_cols)).alias("p")
+    ).select("q_id", "p.minh", "p.pbkt")
+    candpairs = (
+        v.select(F.col("vec_id").alias("x_id"), "bkt")
+        .join(F.broadcast(probes), F.col("bkt") == F.col("pbkt"))
+        .filter(F.col("x_id") != F.col("q_id"))
+        .groupBy("q_id", "x_id")
+        .agg(F.min("minh").alias("minh"))
+    )
+    from noaa_ais_glue_lakehouse_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    vecs = emb.select("vec_id", F.col("embedding").alias("_v"))
+    scored = (
+        candpairs.join(vecs.withColumnRenamed("vec_id", "q_id"), "q_id")
+        .withColumnRenamed("_v", "_va")
+        .join(vecs.withColumnRenamed("vec_id", "x_id"), "x_id")
+        .withColumnRenamed("_v", "_vb")
+        .select(
+            "q_id",
+            "x_id",
+            "minh",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias(
+                "cosine"
+            ),
+        )
+    )
+    hs = spark.range(2).select(F.col("id").cast("int").alias("h"))
+    sh = scored.join(F.broadcast(hs), F.col("minh") <= F.col("h"))
+    wha = Window.partitionBy("h", "q_id").orderBy(
+        F.desc("cosine"), "x_id"
+    )
+    approx = sh.withColumn("rnk", F.row_number().over(wha)).filter(
+        F.col("rnk") <= 5
+    )
+    qe = q.join(vecs.withColumnRenamed("vec_id", "q_id"), "q_id").select(
+        "q_id", F.col("_v").alias("_va")
+    )
+    wt = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "x_id")
+    truth = (
+        qe.join(
+            F.broadcast(vecs.select(F.col("vec_id").alias("x_id"), F.col("_v").alias("_vb")))
+        )
+        .filter(F.col("x_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "x_id",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "x_id")
+    )
+    cnt = sh.groupBy("h").agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    )
+    hits = (
+        approx.join(truth, ["q_id", "x_id"])
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    tt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        cnt.join(hits, "h")
+        .join(F.broadcast(tt))
+        .select(
+            F.col("h").cast("long").alias("nprobe_hamming"),
+            "n_queries",
+            "n_candidates",
+            "n_hits",
+            "n_truth",
+            F.expr(
+                "CAST(n_hits * 1000000 DIV n_truth AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("nprobe_hamming")
+    )

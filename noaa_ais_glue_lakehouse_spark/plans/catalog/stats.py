@@ -3929,3 +3929,73 @@ def q457_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q496_dp_budget_composition",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(k AS BIGINT) AS k
+      FROM (VALUES (1), (10), (100), (1000), (10000)) t(k)
+    ), c AS (
+      SELECT k,
+             k * 0.1 AS eps_basic,
+             0.1 * SQRT(2.0 * k * ln(1000000.0))
+               + k * 0.1 * (EXP(0.1) - 1.0) AS eps_advanced,
+             k * 0.1 * 0.1 / 2.0 AS rho
+      FROM spine
+    )
+    SELECT k AS n_queries,
+           ROUND(eps_basic, 6) AS eps_basic,
+           ROUND(eps_advanced, 6) AS eps_advanced,
+           ROUND(rho + 2.0 * SQRT(rho * ln(1000000.0)), 6) AS eps_zcdp,
+           CAST(CASE WHEN eps_advanced < eps_basic THEN 1 ELSE 0 END
+                AS BIGINT) AS advanced_wins
+    FROM c ORDER BY k
+    """,
+)
+def q496_dp_budget_composition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X426 — DIFFERENTIAL-PRIVACY BUDGET COMPOSITION PLANNER: total ε
+    at δ=10⁻⁶ after k ε₀=0.1 releases under (a) basic composition kε₀,
+    (b) advanced composition ε₀√(2k·ln(1/δ)) + kε₀(e^{ε₀}−1)
+    (Dwork–Roth Thm 3.20), and (c) zCDP accounting ρ=kε₀²/2 →
+    ρ + 2√(ρ·ln(1/δ)) — the accountant table that tells the privacy
+    shelf's release queries (q196 Laplace, q398 randomized response,
+    q429 exponential mechanism) how many runs a budget actually buys,
+    and WHERE advanced composition starts beating basic
+    (advanced_wins flips at k≈100 for these constants). Third
+    engine-design-as-a-query member after q485/q488.
+
+    Scale: a 5-row literal spine — constant."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(v).cast("long") for v in (1, 10, 100, 1000, 10000)]
+            )
+        ).alias("k")
+    )
+    c = (
+        spine.withColumn("eps_basic", F.expr("k * 0.1"))
+        .withColumn(
+            "eps_advanced",
+            F.expr(
+                "0.1 * SQRT(2.0 * k * ln(1000000.0))"
+                " + k * 0.1 * (EXP(0.1) - 1.0)"
+            ),
+        )
+        .withColumn("rho", F.expr("k * 0.1 * 0.1 / 2.0"))
+    )
+    return c.select(
+        F.col("k").alias("n_queries"),
+        F.round("eps_basic", 6).alias("eps_basic"),
+        F.round("eps_advanced", 6).alias("eps_advanced"),
+        F.round(
+            F.expr("rho + 2.0 * SQRT(rho * ln(1000000.0))"), 6
+        ).alias("eps_zcdp"),
+        F.when(F.col("eps_advanced") < F.col("eps_basic"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("advanced_wins"),
+    ).orderBy("n_queries")

@@ -5390,3 +5390,69 @@ def q484_rouge_l_vs_source_exemplar(
             "rouge_l_f_ppm"
         ),
     )
+
+
+@register(
+    "q494_langid_confusion",
+    oracle=f"""
+    WITH base AS ({_langid_oracle()}),
+    cells AS (
+      SELECT lang AS declared, guess AS predicted,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY declared, predicted
+    ), rows_ AS (
+      SELECT declared, CAST(SUM(n) AS BIGINT) AS n_declared
+      FROM cells GROUP BY declared
+    )
+    SELECT c.declared, c.predicted, c.n,
+           CAST(c.n * 1000000 // r.n_declared AS BIGINT) AS row_ppm,
+           CAST(CASE WHEN c.declared = c.predicted THEN 1 ELSE 0 END
+                AS BIGINT) AS is_diagonal
+    FROM cells c JOIN rows_ r USING (declared)
+    ORDER BY c.declared, c.predicted
+    """,
+)
+def q494_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X424 — LANGUAGE-ID CONFUSION MATRIX: the declared ``lang``
+    column cross-tabulated against the marker-based langid prediction
+    (q31's classifier) — the per-class evaluation a curation pipeline
+    needs BEFORE trusting langid-driven filtering (q31 publishes
+    predictions; this publishes WHERE they're wrong: which declared
+    languages leak into 'und' or into each other, with per-declared
+    row ppm so class imbalance can't hide a bad minority class).
+    Prediction reuses the exact q31 tie rules (argmax with fixed
+    precedence, 'und' on zero markers) so the matrix is consistent
+    with the deployed classifier by construction.
+
+    Scale: one classify-and-count pass at (declared, predicted) grain
+    — ≤ 36 output cells regardless of corpus size."""
+    from noaa_ais_glue_lakehouse_spark.functions.text import langid_guess
+
+    docs = load(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("declared"),
+            langid_guess(F.col("text")).alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows_ = cells.groupBy("declared").agg(
+        F.sum("n").cast("long").alias("n_declared")
+    )
+    return (
+        cells.join(F.broadcast(rows_), "declared")
+        .select(
+            "declared",
+            "predicted",
+            "n",
+            F.expr("CAST(n * 1000000 DIV n_declared AS BIGINT)").alias(
+                "row_ppm"
+            ),
+            F.when(F.col("declared") == F.col("predicted"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_diagonal"),
+        )
+        .orderBy("declared", "predicted")
+    )

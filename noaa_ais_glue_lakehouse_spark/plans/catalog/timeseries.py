@@ -3669,3 +3669,82 @@ def q492_broken_stick_regression(
         F.round("slope_left", 6).alias("slope_left"),
         F.round("slope_right", 6).alias("slope_right"),
     )
+
+
+@register(
+    "q495_dow_adjusted_anomalies",
+    oracle="""
+    WITH d0 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  % 7 AS BIGINT) AS dow,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY day, dow
+    ), per AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS s2
+      FROM d0 GROUP BY dow
+    ), z AS (
+      SELECT d0.day, d0.dow, d0.y,
+             (d0.y - CAST(p.s AS DOUBLE) / p.n)
+             / SQRT(GREATEST((CAST(p.s2 AS DOUBLE)
+                              - CAST(p.s AS DOUBLE) * p.s / p.n)
+                             / (p.n - 1), 1e-9)) AS z
+      FROM d0 JOIN per p USING (dow) WHERE p.n >= 2
+    )
+    SELECT day, dow, y AS revenue_cents, ROUND(z, 6) AS z_score,
+           CAST(CASE WHEN ABS(z) > 1.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_anomaly
+    FROM z ORDER BY day
+    """,
+)
+def q495_dow_adjusted_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X425 — DAY-OF-WEEK-ADJUSTED revenue anomalies: each day's total
+    scored against ITS OWN weekday's mean/sd, so weekend dips and
+    Monday spikes stop masquerading as anomalies (the seasonality trap
+    a raw daily z-screen like q94 falls into). Weekday index is the
+    portable (day − epoch) mod 7 integer — Spark's dayofweek() and
+    DuckDB's disagree on week start, so neither is used. Per-weekday
+    moments are exact int64; only the final z is a double; every day
+    publishes its weekday-adjusted z with an |z| > 1.5 anomaly flag so
+    the reviewer sees both the flagged days and the baseline that was
+    applied.
+
+    Scale: day-grain rollup, 7-row broadcast of weekday moments."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.groupBy(
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7"
+            " AS BIGINT)"
+        ).alias("dow"),
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("y"))
+    per = d0.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s2"),
+    )
+    z = (
+        d0.join(F.broadcast(per.filter(F.col("n") >= 2)), "dow")
+        .withColumn(
+            "z",
+            F.expr(
+                "(y - CAST(s AS DOUBLE) / n)"
+                " / SQRT(GREATEST((CAST(s2 AS DOUBLE)"
+                " - CAST(s AS DOUBLE) * s / n) / (n - 1), 1e-9))"
+            ),
+        )
+    )
+    return z.select(
+        "day",
+        "dow",
+        F.col("y").alias("revenue_cents"),
+        F.round("z", 6).alias("z_score"),
+        F.when(F.abs(F.col("z")) > 1.5, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_anomaly"),
+    ).orderBy("day")
