@@ -3276,3 +3276,174 @@ def q486_blocking_quality_audit(
             ).alias("completeness_ppm"),
         )
     )
+
+
+def _minhash_err_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Oracle for q497: the q383 portable-minhash CTE chain, but keeping
+    ALL band candidates (no threshold) and comparing the signature
+    estimate (matching slots / 32, exact ppm integers) against the
+    exact hashed-set Jaccard, bucketed by absolute error."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        minhash_portable_slot_consts,
+    )
+
+    p = 2147483647
+    r = num_hashes // bands
+    consts = minhash_portable_slot_consts(num_hashes)
+    sig_cols = ",\n             ".join(
+        f"MIN((hp * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_eq = " OR\n        ".join(
+        "("
+        + " AND ".join(f"a.h{bi * r + j} = b.h{bi * r + j}" for j in range(r))
+        + ")"
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h60
+      FROM (SELECT doc_id, UNNEST(tk) AS tok FROM toks)
+    ), hp AS (
+      SELECT doc_id, h60, h60 % {p} AS hp FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hp GROUP BY doc_id
+    ), sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({matches} AS BIGINT) AS m
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+        {band_eq})
+    ), inter AS (
+      SELECT c.id_a, c.id_b, c.m, sa.n AS na, sb.n AS nb,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN sz sa ON sa.doc_id = c.id_a
+      JOIN sz sb ON sb.doc_id = c.id_b
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.h60 = a.h60
+      GROUP BY c.id_a, c.id_b, c.m, sa.n, sb.n
+    ), err AS (
+      SELECT ABS(m * 1000000 // {num_hashes}
+                 - i * 1000000 // (na + nb - i)) AS e
+      FROM inter
+    )
+    SELECT CAST(e // 50000 AS BIGINT) AS err_bucket_5pct,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(e) // COUNT(*) AS BIGINT) AS mean_err_ppm,
+           CAST(MAX(e) AS BIGINT) AS max_err_ppm
+    FROM err GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "q497_minhash_estimation_error",
+    oracle=_minhash_err_oracle(),
+)
+def q497_minhash_estimation_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X427 — MINHASH ESTIMATION-ERROR AUDIT: on every band-join
+    candidate pair of the portable family (q383's construction, NO
+    threshold filter — the audit wants the borderline pairs too), the
+    signature estimate Ĵ = matching-slots/32 against the exact
+    hashed-set Jaccard, bucketed by absolute error in 5%-ppm bands.
+    Completes the sketch-audit family: q432/q433 pin what LSH FINDS
+    (recall), this pins what the signatures CLAIM (estimation
+    accuracy) — the number that justifies using Ĵ as a cheap verify
+    or a threshold pre-filter at 100 TB, where exact set intersection
+    per candidate is the cost being avoided. Both Ĵ and J publish as
+    exact ppm integers (m·10⁶ DIV 32, i·10⁶ DIV union), so the error
+    histogram is int64 end to end.
+
+    Scale: q27/q383's shape exactly — banded equi-join candidates,
+    |candidates|-bounded verify, then a ≤21-row bucket rollup."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        MINHASH_PORTABLE_P,
+        _band_pairs,
+        _shingle_expr,
+        _spread,
+        minhash_portable_slot_consts,
+    )
+
+    num_hashes, bands = 32, 8
+    p = MINHASH_PORTABLE_P
+    docs = load(spark, sf_dir, "documents")
+    shingle = _shingle_expr("text", False, 0)
+    exploded = (
+        _spread(docs.select(F.col("doc_id"), F.col("text")))
+        .select(F.col("doc_id"), F.explode(shingle).alias("_s"))
+        .select(
+            F.col("doc_id"),
+            F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h60"),
+        )
+        .withColumn("_hp", F.col("_h60") % p)
+    )
+    aggs = [
+        F.min((F.col("_hp") * F.lit(a) + F.lit(b)) % p).alias(f"_h{i}")
+        for i, (a, b) in enumerate(minhash_portable_slot_consts(num_hashes))
+    ]
+    aggs.append(F.collect_set(F.col("_h60")).alias("_sh"))
+    feats = (
+        exploded.groupBy("doc_id")
+        .agg(*aggs)
+        .withColumn("_n", F.size("_sh"))
+        .cache()
+    )
+    cands = _band_pairs(feats, "doc_id", num_hashes, bands)
+    sig_a = feats.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("_sh").alias("_sha"),
+        F.col("_n").cast("long").alias("_na"),
+        *[F.col(f"_h{i}").alias(f"_ha{i}") for i in range(num_hashes)],
+    )
+    sig_b = feats.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("_sh").alias("_shb"),
+        F.col("_n").cast("long").alias("_nb"),
+        *[F.col(f"_h{i}").alias(f"_hb{i}") for i in range(num_hashes)],
+    )
+    joined = cands.join(sig_a, "id_a").join(sig_b, "id_b")
+    m = sum(
+        (
+            F.when(F.col(f"_ha{i}") == F.col(f"_hb{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ),
+        F.lit(0),
+    ).cast("long")
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("long")
+    err = F.abs(
+        F.expr(f"CAST(m * 1000000 DIV {num_hashes} AS BIGINT)")
+        - F.expr("CAST(i * 1000000 DIV (_na + _nb - i) AS BIGINT)")
+    )
+    e = joined.select(
+        m.alias("m"), inter.alias("i"), "_na", "_nb"
+    ).select(err.alias("e"))
+    return (
+        e.groupBy(F.expr("CAST(e DIV 50000 AS BIGINT)").alias(
+            "err_bucket_5pct"
+        ))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("CAST(SUM(e) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_err_ppm"
+            ),
+            F.max("e").cast("long").alias("max_err_ppm"),
+        )
+        .orderBy("err_bucket_5pct")
+    )

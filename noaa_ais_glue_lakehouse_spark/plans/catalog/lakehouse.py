@@ -1676,3 +1676,126 @@ def q489_consistent_hash_shards(
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q498_shuffle_partition_advisor",
+    oracle="""
+    WITH li AS (
+      SELECT 'lineitem' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) * 68
+                  + SUM(length(l_returnflag) + length(l_linestatus))
+                  AS BIGINT) AS est_bytes
+      FROM lineitem
+    ), o AS (
+      SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) * 32
+                  + SUM(length(o_orderstatus) + length(o_orderpriority))
+                  AS BIGINT)
+      FROM orders
+    ), ev AS (
+      SELECT 'events', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) * 32
+                  + SUM(length(event_type) + length(props)) AS BIGINT)
+      FROM events
+    ), d AS (
+      SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) * 16
+                  + SUM(n_chars + length(lang) + length(source))
+                  AS BIGINT)
+      FROM documents
+    ), em AS (
+      SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) * (8 + 64 * 4) AS BIGINT)
+      FROM embeddings
+    ), u AS (
+      SELECT * FROM li UNION ALL SELECT * FROM o
+      UNION ALL SELECT * FROM ev UNION ALL SELECT * FROM d
+      UNION ALL SELECT * FROM em
+    )
+    SELECT table_name, n_rows, est_bytes,
+           CAST((est_bytes + 134217727) // 134217728 AS BIGINT)
+             AS rec_shuffle_partitions,
+           CAST((est_bytes + 134217727) // 134217728 AS BIGINT)
+             AS rec_files_128mb,
+           CAST(est_bytes // GREATEST(n_rows, 1) AS BIGINT)
+             AS est_row_bytes
+    FROM u ORDER BY table_name
+    """,
+)
+def q498_shuffle_partition_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X428 — SHUFFLE-PARTITION / FILE-COUNT ADVISOR: per table, the
+    in-memory byte estimate from the data itself (exact row counts ×
+    fixed column widths + exact string-length sums — the arithmetic a
+    planner does from catalog stats) and the recommended
+    ``spark.sql.shuffle.partitions`` / output-file count for the 128 MB
+    target, as integer ceiling division (x+M−1) DIV M — no float, no
+    CEIL boundary. The fourth engine-design-as-a-query member
+    (q485/q488/q496): the tuning rule this repo applies by hand
+    ("size shuffle partitions so partitions fit in executor memory at
+    the target SF") expressed as a first-class query that scales its
+    answer WITH the data — at sf0.01 everything says 1; at 100 TB
+    lineitem says tens of thousands, which is the point.
+
+    Scale: five single-pass aggregates (count + length sums); 5 rows."""
+    def est(df, name, fixed, strcols):
+        slen = (
+            sum((F.sum(F.length(c)) for c in strcols), F.lit(0))
+            if strcols
+            else F.lit(0)
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) * fixed + slen).cast("long").alias(
+                "est_bytes"
+            ),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "est_bytes")
+
+    li = est(
+        load(spark, sf_dir, "lineitem"), "lineitem", 68,
+        ["l_returnflag", "l_linestatus"],
+    )
+    o = est(
+        load(spark, sf_dir, "orders"), "orders", 32,
+        ["o_orderstatus", "o_orderpriority"],
+    )
+    ev = est(
+        load(spark, sf_dir, "events"), "events", 32,
+        ["event_type", "props"],
+    )
+    docs = load(spark, sf_dir, "documents")
+    d = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.count(F.lit(1)) * 16
+            + F.sum(
+                F.col("n_chars") + F.length("lang") + F.length("source")
+            )
+        )
+        .cast("long")
+        .alias("est_bytes"),
+    ).select(F.lit("documents").alias("table_name"), "n_rows", "est_bytes")
+    em = (
+        load(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.lit("embeddings").alias("table_name"),
+            "n_rows",
+            (F.col("n_rows") * (8 + 64 * 4)).cast("long").alias("est_bytes"),
+        )
+    )
+    u = li.unionByName(o).unionByName(ev).unionByName(d).unionByName(em)
+    ceil_div = "CAST((est_bytes + 134217727) DIV 134217728 AS BIGINT)"
+    return u.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.expr(ceil_div).alias("rec_shuffle_partitions"),
+        F.expr(ceil_div).alias("rec_files_128mb"),
+        F.expr("CAST(est_bytes DIV GREATEST(n_rows, 1) AS BIGINT)").alias(
+            "est_row_bytes"
+        ),
+    ).orderBy("table_name")
