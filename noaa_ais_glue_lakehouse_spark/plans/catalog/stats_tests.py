@@ -4434,3 +4434,140 @@ def q491_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).alias("z_score"),
         F.round(F.expr(_P_TWO_SIDED_EXPR), 6).alias("p_value"),
     )
+
+
+@register(
+    "q499_holm_stepdown_screen",
+    allow_non_equi=(
+        "two scalar-broadcast attaches: the per-type moment row joins "
+        "each day row by type (equi), and the window-global m/fail-rank "
+        "scalars ride the bounded test grid (~|types|x|days| rows, "
+        "never raw events)"
+    ),
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), d AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(vc) AS BIGINT) AS s_d
+      FROM v GROUP BY event_type, day
+    ), t AS (
+      SELECT event_type,
+             CAST(SUM(n_d) AS BIGINT) AS n_t,
+             CAST(SUM(s_d) AS BIGINT) AS s_t
+      FROM d GROUP BY event_type
+    ), t2 AS (
+      SELECT event_type, CAST(SUM(vc * vc) AS BIGINT) AS s2_t
+      FROM v GROUP BY event_type
+    ), z AS (
+      SELECT d.event_type, d.day, d.n_d,
+             {_Z_DAY_VS_TYPE_EXPR.replace("s_d", "d.s_d")
+                                 .replace("n_d", "d.n_d")} AS z
+      FROM d JOIN t USING (event_type) JOIN t2 USING (event_type)
+    ), p AS (
+      SELECT event_type, day, n_d, z,
+             ROUND({_P_TWO_SIDED_EXPR}, 6) AS p_r
+      FROM (SELECT *, ABS(z) AS az,
+                   1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+            FROM z)
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY p_r, event_type, day) AS rnk,
+             COUNT(*) OVER () AS m
+      FROM p
+    ), gate AS (
+      SELECT *,
+             MIN(CASE WHEN p_r > 0.05 / (m - rnk + 1)
+                      THEN rnk END) OVER () AS fail_rank
+      FROM ranked
+    )
+    SELECT event_type, day,
+           CAST(n_d AS BIGINT) AS n,
+           ROUND(z, 6) AS z_score,
+           p_r AS p_value,
+           CAST(rnk AS BIGINT) AS holm_rank,
+           CAST(CASE WHEN rnk < COALESCE(fail_rank, m + 1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS holm_discovery,
+           CAST(CASE WHEN p_r <= 0.05 / m THEN 1 ELSE 0 END AS BIGINT)
+             AS bonferroni_discovery
+    FROM gate
+    """,
+)
+def q499_holm_stepdown_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X429 — HOLM STEP-DOWN FWER screen on q409's (type, day) anomaly
+    grid: reject p_(i) while p_(i) ≤ α/(m−i+1), stop at the first
+    failure — uniformly more powerful than Bonferroni at the SAME
+    family-wise error guarantee (published side by side so the three
+    multiplicity regimes — FWER Holm/Bonferroni here, FDR BH q409, FDR
+    BY q470 — are directly comparable on one grid). The step-down stop
+    rule is one windowed MIN over the ranked grid; ranks use the
+    deterministic (p, type, day) total order.
+
+    Scale: identical to q409 — raw events collapse to the (type, day)
+    grid before any window; the global window rides ~|types|×|days|
+    rows by construction."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        cents(F.col("value")).alias("vc"),
+    )
+    d = v.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("vc").cast("long").alias("s_d"),
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("n_d").cast("long").alias("n_t"),
+        F.sum("s_d").cast("long").alias("s_t"),
+    )
+    t2 = v.groupBy("event_type").agg(
+        F.sum(F.col("vc") * F.col("vc")).cast("long").alias("s2_t")
+    )
+    z = (
+        d.join(F.broadcast(t), "event_type")
+        .join(F.broadcast(t2), "event_type")
+        .withColumn("z", F.expr(_Z_DAY_VS_TYPE_EXPR))
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+        .withColumn("p_r", F.round(F.expr(_P_TWO_SIDED_EXPR), 6))
+    )
+    w = Window.orderBy("p_r", "event_type", "day")
+    ranked = z.select(
+        "event_type", "day", "n_d", "z", "p_r",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    gate = ranked.withColumn(
+        "fail_rank",
+        F.min(
+            F.when(
+                F.col("p_r") > 0.05 / (F.col("m") - F.col("rnk") + 1),
+                F.col("rnk"),
+            )
+        ).over(Window.partitionBy()),
+    )
+    return gate.select(
+        "event_type",
+        "day",
+        F.col("n_d").cast("long").alias("n"),
+        F.round("z", 6).alias("z_score"),
+        F.col("p_r").alias("p_value"),
+        F.col("rnk").cast("long").alias("holm_rank"),
+        F.when(
+            F.col("rnk")
+            < F.coalesce(F.col("fail_rank"), F.col("m") + 1),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("holm_discovery"),
+        F.when(F.col("p_r") <= 0.05 / F.col("m"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("bonferroni_discovery"),
+    )

@@ -5456,3 +5456,91 @@ def q494_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared", "predicted")
     )
+
+
+@register(
+    "q500_vocab_coverage_curve",
+    allow_non_equi=(
+        "1-row vocabulary-size / total-mass scalars crossJoin-attached "
+        "onto the token rollup and the 10-row decile table - "
+        "group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(tk) AS tok FROM toks)
+      GROUP BY tok
+    ), ranked AS (
+      SELECT tok, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+             COUNT(*) OVER () AS v
+      FROM tf
+    ), dec AS (
+      SELECT CAST((rnk - 1) * 10 // v AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c) AS BIGINT) AS token_mass
+      FROM ranked GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(token_mass) AS BIGINT) AS total FROM dec)
+    SELECT decile, n_types, token_mass,
+           CAST(SUM(token_mass) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) * 1000000 // t.total AS BIGINT)
+             AS cum_mass_ppm
+    FROM dec CROSS JOIN tot t
+    ORDER BY decile
+    """,
+)
+def q500_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X430 — VOCABULARY COVERAGE CURVE (the Lorenz curve of token
+    frequency): corpus vocabulary split into frequency-rank deciles,
+    each publishing its type count, token mass, and CUMULATIVE corpus
+    coverage in exact ppm — the vocab-sizing table behind every
+    tokenizer decision (q240 BPE, q303 OOV): "the top 10% of types
+    covers X% of tokens" is the number that sets vocab_size, and its
+    complement is the long tail a subword tokenizer must absorb.
+    Complements q? zipf's SLOPE fit with the exact cumulative masses
+    the slope only approximates. Rank ties break deterministically by
+    (count DESC, token); everything is int64 (counting, decile DIV,
+    the windowed cumulative ppm).
+
+    Scale: one token-grain count (map-side combinable), one
+    vocab-grain rank window, a 10-row rollup."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wr = Window.orderBy(F.desc("c"), "tok")
+    ranked = tf.select(
+        "c",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("v"),
+    )
+    dec = ranked.groupBy(
+        F.expr("CAST((rnk - 1) * 10 DIV v AS BIGINT)").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("token_mass"),
+    )
+    tot = dec.agg(F.sum("token_mass").cast("long").alias("total"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dec.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_types",
+            "token_mass",
+            F.expr(
+                "CAST(SUM(token_mass) OVER (ORDER BY decile"
+                " ROWS UNBOUNDED PRECEDING) * 1000000 DIV total"
+                " AS BIGINT)"
+            ).alias("cum_mass_ppm"),
+        )
+        .orderBy("decile")
+    )
