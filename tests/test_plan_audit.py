@@ -210,3 +210,24 @@ def test_q381_window_reuses_cell_exchange(spark):
     assert win and all(
         k in win.group(1) for k in ("cy", "cx", "event_id")
     ), win and win.group(1)
+
+
+def test_ann_topk_serving_shapes_broadcast_query_side(spark):
+    """q474/q475 (the hash-gated ANN serving twins): candidate
+    generation must be a BROADCAST equi-join with the bounded query
+    side as the build side — the 100 TB serving plan — never a
+    shuffled or cartesian join."""
+    for name in ("q474_lsh_topk_portable", "q475_ivf_topk_portable"):
+        plan = _plan(catalog.queries()[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_multiprobe_recall_probe_join_broadcasts(spark):
+    """q493: the probe relation (|queries|×7 rows) broadcasts into the
+    corpus list relation; the truth grid is the only nested-loop and it
+    is the documented query-side-bounded baseline."""
+    plan = _plan(
+        catalog.queries()["q493_ivf_multiprobe_recall"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan
