@@ -4571,3 +4571,274 @@ def q499_holm_stepdown_screen(
         .cast("long")
         .alias("bonferroni_discovery"),
     )
+
+
+@register(
+    "q502_g_test_independence",
+    allow_non_equi=(
+        "1-row grand-total scalar crossJoin-attached onto the bounded "
+        "(type x hour-bucket) contingency cells - group-cardinality, "
+        "never row-level"
+    ),
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type AS et, CAST(hour(ts) // 6 AS BIGINT) AS s
+      FROM events
+    ), cells AS (
+      SELECT et, s, CAST(COUNT(*) AS BIGINT) AS o
+      FROM b GROUP BY et, s
+    ), mr AS (
+      SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY et
+    ), mc AS (
+      SELECT s, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY s
+    ), tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    g AS (
+      SELECT CAST(COUNT(DISTINCT cells.et) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT cells.s) AS BIGINT) AS nc,
+             MAX(tot.n) AS n,
+             2.0 * list_reduce(list_prepend(0.0, list(
+               cells.o * ln(CAST(cells.o AS DOUBLE) * tot.n
+                            / (CAST(mr.r AS DOUBLE) * mc.c))
+               ORDER BY cells.et, cells.s)),
+               (acc, x) -> acc + x) AS g_stat
+      FROM cells JOIN mr USING (et) JOIN mc USING (s) CROSS JOIN tot
+    ), t AS (
+      SELECT n, nr, nc, g_stat,
+             CAST((nr - 1) * (nc - 1) AS DOUBLE) AS df
+      FROM g
+    ), seed AS (
+      SELECT *, POW(g_stat / df, 1.0 / 3.0) AS t0 FROM t
+    ), wh1 AS (
+      SELECT *, (2.0 * t0 + (g_stat / df) / (t0 * t0)) / 3.0 AS t1
+      FROM seed
+    ), wh2 AS (
+      SELECT *, (2.0 * t1 + (g_stat / df) / (t1 * t1)) / 3.0 AS t2
+      FROM wh1
+    ), wh AS (
+      SELECT *, (t2 - (1.0 - 2.0 / (9.0 * df)))
+                / SQRT(2.0 / (9.0 * df)) AS z
+      FROM wh2
+    ), p AS (
+      SELECT *, ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM wh
+    )
+    SELECT n AS n_rows, nr AS n_types, nc AS n_buckets,
+           ROUND(g_stat, 6) AS g_stat,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+           ROUND(CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0
+                      ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END, 6)
+             AS p_approx
+    FROM p
+    """,
+)
+def q502_g_test_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X432 — LIKELIHOOD-RATIO G-TEST of independence on the
+    (event type × time-of-day bucket) contingency table: G = 2·Σ O·ln(O·N/(R·C)),
+    the information-theoretic twin of Pearson's chi-square (q143) —
+    additive across table partitions (G decomposes exactly where χ²
+    does not) and the test of choice when any cell is sparse-ish. O/R/C
+    are exact int64 counts; the single float reduction folds per-cell
+    G terms over the SORTED (type, bucket) cell array; χ² tail via the
+    q426 Wilson–Hilferty chain on (r−1)(c−1) df.
+
+    Scale: one (type, bucket)-grain count, marginals at type/bucket
+    grain, one ≤20-row fold."""
+    ev = load(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            F.expr("CAST(hour(ts) DIV 6 AS BIGINT)").alias("s"),
+        )
+        .groupBy("et", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    mr = cells.groupBy("et").agg(F.sum("o").cast("long").alias("r"))
+    mc = cells.groupBy("s").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    term = F.expr(
+        "o * ln(CAST(o AS DOUBLE) * n / (CAST(r AS DOUBLE) * c))"
+    )
+    g = (
+        cells.join(F.broadcast(mr), "et")
+        .join(F.broadcast(mc), "s")
+        .join(F.broadcast(tot))
+        .agg(
+            F.countDistinct("et").cast("long").alias("nr"),
+            F.countDistinct("s").cast("long").alias("nc"),
+            F.max("n").alias("n"),
+            (
+                F.lit(2.0)
+                * F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("et", "s", term.alias("x"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, r: acc + r["x"],
+                )
+            ).alias("g_stat"),
+        )
+    )
+    wh = (
+        g.withColumn("df", F.expr("CAST((nr - 1) * (nc - 1) AS DOUBLE)"))
+        .withColumn("t0", F.expr("POW(g_stat / df, 1.0 / 3.0)"))
+        .withColumn(
+            "t1", F.expr("(2.0 * t0 + (g_stat / df) / (t0 * t0)) / 3.0")
+        )
+        .withColumn(
+            "t2", F.expr("(2.0 * t1 + (g_stat / df) / (t1 * t1)) / 3.0")
+        )
+        .withColumn(
+            "z",
+            F.expr(
+                "(t2 - (1.0 - 2.0 / (9.0 * df))) / SQRT(2.0 / (9.0 * df))"
+            ),
+        )
+        .withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+    )
+    return wh.select(
+        F.col("n").alias("n_rows"),
+        F.col("nr").alias("n_types"),
+        F.col("nc").alias("n_buckets"),
+        F.round("g_stat", 6).alias("g_stat"),
+        F.expr("CAST((nr - 1) * (nc - 1) AS BIGINT)").alias("df"),
+        F.round(
+            F.expr(
+                f"CASE WHEN z >= 0 THEN ({_P_TWO_SIDED_EXPR}) / 2.0"
+                f" ELSE 1.0 - ({_P_TWO_SIDED_EXPR}) / 2.0 END"
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+@register(
+    "q503_tukey_hsd",
+    allow_non_equi=(
+        "the k-row per-type moment table self-joins into k(k-1)/2 "
+        "pairs and the 1-row pooled-variance scalar crossJoin-attaches "
+        "- group-cardinality, never row-level"
+    ),
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), per AS (
+      SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s,
+             CAST(SUM(vc * vc) AS BIGINT) AS s2
+      FROM v GROUP BY et
+    ), msw AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(0.0, list(
+               CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n
+               ORDER BY et)),
+               (acc, x) -> acc + x) AS ssw
+      FROM per
+    ), pairs AS (
+      SELECT a.et AS et_a, b.et AS et_b,
+             CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n
+               AS mean_diff,
+             a.n AS n_a, b.n AS n_b
+      FROM per a JOIN per b ON a.et < b.et
+    )
+    SELECT p.et_a, p.et_b,
+           ROUND(p.mean_diff, 6) AS mean_diff_cents,
+           ROUND(ABS(p.mean_diff)
+                 / SQRT((m.ssw / (m.nn - m.k)) / 2.0
+                        * (1.0 / p.n_a + 1.0 / p.n_b)), 6) AS q_stat,
+           CAST(m.nn - m.k AS BIGINT) AS df_within,
+           CAST(ROW_NUMBER() OVER (ORDER BY ABS(p.mean_diff)
+                / SQRT((m.ssw / (m.nn - m.k)) / 2.0
+                       * (1.0 / p.n_a + 1.0 / p.n_b)) DESC,
+                p.et_a, p.et_b) AS BIGINT) AS rnk
+    FROM pairs p CROSS JOIN msw m
+    ORDER BY rnk
+    """,
+)
+def q503_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X433 — TUKEY HSD studentized-range statistics for all k(k−1)/2
+    pairwise mean comparisons (Tukey–Kramer unequal-n form,
+    q = |m_i−m_j| / √(MSW/2·(1/n_i+1/n_j))) — the PARAMETRIC post-hoc
+    after an ANOVA (q477 Welch) the way Dunn (q450) is the rank-based
+    post-hoc after Kruskal–Wallis; ranking all pairs by q shows which
+    type pairs actually drive the omnibus rejection. Per-type moments
+    are exact int64; the pooled within-group SS folds over a SORTED
+    k-array; the studentized-range critical value is not portably
+    expressible, so q and df_within publish for the caller's lookup
+    (the q453/q480 convention).
+
+    Scale: one (type)-grain aggregate, a k×k/2 self-join of a 5-row
+    table, one 1-row scalar broadcast."""
+    ev = load(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.col("event_type").alias("et"), cents(F.col("value")).alias("vc")
+        )
+        .groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vc").cast("long").alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).cast("long").alias("s2"),
+        )
+    )
+    msw = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "et",
+                        F.expr(
+                            "CAST(s2 AS DOUBLE)"
+                            " - CAST(s AS DOUBLE) * s / n"
+                        ).alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["x"],
+        ).alias("ssw"),
+    )
+    a = per.select(
+        F.col("et").alias("et_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = per.select(
+        F.col("et").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    pairs = a.join(b, F.col("et_a") < F.col("et_b")).select(
+        "et_a",
+        "et_b",
+        F.expr(
+            "CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b"
+        ).alias("mean_diff"),
+        "n_a",
+        "n_b",
+    )
+    q_expr = (
+        "ABS(mean_diff) / SQRT((ssw / (nn - k)) / 2.0"
+        " * (1.0 / n_a + 1.0 / n_b))"
+    )
+    w = Window.orderBy(F.expr(q_expr).desc(), "et_a", "et_b")
+    return (
+        pairs.join(F.broadcast(msw))
+        .select(
+            "et_a",
+            "et_b",
+            F.round("mean_diff", 6).alias("mean_diff_cents"),
+            F.round(F.expr(q_expr), 6).alias("q_stat"),
+            F.expr("CAST(nn - k AS BIGINT)").alias("df_within"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+    )

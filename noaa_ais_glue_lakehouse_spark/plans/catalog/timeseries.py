@@ -3748,3 +3748,96 @@ def q495_dow_adjusted_anomalies(
         .cast("long")
         .alias("is_anomaly"),
     ).orderBy("day")
+
+
+@register(
+    "q501_gumbel_block_maxima",
+    oracle="""
+    WITH bm AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY day
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS s,
+             CAST(SUM(m * m) AS BIGINT) AS s2,
+             CAST(MAX(m) AS BIGINT) AS obs_max
+      FROM bm
+    ), fit AS (
+      SELECT n, obs_max,
+             CAST(s AS DOUBLE) / n AS mean,
+             SQRT(6.0 * GREATEST((CAST(s2 AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * s / n) / (n - 1),
+                                 1e-9)) / PI() AS beta
+      FROM g
+    ), p AS (
+      SELECT n, obs_max, beta,
+             mean - 0.5772156649015329 * beta AS mu
+      FROM fit
+    )
+    SELECT n AS n_blocks, obs_max AS observed_max_cents,
+           ROUND(mu, 6) AS gumbel_mu,
+           ROUND(beta, 6) AS gumbel_beta,
+           ROUND(mu - beta * ln(-ln(CAST(0.9666666666666667 AS DOUBLE))), 6)
+             AS return_level_30d,
+           ROUND(mu - beta * ln(-ln(CAST(0.9972602739726028 AS DOUBLE))), 6)
+             AS return_level_365d
+    FROM p
+    """,
+)
+def q501_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X431 — EXTREME-VALUE ANALYSIS via Gumbel block maxima: daily
+    maxima of event value fitted to a Gumbel distribution by method of
+    moments (β = √(6·Var)/π, μ = mean − γ·β) and extrapolated to the
+    30-day and 365-day RETURN LEVELS — "how big a value should we
+    provision for per month / per year", the tail question the bulk
+    statistics (q37, q94, q480) cannot answer because they model the
+    body, not the max-domain-of-attraction. Opens the EVT shelf: block
+    maxima are exact int64 (MAX of cents), the two moments are exact
+    integer sums over ~30 blocks, and the fit + return levels are one
+    closed-form double expression (γ Euler–Mascheroni literal, single
+    ln calls; the 1−1/T probabilities are embedded as precomputed
+    double literals because Spark parses `1.0/30.0` as DECIMAL division
+    and truncates scale — the q487 pitfall).
+
+    Scale: one day-grain MAX rollup (map-side combinable), one 1-row
+    moment aggregate — corpus-independent after the first pass."""
+    ev = load(spark, sf_dir, "events")
+    bm = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
+        F.max(cents(F.col("value"))).cast("long").alias("m")
+    )
+    g = bm.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").cast("long").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("s2"),
+        F.max("m").cast("long").alias("obs_max"),
+    )
+    p = (
+        g.withColumn("mean", F.expr("CAST(s AS DOUBLE) / n"))
+        .withColumn(
+            "beta",
+            F.expr(
+                "SQRT(6.0 * GREATEST((CAST(s2 AS DOUBLE)"
+                " - CAST(s AS DOUBLE) * s / n) / (n - 1), 1e-9)) / PI()"
+            ),
+        )
+        .withColumn("mu", F.expr("mean - 0.5772156649015329 * beta"))
+    )
+    return p.select(
+        F.col("n").alias("n_blocks"),
+        F.col("obs_max").alias("observed_max_cents"),
+        F.round("mu", 6).alias("gumbel_mu"),
+        F.round("beta", 6).alias("gumbel_beta"),
+        F.round(
+            F.expr(
+                "mu - beta * ln(-ln(CAST(0.9666666666666667 AS DOUBLE)))"
+            ),
+            6,
+        ).alias("return_level_30d"),
+        F.round(
+            F.expr(
+                "mu - beta * ln(-ln(CAST(0.9972602739726028 AS DOUBLE)))"
+            ),
+            6,
+        ).alias("return_level_365d"),
+    )
