@@ -32,8 +32,11 @@ test:
 # 10x scale pair if absent, probes every LINEAR-CLAIMED heavy query, and
 # fails if any measured exponent breaches its budget (1.2 ~= 16x wall
 # over a 10x decade; a quadratic candidate explosion measures 50-70x).
-# The documented-quadratic anchors (q61/q171/fixed-geometry LSH) are
-# exempt by design — their escapes are what's budgeted.
+# Exemptions are REGISTRY-derived since round 10: a catalog probe with
+# no budget must be registered baseline_only (q61_winnow_near_dups_exact,
+# the O(n²) oracle anchors) or scaling_adjudicated (q171's flat-vocab
+# worst case, reason stored at the registration site) — check_scaling.py
+# validates this instead of trusting a comment here.
 scaling:
 	test -d .tmp/scaleB -a -d .tmp/scaleA4 || python tools/synth_scale.py .tmp
 	python -u tools/scale_probe.py .tmp \

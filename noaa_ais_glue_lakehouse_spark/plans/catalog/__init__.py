@@ -12,6 +12,7 @@ from noaa_ais_glue_lakehouse_spark.plans.catalog._registry import (  # noqa: F40
     oracle_sql,
     queries,
     register,
+    scaling_adjudicated_queries,
 )
 from noaa_ais_glue_lakehouse_spark.plans.catalog._shared import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.tpch import *  # noqa: F401,F403

@@ -19,6 +19,8 @@ _ALLOW_NON_EQUI: dict[str, str] = {}
 
 _BUILD_TIME_EXEC: dict[str, str] = {}
 
+_SCALING_ADJUDICATED: dict[str, str] = {}
+
 
 
 def register(
@@ -27,6 +29,7 @@ def register(
     baseline_only: bool = False,
     allow_non_equi: str | None = None,
     build_time_exec: str | None = None,
+    scaling_adjudicated: str | None = None,
 ):
     """``baseline_only=True`` marks a deliberately O(n²) oracle anchor
     (brute-force ground truth for an LSH/prefix-filter scale path). Such
@@ -45,9 +48,20 @@ def register(
     that execute driver-side work at plan-BUILD time (iterative
     components, k-means/BPE training rounds); the sweeping plan scan
     skips building them for speed, and their plans are pinned by their
-    own recall/oracle tests instead."""
+    own recall/oracle tests instead.
+
+    ``scaling_adjudicated`` (round 10, verdict ask #3 — also a mandatory
+    reason string citing the SCALING.md section) marks a PRODUCTION
+    query whose measured decade exponent exceeds the linear budget for a
+    documented, data-adversarial reason that was adjudicated rather than
+    fixed (e.g. q171: exact-semantics PPJoin whose worst case needs an
+    adversarial flat vocabulary). The scaling gate
+    (tools/check_scaling.py) derives its exemption list from THIS tag —
+    plus ``baseline_only`` — instead of a Makefile comment, so the
+    registry stays the single source of truth for scale claims."""
     for flag, label in ((allow_non_equi, "allow_non_equi"),
-                        (build_time_exec, "build_time_exec")):
+                        (build_time_exec, "build_time_exec"),
+                        (scaling_adjudicated, "scaling_adjudicated")):
         if flag is not None and (not isinstance(flag, str) or len(flag) < 15):
             raise ValueError(
                 f"register({name!r}): {label} must be a substantive reason "
@@ -64,6 +78,8 @@ def register(
             _ALLOW_NON_EQUI[name] = allow_non_equi
         if build_time_exec is not None:
             _BUILD_TIME_EXEC[name] = build_time_exec
+        if scaling_adjudicated is not None:
+            _SCALING_ADJUDICATED[name] = scaling_adjudicated
         return fn
 
     return deco
@@ -107,5 +123,13 @@ def build_time_exec_queries() -> dict[str, str]:
     """name → reason for every query that runs driver-side work at
     plan-build time (iterative/trained operators)."""
     return dict(_BUILD_TIME_EXEC)
+
+
+
+def scaling_adjudicated_queries() -> dict[str, str]:
+    """name → adjudication (reason + SCALING.md citation) for every
+    production query exempted from the decade-scaling linear budget;
+    the check_scaling gate derives its exemption list from this."""
+    return dict(_SCALING_ADJUDICATED)
 
 

@@ -233,6 +233,59 @@ def q49_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(range(1, len(hashes) - 2),
                            j -> list_min(hashes[j : j + 3]))) AS fps
       FROM grams WHERE len(hashes) >= 4
+    ), idx0 AS (
+      SELECT doc_id, unnest(fps) AS fp FROM wins
+    ), hot AS (
+      SELECT fp FROM idx0 GROUP BY fp HAVING COUNT(*) > 64
+    ), idx AS (
+      SELECT i.doc_id, i.fp FROM idx0 i ANTI JOIN hot h ON i.fp = h.fp
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q61_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup pairs — the PRODUCTION (df-capped) form.
+
+    Round-10 promotion (round-9 verdict ask #2, the q397 template): the
+    unsuffixed production name now serves the max_df=64 plan (q343's —
+    fingerprints held by >64 docs are dropped before the self-join, the
+    MOSS boilerplate rule, bounding candidates linear in the corpus;
+    SCALING.md measured the uncapped form at decade exponent 1.73).
+    The uncapped exact contract moved to q61_winnow_near_dups_exact,
+    registered ``baseline_only`` as the oracle anchor. Deterministic
+    (no randomness), fully oracle-checked; equi-join on fingerprint —
+    same no-cross-product shape as LSH banding."""
+    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
+        winnow_near_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_near_duplicates(
+        docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    )
+
+
+
+@register(
+    "q61_winnow_near_dups_exact",
+    baseline_only=True,  # measured-quadratic exact contract (SCALING.md:
+    # char-8-gram df saturation, decade exponent 1.73) — kept as the
+    # oracle anchor the capped production form's recall is pinned against
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length(lower(text)) - 6),
+                            i -> md5(substr(lower(text), i, 8))) AS hashes
+      FROM documents WHERE length(text) >= 8
+    ), wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hashes) - 2),
+                           j -> list_min(hashes[j : j + 3]))) AS fps
+      FROM grams WHERE len(hashes) >= 4
     ), idx AS (
       SELECT doc_id, unnest(fps) AS fp FROM wins
     )
@@ -243,12 +296,15 @@ def q49_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 10
     """,
 )
-def q61_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-based near-dup pairs: self-join the fingerprint index on
-    fingerprint, keep pairs sharing ≥10 fingerprints. Deterministic (no
-    randomness), so unlike the MinHash path this near-dup family is fully
-    oracle-checked. Equi-join on fingerprint — same no-cross-product
-    shape as LSH banding."""
+def q61_winnow_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs, EXACT (uncapped) contract — the
+    baseline_only oracle anchor (round-10 name promotion; the unsuffixed
+    q61_winnow_near_dups now serves the df-capped production plan).
+    Self-join the full fingerprint index on fingerprint, keep pairs
+    sharing ≥10 fingerprints. Σ df² over posting lists is measured
+    quadratic on real corpora (gram-space saturation, SCALING.md), so
+    this form exists to pin the capped form's recall, never to run at
+    scale."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import (
         winnow_near_duplicates,
     )
@@ -262,12 +318,15 @@ def q61_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_dedup_components",
     build_time_exec="driver-side work at plan-build time; plan pinned by its own recall/oracle tests",
     oracle=_cc_oracle(
-        """SELECT node AS doc_id, component FROM comp"""
+        """SELECT node AS doc_id, component FROM comp""",
+        pairs_sql=_WINNOW_PAIRS_CAPPED_SQL,
     ),
 )
 def q62_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the winnowing near-dup graph — the
-    pairs→groups step of dedup. Deterministic input graph (q61), so the
+    pairs→groups step of dedup. Composes q61's pair stream by name, so
+    the round-10 promotion moved it (and its oracle) onto the df-capped
+    production pairs automatically. Deterministic input graph, so the
     distributed min-label + pointer-doubling loop is hash-checked against
     a recursive-CTE reachability oracle."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import connected_components
@@ -305,7 +364,8 @@ def q64_cosine_dup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_cc_oracle(
         """, losers AS (SELECT node FROM comp WHERE component <> node)
     SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
-    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node"""
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node""",
+        pairs_sql=_WINNOW_PAIRS_CAPPED_SQL,
     ),
 )
 def q65_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,21 +373,12 @@ def q65_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id survivor per component + all untouched docs (dedup_by_components)
     — the full pairs→groups→survivors chain a training pipeline runs, fully
     hash-checked against a recursive-CTE oracle (deterministic family).
-    This form consumes q61's exact-contract pair stream (the anchor);
-    q476_dedup_survivors_capped is the oracle-checked PRODUCTION twin on
-    q343's df-capped linear stream (max_df=64 — the same knob on the
-    shared winnow_near_duplicates operator)."""
-    from noaa_ais_glue_lakehouse_spark.operators.dedup import (
-        dedup_by_components,
-        winnow_near_duplicates,
-    )
-
-    docs = load(spark, sf_dir, "documents")
-    pairs = winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
-    survivors = dedup_by_components(docs, pairs.select("id_a", "id_b"), "doc_id")
-    return survivors.select(
-        "doc_id", F.length("text").cast("long").alias("n_chars")
-    )
+    Round-10 promotion: the production name now consumes the df-capped
+    (max_df=64) pair stream — one implementation shared with
+    q476_dedup_survivors_capped (two registry entries, the
+    q397/q446 pattern); the uncapped anchor lives under
+    q61_winnow_near_dups_exact."""
+    return get_query("q476_dedup_survivors_capped")(spark, sf_dir)
 
 
 
@@ -346,16 +397,18 @@ def q65_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node FROM ranked WHERE rn > 1
     )
     SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
-    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node"""
+    FROM documents d ANTI JOIN losers l ON d.doc_id = l.node""",
+        pairs_sql=_WINNOW_PAIRS_CAPPED_SQL,
     ),
 )
 def q69_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection: per near-dup component keep the
     LONGEST document (ties → min id) instead of the min-id representative
     — what production corpus dedup keeps. Same recursive-CTE oracle as
-    q65 with an argmax-per-component ranking. Capped production form:
-    pass max_df=64 to winnow_near_duplicates (q476's pattern — its
-    oracle swaps in _WINNOW_PAIRS_CAPPED_SQL the same way)."""
+    q65 with an argmax-per-component ranking. Round-10 promotion: the
+    production name consumes the df-capped (max_df=64) pair stream and
+    the oracle rides _WINNOW_PAIRS_CAPPED_SQL (the q476 pattern); the
+    uncapped anchor is q61_winnow_near_dups_exact."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import (
         dedup_by_components,
         winnow_near_duplicates,
@@ -364,7 +417,9 @@ def q69_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").withColumn(
         "_len", F.length("text").cast("long")
     )
-    pairs = winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
+    pairs = winnow_near_duplicates(
+        docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    )
     survivors = dedup_by_components(
         docs, pairs.select("id_a", "id_b"), "doc_id", quality_col="_len"
     )
@@ -523,8 +578,12 @@ def q119_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(range(1, len(hashes) - 2),
                            j -> list_min(hashes[j : j + 3]))) AS fps
       FROM grams WHERE len(hashes) >= 4
-    ), idx AS (
+    ), idx0 AS (
       SELECT doc_id, unnest(fps) AS fp FROM wins
+    ), hot AS (
+      SELECT fp FROM idx0 GROUP BY fp HAVING COUNT(*) > 64
+    ), idx AS (
+      SELECT i.doc_id, i.fp FROM idx0 i ANTI JOIN hot h ON i.fp = h.fp
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -545,15 +604,18 @@ def q129_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes BEFORE committing survivors: how many documents have 1, 2,
     …, k near-dup partners (heavy tails reveal boilerplate/template
     families that deserve their own handling rather than pairwise
-    dedup). Built on the deterministic winnowing pairs (q61) so the
-    whole profile is hash-checked; degrees come from one explode +
+    dedup). Built on the deterministic winnowing pairs — since round 10
+    the df-capped PRODUCTION stream (max_df=64, the q61 promotion) — so
+    the whole profile is hash-checked; degrees come from one explode +
     count, |pairs| work."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import (
         winnow_near_duplicates,
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
+    pairs = winnow_near_duplicates(
+        docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    )
     nodes = pairs.select(F.col("id_a").alias("node")).unionAll(
         pairs.select(F.col("id_b").alias("node"))
     )
@@ -589,7 +651,8 @@ def q129_dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST((SELECT n FROM viol) AS BIGINT) AS n_split_violations
-    FROM assigned GROUP BY split"""
+    FROM assigned GROUP BY split""",
+        pairs_sql=_WINNOW_PAIRS_CAPPED_SQL,
     ),
 )
 def q138_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,12 +660,11 @@ def q138_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup COMPONENT representative, so a duplicate family can never
     straddle splits (a val doc with a near-identical twin in train
     silently inflates eval — the contamination the published dedup
-    studies warn about). Uses the deterministic winnowing pair graph, so
-    the whole assignment — and the zero-violation property itself,
-    emitted as a column — is hash-checked against the recursive-CTE
-    oracle. Capped production form: pass max_df=64 to
-    winnow_near_duplicates and swap _WINNOW_PAIRS_CAPPED_SQL into the
-    oracle (the q476 pattern)."""
+    studies warn about). Uses the deterministic winnowing pair graph —
+    since round 10 the df-capped PRODUCTION stream (max_df=64, the q61
+    promotion; oracle on _WINNOW_PAIRS_CAPPED_SQL) — so the whole
+    assignment — and the zero-violation property itself, emitted as a
+    column — is hash-checked against the recursive-CTE oracle."""
     from noaa_ais_glue_lakehouse_spark.operators.dedup import (
         winnow_near_duplicates,
     )
@@ -611,7 +673,9 @@ def q138_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = winnow_near_duplicates(docs, "doc_id", "text", 8, 4, min_shared=10)
+    pairs = winnow_near_duplicates(
+        docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    )
     assigned = leakage_safe_split(
         docs.select("doc_id"), "doc_id", pairs.select("id_a", "id_b")
     )
@@ -746,6 +810,17 @@ def q148_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q171_jaccard_prefix_filter",
+    scaling_adjudicated=(
+        "exact-semantics PPJoin (rarest-first prefix filter + positional "
+        "filter): the TRUE scale path when dedup policy demands exact "
+        "Jaccard answers, linear on Zipfian corpora; the measured 1.54 "
+        "decade exponent arose only on an ADVERSARIAL uniform/flat "
+        "vocabulary where every prefix token is equally common and no "
+        "prefix is rare (SCALING.md 'PPJoin (q171): uniform vocabulary "
+        "is the prefix filter's worst case', measured 1.54) - a data "
+        "property, not a plan defect; exactness has no capped twin by "
+        "definition"
+    ),
     oracle="""
     WITH toks AS (
       SELECT doc_id,
@@ -1995,7 +2070,8 @@ def q358_geofence_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
            canonical_doc_id, canonical_lang,
            CAST(b.max_n_chars AS BIGINT) AS max_n_chars, b.min_doc_id
     FROM base b
-    JOIN canon USING (component) JOIN lmode USING (component)"""
+    JOIN canon USING (component) JOIN lmode USING (component)""",
+        pairs_sql=_WINNOW_PAIRS_CAPPED_SQL,
     ),
 )
 def q367_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -938,8 +938,12 @@ def q98_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_distinct(list_transform(range(1, len(hashes) - 2),
                              j -> list_min(hashes[j : j + 3]))) AS fps
         FROM grams WHERE len(hashes) >= 4
-      ), idx AS (
+      ), idx0 AS (
         SELECT doc_id, unnest(fps) AS fp FROM wins
+      ), hot AS (
+        SELECT fp FROM idx0 GROUP BY fp HAVING COUNT(*) > 64
+      ), idx AS (
+        SELECT i.doc_id, i.fp FROM idx0 i ANTI JOIN hot h ON i.fp = h.fp
       )
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -968,7 +972,9 @@ def q100_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     quality = docs.where(F.length("text") >= 200)
     exact = dedup_exact(quality, ["text"], "doc_id")
-    pairs = winnow_near_duplicates(exact, "doc_id", "text", 8, 4, min_shared=10)
+    pairs = winnow_near_duplicates(
+        exact, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    )
     surv = dedup_by_components(exact, pairs.select("id_a", "id_b"), "doc_id")
 
     def stage(i: int, name: str, df: DataFrame) -> DataFrame:

@@ -28,8 +28,19 @@ Probes deliberately NOT budgeted (documented worst cases, not claims):
                                   measured UPPER BOUND in n; the
                                   budgeted scale paths past n* are
                                   q55 IVF / q64 clustered.
-  q61_winnow_near_dups          — exact contract, gram-space saturation
+  q61_winnow_near_dups_exact    — exact contract, gram-space saturation
+                                  (baseline_only; the unsuffixed q61 name
+                                  serves the df-capped budgeted plan since
+                                  round 10)
   q171_jaccard_prefix_filter    — exact contract, flat-vocab worst case
+                                  (scaling_adjudicated in the registry)
+
+Round 10 (verdict ask #3): the exemption list for CATALOG probes is no
+longer a comment — any probe in the output that is a catalog query with
+no budget must be registered ``baseline_only`` or ``scaling_adjudicated``
+(reason + SCALING.md citation at the registration site), or this gate
+fails. Non-catalog operator probes (cosine085_*, cc_on_capped_pairs)
+remain documented here.
 Their escapes (q343 df-cap, auto geometry at dedup thresholds, q27
 recall<1) ARE budgeted.
 
@@ -120,6 +131,34 @@ LADDER_C_ERROR_OK = {
         "same banding, cheaper transport — completed C at 0.53)"
     ),
 }
+
+
+def _unvouched_exemptions(extra: list[str]) -> list[str]:
+    """Registry-derived exemption validation (round-10 verdict ask #3):
+    every probe in the output that is a CATALOG query but carries no
+    budget must be vouched for by the registry itself — registered
+    ``baseline_only`` (a deliberate O(n²) oracle anchor) or
+    ``scaling_adjudicated`` (a documented data-adversarial worst case,
+    reason + SCALING.md citation stored at the registration site).
+    Operator-level probes that aren't catalog entries (cosine085_*,
+    cc_on_capped_pairs, ...) are out of registry scope and stay
+    documented in this file's header."""
+    if not extra:
+        return []
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import (
+        baseline_only_queries,
+        queries as catalog_queries,
+        scaling_adjudicated_queries,
+    )
+
+    vouched = baseline_only_queries() | set(scaling_adjudicated_queries())
+    catalog = set(catalog_queries())
+    return sorted(n for n in extra if n in catalog and n not in vouched)
 
 
 def _load_probe_doc(path_or_stdin: str | None) -> dict | None:
@@ -223,15 +262,26 @@ def main() -> int:
         if exp > budget:
             failures.append((name, exp, budget))
     extra = sorted(set(queries) - set(BUDGETS))
+    unvouched = _unvouched_exemptions(extra)
     if extra:
         print(f"unbudgeted probes (documented exceptions): {extra}")
+    if unvouched:
+        print(
+            "SCALING-EXEMPT FAIL: catalog probes with no budget AND no "
+            f"registry adjudication (baseline_only / scaling_adjudicated): "
+            f"{unvouched}"
+        )
+        failures.extend((n, "unvouched", None) for n in unvouched)
     if missing:
         print(f"MISSING budgeted probes (not in probe output): {missing}")
     main_rc = 0
     if failures:
         print(
             "SCALING-BUDGET FAIL: "
-            + ", ".join(f"{n} {e} > {b}" for n, e, b in failures)
+            + ", ".join(
+                f"{n} {e} > {b}" if b is not None else f"{n} {e}"
+                for n, e, b in failures
+            )
         )
         main_rc = 1
     elif missing:

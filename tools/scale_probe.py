@@ -40,7 +40,7 @@ import time
 QUERIES = [
     "q27_minhash_near_dups",
     "q47_cosine_dup_lsh",
-    "q61_winnow_near_dups",
+    "q61_winnow_near_dups_exact",
     "q171_jaccard_prefix_filter",
     "q314_rendezvous_detection",
     "q343_winnow_near_dups_capped",
@@ -95,7 +95,7 @@ def _extra_probes():
 
     def cc_capped(spark, d):
         # CC in ISOLATION from the pair generator's own scaling: q62
-        # measured 1.53 but consumes q61's documented-quadratic candidate
+        # measured 1.53 but consumed q61_exact's documented-quadratic candidate
         # stream; running the same CC on the df-capped (linear) q343
         # pairs separates the algorithms' exponents.
         from noaa_ais_glue_lakehouse_spark.operators.dedup import (
@@ -110,7 +110,7 @@ def _extra_probes():
 
     def bfs_capped(spark, d):
         # q397's BFS in ISOLATION from its pair generator: the registered
-        # form consumes q61's exact-contract (documented-quadratic) winnow
+        # form consumed the exact-contract (documented-quadratic) winnow
         # stream and measured 1.53 — the same inheritance q62/q65 carry.
         # Running the identical 4-round checkpointed relaxation on the
         # df-capped (linear) q343 pairs separates the loop's own exponent.
