@@ -456,10 +456,21 @@ def _versioned_fs(spark: SparkSession, path: str):
     return fs, root, man_dir, HPath
 
 
-def _touch(fs, hpath) -> None:
-    """Create-or-recreate a zero-byte file, refreshing its mtime."""
+def _touch(fs, hpath, payload: bytes = b"") -> None:
+    """Create-or-recreate a file (optionally with ``payload`` bytes),
+    refreshing its mtime."""
     out = fs.create(hpath, True)
+    if payload:
+        out.write(bytearray(payload))
     out.close()
+
+
+def _read_small(fs, hpath) -> bytes:
+    stream = fs.open(hpath)
+    try:
+        return bytes(stream.readAllBytes())
+    finally:
+        stream.close()
 
 
 def _fs_now_ms(fs, man_dir, HPath) -> int:
@@ -513,7 +524,17 @@ def write_versioned(
     from a crashed writer's orphan even when the write itself outlasts
     the vacuum grace window (multi-minute 100 TB partition writes). The
     marker is removed on every exit path; after a crash it simply ages
-    past the grace window along with the orphan it guarded.
+    past the grace window along with the orphan it guarded. The beat
+    survives transient FS errors (S3 throttle, HDFS failover): the
+    thread keeps looping — ``fs.create(path, True)`` RECREATES a
+    vacuumed marker rather than raising, so an exception here is never
+    "marker gone", and exiting on the first blip would leave a live
+    multi-hour writer unguarded for the rest of its run (warns after 5
+    consecutive misses instead). The marker's CONTENT records this
+    writer's ``heartbeat_ms`` so vacuum can gate marker staleness on
+    ``max(orphan_grace_ms, 2*heartbeat_ms)`` — a caller who picks a
+    heartbeat at or above the vacuum grace can therefore never make a
+    LIVE writer's marker look stale.
 
     Layout: ``path/d-{token}/`` holds the parquet data under a
     writer-unique name; ``path/_manifests/{N}.json`` commits version N
@@ -553,22 +574,40 @@ def write_versioned(
     import json as _json
     import threading as _threading
     import uuid as _uuid
+    import warnings as _warnings
 
+    if heartbeat_ms <= 0:
+        raise ValueError(f"heartbeat_ms must be positive, got {heartbeat_ms}")
     spark = df.sparkSession
     fs, root, man_dir, HPath = _versioned_fs(spark, path)
     fs.mkdirs(man_dir)
     token = _uuid.uuid4().hex[:12]
     staging = f"{root.toString()}/.staging-{token}"
     marker = HPath(f"{man_dir.toString()}/.inflight-{token}")
-    _touch(fs, marker)
+    # marker content carries the beat interval so vacuum_versions can
+    # derive THIS writer's staleness threshold (max(grace, 2*heartbeat))
+    marker_payload = _json.dumps({"heartbeat_ms": heartbeat_ms}).encode()
+    _touch(fs, marker, marker_payload)
     stop = _threading.Event()
 
     def _beat() -> None:
+        misses = 0
         while not stop.wait(heartbeat_ms / 1000.0):
             try:
-                _touch(fs, marker)
+                _touch(fs, marker, marker_payload)
+                misses = 0
             except Exception:
-                return  # marker gone (vacuum of a finished write) — stop
+                # Transient FS error (throttle/failover) — KEEP beating.
+                # create(path, True) recreates a deleted marker rather
+                # than raising, so this is never "marker gone"; exiting
+                # here would strand a live writer unguarded and reopen
+                # the vacuum data-loss window the marker exists to close.
+                misses += 1
+                if misses == 5:
+                    _warnings.warn(
+                        f"versioned-write heartbeat: {misses} consecutive "
+                        f"marker touch failures on {marker}; still retrying"
+                    )
 
     beater = _threading.Thread(target=_beat, daemon=True)
     beater.start()
@@ -664,9 +703,13 @@ def vacuum_versions(
     a ``_manifests/.inflight-{token}`` marker re-touched every
     ``heartbeat_ms`` (default 60 s) for as long as it runs, and the
     sweep skips any unreferenced ``d-{token}``/``.staging-{token}`` dir
-    whose marker is younger than ``orphan_grace_ms`` — so even a write
-    or audit that runs for HOURS (100 TB partitions) cannot lose its
-    data to a concurrent vacuum. The age gate itself is belt-and-braces
+    whose marker is younger than ``max(orphan_grace_ms,
+    2*heartbeat_ms)`` — the beat interval is read from the marker's
+    own content, so the staleness threshold always leaves a live
+    writer at least one full missed beat of slack even when the caller
+    runs vacuum with a grace below the writer's heartbeat. So even a
+    write or audit that runs for HOURS (100 TB partitions) cannot lose
+    its data to a concurrent vacuum. The age gate itself is belt-and-braces
     on top: dirs without a live marker are still only deleted once
     their own mtime is older than ``orphan_grace_ms`` (default 15 min),
     and "now" is read from the SAME filesystem (a probe file's mtime,
@@ -711,13 +754,30 @@ def vacuum_versions(
     swept = []
     skipped_young = []
     now_ms = _fs_now_ms(fs, man_dir, HPath)
-    inflight = {}  # writer token -> marker (path, mtime)
+    inflight = {}  # writer token -> (marker path, mtime, effective grace)
     for st in fs.listStatus(man_dir):
         nm = st.getPath().getName()
         if nm.startswith(".inflight-"):
+            # The marker's content records the writer's heartbeat_ms; a
+            # live marker is judged stale only past max(grace, 2*beat),
+            # so a heartbeat_ms >= orphan_grace_ms writer (or a vacuum
+            # run with a small grace against a default-beat writer) can
+            # never have its LIVE marker aged out between touches.
+            # Empty/unreadable content (pre-round-10 marker, torn read)
+            # falls back to the caller's grace alone.
+            try:
+                beat_ms = int(
+                    _json.loads(
+                        _read_small(fs, st.getPath()).decode("utf-8")
+                    )["heartbeat_ms"]
+                )
+                grace = max(orphan_grace_ms, 2 * beat_ms)
+            except Exception:
+                grace = orphan_grace_ms
             inflight[nm[len(".inflight-"):]] = (
                 st.getPath(),
                 st.getModificationTime(),
+                grace,
             )
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -731,7 +791,7 @@ def vacuum_versions(
                 tok = name[len(".staging-"):]
             beating = (
                 tok in inflight
-                and now_ms - inflight[tok][1] < orphan_grace_ms
+                and now_ms - inflight[tok][1] < inflight[tok][2]
             )
             if beating or (
                 now_ms - st.getModificationTime() < orphan_grace_ms
@@ -743,8 +803,8 @@ def vacuum_versions(
                 continue
             swept.append(name)
             fs.delete(st.getPath(), True)
-    for tok, (mpath, mtime) in inflight.items():
-        if now_ms - mtime >= orphan_grace_ms:
+    for tok, (mpath, mtime, grace) in inflight.items():
+        if now_ms - mtime >= grace:
             fs.delete(mpath, False)  # stale marker from a crashed writer
     return {
         "removed_versions": removed,

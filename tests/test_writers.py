@@ -702,3 +702,105 @@ def test_vacuum_sweeps_crashed_writer_marker_and_orphan(spark, tmp_path):
     assert "d-dead01" in rep["swept_orphans"]
     assert not os.path.exists(f"{path}/d-dead01")
     assert not os.path.exists(f"{path}/_manifests/.inflight-dead01")
+
+
+def test_heartbeat_survives_transient_touch_failures(spark, tmp_path):
+    """Round-10 ADVICE (medium): a transient FS error in the heartbeat
+    (S3 throttle, HDFS failover) must NOT kill the beat thread — it
+    keeps looping and the marker stays live, so a long writer remains
+    guarded against a concurrent vacuum after a single blip."""
+    import time
+
+    from noaa_ais_glue_lakehouse_spark.sources import writers as W
+
+    path = str(tmp_path / "vt")
+    calls = {"n": 0}
+    real_touch = W._touch
+
+    def flaky_touch(fs, hpath, payload=b""):
+        calls["n"] += 1
+        # calls 2-4 are the first beats after the initial marker create:
+        # fail them all to simulate a multi-beat FS outage
+        if 2 <= calls["n"] <= 4:
+            raise IOError("simulated transient FS failure")
+        real_touch(fs, hpath, payload)
+
+    observed = {}
+
+    def _audit(staged):
+        # by now several beats (incl. the 3 failed ones) have elapsed;
+        # the thread must still be alive and re-touching the marker
+        time.sleep(0.5)
+        markers = [
+            f
+            for f in os.listdir(f"{path}/_manifests")
+            if f.startswith(".inflight-")
+        ]
+        observed["markers"] = markers
+        observed["calls_during_audit"] = calls["n"]
+        time.sleep(0.3)
+
+    W._touch = flaky_touch
+    try:
+        v = W.write_versioned(
+            spark.createDataFrame([(7,)], ["id"]),
+            path,
+            audit=_audit,
+            heartbeat_ms=50,
+        )
+    finally:
+        W._touch = real_touch
+    assert v == 1
+    assert observed["markers"], "marker vanished after a transient failure"
+    # the thread kept beating THROUGH the failures, not just before them
+    assert calls["n"] > observed["calls_during_audit"] >= 5
+
+
+def test_vacuum_grace_coupled_to_writer_heartbeat(spark, tmp_path):
+    """Round-10 ADVICE (low): vacuum judges marker staleness against
+    max(orphan_grace_ms, 2*heartbeat_ms) read from the marker's own
+    content — a live slow-beat writer (heartbeat >= vacuum grace) can
+    never have its marker aged out between touches."""
+    import json
+    import time
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import (
+        vacuum_versions,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    write_versioned(spark.createDataFrame([(1,)], ["id"]), path)
+    # fabricate a LIVE writer mid-write whose beat interval (10 min)
+    # exceeds the vacuum grace (2 s): marker last touched 30 s ago —
+    # stale by grace alone, young by 2*heartbeat
+    spark.createDataFrame([(7,)], ["id"]).write.parquet(f"{path}/d-slow01")
+    with open(f"{path}/_manifests/.inflight-slow01", "w") as f:
+        json.dump({"heartbeat_ms": 600_000}, f)
+    old = time.time() - 30
+    os.utime(f"{path}/d-slow01", (old, old))
+    os.utime(f"{path}/_manifests/.inflight-slow01", (old, old))
+    rep = vacuum_versions(spark, path, keep_last=1, orphan_grace_ms=2_000)
+    assert "d-slow01" in rep["skipped_young_orphans"]
+    assert os.path.isdir(f"{path}/d-slow01")
+    assert os.path.exists(f"{path}/_manifests/.inflight-slow01")
+    # ...but a marker older than 2*heartbeat with a dead beat IS swept
+    ancient = time.time() - 3600
+    os.utime(f"{path}/d-slow01", (ancient, ancient))
+    os.utime(f"{path}/_manifests/.inflight-slow01", (ancient, ancient))
+    rep2 = vacuum_versions(spark, path, keep_last=1, orphan_grace_ms=2_000)
+    assert "d-slow01" in rep2["swept_orphans"]
+    assert not os.path.exists(f"{path}/_manifests/.inflight-slow01")
+
+
+def test_write_versioned_rejects_nonpositive_heartbeat(spark, tmp_path):
+    import pytest
+
+    from noaa_ais_glue_lakehouse_spark.sources.writers import write_versioned
+
+    with pytest.raises(ValueError, match="heartbeat_ms"):
+        write_versioned(
+            spark.createDataFrame([(1,)], ["id"]),
+            str(tmp_path / "vt"),
+            heartbeat_ms=0,
+        )
