@@ -28,3 +28,7 @@ from noaa_ais_glue_lakehouse_spark.plans.catalog.graph import *  # noqa: F401,F4
 from noaa_ais_glue_lakehouse_spark.plans.catalog.streaming import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.lakehouse import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.multimodal import *  # noqa: F401,F403
+
+# smoke.py composes its oracles from the registered oracle texts of the
+# modules above — it must stay the LAST catalog import
+from noaa_ais_glue_lakehouse_spark.plans.catalog.smoke import *  # noqa: F401,F403
