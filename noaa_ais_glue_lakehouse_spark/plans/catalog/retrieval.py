@@ -3449,11 +3449,6 @@ def q467_query_likelihood_dirichlet(
 
 @register(
     "q469_source_centroid_drift",
-    allow_non_equi=(
-        "the 64-row global-centroid relation broadcast-joins the "
-        "per-label dim relation on the dim key; one 1-row scalar "
-        "attach for corpus size"
-    ),
     oracle="""
     WITH dims AS (
       SELECT label, u.i AS i,

@@ -1057,12 +1057,6 @@ def q405_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q409_bh_fdr_screen",
-    allow_non_equi=(
-        "two scalar-broadcast attaches: the per-type moment row joins "
-        "each day row by type (equi), and the 1-row k* aggregate "
-        "crossJoins back onto the bounded test grid (~|types|x|days| "
-        "rows, never raw events)"
-    ),
     oracle=f"""
     WITH v AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -2451,10 +2445,6 @@ def q451_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q453_brown_forsythe",
-    allow_non_equi=(
-        "one 1-row grand-totals scalar crossJoin-attached onto the "
-        "k-row per-type deviation table to assemble the F ratio"
-    ),
     oracle=f"""
     WITH v AS (
       SELECT event_type AS et, CAST(ROUND(value * 100) AS BIGINT) AS vc
@@ -4438,12 +4428,6 @@ def q491_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q499_holm_stepdown_screen",
-    allow_non_equi=(
-        "two scalar-broadcast attaches: the per-type moment row joins "
-        "each day row by type (equi), and the window-global m/fail-rank "
-        "scalars ride the bounded test grid (~|types|x|days| rows, "
-        "never raw events)"
-    ),
     oracle=f"""
     WITH v AS (
       SELECT event_type, CAST(ts AS DATE) AS day,

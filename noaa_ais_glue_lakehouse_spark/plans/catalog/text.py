@@ -3540,10 +3540,6 @@ def q366_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q377_vocab_growth_curve",
-    allow_non_equi=(
-        "deliberate bounded join of the checkpoint spine (n_docs/50 rows) "
-        "onto per-bucket vocabulary counts - group-cardinality"
-    ),
     oracle=r"""
     WITH d AS (
       SELECT doc_id, text,
@@ -4474,10 +4470,6 @@ def q413_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q427_unseen_vocab_estimate",
-    allow_non_equi=(
-        "one 1-row frequency-of-frequency moment aggregate crossJoin-"
-        "attached onto the 1-row corpus totals"
-    ),
     oracle="""
     WITH toks AS (
       SELECT u.tok FROM (

@@ -223,6 +223,102 @@ def test_ann_topk_serving_shapes_broadcast_query_side(spark):
         assert "CartesianProduct" not in plan, name
 
 
+_NESTED_LOOP_NODES = ("BroadcastNestedLoopJoinExec", "CartesianProductExec")
+
+# Round-10 verdict ask #6 ("prune allow_non_equi creep"): the allowlist
+# reason strings claim each nested-loop operand is a 1-row scalar or a
+# dimension/k-bounded relation. This audit VALIDATES the claim instead
+# of trusting it: at sf0.001 every nested-loop/cartesian node in an
+# allowlisted query must have at least one operand whose row bound
+# (Catalyst maxRows when static, else an executed count) is within the
+# query's documented bound. The default covers 1-row scalars, literal
+# spines, day rollups (~30), deciles, and polygon edges; the named
+# exceptions are k-derived constants measured in the round-10 sweep —
+# deliberately pinned TIGHT so a corpus-sized operand (documents=500 at
+# sf0.001, growing 10x per SF decade) fails the audit the day it creeps
+# in. An allowlisted query with NO nested-loop node is a stale entry
+# and fails too (the tag must be removed, keeping the allowlist honest).
+_NON_EQUI_DEFAULT_BOUND = 64
+_NON_EQUI_OPERAND_BOUNDS = {
+    # KMV sketch join: both operands are k-bounded sketch summaries
+    # (k=256); measured 190 x 320 at sf0.001
+    "q385_kmv_vocab_overlap": 384,
+    # consistent-hash ring: the vnode relation (72 rows measured)
+    "q489_consistent_hash_shards": 128,
+}
+
+
+def _walk_phys(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk_phys(node.children().apply(i))
+
+
+def _static_bound(child):
+    """Catalyst maxRows of the operand's logical link, if derivable."""
+    ll = child.logicalLink()
+    if not ll.isDefined():
+        return None
+    mr = ll.get().maxRows()
+    return mr.get() if mr.isDefined() else None
+
+
+def _counted_rows(spark, child):
+    """Executed row count of the operand's logical link (sf0.001 —
+    operands here are rollups/sketches, cheap by construction)."""
+    ll = child.logicalLink()
+    if not ll.isDefined():
+        return None
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, ll.get()
+    )
+    return jdf.count()
+
+
+def test_allow_non_equi_operands_really_are_bounded(spark):
+    qs = catalog.queries()
+    stale, unbounded = [], []
+    for name in sorted(ALLOWED_NON_EQUI):
+        if name in BUILD_TIME_EXECUTION:
+            continue  # plans execute at build time; pinned by own tests
+        phys = qs[name](spark, SF_DIR)._jdf.queryExecution().sparkPlan()
+        nodes = [
+            p
+            for p in _walk_phys(phys)
+            if p.getClass().getSimpleName() in _NESTED_LOOP_NODES
+        ]
+        if not nodes:
+            stale.append(name)
+            continue
+        bound = _NON_EQUI_OPERAND_BOUNDS.get(name, _NON_EQUI_DEFAULT_BOUND)
+        for node in nodes:
+            kids = [node.children().apply(i) for i in range(2)]
+            static = [_static_bound(k) for k in kids]
+            if any(s is not None and s <= bound for s in static):
+                continue
+            # no static proof — execute the operands (cheapest first)
+            counted = []
+            for k in kids:
+                n = _counted_rows(spark, k)
+                counted.append(n)
+                if n is not None and n <= bound:
+                    break
+            if not any(n is not None and n <= bound for n in counted):
+                unbounded.append(
+                    f"{name}: {node.getClass().getSimpleName()} operands "
+                    f"maxRows={static} counted={counted} bound={bound}"
+                )
+    assert not stale, (
+        "stale allow_non_equi entries (no nested-loop/cartesian in the "
+        f"sf0.001 plan — remove the tag): {stale}"
+    )
+    assert not unbounded, (
+        "allow_non_equi reason not validated — no operand within the "
+        "documented bound (corpus-sized relation in a nested-loop "
+        "join?): " + "; ".join(unbounded)
+    )
+
+
 def test_multiprobe_recall_probe_join_broadcasts(spark):
     """q493: the probe relation (|queries|×7 rows) broadcasts into the
     corpus list relation; the truth grid is the only nested-loop and it
