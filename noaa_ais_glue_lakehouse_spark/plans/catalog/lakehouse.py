@@ -1799,3 +1799,134 @@ def q498_shuffle_partition_advisor(
             "est_row_bytes"
         ),
     ).orderBy("table_name")
+
+
+@register(
+    "q508_shuffle_interleave_audit",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             ((doc_id * 31 + 1) % 2147483648) * 2654435761 % 4294967296
+               AS shuffle_key
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source, shuffle_key,
+             CAST(shuffle_key % 8 AS BIGINT) AS shard
+      FROM keyed
+    ), flagged AS (
+      SELECT shard, source, shuffle_key, doc_id,
+             CASE WHEN LAG(source) OVER (PARTITION BY shard
+                        ORDER BY shuffle_key, doc_id) IS DISTINCT FROM source
+                  THEN 1 ELSE 0 END AS chg
+      FROM sh
+    ), runs0 AS (
+      SELECT shard, source,
+             SUM(chg) OVER (PARTITION BY shard
+                            ORDER BY shuffle_key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ), runs AS (
+      SELECT shard, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs0 GROUP BY shard, run_id
+    ), per_shard_runs AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(MAX(run_len) AS BIGINT) AS longest_run
+      FROM runs GROUP BY shard
+    ), src_counts AS (
+      SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS ns
+      FROM sh GROUP BY shard, source
+    ), per_shard AS (
+      SELECT shard, CAST(SUM(ns) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(ns * (ns - 1)) AS BIGINT) AS pair_mass
+      FROM src_counts GROUP BY shard
+    )
+    SELECT p.shard, p.n_docs, p.n_sources, r.n_runs, r.longest_run,
+           CAST(p.n_docs - r.n_runs AS BIGINT) AS adj_same_observed,
+           CAST(p.pair_mass * 1000 // p.n_docs AS BIGINT)
+             AS adj_same_expected_milli
+    FROM per_shard p JOIN per_shard_runs r USING (shard)
+    ORDER BY p.shard
+    """,
+)
+def q508_shuffle_interleave_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X436 — SHUFFLE INTERLEAVE AUDIT of the training shard order: did
+    the deterministic corpus shuffle (q270's Knuth multiplicative key,
+    epoch 0) actually interleave sources within each shard, or does a
+    skewed hash leave same-source documents clumped? Per shard: run
+    statistics of the source sequence in shard order (run count,
+    longest same-source run, observed same-source adjacencies) against
+    the EXACT expectation under a uniform random permutation,
+    E[adjacent same-source pairs] = Σ_s n_s(n_s−1)/n, published in
+    exact integer milli-units (pair_mass·1000 DIV n — no float). A
+    shard whose observed adjacency far exceeds expectation feeds
+    correlated batches to the trainer (the data-ordering pathology
+    curriculum/shuffle papers warn about); q270 builds the order, this
+    audits it.
+
+    Scale: shard = key mod k is one hash partition; the within-shard
+    order ((shuffle_key, doc_id)) is the order a shard manifest is
+    WRITTEN in anyway, so the run window rides the exchange the sink
+    already needs (repartition + sortWithinPartitions, the O1 shape) —
+    no extra shuffle at any corpus size. Run lengths come from one
+    prefix-sum window + a (shard, run) count; everything else is
+    (shard, source)-grain integer math."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        (
+            ((F.col("doc_id") * 31 + 1) % F.lit(2147483648))
+            * F.lit(2654435761)
+            % F.lit(4294967296)
+        ).alias("shuffle_key"),
+    ).withColumn("shard", (F.col("shuffle_key") % 8).cast("long"))
+    worder = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    flagged = sh.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("source").over(worder).eqNullSafe(F.col("source")), 1
+        ).otherwise(0),
+    )
+    runs0 = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(
+            worder.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = runs0.groupBy("shard", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    per_shard_runs = runs.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )
+    src_counts = sh.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("ns")
+    )
+    per_shard = src_counts.groupBy("shard").agg(
+        F.sum("ns").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum(F.col("ns") * (F.col("ns") - 1)).cast("long").alias(
+            "pair_mass"
+        ),
+    )
+    return (
+        per_shard.join(per_shard_runs, "shard")
+        .select(
+            "shard",
+            "n_docs",
+            "n_sources",
+            "n_runs",
+            "longest_run",
+            (F.col("n_docs") - F.col("n_runs")).cast("long").alias(
+                "adj_same_observed"
+            ),
+            F.expr("CAST(pair_mass * 1000 DIV n_docs AS BIGINT)").alias(
+                "adj_same_expected_milli"
+            ),
+        )
+        .orderBy("shard")
+    )

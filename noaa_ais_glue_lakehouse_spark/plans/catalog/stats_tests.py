@@ -4826,3 +4826,314 @@ def q503_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "q507_anderson_darling",
+    allow_non_equi=(
+        "one 1-row integer-moment scalar crossJoin-attached onto the "
+        "day relation to standardize before the ordered fold"
+    ),
+    oracle="""
+    WITH d0 AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY day
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yc) AS BIGINT) AS s,
+             CAST(SUM(yc * yc) AS BIGINT) AS s2
+      FROM d0
+    ), z AS (
+      SELECT d0.day,
+             (CAST(d0.yc AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+             / SQRT(GREATEST((CAST(m.s2 AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1), 1e-12))
+               AS z
+      FROM d0, m
+    ), ph AS (
+      SELECT day, z, ABS(z) AS az,
+             1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM z
+    ), cdf AS (
+      SELECT day, z,
+             CASE WHEN z >= 0
+                  THEN 1.0 - (EXP(-az * az / 2.0) / SQRT(2.0 * PI())) * (
+                       0.319381530 * tt - 0.356563782 * tt * tt
+                       + 1.781477937 * tt * tt * tt
+                       - 1.821255978 * tt * tt * tt * tt
+                       + 1.330274429 * tt * tt * tt * tt * tt)
+                  ELSE (EXP(-az * az / 2.0) / SQRT(2.0 * PI())) * (
+                       0.319381530 * tt - 0.356563782 * tt * tt
+                       + 1.781477937 * tt * tt * tt
+                       - 1.821255978 * tt * tt * tt * tt
+                       + 1.330274429 * tt * tt * tt * tt * tt)
+             END AS f
+      FROM ph
+    ), ranked AS (
+      SELECT day, z, f,
+             ROW_NUMBER() OVER (ORDER BY z, day) AS i,
+             COUNT(*) OVER () AS n
+      FROM cdf
+    ), terms AS (
+      SELECT z, day, n,
+             (2.0 * i - 1.0) * LN(GREATEST(f, 1e-300))
+             + (2.0 * (n - i) + 1.0) * LN(GREATEST(1.0 - f, 1e-300))
+               AS term
+      FROM ranked
+    ), fold AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             list_reduce(list_prepend(0.0, list(term ORDER BY z, day)),
+               (acc, x) -> acc + x) AS s
+      FROM terms
+    )
+    SELECT n AS n_days,
+           ROUND(-CAST(n AS DOUBLE) - s / n, 6) AS ad_stat,
+           ROUND((-CAST(n AS DOUBLE) - s / n)
+                 * (1.0 + 0.75 / n + 2.25 / (n * n)), 6) AS ad_stat_adjusted
+    FROM fold
+    """,
+)
+def q507_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X435 — ANDERSON–DARLING normality test of daily revenue: the
+    tail-weighted EDF statistic A² = −n − (1/n)·Σ(2i−1)[ln F(z_(i)) +
+    ln(1−F(z_(n+1−i)))], published with the Stephens small-sample
+    adjustment A*² = A²(1 + 0.75/n + 2.25/n²) for the caller's critical-
+    value lookup (the q503 convention). Complements the shelf's JB
+    (q465, moment-based) and KS (q202, sup-norm): AD weights the EDF
+    discrepancy by 1/(F(1−F)), so it is the most powerful of the three
+    against TAIL departures — exactly where heavy-tailed revenue breaks
+    normality first, and the right gate before the EVT fits (q501/q506)
+    are trusted over a Gaussian one.
+
+    Standardization uses exact integer day moments (n, Σy, Σy²); the
+    normal CDF is the shelf's shared Abramowitz–Stegun 26.2.17
+    polynomial (identical text in both engines); and the float term sum
+    folds in (z, day) order — the q465/q448 fold discipline — so the
+    result is bitwise portable.
+
+    Scale: one day rollup, one |days|-row rank window, one |days|-array
+    fold. Nothing touches raw-event grain after the first aggregation."""
+    ev = load(spark, sf_dir, "events")
+    d0 = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("yc")
+    )
+    m = d0.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("s2"),
+    )
+    z = d0.crossJoin(F.broadcast(m)).select(
+        "day",
+        (
+            (
+                F.col("yc").cast("double")
+                - F.col("s").cast("double") / F.col("n")
+            )
+            / F.sqrt(
+                F.greatest(
+                    (
+                        F.col("s2").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    / (F.col("n") - 1),
+                    F.lit(1e-12),
+                )
+            )
+        ).alias("z"),
+    )
+    phi_poly = (
+        "(EXP(-az * az / 2.0) / SQRT(2.0 * PI())) * ("
+        "0.319381530 * tt - 0.356563782 * tt * tt"
+        " + 1.781477937 * tt * tt * tt"
+        " - 1.821255978 * tt * tt * tt * tt"
+        " + 1.330274429 * tt * tt * tt * tt * tt)"
+    )
+    cdf = (
+        z.withColumn("az", F.expr("ABS(z)"))
+        .withColumn("tt", F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))"))
+        .withColumn(
+            "f",
+            F.expr(
+                f"CASE WHEN z >= 0 THEN 1.0 - {phi_poly}"
+                f" ELSE {phi_poly} END"
+            ),
+        )
+    )
+    wr = Window.orderBy("z", "day")
+    ranked = cdf.select(
+        "day",
+        "z",
+        "f",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    terms = ranked.select(
+        "z",
+        "day",
+        "n",
+        F.expr(
+            "(2.0 * i - 1.0) * LN(GREATEST(f, 1e-300))"
+            " + (2.0 * (n - i) + 1.0) * LN(GREATEST(1.0 - f, 1e-300))"
+        ).alias("term"),
+    )
+    fold = terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("z", "day", "term"))
+            ),
+            F.lit(0.0),
+            lambda acc, r: acc + r["term"],
+        ).alias("s"),
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.expr("-CAST(n AS DOUBLE) - s / n"), 6
+        ).alias("ad_stat"),
+        F.round(
+            F.expr(
+                "(-CAST(n AS DOUBLE) - s / n)"
+                " * (1.0 + 0.75 / n + 2.25 / (n * n))"
+            ),
+            6,
+        ).alias("ad_stat_adjusted"),
+    )
+
+
+@register(
+    "q509_cramer_von_mises",
+    allow_non_equi=(
+        "one 1-row x 1-row cross join assembling the per-group "
+        "U-statistic totals with the picked type-name row"
+    ),
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY et, day
+    ), pick AS (
+      SELECT et, DENSE_RANK() OVER (ORDER BY et) AS rk
+      FROM (SELECT DISTINCT et FROM d)
+    ), s AS (
+      SELECT p.rk AS grp, d.yc
+      FROM d JOIN pick p USING (et) WHERE p.rk <= 2
+    ), r AS (
+      SELECT grp, yc,
+             2 * RANK() OVER (ORDER BY yc)
+               + COUNT(*) OVER (PARTITION BY yc) - 1 AS r2,
+             2 * RANK() OVER (PARTITION BY grp ORDER BY yc)
+               + COUNT(*) OVER (PARTITION BY grp, yc) - 1 AS i2
+      FROM s
+    ), g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((r2 - i2) * (r2 - i2)) AS BIGINT) AS sd
+      FROM r GROUP BY grp
+    ), u AS (
+      SELECT CAST(MAX(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS na,
+             CAST(MAX(CASE WHEN grp = 2 THEN n END) AS BIGINT) AS nb,
+             CAST(MAX(CASE WHEN grp = 1 THEN sd END) AS BIGINT) AS sa,
+             CAST(MAX(CASE WHEN grp = 2 THEN sd END) AS BIGINT) AS sb
+      FROM g
+    ), names AS (
+      SELECT MAX(CASE WHEN rk = 1 THEN et END) AS ta,
+             MAX(CASE WHEN rk = 2 THEN et END) AS tb
+      FROM pick WHERE rk <= 2
+    )
+    SELECT ta AS type_a, tb AS type_b, na AS n_a, nb AS n_b,
+           CAST(na * sa + nb * sb AS BIGINT) AS cvm_u4,
+           CAST(3 * (na * sa + nb * sb)
+                - 2 * na * nb * (4 * na * nb - 1) AS BIGINT) AS cvm_t_num,
+           CAST(12 * na * nb * (na + nb) AS BIGINT) AS cvm_t_den,
+           CAST(3 * (na * sa + nb * sb)
+                - 2 * na * nb * (4 * na * nb - 1) AS DOUBLE)
+             / (12 * na * nb * (na + nb)) AS cvm_t
+    FROM u CROSS JOIN names
+    """,
+)
+def q509_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X437 — TWO-SAMPLE CRAMÉR–VON MISES test between the daily
+    revenue distributions of the two lexicographically-first event
+    types: T = U/(nm(n+m)) − (4nm−1)/(6(n+m)) with U = n·Σ(r_i−i)² +
+    m·Σ(s_j−j)² over pooled midranks. The integral-squared complement
+    of the shelf's KS (q202, sup-norm — sensitive to one big gap) and
+    AD (q507, tail-weighted): CvM weighs the WHOLE EDF discrepancy
+    equally, the right omnibus when two sources differ by many small
+    shifts rather than one large one.
+
+    The statistic is EXACT INTEGER until the final normalization: the
+    midrank trick 2·midrank = 2·RANK() + tiecount − 1 keeps pooled and
+    within-sample ranks in int64 (no float rank arithmetic, no ordered
+    fold needed — Σ(r−i)² is order-independent integer math), so the
+    result publishes as the exact int64 ``cvm_u4`` = 4U and the exact
+    RATIONAL T = (3·4U − 2nm(4nm−1)) / (12nm(n+m)) as num/den int64
+    columns; the ``cvm_t`` double is the single division of those two
+    integers — no ROUND at all (a rational T can land exactly on a
+    decimal .5 boundary, where engine ROUND semantics diverge — it did
+    at sf0.01). Sample pick is deterministic: DENSE_RANK over names.
+
+    Scale: day-grain from the first aggregation; the rank windows ride
+    ~2·|days| rows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    pick = (
+        d.select("et")
+        .distinct()
+        .select("et", F.dense_rank().over(Window.orderBy("et")).alias("rk"))
+    )
+    s = d.join(pick, "et").where(F.col("rk") <= 2).select(
+        F.col("rk").alias("grp"), "yc"
+    )
+    r = s.select(
+        "grp",
+        (
+            2 * F.rank().over(Window.orderBy("yc"))
+            + F.count(F.lit(1)).over(Window.partitionBy("yc"))
+            - 1
+        ).alias("r2"),
+        (
+            2 * F.rank().over(Window.partitionBy("grp").orderBy("yc"))
+            + F.count(F.lit(1)).over(Window.partitionBy("grp", "yc"))
+            - 1
+        ).alias("i2"),
+    )
+    g = r.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("r2") - F.col("i2")) * (F.col("r2") - F.col("i2"))
+        ).cast("long").alias("sd"),
+    )
+    u = g.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("long").alias("na"),
+        F.max(F.when(F.col("grp") == 2, F.col("n"))).cast("long").alias("nb"),
+        F.max(F.when(F.col("grp") == 1, F.col("sd"))).cast("long").alias("sa"),
+        F.max(F.when(F.col("grp") == 2, F.col("sd"))).cast("long").alias("sb"),
+    )
+    names = pick.where(F.col("rk") <= 2).agg(
+        F.max(F.when(F.col("rk") == 1, F.col("et"))).alias("ta"),
+        F.max(F.when(F.col("rk") == 2, F.col("et"))).alias("tb"),
+    )
+    return u.crossJoin(F.broadcast(names)).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (F.col("na") * F.col("sa") + F.col("nb") * F.col("sb"))
+        .cast("long")
+        .alias("cvm_u4"),
+        F.expr(
+            "CAST(3 * (na * sa + nb * sb)"
+            " - 2 * na * nb * (4 * na * nb - 1) AS BIGINT)"
+        ).alias("cvm_t_num"),
+        F.expr("CAST(12 * na * nb * (na + nb) AS BIGINT)").alias(
+            "cvm_t_den"
+        ),
+        F.expr(
+            "CAST(3 * (na * sa + nb * sb)"
+            " - 2 * na * nb * (4 * na * nb - 1) AS DOUBLE)"
+            " / (12 * na * nb * (na + nb))"
+        ).alias("cvm_t"),
+    )

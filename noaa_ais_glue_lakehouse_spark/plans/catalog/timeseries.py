@@ -3841,3 +3841,152 @@ def q501_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("return_level_365d"),
     )
+
+
+@register(
+    "q506_gpd_peaks_over_threshold",
+    allow_non_equi=(
+        "two 1-row scalar broadcast attaches: the order-statistic "
+        "threshold scalar onto the event scan, then the exceedance-"
+        "moment row onto the totals row - group-cardinality"
+    ),
+    oracle="""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+    ), hist AS (
+      SELECT vc, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY vc
+    ), cum AS (
+      SELECT vc, SUM(c) OVER (ORDER BY vc DESC
+                              ROWS UNBOUNDED PRECEDING) AS n_ge
+      FROM hist
+    ), thr AS (
+      SELECT CAST(MAX(vc) AS BIGINT) AS u
+      FROM cum, tot WHERE n_ge >= tot.n // 10
+    ), exc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_e,
+             CAST(SUM(vc - u) AS BIGINT) AS s1,
+             CAST(SUM((vc - u) * (vc - u)) AS BIGINT) AS s2
+      FROM v, thr WHERE vc > u
+    ), fit AS (
+      SELECT t.n, h.u, e.n_e,
+             CAST(e.s1 AS DOUBLE) / e.n_e AS m,
+             (CAST(e.s2 AS DOUBLE)
+              - CAST(e.s1 AS DOUBLE) * e.s1 / e.n_e) / (e.n_e - 1) AS var
+      FROM exc e CROSS JOIN thr h CROSS JOIN tot t
+    ), par AS (
+      SELECT n, u, n_e, m, var,
+             0.5 * (1.0 - m * m / var) AS xi,
+             0.5 * m * (m * m / var + 1.0) AS beta,
+             CAST(n_e AS DOUBLE) / n AS lam
+      FROM fit
+    )
+    SELECT n AS n_events, u AS threshold_cents, n_e AS n_exceedances,
+           ROUND(xi, 6) AS gpd_xi,
+           ROUND(beta, 6) AS gpd_beta,
+           ROUND(u + beta / xi * (POW(lam * 10000.0, xi) - 1.0), 6)
+             AS return_level_10k,
+           ROUND(u + beta / xi * (POW(lam * 100000.0, xi) - 1.0), 6)
+             AS return_level_100k
+    FROM par
+    """,
+)
+def q506_gpd_peaks_over_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X434 — PEAKS-OVER-THRESHOLD extreme-value analysis: generalized
+    Pareto fit (method of moments: ξ = ½(1−m²/s²), β = ½m(m²/s²+1)) to
+    the exceedances above the empirical 90th-percentile threshold, with
+    N-observation return levels x_N = u + β/ξ·((λN)^ξ − 1). The second
+    half of the EVT shelf q501 opened: block maxima discard all but one
+    observation per block, POT keeps EVERY tail observation, so the fit
+    sees 10× the tail data — the estimator of choice when blocks are
+    short or the tail is the whole point (p999 capacity planning).
+
+    The threshold is an exact ORDER STATISTIC computed scale-safely: no
+    row-grain sort — the cent-quantized value HISTOGRAM (|distinct
+    values| rows, bounded by the value domain, not the corpus) carries
+    a top-down cumulative count, and u = max value whose ≥-count
+    reaches ⌊n/10⌋. Exceedance moments are exact int64; the fit and
+    return levels are one closed-form double row.
+
+    Scale: one value-grain count + one |values|-row window + one
+    broadcast scalar pass over the scan — no global sort, no window
+    over raw events."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(cents(F.col("value")).alias("vc"))
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hist = v.groupBy("vc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.orderBy(F.desc("vc")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select("vc", F.sum("c").over(wcum).alias("n_ge"))
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("n_ge") >= F.expr("n DIV 10"))
+        .agg(F.max("vc").cast("long").alias("u"))
+    )
+    exc = (
+        v.crossJoin(F.broadcast(thr))
+        .where(F.col("vc") > F.col("u"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_e"),
+            F.sum(F.col("vc") - F.col("u")).cast("long").alias("s1"),
+            F.sum(
+                (F.col("vc") - F.col("u")) * (F.col("vc") - F.col("u"))
+            ).cast("long").alias("s2"),
+        )
+    )
+    fit = (
+        exc.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "u",
+            "n_e",
+            (F.col("s1").cast("double") / F.col("n_e")).alias("m"),
+            (
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1")
+                    / F.col("n_e")
+                )
+                / (F.col("n_e") - 1)
+            ).alias("var"),
+        )
+    )
+    par = fit.select(
+        "n",
+        "u",
+        "n_e",
+        "m",
+        "var",
+        (0.5 * (1.0 - F.col("m") * F.col("m") / F.col("var"))).alias("xi"),
+        (
+            0.5
+            * F.col("m")
+            * (F.col("m") * F.col("m") / F.col("var") + 1.0)
+        ).alias("beta"),
+        (F.col("n_e").cast("double") / F.col("n")).alias("lam"),
+    )
+    return par.select(
+        F.col("n").alias("n_events"),
+        F.col("u").alias("threshold_cents"),
+        F.col("n_e").alias("n_exceedances"),
+        F.round("xi", 6).alias("gpd_xi"),
+        F.round("beta", 6).alias("gpd_beta"),
+        F.round(
+            F.expr(
+                "u + beta / xi * (POW(lam * 10000.0, xi) - 1.0)"
+            ),
+            6,
+        ).alias("return_level_10k"),
+        F.round(
+            F.expr(
+                "u + beta / xi * (POW(lam * 100000.0, xi) - 1.0)"
+            ),
+            6,
+        ).alias("return_level_100k"),
+    )
