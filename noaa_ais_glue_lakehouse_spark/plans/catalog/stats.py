@@ -3999,3 +3999,107 @@ def q496_dp_budget_composition(
         .cast("long")
         .alias("advanced_wins"),
     ).orderBy("n_queries")
+
+
+@register(
+    "q511_siegel_repeated_medians",
+    allow_non_equi=(
+        "deliberate |days|^2 theta self-join ON THE DAY ROLLUP "
+        "(dimension-sized pair spine, the q248 Theil-Sen pattern) + "
+        "1-row scalar assembly"
+    ),
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), slopes AS (
+      SELECT a.d AS di, b.d AS dj,
+             CAST(b.y - a.y AS DOUBLE)
+               / date_diff('day', a.d, b.d) AS s
+      FROM daily a JOIN daily b ON b.d <> a.d
+    ), ranked AS (
+      SELECT di, s,
+             ROW_NUMBER() OVER (PARTITION BY di ORDER BY s, dj) AS rn,
+             COUNT(*) OVER (PARTITION BY di) AS c
+      FROM slopes
+    ), med_i AS (
+      SELECT di, AVG(s) AS med
+      FROM ranked
+      WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1
+      GROUP BY di
+    ), outer_ranked AS (
+      SELECT med,
+             ROW_NUMBER() OVER (ORDER BY med, di) AS rn,
+             COUNT(*) OVER () AS c
+      FROM med_i
+    ), fin AS (
+      SELECT AVG(med) AS slope FROM outer_ranked
+      WHERE rn = (c + 1) // 2 OR rn = c // 2 + 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n.n_days, ROUND(fin.slope, 6) AS siegel_slope_per_day
+    FROM fin CROSS JOIN n
+    """,
+)
+def q511_siegel_repeated_medians(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X439 — SIEGEL REPEATED-MEDIANS slope of the daily event-count
+    series: slope = median_i( median_{j≠i} (y_j−y_i)/(d_j−d_i) ). The
+    maximum-breakdown (50%) robust trend line — Theil–Sen (q248, 29.3%
+    breakdown) still bends once a third of the days are corrupted
+    (outage backfills, logging bugs); the repeated-median inner step
+    gives every single day its own median slope first, so up to HALF
+    the days can be arbitrarily bad before the estimate moves.
+
+    Both median layers avoid engine median()/percentile() semantics
+    entirely (interpolation rules differ): each is an explicit
+    order-statistic pick — ROW_NUMBER over (value, tiebreak), take the
+    middle one or two positions, AVG of ≤2 doubles — identical text in
+    both engines. Slope values are single divisions of exact integer
+    deltas.
+
+    Scale: the |days|² spine rides the DAY rollup (the q248/q249
+    adjudication — dimension-sized, never raw events); the inner median
+    is one |days|-partition rank window."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.d") != F.col("a.d")).select(
+        F.col("a.d").alias("di"),
+        F.col("b.d").alias("dj"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("s"),
+    )
+    wi = Window.partitionBy("di").orderBy("s", "dj")
+    ranked = slopes.select(
+        "di",
+        "s",
+        F.row_number().over(wi).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("di")).alias("c"),
+    )
+    med_i = (
+        ranked.where(
+            (F.col("rn") == F.expr("(c + 1) DIV 2"))
+            | (F.col("rn") == F.expr("c DIV 2 + 1"))
+        )
+        .groupBy("di")
+        .agg(F.avg("s").alias("med"))
+    )
+    wo = Window.orderBy("med", "di")
+    outer_ranked = med_i.select(
+        "med",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("c"),
+    )
+    fin = outer_ranked.where(
+        (F.col("rn") == F.expr("(c + 1) DIV 2"))
+        | (F.col("rn") == F.expr("c DIV 2 + 1"))
+    ).agg(F.avg("med").alias("slope"))
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return fin.crossJoin(F.broadcast(n)).select(
+        "n_days", F.round("slope", 6).alias("siegel_slope_per_day")
+    )

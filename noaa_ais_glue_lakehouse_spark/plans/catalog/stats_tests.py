@@ -5137,3 +5137,191 @@ def q509_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (12 * na * nb * (na + nb))"
         ).alias("cvm_t"),
     )
+
+
+@register(
+    "q512_brunner_munzel",
+    allow_non_equi=(
+        "one 1-row x 1-row cross join assembling the per-group exact "
+        "integer rank moments with the picked type-name row"
+    ),
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY et, day
+    ), pick AS (
+      SELECT et, DENSE_RANK() OVER (ORDER BY et) AS rk
+      FROM (SELECT DISTINCT et FROM d)
+    ), s AS (
+      SELECT p.rk AS grp, d.yc
+      FROM d JOIN pick p USING (et) WHERE p.rk <= 2
+    ), r AS (
+      SELECT grp, yc,
+             2 * RANK() OVER (ORDER BY yc)
+               + COUNT(*) OVER (PARTITION BY yc) - 1 AS r2,
+             2 * RANK() OVER (PARTITION BY grp ORDER BY yc)
+               + COUNT(*) OVER (PARTITION BY grp, yc) - 1 AS i2
+      FROM s
+    ), gm AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2) AS BIGINT) AS sum_r2
+      FROM r GROUP BY grp
+    ), t AS (
+      SELECT r.grp,
+             gm.n * (r.r2 - r.i2 + gm.n + 1) - gm.sum_r2 AS tk
+      FROM r JOIN gm USING (grp)
+    ), st AS (
+      SELECT grp, CAST(SUM(tk * tk) AS BIGINT) AS st2
+      FROM t GROUP BY grp
+    ), g AS (
+      SELECT CAST(MAX(CASE WHEN gm.grp = 1 THEN gm.n END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN gm.grp = 2 THEN gm.n END) AS BIGINT) AS n2,
+             CAST(MAX(CASE WHEN gm.grp = 1 THEN gm.sum_r2 END) AS BIGINT)
+               AS sr1,
+             CAST(MAX(CASE WHEN gm.grp = 2 THEN gm.sum_r2 END) AS BIGINT)
+               AS sr2,
+             CAST(MAX(CASE WHEN st.grp = 1 THEN st.st2 END) AS BIGINT)
+               AS st1,
+             CAST(MAX(CASE WHEN st.grp = 2 THEN st.st2 END) AS BIGINT)
+               AS st2
+      FROM gm JOIN st USING (grp)
+    ), f AS (
+      SELECT n1, n2, st1, st2,
+             CAST(sr1 AS DOUBLE) / (2 * n1) AS rb1,
+             CAST(sr2 AS DOUBLE) / (2 * n2) AS rb2,
+             CAST(st1 AS DOUBLE) / (4.0 * n1 * n1 * (n1 - 1)) AS s1sq,
+             CAST(st2 AS DOUBLE) / (4.0 * n2 * n2 * (n2 - 1)) AS s2sq
+      FROM g
+    ), names AS (
+      SELECT MAX(CASE WHEN rk = 1 THEN et END) AS ta,
+             MAX(CASE WHEN rk = 2 THEN et END) AS tb
+      FROM pick WHERE rk <= 2
+    )
+    SELECT ta AS type_a, tb AS type_b,
+           n1 AS n_a, n2 AS n_b,
+           st1 AS t2sum_a, st2 AS t2sum_b,
+           (rb2 - (CAST(n2 AS DOUBLE) + 1.0) / 2.0) / n1 AS p_hat,
+           CAST(n1 AS DOUBLE) * n2 * (rb2 - rb1) / (n1 + n2)
+             / SQRT(n1 * s1sq + n2 * s2sq) AS bm_stat,
+           POW(n1 * s1sq + n2 * s2sq, 2.0)
+             / (POW(n1 * s1sq, 2.0) / (n1 - 1)
+                + POW(n2 * s2sq, 2.0) / (n2 - 1)) AS bm_df
+    FROM f CROSS JOIN names
+    """,
+)
+def q512_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X440 — BRUNNER–MUNZEL test between the daily revenue
+    distributions of the two lexicographically-first event types: the
+    modern replacement for Mann–Whitney U (q412) when the two
+    distributions may differ in SHAPE/variance, not just location —
+    MWU's null assumes exchangeability, BM tests the stochastic-
+    equality functional p = P(X<Y) + ½P(X=Y) directly with a
+    studentized statistic and Welch–Satterthwaite df (scipy's
+    ``brunnermunzel`` formulation).
+
+    The rank moments are EXACT int64 end-to-end via the q509 doubled-
+    midrank trick: with T_k = n_i(r2_k − i2_k + n_i + 1) − Σr2 (pure
+    integer), Σ T_k² carries the BM rank variance exactly and
+    S_i² = ΣT²/(4n_i²(n_i−1)) falls out as one division — no float rank
+    arithmetic, no ordered fold. The published doubles (p̂, W, df) are
+    single closed-form expressions of those integers, identical text in
+    both engines, deliberately UNROUNDED (the q509 lesson: rationals of
+    small integers can land exactly on a decimal .5 where engine ROUND
+    semantics diverge).
+
+    Scale: day-grain after the first aggregation; rank windows ride
+    ~2·|days| rows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    pick = (
+        d.select("et")
+        .distinct()
+        .select("et", F.dense_rank().over(Window.orderBy("et")).alias("rk"))
+    )
+    s = d.join(pick, "et").where(F.col("rk") <= 2).select(
+        F.col("rk").alias("grp"), "yc"
+    )
+    r = s.select(
+        "grp",
+        (
+            2 * F.rank().over(Window.orderBy("yc"))
+            + F.count(F.lit(1)).over(Window.partitionBy("yc"))
+            - 1
+        ).alias("r2"),
+        (
+            2 * F.rank().over(Window.partitionBy("grp").orderBy("yc"))
+            + F.count(F.lit(1)).over(Window.partitionBy("grp", "yc"))
+            - 1
+        ).alias("i2"),
+    )
+    gm = r.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2").cast("long").alias("sum_r2"),
+    )
+    t = r.join(gm, "grp").select(
+        "grp",
+        (
+            F.col("n") * (F.col("r2") - F.col("i2") + F.col("n") + 1)
+            - F.col("sum_r2")
+        ).alias("tk"),
+    )
+    st = t.groupBy("grp").agg(
+        F.sum(F.col("tk") * F.col("tk")).cast("long").alias("st2")
+    )
+    g = gm.join(st, "grp").agg(
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("grp") == 2, F.col("n"))).cast("long").alias("n2"),
+        F.max(F.when(F.col("grp") == 1, F.col("sum_r2")))
+        .cast("long")
+        .alias("sr1"),
+        F.max(F.when(F.col("grp") == 2, F.col("sum_r2")))
+        .cast("long")
+        .alias("sr2"),
+        F.max(F.when(F.col("grp") == 1, F.col("st2")))
+        .cast("long")
+        .alias("st1"),
+        F.max(F.when(F.col("grp") == 2, F.col("st2")))
+        .cast("long")
+        .alias("st2"),
+    )
+    f = g.select(
+        "n1",
+        "n2",
+        "st1",
+        "st2",
+        F.expr("CAST(sr1 AS DOUBLE) / (2 * n1)").alias("rb1"),
+        F.expr("CAST(sr2 AS DOUBLE) / (2 * n2)").alias("rb2"),
+        F.expr("CAST(st1 AS DOUBLE) / (4.0 * n1 * n1 * (n1 - 1))").alias(
+            "s1sq"
+        ),
+        F.expr("CAST(st2 AS DOUBLE) / (4.0 * n2 * n2 * (n2 - 1))").alias(
+            "s2sq"
+        ),
+    )
+    names = pick.where(F.col("rk") <= 2).agg(
+        F.max(F.when(F.col("rk") == 1, F.col("et"))).alias("ta"),
+        F.max(F.when(F.col("rk") == 2, F.col("et"))).alias("tb"),
+    )
+    return f.crossJoin(F.broadcast(names)).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.col("st1").alias("t2sum_a"),
+        F.col("st2").alias("t2sum_b"),
+        F.expr(
+            "(rb2 - (CAST(n2 AS DOUBLE) + 1.0) / 2.0) / n1"
+        ).alias("p_hat"),
+        F.expr(
+            "CAST(n1 AS DOUBLE) * n2 * (rb2 - rb1) / (n1 + n2)"
+            " / SQRT(n1 * s1sq + n2 * s2sq)"
+        ).alias("bm_stat"),
+        F.expr(
+            "POW(n1 * s1sq + n2 * s2sq, 2.0)"
+            " / (POW(n1 * s1sq, 2.0) / (n1 - 1)"
+            " + POW(n2 * s2sq, 2.0) / (n2 - 1))"
+        ).alias("bm_df"),
+    )

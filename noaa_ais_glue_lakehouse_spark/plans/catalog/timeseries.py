@@ -3990,3 +3990,140 @@ def q506_gpd_peaks_over_threshold(
             6,
         ).alias("return_level_100k"),
     )
+
+
+@register(
+    "q510_seasonal_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             date_trunc('month', CAST(ts AS DATE)) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), sm AS (
+      SELECT a.mo,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_m
+      FROM daily a JOIN daily b ON b.mo = a.mo AND b.d > a.d
+      GROUP BY a.mo
+    ), nm AS (
+      SELECT mo, CAST(COUNT(*) AS BIGINT) AS n_m FROM daily GROUP BY mo
+    ), tm AS (
+      SELECT mo,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_m
+      FROM (SELECT mo, y, COUNT(*) AS t FROM daily GROUP BY mo, y
+            HAVING COUNT(*) > 1)
+      GROUP BY mo
+    ), per AS (
+      SELECT n.mo, n.n_m, COALESCE(s.s_m, 0) AS s_m,
+             n.n_m * (n.n_m - 1) * (2 * n.n_m + 5)
+               - COALESCE(t.tie_m, 0) AS var_num_m
+      FROM nm n LEFT JOIN sm s ON s.mo = n.mo
+                LEFT JOIN tm t ON t.mo = n.mo
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(n_m) AS BIGINT) AS n_days,
+             CAST(SUM(s_m) AS BIGINT) AS smk_s,
+             CAST(SUM(var_num_m) AS BIGINT) AS var_num
+      FROM per
+    )
+    SELECT n_months, n_days, smk_s, var_num,
+           ROUND(CAST(var_num AS DOUBLE) / 18.0, 6) AS var_s,
+           ROUND(CASE WHEN smk_s = 0 THEN 0.0
+                 ELSE (smk_s - CASE WHEN smk_s > 0 THEN 1 ELSE -1 END)
+                      / SQRT(CAST(var_num AS DOUBLE) / 18.0) END, 6) AS z
+    FROM tot
+    """,
+)
+def q510_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X438 — SEASONAL (Hirsch–Slack) Mann–Kendall trend test: the MK
+    pairwise-sign statistic computed WITHIN each calendar month and
+    summed, S' = Σ_m S_m with tie-corrected Var = Σ_m Var_m — so a
+    strong monthly cycle (which inflates plain q249's cross-month pairs
+    with seasonal signal) cannot masquerade as a monotone trend; only
+    like-vs-like comparisons count. The standard upgrade when the
+    series has known periodicity (q257 ACF / q325 seasonality strength
+    decide WHETHER it does; this tests trend GIVEN it does).
+
+    Every component stays exact int64 through the final expression: S'
+    is a sum of pairwise signs, and the variance is carried as its
+    integer NUMERATOR Σ_m [n_m(n_m−1)(2n_m+5) − tie_m] with the single
+    /18 applied once at the end — no float accumulation across months
+    at all (a float Σ var_m would be partition-order-dependent; the
+    integer numerator is not).
+
+    Scale: within-month day-pair spines on the DAY rollup (≤31² per
+    month — dimension-sized, the q248/q249 adjudication), never raw
+    events; unlike q249's pure theta spine this one EQUI-joins on the
+    month key (b.d > a.d is a join filter), so Catalyst plans a hash
+    join, not a nested loop — no allowlist entry needed."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.trunc(F.to_date("ts"), "month").alias("mo"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+    )
+    sm = (
+        a.join(
+            b,
+            (F.col("b.mo") == F.col("a.mo")) & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(F.col("a.mo").alias("mo"))
+        .agg(F.sum(sgn).cast("long").alias("s_m"))
+    )
+    nm = daily.groupBy("mo").agg(F.count(F.lit(1)).cast("long").alias("n_m"))
+    tm = (
+        daily.groupBy("mo", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("mo")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).cast("long").alias("tie_m")
+        )
+    )
+    per = (
+        nm.join(sm, "mo", "left")
+        .join(tm, "mo", "left")
+        .select(
+            "mo",
+            "n_m",
+            F.coalesce(F.col("s_m"), F.lit(0)).alias("s_m"),
+            (
+                F.col("n_m") * (F.col("n_m") - 1) * (2 * F.col("n_m") + 5)
+                - F.coalesce(F.col("tie_m"), F.lit(0))
+            ).alias("var_num_m"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("n_m").cast("long").alias("n_days"),
+        F.sum("s_m").cast("long").alias("smk_s"),
+        F.sum("var_num_m").cast("long").alias("var_num"),
+    )
+    return tot.select(
+        "n_months",
+        "n_days",
+        "smk_s",
+        "var_num",
+        F.round(F.expr("CAST(var_num AS DOUBLE) / 18.0"), 6).alias("var_s"),
+        F.round(
+            F.expr(
+                "CASE WHEN smk_s = 0 THEN 0.0"
+                " ELSE (smk_s - CASE WHEN smk_s > 0 THEN 1 ELSE -1 END)"
+                " / SQRT(CAST(var_num AS DOUBLE) / 18.0) END"
+            ),
+            6,
+        ).alias("z"),
+    )
