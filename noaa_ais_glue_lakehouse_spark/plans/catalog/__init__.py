@@ -23,6 +23,9 @@ from noaa_ais_glue_lakehouse_spark.plans.catalog.geo import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.timeseries import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.stats import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.stats_tests import *  # noqa: F401,F403
+from noaa_ais_glue_lakehouse_spark.plans.catalog.inference import *  # noqa: F401,F403
+from noaa_ais_glue_lakehouse_spark.plans.catalog.profiling import *  # noqa: F401,F403
+from noaa_ais_glue_lakehouse_spark.plans.catalog.textml import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.events import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.graph import *  # noqa: F401,F403
 from noaa_ais_glue_lakehouse_spark.plans.catalog.streaming import *  # noqa: F401,F403

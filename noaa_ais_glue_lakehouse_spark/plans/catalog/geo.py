@@ -2092,3 +2092,119 @@ def q422_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "q519_rayleigh_bearing_test",
+    oracle=_COORDS_CTE
+    + """
+    , legs AS (
+      SELECT user_id, ts, event_id,
+             ATAN2(
+               SIN(RADIANS(lon - LAG(lon) OVER w)) * COS(RADIANS(lat)),
+               COS(RADIANS(LAG(lat) OVER w)) * SIN(RADIANS(lat))
+                 - SIN(RADIANS(LAG(lat) OVER w)) * COS(RADIANS(lat))
+                   * COS(RADIANS(lon - LAG(lon) OVER w))
+             ) AS theta
+      FROM coords
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), folds AS (
+      SELECT user_id,
+             SUM(COS(theta)) OVER v AS run_c,
+             SUM(SIN(theta)) OVER v AS run_s,
+             ROW_NUMBER() OVER v AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM legs WHERE theta IS NOT NULL
+      WINDOW v AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), fin AS (
+      SELECT user_id, CAST(n AS BIGINT) AS n_bearings,
+             SQRT(run_c * run_c + run_s * run_s) / n AS r_bar,
+             ATAN2(run_s, run_c) AS mean_dir,
+             n * (run_c * run_c + run_s * run_s) / (CAST(n AS DOUBLE) * n)
+               AS z
+      FROM folds WHERE rn = n AND n >= 5
+    )
+    SELECT user_id, n_bearings,
+           ROUND(r_bar, 6) AS r_bar, ROUND(mean_dir, 6) AS mean_dir,
+           ROUND(z, 6) AS rayleigh_z,
+           ROUND(EXP(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * n_bearings)
+             - (24.0 * z - 132.0 * z * z + 76.0 * POW(z, 3.0)
+                - 9.0 * POW(z, 4.0))
+               / (288.0 * CAST(n_bearings AS DOUBLE) * n_bearings)), 8)
+             AS p_approx
+    FROM fin
+    """,
+)
+def q519_rayleigh_bearing_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X447 — RAYLEIGH TEST of bearing uniformity per user: circular
+    statistics over each user's leg bearings (the q313 atan2 formula,
+    kept in radians) — mean resultant length R-bar, circular mean
+    direction, and the Rayleigh statistic z = n*R-bar^2 with Zar's
+    small-n series for the p-value. R-bar near 0 = headings uniform
+    (random wander); near 1 = a directed track — the circular-data
+    complement to q354's straightness index, which measures
+    displacement, not heading concentration.
+
+    Portability: SUM(COS)/SUM(SIN) over doubles is order-sensitive, so
+    both resultant components ride a DETERMINISTIC ordered fold (per-
+    user running sum in (ts, event_id) order; the rn = n row is the
+    total) — the same sequential accumulation in both engines.  All
+    downstream scalars are closed forms of (run_c, run_s, n) with
+    identical text.
+
+    Scale: one shuffle on user_id; every window shares that partition.
+    Per-user state is two doubles — no pairwise work anywhere."""
+    ev = _with_coords(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dlon = F.radians(F.col("lon") - F.lag("lon").over(w))
+    plat = F.radians(F.lag("lat").over(w))
+    clat = F.radians(F.col("lat"))
+    theta = F.atan2(
+        F.sin(dlon) * F.cos(clat),
+        F.cos(plat) * F.sin(clat)
+        - F.sin(plat) * F.cos(clat) * F.cos(dlon),
+    )
+    legs = ev.select(
+        "user_id", "ts", "event_id", theta.alias("theta")
+    ).filter(F.col("theta").isNotNull())
+    v = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    folds = legs.select(
+        "user_id",
+        F.sum(F.cos("theta")).over(v).alias("run_c"),
+        F.sum(F.sin("theta")).over(v).alias("run_s"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    fin = folds.where("rn = n AND n >= 5").select(
+        "user_id",
+        F.col("n").cast("long").alias("n_bearings"),
+        F.expr("SQRT(run_c * run_c + run_s * run_s) / n").alias("r_bar"),
+        F.expr("ATAN2(run_s, run_c)").alias("mean_dir"),
+        F.expr(
+            "n * (run_c * run_c + run_s * run_s)"
+            " / (CAST(n AS DOUBLE) * n)"
+        ).alias("z"),
+    )
+    return fin.select(
+        "user_id",
+        "n_bearings",
+        F.round("r_bar", 6).alias("r_bar"),
+        F.round("mean_dir", 6).alias("mean_dir"),
+        F.round("z", 6).alias("rayleigh_z"),
+        F.round(
+            F.expr(
+                "EXP(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * n_bearings)"
+                " - (24.0 * z - 132.0 * z * z + 76.0 * POW(z, 3.0)"
+                " - 9.0 * POW(z, 4.0))"
+                " / (288.0 * CAST(n_bearings AS DOUBLE) * n_bearings))"
+            ),
+            8,
+        ).alias("p_approx"),
+    )

@@ -1,0 +1,1374 @@
+"""Inference wave 2: serial-correlation portmanteau, exact small-table
+tests, lag-causality, and ordinal-pattern complexity (round-10 module —
+stats_tests.py is at its size budget).
+
+Portability discipline (see _shared): every statistic is a closed-form
+double over EXACT int64 moments with identical expression text in both
+engines; any multi-row double reduction rides a deterministic ordered
+fold (window running sum) instead of an order-sensitive SUM().
+
+See _registry for the decorator; reference parity: the reference repo
+has no statistics layer at all (its QA is athena_analysis_curated.sql
+row counts), so this module is beyond-reference surface mandated by the
+brief's training-data-pipeline analytics scope.
+"""
+
+from noaa_ais_glue_lakehouse_spark.plans.catalog._registry import (  # noqa: F401
+    register,
+)
+from noaa_ais_glue_lakehouse_spark.plans.catalog._shared import *  # noqa: F401,F403
+
+# Daily revenue in exact integer cents — the shared spine of this module.
+# Day grain is the scale story: a 100 TB corpus still has O(days) rows
+# after the first aggregation, so every downstream window/join here is
+# bounded by the calendar, not the fact table.
+_DAILY_CTE = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS yc
+      FROM events GROUP BY day
+    )
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(cents(F.col("value"))).cast("long").alias("yc")
+    )
+
+
+# Ljung-Box autocovariance at lag k from exact integers: with S = sum(x),
+# n = count, head/tail the partial sums of the overlapped prefix/suffix
+# and m_k = sum(x_t * x_{t+k}), the mean-centered covariance is
+#   c_k = m_k - (S/n) * (head + tail) + (n - k) * (S/n)^2
+# — one closed-form double over int64s, identical text both engines.
+_LB_CK = (
+    "CAST(mk AS DOUBLE) - (CAST(s AS DOUBLE) / n) * (hk + tk)"
+    " + (n - lag) * POW(CAST(s AS DOUBLE) / n, 2.0)"
+)
+_LB_C0 = "CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n"
+
+
+@register(
+    "q513_ljung_box",
+    oracle=_DAILY_CTE
+    + """
+    , l AS (
+      SELECT yc,
+             LEAD(yc, 1) OVER w AS e1, LEAD(yc, 2) OVER w AS e2,
+             LEAD(yc, 3) OVER w AS e3, LEAD(yc, 4) OVER w AS e4,
+             LEAD(yc, 5) OVER w AS e5, LEAD(yc, 6) OVER w AS e6,
+             LEAD(yc, 7) OVER w AS e7
+      FROM d WINDOW w AS (ORDER BY day)
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yc) AS BIGINT) AS s,
+             CAST(SUM(yc * yc) AS BIGINT) AS s2,
+             CAST(SUM(yc * e1) AS BIGINT) AS m1,
+             CAST(SUM(CASE WHEN e1 IS NOT NULL THEN yc END) AS BIGINT) AS h1,
+             CAST(SUM(e1) AS BIGINT) AS t1,
+             CAST(SUM(yc * e2) AS BIGINT) AS m2,
+             CAST(SUM(CASE WHEN e2 IS NOT NULL THEN yc END) AS BIGINT) AS h2,
+             CAST(SUM(e2) AS BIGINT) AS t2,
+             CAST(SUM(yc * e3) AS BIGINT) AS m3,
+             CAST(SUM(CASE WHEN e3 IS NOT NULL THEN yc END) AS BIGINT) AS h3,
+             CAST(SUM(e3) AS BIGINT) AS t3,
+             CAST(SUM(yc * e4) AS BIGINT) AS m4,
+             CAST(SUM(CASE WHEN e4 IS NOT NULL THEN yc END) AS BIGINT) AS h4,
+             CAST(SUM(e4) AS BIGINT) AS t4,
+             CAST(SUM(yc * e5) AS BIGINT) AS m5,
+             CAST(SUM(CASE WHEN e5 IS NOT NULL THEN yc END) AS BIGINT) AS h5,
+             CAST(SUM(e5) AS BIGINT) AS t5,
+             CAST(SUM(yc * e6) AS BIGINT) AS m6,
+             CAST(SUM(CASE WHEN e6 IS NOT NULL THEN yc END) AS BIGINT) AS h6,
+             CAST(SUM(e6) AS BIGINT) AS t6,
+             CAST(SUM(yc * e7) AS BIGINT) AS m7,
+             CAST(SUM(CASE WHEN e7 IS NOT NULL THEN yc END) AS BIGINT) AS h7,
+             CAST(SUM(e7) AS BIGINT) AS t7
+      FROM l
+    ), u AS (
+      SELECT CAST(1 AS BIGINT) AS lag, m1 AS mk, h1 AS hk, t1 AS tk,
+             n, s, s2 FROM m
+      UNION ALL SELECT 2, m2, h2, t2, n, s, s2 FROM m
+      UNION ALL SELECT 3, m3, h3, t3, n, s, s2 FROM m
+      UNION ALL SELECT 4, m4, h4, t4, n, s, s2 FROM m
+      UNION ALL SELECT 5, m5, h5, t5, n, s, s2 FROM m
+      UNION ALL SELECT 6, m6, h6, t6, n, s, s2 FROM m
+      UNION ALL SELECT 7, m7, h7, t7, n, s, s2 FROM m
+    ), r AS (
+      SELECT lag, mk, hk, tk, n,
+             ("""
+    + _LB_CK
+    + """) / ("""
+    + _LB_C0
+    + """) AS r_k
+      FROM u
+    )
+    SELECT lag, mk, hk, tk, r_k,
+           n * (n + 2.0) * SUM(POW(r_k, 2.0) / (n - lag)) OVER
+             (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS q_lb
+    FROM r
+    """,
+)
+def q513_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X441 — LJUNG-BOX portmanteau test of serial correlation in the
+    daily-revenue series, lags 1..7: the standard "is this residual
+    series white noise" gate (Box/Jenkins) that the existing
+    autocorrelation surfaces (q162 daily autocorr, q257 ACF periodicity,
+    q466 Durbin-Watson lag-1) stop short of — Q_LB accumulates ALL lags
+    into one chi-square(k) statistic, so a weak-but-persistent
+    correlation structure that no single lag flags still fails the test.
+
+    Exactness: each lag-k autocovariance is recovered from four int64
+    moments (m_k = Σ x_t·x_{t+k}, the overlapped head/tail partial sums,
+    and the global S, Σx²) via one closed-form double with identical
+    text in both engines — no float mean subtraction row-by-row. The
+    Q_LB accumulation over lags is a deterministic ordered fold (window
+    running sum over the 7-row lag table).
+
+    Scale: one day-grain aggregation (O(days) rows after the first
+    shuffle); the 7 LEAD columns and the lag table ride that tiny frame.
+    Int64 headroom: daily cents ≤ ~2e8 at sf1, so Σ x_t·x_{t+k} ≤
+    ~1.5e18 stays in-range; beyond that, quantize the spine to whole
+    units upstream."""
+    d = _daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    leads = d.select(
+        "yc", *[F.lead("yc", k).over(w).alias(f"e{k}") for k in range(1, 8)]
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("s2"),
+    ]
+    for k in range(1, 8):
+        e = F.col(f"e{k}")
+        aggs += [
+            F.sum(F.col("yc") * e).cast("long").alias(f"m{k}"),
+            F.sum(F.when(e.isNotNull(), F.col("yc")))
+            .cast("long")
+            .alias(f"h{k}"),
+            F.sum(e).cast("long").alias(f"t{k}"),
+        ]
+    m = leads.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), m{k}, h{k}, t{k}" for k in range(1, 8)
+    )
+    u = m.select(
+        F.expr(f"stack(7, {stack_args}) AS (lag, mk, hk, tk)"),
+        "n",
+        "s",
+        "s2",
+    )
+    r = u.select(
+        "lag",
+        "mk",
+        "hk",
+        "tk",
+        "n",
+        F.expr(f"({_LB_CK}) / ({_LB_C0})").alias("r_k"),
+    )
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return r.select(
+        "lag",
+        "mk",
+        "hk",
+        "tk",
+        "r_k",
+        (
+            F.expr("n * (n + 2.0)")
+            * F.sum(F.expr("POW(r_k, 2.0) / (n - lag)")).over(wq)
+        ).alias("q_lb"),
+    )
+
+
+@register(
+    "q514_fisher_exact",
+    allow_non_equi=(
+        "1-row margin scalars broadcast onto the <=|days| hypergeometric "
+        "support spine and the 1-row observed-cell probability broadcast "
+        "back for the two-sided inclusion rule"
+    ),
+    oracle=_DAILY_CTE
+    + """
+    , g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(yc) AS BIGINT) AS tot FROM d
+    ), cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN (day - DATE '1970-01-01') % 7 IN (2, 3)
+                       AND yc * nd > tot THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN (day - DATE '1970-01-01') % 7 IN (2, 3)
+                       AND NOT yc * nd > tot THEN 1 ELSE 0 END) AS BIGINT)
+          AS b,
+        CAST(SUM(CASE WHEN NOT (day - DATE '1970-01-01') % 7 IN (2, 3)
+                       AND yc * nd > tot THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT (day - DATE '1970-01-01') % 7 IN (2, 3)
+                       AND NOT yc * nd > tot THEN 1 ELSE 0 END) AS BIGINT)
+          AS dd
+      FROM d CROSS JOIN g
+    ), mrg AS (
+      SELECT a, b, c, dd, a + b AS r1, a + c AS c1,
+             a + b + c + dd AS n FROM cells
+    ), lf AS (
+      SELECT i,
+             SUM(CASE WHEN i > 0 THEN LN(CAST(i AS DOUBLE)) ELSE 0.0 END)
+               OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS lf
+      FROM (SELECT UNNEST(generate_series(0, (SELECT n FROM mrg))) AS i)
+    ), sup AS (
+      SELECT m.*, k.i AS k
+      FROM mrg m JOIN lf k
+        ON k.i BETWEEN GREATEST(0, m.r1 + m.c1 - m.n)
+                   AND LEAST(m.r1, m.c1)
+    ), p AS (
+      SELECT s.a, s.b, s.c, s.dd, s.n, s.k,
+             EXP(lr1.lf + lr2.lf + lc1.lf + lc2.lf - ln_.lf
+                 - lk.lf - lrk.lf - lck.lf - lnk.lf) AS pk
+      FROM sup s
+      JOIN lf lr1 ON lr1.i = s.r1
+      JOIN lf lr2 ON lr2.i = s.n - s.r1
+      JOIN lf lc1 ON lc1.i = s.c1
+      JOIN lf lc2 ON lc2.i = s.n - s.c1
+      JOIN lf ln_ ON ln_.i = s.n
+      JOIN lf lk  ON lk.i = s.k
+      JOIN lf lrk ON lrk.i = s.r1 - s.k
+      JOIN lf lck ON lck.i = s.c1 - s.k
+      JOIN lf lnk ON lnk.i = s.n - s.r1 - s.c1 + s.k
+    ), obs AS (
+      SELECT pk AS p_obs FROM p WHERE k = a
+    ), fold AS (
+      SELECT p.a, p.b, p.c, p.dd, p.n, p.k, p.pk, o.p_obs,
+             SUM(CASE WHEN p.pk <= o.p_obs * (1.0 + 1e-7)
+                      THEN p.pk ELSE 0.0 END)
+               OVER (ORDER BY p.k ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CASE WHEN p.pk <= o.p_obs * (1.0 + 1e-7)
+                      THEN 1 ELSE 0 END) OVER () AS n_inc,
+             COUNT(*) OVER () AS n_sup
+      FROM p CROSS JOIN obs o
+    )
+    SELECT a, b, c, dd AS d, n,
+           CAST(n_sup AS BIGINT) AS support_size,
+           CAST(n_inc AS BIGINT) AS n_included,
+           p_obs AS p_point, MAX(cum) AS p_two_sided,
+           CAST(a AS DOUBLE) * dd / (CAST(b AS DOUBLE) * c) AS odds_ratio
+    FROM fold
+    GROUP BY a, b, c, dd, n, n_sup, n_inc, p_obs
+    """,
+)
+def q514_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X442 — FISHER EXACT TEST on the day-grain 2x2 table
+    (weekend day? x above-mean-revenue day?): the exact small-sample
+    companion to q143's asymptotic chi-square — at |days| cells the
+    chi-square approximation is unreliable, and Fisher's hypergeometric
+    enumeration is the textbook answer.
+
+    Exactness levers: the "above mean" classification is the pure
+    integer predicate yc * n_days > total (no float mean); weekday is
+    the portable epoch-day (day − 1970-01-01) % 7 ∈ {2,3} (Sat/Sun) so
+    neither engine's DOW numbering is trusted; log-factorials come from
+    ONE deterministic prefix-sum fold over the 0..n spine (identical
+    accumulation order in both engines), each point probability is a
+    single EXP of 9 table lookups, and the two-sided p (scipy
+    convention: sum of all pk ≤ p_obs·(1+1e-7)) is an ordered fold over
+    the support, surfaced with an order-insensitive MAX of the monotone
+    running sum.
+
+    Scale: everything after the first aggregation is day-grain — the
+    spine, support, and folds are O(days) forever, which is exactly the
+    regime where the exact test (vs q143) is statistically needed."""
+    d = _daily(spark, sf_dir)
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("yc").cast("long").alias("tot"),
+    )
+    wknd = "(DATEDIFF(day, DATE '1970-01-01')) % 7 IN (2, 3)"
+    hi = "yc * nd > tot"
+    cells = (
+        d.crossJoin(F.broadcast(g))
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN {wknd} AND {hi} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("a"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {wknd} AND NOT {hi} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("b"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN NOT {wknd} AND {hi} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("c"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN NOT {wknd} AND NOT {hi} THEN 1 ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("dd"),
+        )
+    )
+    mrg = cells.select(
+        "a",
+        "b",
+        "c",
+        "dd",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("dd")).alias("n"),
+    )
+    lf = (
+        mrg.select(F.explode(F.expr("sequence(0, n)")).alias("i"))
+        .select(
+            "i",
+            F.sum(
+                F.expr(
+                    "CASE WHEN i > 0 THEN LN(CAST(i AS DOUBLE)) ELSE 0.0 END"
+                )
+            )
+            .over(
+                Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("lf"),
+        )
+    )
+    sup = mrg.crossJoin(lf.withColumnRenamed("i", "k")).where(
+        F.expr(
+            "k BETWEEN GREATEST(0, r1 + c1 - n) AND LEAST(r1, c1)"
+        )
+    ).drop("lf")
+
+    def lkp(alias, key_expr):
+        return (
+            lf.select(
+                F.col("i").alias(f"{alias}_i"), F.col("lf").alias(alias)
+            ),
+            key_expr,
+        )
+
+    p = sup
+    for alias, key in [
+        ("lr1", "r1"),
+        ("lr2", "n - r1"),
+        ("lc1", "c1"),
+        ("lc2", "n - c1"),
+        ("lnn", "n"),
+        ("lk", "k"),
+        ("lrk", "r1 - k"),
+        ("lck", "c1 - k"),
+        ("lnk", "n - r1 - c1 + k"),
+    ]:
+        tbl, _ = lkp(alias, key)
+        p = p.join(tbl, F.expr(f"{alias}_i = {key}")).drop(f"{alias}_i")
+    p = p.select(
+        "a",
+        "b",
+        "c",
+        "dd",
+        "n",
+        "k",
+        F.expr(
+            "EXP(lr1 + lr2 + lc1 + lc2 - lnn - lk - lrk - lck - lnk)"
+        ).alias("pk"),
+    )
+    obs = p.where(F.expr("k = a")).select(F.col("pk").alias("p_obs"))
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    fold = p.crossJoin(F.broadcast(obs)).select(
+        "a",
+        "b",
+        "c",
+        "dd",
+        "n",
+        "k",
+        "pk",
+        "p_obs",
+        F.sum(
+            F.expr(
+                "CASE WHEN pk <= p_obs * (1.0 + 1e-7) THEN pk ELSE 0.0 END"
+            )
+        )
+        .over(wk)
+        .alias("cum"),
+        F.sum(
+            F.expr("CASE WHEN pk <= p_obs * (1.0 + 1e-7) THEN 1 ELSE 0 END")
+        )
+        .over(Window.partitionBy())
+        .alias("n_inc"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sup"),
+    )
+    return fold.groupBy(
+        "a", "b", "c", "dd", "n", "n_sup", "n_inc", "p_obs"
+    ).agg(F.max("cum").alias("p_two_sided")).select(
+        "a",
+        "b",
+        "c",
+        F.col("dd").alias("d"),
+        "n",
+        F.col("n_sup").cast("long").alias("support_size"),
+        F.col("n_inc").cast("long").alias("n_included"),
+        F.col("p_obs").alias("p_point"),
+        "p_two_sided",
+        F.expr("CAST(a AS DOUBLE) * dd / (CAST(b AS DOUBLE) * c)").alias(
+            "odds_ratio"
+        ),
+    )
+
+
+# Granger closed forms (doubles over exact int64 centered moments).
+_GR_EXPRS = """
+    CAST(cyy1 AS DOUBLE) / cy1y1 AS beta_r,
+    (CAST(cy1y1 AS DOUBLE) * cx1x1 - CAST(cy1x1 AS DOUBLE) * cy1x1)
+      AS det_u,
+    (CAST(cyy1 AS DOUBLE) * cx1x1 - CAST(cyx1 AS DOUBLE) * cy1x1)
+      / (CAST(cy1y1 AS DOUBLE) * cx1x1 - CAST(cy1x1 AS DOUBLE) * cy1x1)
+      AS beta_y1,
+    (CAST(cyx1 AS DOUBLE) * cy1y1 - CAST(cyy1 AS DOUBLE) * cy1x1)
+      / (CAST(cy1y1 AS DOUBLE) * cx1x1 - CAST(cy1x1 AS DOUBLE) * cy1x1)
+      AS beta_x1,
+    (CAST(cyy AS DOUBLE) - CAST(cyy1 AS DOUBLE) * cyy1 / cy1y1)
+      / CAST(n AS DOUBLE) AS sse_r
+"""
+
+_GR_SSEU = (
+    "(CAST(cyy AS DOUBLE) - beta_y1 * cyy1 - beta_x1 * cyx1)"
+    " / CAST(n AS DOUBLE)"
+)
+
+
+@register(
+    "q515_granger_lag1",
+    allow_non_equi=(
+        "one 1-row x 1-row cross join attaching the two picked type "
+        "names to the single-row moment fold"
+    ),
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS yc
+      FROM events GROUP BY et, day
+    ), pick AS (
+      SELECT et, DENSE_RANK() OVER (ORDER BY et) AS rk
+      FROM (SELECT DISTINCT et FROM d)
+    ), al AS (
+      SELECT a.day, a.yc AS y, b.yc AS x
+      FROM (SELECT d.day, d.yc FROM d JOIN pick p USING (et)
+            WHERE p.rk = 1) a
+      JOIN (SELECT d.day, d.yc FROM d JOIN pick p USING (et)
+            WHERE p.rk = 2) b USING (day)
+    ), lagd AS (
+      SELECT y, LAG(y) OVER (ORDER BY day) AS y1,
+             LAG(x) OVER (ORDER BY day) AS x1
+      FROM al
+    ), t AS (
+      SELECT y, y1, x1 FROM lagd WHERE y1 IS NOT NULL
+    ), mm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y1) AS BIGINT) AS sy1,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(y1 * y1) AS BIGINT) AS sy1y1,
+             CAST(SUM(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(SUM(y * y1) AS BIGINT) AS syy1,
+             CAST(SUM(y * x1) AS BIGINT) AS syx1,
+             CAST(SUM(y1 * x1) AS BIGINT) AS sy1x1
+      FROM t
+    ), cm AS (
+      SELECT n,
+             n * syy - sy * sy AS cyy,
+             n * sy1y1 - sy1 * sy1 AS cy1y1,
+             n * sx1x1 - sx1 * sx1 AS cx1x1,
+             n * syy1 - sy * sy1 AS cyy1,
+             n * syx1 - sy * sx1 AS cyx1,
+             n * sy1x1 - sy1 * sx1 AS cy1x1
+      FROM mm
+    ), fit AS (
+      SELECT n, cyy, cy1y1, cx1x1, cyy1, cyx1, cy1x1,
+    """
+    + _GR_EXPRS
+    + """
+      FROM cm
+    ), fin AS (
+      SELECT *, """
+    + _GR_SSEU
+    + """ AS sse_u FROM fit
+    ), names AS (
+      SELECT MAX(CASE WHEN rk = 1 THEN et END) AS ty,
+             MAX(CASE WHEN rk = 2 THEN et END) AS tx
+      FROM pick WHERE rk <= 2
+    )
+    SELECT ty AS effect_type, tx AS cause_type, n,
+           cyy, cy1y1, cx1x1, cyy1, cyx1, cy1x1,
+           beta_r, beta_y1, beta_x1, sse_r, sse_u,
+           (sse_r - sse_u) / (sse_u / (n - 3.0)) AS f_stat
+    FROM fin CROSS JOIN names
+    """,
+)
+def q515_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X443 — GRANGER CAUSALITY (lag-1) between the two
+    lexicographically-first event types' daily revenue series: does
+    yesterday's type-B revenue improve the AR(1) forecast of today's
+    type-A revenue?  The restricted model y_t ~ y_{t-1} and the
+    unrestricted y_t ~ y_{t-1} + x_{t-1} are both solved in CLOSED FORM
+    (Cramer's rule on the 2x2 normal equations) from nine exact int64
+    raw moments; the F statistic compares their SSEs.  Complements the
+    symmetric lagged cross-correlation (q221) with the directional,
+    regression-adjusted version.
+
+    Exactness: centered moments c__ = n·S__ − S_·S_ stay int64 (daily
+    cents ≤ 2e8 at sf1 → |c| ≤ ~1.5e18); only the final
+    Cramer/SSE/F expressions are doubles, with identical text in both
+    engines.  Aligned-day LAG defines t−1 as the previous COMMON
+    observation day (documented convention; the day spine is contiguous
+    here).
+
+    Scale: two day-grain series joined on day; the moment fold is one
+    1-row aggregate — O(days) forever."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    pick = (
+        d.select("et")
+        .distinct()
+        .select("et", F.dense_rank().over(Window.orderBy("et")).alias("rk"))
+    )
+    a = (
+        d.join(F.broadcast(pick.where("rk = 1")), "et")
+        .select("day", F.col("yc").alias("y"))
+    )
+    b = (
+        d.join(F.broadcast(pick.where("rk = 2")), "et")
+        .select("day", F.col("yc").alias("x"))
+    )
+    al = a.join(b, "day")
+    w = Window.orderBy("day")
+    t = (
+        al.select(
+            "y",
+            F.lag("y").over(w).alias("y1"),
+            F.lag("x").over(w).alias("x1"),
+        )
+        .where(F.col("y1").isNotNull())
+    )
+    mm = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("y1").cast("long").alias("sy1"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+        F.sum(F.expr("y1 * y1")).cast("long").alias("sy1y1"),
+        F.sum(F.expr("x1 * x1")).cast("long").alias("sx1x1"),
+        F.sum(F.expr("y * y1")).cast("long").alias("syy1"),
+        F.sum(F.expr("y * x1")).cast("long").alias("syx1"),
+        F.sum(F.expr("y1 * x1")).cast("long").alias("sy1x1"),
+    )
+    cm = mm.select(
+        "n",
+        F.expr("n * syy - sy * sy").alias("cyy"),
+        F.expr("n * sy1y1 - sy1 * sy1").alias("cy1y1"),
+        F.expr("n * sx1x1 - sx1 * sx1").alias("cx1x1"),
+        F.expr("n * syy1 - sy * sy1").alias("cyy1"),
+        F.expr("n * syx1 - sy * sx1").alias("cyx1"),
+        F.expr("n * sy1x1 - sy1 * sx1").alias("cy1x1"),
+    )
+    fit = cm.select("*", *[F.expr(e) for e in _split_select(_GR_EXPRS)])
+    fin = fit.withColumn("sse_u", F.expr(_GR_SSEU))
+    names = pick.where(F.col("rk") <= 2).agg(
+        F.max(F.when(F.col("rk") == 1, F.col("et"))).alias("ty"),
+        F.max(F.when(F.col("rk") == 2, F.col("et"))).alias("tx"),
+    )
+    return fin.crossJoin(F.broadcast(names)).select(
+        F.col("ty").alias("effect_type"),
+        F.col("tx").alias("cause_type"),
+        "n",
+        "cyy",
+        "cy1y1",
+        "cx1x1",
+        "cyy1",
+        "cyx1",
+        "cy1x1",
+        "beta_r",
+        "beta_y1",
+        "beta_x1",
+        "sse_r",
+        "sse_u",
+        F.expr("(sse_r - sse_u) / (sse_u / (n - 3.0))").alias("f_stat"),
+    )
+
+
+def _split_select(block: str) -> list[str]:
+    """Split a shared SELECT-list text block into its top-level
+    comma-separated expressions (parens-aware), so the Spark side can
+    apply the EXACT same expression text the oracle embeds."""
+    out, depth, cur = [], 0, []
+    for ch in block:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+@register(
+    "q516_permutation_entropy",
+    oracle=_DAILY_CTE
+    + """
+    , tri AS (
+      SELECT yc AS a, LEAD(yc, 1) OVER w AS b, LEAD(yc, 2) OVER w AS c
+      FROM d WINDOW w AS (ORDER BY day)
+    ), pat AS (
+      SELECT (CASE WHEN b < a THEN 1 ELSE 0 END)
+           + (CASE WHEN c < a THEN 1 ELSE 0 END) * 2
+           + (CASE WHEN c < b THEN 1 ELSE 0 END) * 4 AS code
+      FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+    ), cnts AS (
+      SELECT code, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS m
+      FROM pat GROUP BY code
+    ), h AS (
+      SELECT code, cnt, m,
+             CAST(cnt AS DOUBLE) / m AS p,
+             -(CAST(cnt AS DOUBLE) / m) * LN(CAST(cnt AS DOUBLE) / m)
+               AS neg_plnp,
+             SUM(-(CAST(cnt AS DOUBLE) / m) * LN(CAST(cnt AS DOUBLE) / m))
+               OVER (ORDER BY code ROWS UNBOUNDED PRECEDING) AS running
+      FROM cnts
+    )
+    SELECT code, cnt, m, p, neg_plnp, running,
+           MAX(running) OVER () AS h_total,
+           MAX(running) OVER () / LN(6.0) AS h_norm
+    FROM h
+    """,
+)
+def q516_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X444 — PERMUTATION ENTROPY (Bandt-Pompe, order 3) of the daily
+    revenue series: the distribution of ordinal patterns of embedded
+    triples (x_t, x_{t+1}, x_{t+2}) and its normalized Shannon entropy
+    — a noise-robust complexity measure (near 1 = white noise, low =
+    deterministic structure) that complements the magnitude-based
+    Hurst exponent (q462) with a purely ORDINAL lens.
+
+    Patterns are encoded by three exact integer comparisons (ties break
+    toward the earlier index, the standard convention), so the 3-bit
+    code is engine-exact; the ≤6-term entropy sum rides a deterministic
+    ordered fold with the total surfaced via an order-insensitive MAX
+    of the monotone running sum.
+
+    Scale: day-grain after one aggregation; two LEADs and a ≤6-row
+    group — O(days) forever."""
+    d = _daily(spark, sf_dir)
+    w = Window.orderBy("day")
+    tri = d.select(
+        F.col("yc").alias("a"),
+        F.lead("yc", 1).over(w).alias("b"),
+        F.lead("yc", 2).over(w).alias("c"),
+    )
+    pat = tri.where("b IS NOT NULL AND c IS NOT NULL").select(
+        F.expr(
+            "(CASE WHEN b < a THEN 1 ELSE 0 END)"
+            " + (CASE WHEN c < a THEN 1 ELSE 0 END) * 2"
+            " + (CASE WHEN c < b THEN 1 ELSE 0 END) * 4"
+        ).alias("code")
+    )
+    cnts = pat.groupBy("code").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).select(
+        "code",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    wc = Window.orderBy("code").rowsBetween(Window.unboundedPreceding, 0)
+    h = cnts.select(
+        "code",
+        "cnt",
+        "m",
+        F.expr("CAST(cnt AS DOUBLE) / m").alias("p"),
+        F.expr(
+            "-(CAST(cnt AS DOUBLE) / m) * LN(CAST(cnt AS DOUBLE) / m)"
+        ).alias("neg_plnp"),
+        F.sum(
+            F.expr(
+                "-(CAST(cnt AS DOUBLE) / m) * LN(CAST(cnt AS DOUBLE) / m)"
+            )
+        )
+        .over(wc)
+        .alias("running"),
+    )
+    return h.select(
+        "code",
+        "cnt",
+        "m",
+        "p",
+        "neg_plnp",
+        "running",
+        F.max("running").over(Window.partitionBy()).alias("h_total"),
+        (F.max("running").over(Window.partitionBy()) / F.expr("LN(6.0)"))
+        .alias("h_norm"),
+    )
+
+
+@register(
+    "q520_somers_d_gamma",
+    allow_non_equi=(
+        "bounded 240x240 (hour x value-band) contingency-cell pair "
+        "enumeration plus the 1-row tie-count scalar attach; both sides "
+        "are fixed-size regardless of corpus scale"
+    ),
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS x,
+             LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000, 9)
+               AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY x, y
+    ), pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+                      THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c_pairs,
+        CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+                      THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d_pairs,
+        CAST(SUM(CASE WHEN a.x = b.x AND a.y < b.y
+                      THEN a.n * b.n ELSE 0 END) AS BIGINT) AS tx_only,
+        CAST(SUM(CASE WHEN a.y = b.y AND a.x < b.x
+                      THEN a.n * b.n ELSE 0 END) AS BIGINT) AS ty_only
+      FROM cells a CROSS JOIN cells b
+    ), same AS (
+      SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS txy,
+             CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM cells
+    )
+    SELECT c_pairs, d_pairs, tx_only, ty_only, txy, n_rows,
+           CAST(c_pairs - d_pairs AS DOUBLE) / (c_pairs + d_pairs)
+             AS gamma,
+           CAST(c_pairs - d_pairs AS DOUBLE)
+             / (c_pairs + d_pairs + ty_only) AS somers_d_yx,
+           CAST(c_pairs - d_pairs AS DOUBLE)
+             / (c_pairs + d_pairs + tx_only) AS somers_d_xy,
+           CAST(c_pairs - d_pairs AS DOUBLE)
+             / SQRT(CAST(c_pairs + d_pairs + tx_only AS DOUBLE)
+                    * (c_pairs + d_pairs + ty_only)) AS tau_b
+    FROM pairs CROSS JOIN same
+    """,
+)
+def q520_somers_d_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X448 — ORDINAL ASSOCIATION panel (Goodman-Kruskal gamma, Somers'
+    D both directions, Kendall tau-b) between hour-of-day and the
+    event-value band: the full concordant/discordant-pair decomposition
+    (C, D, ties on X only, Y only, both) published as exact int64s, so
+    every coefficient is one closed-form double over integers.  Somers'
+    d_yx is THE effect size for "does value rank increase with hour" —
+    asymmetric, unlike q287's Spearman — and the published pair counts
+    let a reader derive any other ordinal coefficient for free.
+
+    Exactness: pair counts come from the bounded 24x10 contingency
+    table — an ordered cell-pair enumeration (a.x < b.x counts each
+    unordered pair exactly once), all int64 (cell products ≤ ~1e16 at
+    sf1).  The within-cell tie term n(n−1)//2 is exact integer
+    division.
+
+    Scale: ONE map-side-combining aggregation to ≤240 cells; the
+    240×240 pair enumeration is constant work regardless of corpus
+    size — this is how rank statistics survive 100 TB (same design as
+    q382/q412)."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("CAST(hour(ts) AS BIGINT)").alias("x"),
+        F.expr(
+            "LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 5000, 9)"
+        ).alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("n").alias("bn")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN ax < bx AND ay < by THEN an * bn ELSE 0 END"
+            )
+        ).cast("long").alias("c_pairs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ax < bx AND ay > by THEN an * bn ELSE 0 END"
+            )
+        ).cast("long").alias("d_pairs"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ax = bx AND ay < by THEN an * bn ELSE 0 END"
+            )
+        ).cast("long").alias("tx_only"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ay = by AND ax < bx THEN an * bn ELSE 0 END"
+            )
+        ).cast("long").alias("ty_only"),
+    )
+    same = cells.agg(
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias("txy"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
+    return pairs.crossJoin(F.broadcast(same)).select(
+        "c_pairs",
+        "d_pairs",
+        "tx_only",
+        "ty_only",
+        "txy",
+        "n_rows",
+        F.expr(
+            "CAST(c_pairs - d_pairs AS DOUBLE) / (c_pairs + d_pairs)"
+        ).alias("gamma"),
+        F.expr(
+            "CAST(c_pairs - d_pairs AS DOUBLE)"
+            " / (c_pairs + d_pairs + ty_only)"
+        ).alias("somers_d_yx"),
+        F.expr(
+            "CAST(c_pairs - d_pairs AS DOUBLE)"
+            " / (c_pairs + d_pairs + tx_only)"
+        ).alias("somers_d_xy"),
+        F.expr(
+            "CAST(c_pairs - d_pairs AS DOUBLE)"
+            " / SQRT(CAST(c_pairs + d_pairs + tx_only AS DOUBLE)"
+            " * (c_pairs + d_pairs + ty_only))"
+        ).alias("tau_b"),
+    )
+
+
+# Indexed daily series: deterministic 0-based day index + global count.
+_IDX_CTE = _DAILY_CTE + """
+    , ix AS (
+      SELECT day, yc,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM d
+    )
+"""
+
+
+def _ix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily(spark, sf_dir)
+    return d.select(
+        "day",
+        "yc",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("long")
+        .alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+
+
+@register(
+    "q524_breusch_pagan",
+    allow_non_equi=(
+        "1-row OLS-coefficient scalars broadcast back onto the day-grain "
+        "series for residual computation, and the 1-row final fold"
+    ),
+    oracle=_IDX_CTE
+    + """
+    , mo AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(t * yc) AS BIGINT) AS sty
+      FROM ix
+    ), co AS (
+      SELECT n, st, stt, sy, sty,
+             (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b
+      FROM mo
+    ), co2 AS (
+      SELECT *, (CAST(sy AS DOUBLE) - b * st) / n AS a FROM co
+    ), res AS (
+      SELECT ix.t, ix.n, co2.st, co2.stt,
+             (ix.yc - co2.a - co2.b * ix.t)
+               * (ix.yc - co2.a - co2.b * ix.t) AS u
+      FROM ix CROSS JOIN co2
+    ), fold AS (
+      SELECT t, n, st, stt,
+             SUM(u) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS su,
+             SUM(u * t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS sut,
+             SUM(u * u) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS suu
+      FROM res
+    ), fin AS (
+      SELECT n, su, sut, suu,
+             POW(n * sut - su * st, 2.0)
+               / ((n * suu - su * su)
+                  * (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))
+               AS r2_aux
+      FROM fold WHERE t = n - 1
+    )
+    SELECT n, su AS sum_u, sut AS sum_ut, suu AS sum_uu, r2_aux,
+           n * r2_aux AS lm_stat
+    FROM fin
+    """,
+)
+def q524_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X452 — BREUSCH-PAGAN heteroskedasticity test of the daily-revenue
+    trend regression: OLS y~t in closed form from int64 moments, then
+    the LM statistic n·R² of the auxiliary regression of SQUARED
+    residuals on t.  A significant LM means revenue VARIANCE drifts
+    over the window — exactly the condition under which q234's linear
+    forecast intervals and q317's backtests are mis-calibrated, so this
+    is their diagnostic gate.
+
+    Exactness: slope/intercept are closed-form doubles over exact int64
+    (t, y) moments; per-day squared residuals are deterministic doubles
+    (identical expression text), and the auxiliary moments Σu, Σut, Σu²
+    ride ONE deterministic ordered fold over the day index (the q507
+    pattern) — no order-sensitive double SUM anywhere.
+
+    Scale: day-grain after one aggregation; the fold is a single-
+    partition window over O(days) rows, constant at any corpus size."""
+    ix = _ix(spark, sf_dir)
+    mo = ix.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.expr("t * t")).cast("long").alias("stt"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.expr("t * yc")).cast("long").alias("sty"),
+    )
+    co = mo.select(
+        "*",
+        F.expr(
+            "(CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)"
+            " / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+        ).alias("b"),
+    )
+    co2 = co.select("*", F.expr("(CAST(sy AS DOUBLE) - b * st) / n").alias("a"))
+    res = ix.crossJoin(F.broadcast(co2.select("st", "stt", "a", "b"))).select(
+        "t",
+        "n",
+        "st",
+        "stt",
+        F.expr(
+            "(yc - a - b * t) * (yc - a - b * t)"
+        ).alias("u"),
+    )
+    wf = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    fold = res.select(
+        "t",
+        "n",
+        "st",
+        "stt",
+        F.sum("u").over(wf).alias("su"),
+        F.sum(F.expr("u * t")).over(wf).alias("sut"),
+        F.sum(F.expr("u * u")).over(wf).alias("suu"),
+    )
+    fin = fold.where("t = n - 1").select(
+        "n",
+        "su",
+        "sut",
+        "suu",
+        F.expr(
+            "POW(n * sut - su * st, 2.0)"
+            " / ((n * suu - su * su)"
+            " * (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))"
+        ).alias("r2_aux"),
+    )
+    return fin.select(
+        "n",
+        F.col("su").alias("sum_u"),
+        F.col("sut").alias("sum_ut"),
+        F.col("suu").alias("sum_uu"),
+        "r2_aux",
+        F.expr("n * r2_aux").alias("lm_stat"),
+    )
+
+
+_CHOW_SSE = (
+    "(CAST(cyy{s} AS DOUBLE)"
+    " - CAST(cty{s} AS DOUBLE) * cty{s} / ctt{s}) / n{s}"
+)
+
+
+@register(
+    "q525_chow_test",
+    oracle=_IDX_CTE
+    + """
+    , seg AS (
+      SELECT t, yc, n, CASE WHEN t < n // 2 THEN 1 ELSE 2 END AS s
+      FROM ix
+    ), sm AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(t * yc) AS BIGINT) AS sty,
+             CAST(SUM(yc * yc) AS BIGINT) AS syy
+      FROM seg GROUP BY s
+    ), g AS (
+      SELECT
+        CAST(SUM(ns) AS BIGINT) AS n,
+        CAST(MAX(CASE WHEN s = 1 THEN ns END) AS BIGINT) AS n1,
+        CAST(MAX(CASE WHEN s = 2 THEN ns END) AS BIGINT) AS n2,
+        CAST(MAX(CASE WHEN s = 1 THEN ns * stt - st * st END) AS BIGINT)
+          AS ctt1,
+        CAST(MAX(CASE WHEN s = 2 THEN ns * stt - st * st END) AS BIGINT)
+          AS ctt2,
+        CAST(MAX(CASE WHEN s = 1 THEN ns * sty - st * sy END) AS BIGINT)
+          AS cty1,
+        CAST(MAX(CASE WHEN s = 2 THEN ns * sty - st * sy END) AS BIGINT)
+          AS cty2,
+        CAST(MAX(CASE WHEN s = 1 THEN ns * syy - sy * sy END) AS BIGINT)
+          AS cyy1,
+        CAST(MAX(CASE WHEN s = 2 THEN ns * syy - sy * sy END) AS BIGINT)
+          AS cyy2,
+        CAST(SUM(st) AS BIGINT) AS pst,
+        CAST(SUM(stt) AS BIGINT) AS pstt,
+        CAST(SUM(sy) AS BIGINT) AS psy,
+        CAST(SUM(sty) AS BIGINT) AS psty,
+        CAST(SUM(syy) AS BIGINT) AS psyy
+      FROM sm
+    ), f AS (
+      SELECT n, n1, n2, ctt1, ctt2, cty1, cty2, cyy1, cyy2,
+             (CAST(n * psyy - psy * psy AS DOUBLE)
+              - CAST(n * psty - pst * psy AS DOUBLE)
+                * (n * psty - pst * psy)
+                / (n * pstt - pst * pst)) / n AS sse_p,
+             """
+    + _CHOW_SSE.format(s="1")
+    + """ AS sse_1,
+             """
+    + _CHOW_SSE.format(s="2")
+    + """ AS sse_2
+      FROM g
+    )
+    SELECT n, n1, n2, cyy1, cyy2, sse_p, sse_1, sse_2,
+           ((sse_p - sse_1 - sse_2) / 2.0)
+             / ((sse_1 + sse_2) / (n - 4.0)) AS f_stat
+    FROM f
+    """,
+)
+def q525_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X453 — CHOW TEST for a structural break at the window midpoint:
+    fit y~t over the full span and over each half, compare SSEs with
+    the classic F((SSE_p − SSE_1 − SSE_2)/2, (SSE_1+SSE_2)/(n−4)).
+    The KNOWN-breakpoint hypothesis test that complements q492's
+    broken-stick SEARCH (which finds the best breakpoint but gives no
+    test) and q208's CUSUM (which detects level shifts, not slope
+    changes).
+
+    Exactness: per-segment centered moments are pure int64
+    (n·S__ − S_·S_); the three SSEs and F are closed-form doubles with
+    identical text.  No folds needed — this one is moments-only.
+
+    Scale: day-grain; one aggregation to 2 segment rows, then a 1-row
+    closed form."""
+    ix = _ix(spark, sf_dir)
+    seg = ix.select(
+        "t", "yc", "n",
+        F.expr("CASE WHEN t < n DIV 2 THEN 1 ELSE 2 END").alias("s"),
+    )
+    sm = seg.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.expr("t * t")).cast("long").alias("stt"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.expr("t * yc")).cast("long").alias("sty"),
+        F.sum(F.expr("yc * yc")).cast("long").alias("syy"),
+    )
+    g = sm.agg(
+        F.sum("ns").cast("long").alias("n"),
+        F.max(F.when(F.col("s") == 1, F.col("ns"))).cast("long").alias("n1"),
+        F.max(F.when(F.col("s") == 2, F.col("ns"))).cast("long").alias("n2"),
+        F.max(F.when(F.col("s") == 1, F.expr("ns * stt - st * st")))
+        .cast("long")
+        .alias("ctt1"),
+        F.max(F.when(F.col("s") == 2, F.expr("ns * stt - st * st")))
+        .cast("long")
+        .alias("ctt2"),
+        F.max(F.when(F.col("s") == 1, F.expr("ns * sty - st * sy")))
+        .cast("long")
+        .alias("cty1"),
+        F.max(F.when(F.col("s") == 2, F.expr("ns * sty - st * sy")))
+        .cast("long")
+        .alias("cty2"),
+        F.max(F.when(F.col("s") == 1, F.expr("ns * syy - sy * sy")))
+        .cast("long")
+        .alias("cyy1"),
+        F.max(F.when(F.col("s") == 2, F.expr("ns * syy - sy * sy")))
+        .cast("long")
+        .alias("cyy2"),
+        F.sum("st").cast("long").alias("pst"),
+        F.sum("stt").cast("long").alias("pstt"),
+        F.sum("sy").cast("long").alias("psy"),
+        F.sum("sty").cast("long").alias("psty"),
+        F.sum("syy").cast("long").alias("psyy"),
+    )
+    f = g.select(
+        "n", "n1", "n2", "ctt1", "ctt2", "cty1", "cty2", "cyy1", "cyy2",
+        F.expr(
+            "(CAST(n * psyy - psy * psy AS DOUBLE)"
+            " - CAST(n * psty - pst * psy AS DOUBLE)"
+            " * (n * psty - pst * psy)"
+            " / (n * pstt - pst * pst)) / n"
+        ).alias("sse_p"),
+        F.expr(_CHOW_SSE.format(s="1")).alias("sse_1"),
+        F.expr(_CHOW_SSE.format(s="2")).alias("sse_2"),
+    )
+    return f.select(
+        "n", "n1", "n2", "cyy1", "cyy2", "sse_p", "sse_1", "sse_2",
+        F.expr(
+            "((sse_p - sse_1 - sse_2) / 2.0)"
+            " / ((sse_1 + sse_2) / (n - 4.0))"
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "q526_friedman_test",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS yc
+      FROM events GROUP BY et, day
+    ), kk AS (
+      SELECT CAST(COUNT(DISTINCT et) AS BIGINT) AS k FROM d
+    ), comp AS (
+      SELECT d.day FROM d CROSS JOIN kk
+      GROUP BY d.day, kk.k HAVING COUNT(*) = MAX(kk.k)
+    ), cd AS (
+      SELECT d.et, d.day, d.yc FROM d JOIN comp USING (day)
+    ), r AS (
+      SELECT et, day, yc,
+             2 * RANK() OVER (PARTITION BY day ORDER BY yc)
+               + COUNT(*) OVER (PARTITION BY day, yc) - 1 AS r2
+      FROM cd
+    ), ties AS (
+      SELECT CAST(SUM(tt * tt * tt - tt) AS BIGINT) AS tsum
+      FROM (SELECT COUNT(*) AS tt FROM cd GROUP BY day, yc)
+    ), pt AS (
+      SELECT et, CAST(SUM(r2) AS BIGINT) AS r2sum,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM r GROUP BY et
+    ), gl AS (
+      SELECT CAST(SUM(r2sum * r2sum) AS BIGINT) AS srq,
+             CAST(MAX(n_days) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM pt
+    ), st AS (
+      SELECT srq, n, k, t.tsum,
+             (12.0 * CAST(srq AS DOUBLE) / (4.0 * n * k * (k + 1))
+              - 3.0 * CAST(n AS DOUBLE) * (k + 1))
+               / (1.0 - CAST(t.tsum AS DOUBLE) / (n * k * (k * k - 1)))
+               AS chi2_adj
+      FROM gl CROSS JOIN ties t
+    )
+    SELECT p.et AS event_type, p.r2sum, p.n_days,
+           s.tsum, s.chi2_adj,
+           (CAST(s.n AS DOUBLE) - 1.0) * s.chi2_adj
+             / (s.n * (s.k - 1) - s.chi2_adj) AS imandav_f
+    FROM pt p CROSS JOIN st s
+    """,
+    allow_non_equi=(
+        "1-row global-statistic scalars (k, tie sum, chi2) cross-joined "
+        "onto the <=|event types| per-treatment rank rows"
+    ),
+)
+def q526_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X454 — FRIEDMAN TEST (with tie correction and the Iman-Davenport
+    F transform): days are blocks, event types are treatments, daily
+    revenue is ranked WITHIN each complete day — the nonparametric
+    repeated-measures ANOVA asking "do the types rank consistently
+    across days?".  Kendall's W (q442) is this statistic's effect-size
+    normalization; this query publishes the TEST with the tie-corrected
+    χ² and the small-sample F form the W query lacks.
+
+    Exactness: within-day ranks use the q509/q512 doubled-midrank trick
+    (pure integers), per-type rank sums and the tie term Σ(t³−t) are
+    exact int64, and the χ²/F are single closed-form doubles.  Only
+    complete blocks (days observing every type) enter, the standard
+    Friedman requirement.
+
+    Scale: (type, day) grain after one aggregation; rank windows ride
+    per-day partitions of k rows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    kk = d.agg(F.countDistinct("et").cast("long").alias("k"))
+    comp = (
+        d.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where("c = k")
+        .select("day")
+    )
+    cd = d.join(comp, "day")
+    r = cd.select(
+        "et",
+        "day",
+        "yc",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("yc"))
+            + F.count(F.lit(1)).over(Window.partitionBy("day", "yc"))
+            - 1
+        ).alias("r2"),
+    )
+    ties = (
+        cd.groupBy("day", "yc")
+        .agg(F.count(F.lit(1)).alias("tt"))
+        .agg(F.sum(F.expr("tt * tt * tt - tt")).cast("long").alias("tsum"))
+    )
+    pt = r.groupBy("et").agg(
+        F.sum("r2").cast("long").alias("r2sum"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    gl = pt.agg(
+        F.sum(F.expr("r2sum * r2sum")).cast("long").alias("srq"),
+        F.max("n_days").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    st = gl.crossJoin(F.broadcast(ties)).select(
+        "srq",
+        "n",
+        "k",
+        "tsum",
+        F.expr(
+            "(12.0 * CAST(srq AS DOUBLE) / (4.0 * n * k * (k + 1))"
+            " - 3.0 * CAST(n AS DOUBLE) * (k + 1))"
+            " / (1.0 - CAST(tsum AS DOUBLE) / (n * k * (k * k - 1)))"
+        ).alias("chi2_adj"),
+    )
+    return pt.crossJoin(F.broadcast(st)).select(
+        F.col("et").alias("event_type"),
+        "r2sum",
+        "n_days",
+        "tsum",
+        "chi2_adj",
+        F.expr(
+            "(CAST(n AS DOUBLE) - 1.0) * chi2_adj"
+            " / (n * (k - 1) - chi2_adj)"
+        ).alias("imandav_f"),
+    )
+
+
+@register(
+    "q527_sample_entropy",
+    allow_non_equi=(
+        "bounded day-grain template pair enumeration (i < j over the "
+        "daily series; O(days^2) with days calendar-bounded at any "
+        "corpus scale) plus the 1-row tolerance scalar broadcast"
+    ),
+    oracle=_IDX_CTE
+    + """
+    , tpl AS (
+      SELECT t, yc,
+             LEAD(yc, 1) OVER (ORDER BY t) AS y1,
+             LEAD(yc, 2) OVER (ORDER BY t) AS y2,
+             n
+      FROM ix
+    ), tm AS (
+      SELECT t, yc, y1, y2 FROM tpl WHERE t <= n - 3
+    ), rr AS (
+      SELECT SQRT((CAST(MAX(n) AS DOUBLE) * SUM(yc * yc)
+                   - CAST(SUM(yc) AS DOUBLE) * SUM(yc))
+                  / (CAST(MAX(n) AS DOUBLE) * MAX(n))) * 0.2 AS r,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM ix
+    ), pairs AS (
+      SELECT
+        CAST(SUM(CASE WHEN ABS(a.yc - b.yc) <= rr.r
+                       AND ABS(a.y1 - b.y1) <= rr.r
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+        CAST(SUM(CASE WHEN ABS(a.yc - b.yc) <= rr.r
+                       AND ABS(a.y1 - b.y1) <= rr.r
+                       AND ABS(a.y2 - b.y2) <= rr.r
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_count,
+        MAX(rr.r) AS r, MAX(rr.n) AS n
+      FROM tm a JOIN tm b ON a.t < b.t CROSS JOIN rr
+    )
+    SELECT n, r, b_count, a_count,
+           CASE WHEN a_count > 0
+                THEN -LN(CAST(a_count AS DOUBLE) / b_count) END AS sampen
+    FROM pairs
+    """,
+)
+def q527_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X455 — SAMPLE ENTROPY (Richman-Moorman, m=2, r=0.2σ) of the
+    daily-revenue series: the fraction of length-2 template matches
+    that remain matches at length 3, −ln(A/B) — the regularity measure
+    that complements q516's ordinal permutation entropy with a
+    MAGNITUDE-tolerance lens (SampEn is the standard irregularity
+    score in physiological/ops time series).
+
+    Exactness: the tolerance r = 0.2σ is one closed-form double from
+    exact int64 moments (population σ), template comparisons are
+    |int − int| ≤ r with both engines computing the identical r, so
+    every match decision is deterministic; A and B are exact integer
+    pair counts and SampEn is a single closed form.  Both A and B
+    count over the same template index set i,j ≤ n−2 (the R&M
+    convention), so A ≤ B by construction.
+
+    Scale: the pair enumeration is day-grain (O(days²) with the day
+    count calendar-bounded — a decade of days is ~3.7k rows, ~7M
+    pairs), the same bounded-quadratic regime as the q26-style oracle
+    anchors but on a spine that CANNOT grow with corpus size."""
+    ix = _ix(spark, sf_dir)
+    w = Window.orderBy("t")
+    tpl = ix.select(
+        "t",
+        "yc",
+        F.lead("yc", 1).over(w).alias("y1"),
+        F.lead("yc", 2).over(w).alias("y2"),
+        "n",
+    )
+    tm = tpl.where("t <= n - 3").select("t", "yc", "y1", "y2")
+    rr = ix.agg(
+        F.expr(
+            "SQRT((CAST(MAX(n) AS DOUBLE) * SUM(yc * yc)"
+            " - CAST(SUM(yc) AS DOUBLE) * SUM(yc))"
+            " / (CAST(MAX(n) AS DOUBLE) * MAX(n))) * 0.2"
+        ).alias("r"),
+        F.max("n").cast("long").alias("n"),
+    )
+    a = tm.select(
+        F.col("t").alias("at"), F.col("yc").alias("ax"),
+        F.col("y1").alias("ay"), F.col("y2").alias("az"),
+    )
+    b = tm.select(
+        F.col("t").alias("bt"), F.col("yc").alias("bx"),
+        F.col("y1").alias("by"), F.col("y2").alias("bz"),
+    )
+    pairs = (
+        a.join(b, F.col("at") < F.col("bt"))
+        .crossJoin(F.broadcast(rr))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN ABS(ax - bx) <= r AND ABS(ay - by) <= r"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias("b_count"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN ABS(ax - bx) <= r AND ABS(ay - by) <= r"
+                    " AND ABS(az - bz) <= r THEN 1 ELSE 0 END"
+                )
+            ).cast("long").alias("a_count"),
+            F.max("r").alias("r"),
+            F.max("n").alias("n"),
+        )
+    )
+    return pairs.select(
+        "n",
+        "r",
+        "b_count",
+        "a_count",
+        F.expr(
+            "CASE WHEN a_count > 0"
+            " THEN -LN(CAST(a_count AS DOUBLE) / b_count) END"
+        ).alias("sampen"),
+    )

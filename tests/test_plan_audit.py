@@ -245,6 +245,10 @@ _NON_EQUI_OPERAND_BOUNDS = {
     "q385_kmv_vocab_overlap": 384,
     # consistent-hash ring: the vnode relation (72 rows measured)
     "q489_consistent_hash_shards": 128,
+    # ordinal-association cell grid: both operands are the <=240-row
+    # (24 hour x 10 value-band) contingency table — fixed-size at any
+    # corpus scale
+    "q520_somers_d_gamma": 256,
 }
 
 
