@@ -1372,3 +1372,857 @@ def q527_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN -LN(CAST(a_count AS DOUBLE) / b_count) END"
         ).alias("sampen"),
     )
+
+
+@register(
+    "q528_jonckheere_terpstra",
+    allow_non_equi=(
+        "ordered-band cell-pair enumeration: both operands are the "
+        "(6-hour band x daily-revenue-value) cell table, day-grain "
+        "bounded (~|days| rows per band) at any corpus scale"
+    ),
+    oracle="""
+    WITH d AS (
+      SELECT CAST(hour(ts) // 6 AS BIGINT) AS band, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS yc
+      FROM events GROUP BY band, day
+    ), cells AS (
+      SELECT band, yc, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d GROUP BY band, yc
+    ), gn AS (
+      SELECT band, CAST(SUM(cnt) AS BIGINT) AS ns FROM cells GROUP BY band
+    ), j AS (
+      SELECT CAST(SUM(a.cnt * b.cnt *
+                      (2 * CASE WHEN a.yc < b.yc THEN 1 ELSE 0 END
+                       + CASE WHEN a.yc = b.yc THEN 1 ELSE 0 END))
+                  AS BIGINT) AS j2
+      FROM cells a JOIN cells b ON a.band < b.band
+    ), g AS (
+      SELECT CAST(SUM(ns) AS BIGINT) AS n,
+             CAST(SUM(ns * ns) AS BIGINT) AS sn2,
+             CAST(SUM(ns * ns * (2 * ns + 3)) AS BIGINT) AS sn23,
+             CAST(COUNT(*) AS BIGINT) AS n_bands
+      FROM gn
+    )
+    SELECT g.n, g.n_bands, j.j2,
+           (CAST(g.n AS DOUBLE) * g.n - g.sn2) / 4.0 AS e_j,
+           (CAST(g.n AS DOUBLE) * g.n * (2 * g.n + 3) - g.sn23) / 72.0
+             AS var_j,
+           (j.j2 / 2.0 - (CAST(g.n AS DOUBLE) * g.n - g.sn2) / 4.0)
+             / SQRT((CAST(g.n AS DOUBLE) * g.n * (2 * g.n + 3) - g.sn23)
+                    / 72.0) AS z
+    FROM j CROSS JOIN g
+    """,
+)
+def q528_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X456 — JONCKHEERE-TERPSTRA ordered-alternative test: do daily
+    revenues stochastically INCREASE across the four ordered six-hour
+    bands of the day?  The k-sample generalization of Mann-Whitney
+    (q412) against an ORDERED alternative — strictly more powerful than
+    Kruskal-Wallis (q448) when the hypothesis has a direction, which is
+    exactly the "later hours earn more" question q490's
+    Cochran-Armitage asks for proportions.
+
+    Exactness: J is assembled as the doubled count J2 = 2·#{x<y} + #{=}
+    over between-band cell pairs ((band, value, count) grain — pure
+    int64), and the null mean/variance are the closed-form no-ties
+    moments of exact group counts; tie pairs are visible in J2's parity.
+
+    Scale: cells are day-grain per band (calendar-bounded); the ordered
+    band-pair enumeration is a join on band order over those bounded
+    cell tables — constant work at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.expr("CAST(hour(ts) DIV 6 AS BIGINT)").alias("band"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    cells = d.groupBy("band", "yc").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    gn = cells.groupBy("band").agg(F.sum("cnt").cast("long").alias("ns"))
+    a = cells.select(
+        F.col("band").alias("ab"), F.col("yc").alias("ay"),
+        F.col("cnt").alias("an")
+    )
+    b = cells.select(
+        F.col("band").alias("bb"), F.col("yc").alias("byc"),
+        F.col("cnt").alias("bn")
+    )
+    j = a.join(b, F.col("ab") < F.col("bb")).agg(
+        F.sum(
+            F.expr(
+                "an * bn * (2 * CASE WHEN ay < byc THEN 1 ELSE 0 END"
+                " + CASE WHEN ay = byc THEN 1 ELSE 0 END)"
+            )
+        ).cast("long").alias("j2")
+    )
+    g = gn.agg(
+        F.sum("ns").cast("long").alias("n"),
+        F.sum(F.expr("ns * ns")).cast("long").alias("sn2"),
+        F.sum(F.expr("ns * ns * (2 * ns + 3)")).cast("long").alias("sn23"),
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+    )
+    return j.crossJoin(F.broadcast(g)).select(
+        "n",
+        "n_bands",
+        "j2",
+        F.expr("(CAST(n AS DOUBLE) * n - sn2) / 4.0").alias("e_j"),
+        F.expr(
+            "(CAST(n AS DOUBLE) * n * (2 * n + 3) - sn23) / 72.0"
+        ).alias("var_j"),
+        F.expr(
+            "(j2 / 2.0 - (CAST(n AS DOUBLE) * n - sn2) / 4.0)"
+            " / SQRT((CAST(n AS DOUBLE) * n * (2 * n + 3) - sn23) / 72.0)"
+        ).alias("z"),
+    )
+
+
+@register(
+    "q529_ansari_bradley",
+    allow_non_equi=(
+        "one 1-row x 1-row cross join attaching the picked type names "
+        "to the single-row score-moment fold"
+    ),
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS yc
+      FROM events GROUP BY et, day
+    ), pick AS (
+      SELECT et, DENSE_RANK() OVER (ORDER BY et) AS rk
+      FROM (SELECT DISTINCT et FROM d)
+    ), s AS (
+      SELECT p.rk AS grp, d.yc
+      FROM d JOIN pick p USING (et) WHERE p.rk <= 2
+    ), r AS (
+      SELECT grp, yc,
+             2 * RANK() OVER (ORDER BY yc)
+               + COUNT(*) OVER (PARTITION BY yc) - 1 AS r2,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM s
+    ), sc AS (
+      SELECT grp, n, LEAST(r2, 2 * (n + 1) - r2) AS s2 FROM r
+    ), m AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN grp = 1 THEN s2 ELSE 0 END) AS BIGINT)
+               AS a2,
+             CAST(SUM(s2) AS BIGINT) AS ss2,
+             CAST(SUM(s2 * s2) AS BIGINT) AS ss2q
+      FROM sc
+    ), names AS (
+      SELECT MAX(CASE WHEN rk = 1 THEN et END) AS ta,
+             MAX(CASE WHEN rk = 2 THEN et END) AS tb
+      FROM pick WHERE rk <= 2
+    )
+    SELECT ta AS type_a, tb AS type_b, n1 AS n_a, n2 AS n_b,
+           a2 AS ab_score2_a, ss2 AS score2_sum, ss2q AS score2_sq_sum,
+           CAST(n1 AS DOUBLE) * ss2 / n AS e_a2,
+           CAST(n1 AS DOUBLE) * n2
+             * (CAST(n AS DOUBLE) * ss2q - CAST(ss2 AS DOUBLE) * ss2)
+             / (CAST(n AS DOUBLE) * n * (n - 1)) AS var_a2,
+           (a2 - CAST(n1 AS DOUBLE) * ss2 / n)
+             / SQRT(CAST(n1 AS DOUBLE) * n2
+                    * (CAST(n AS DOUBLE) * ss2q
+                       - CAST(ss2 AS DOUBLE) * ss2)
+                    / (CAST(n AS DOUBLE) * n * (n - 1))) AS z
+    FROM m CROSS JOIN names
+    """,
+)
+def q529_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X457 — ANSARI-BRADLEY two-sample SCALE test between the two
+    lexicographically-first event types' daily revenue distributions:
+    AB scores min(rank, N+1−rank) concentrate at the extremes, so a
+    group with larger DISPERSION collects smaller scores — the rank
+    test for "same center, different spread" that complements the
+    location tests (q412 MWU, q512 Brunner-Munzel) and the parametric
+    spread tests (q453 Brown-Forsythe, q478 Bartlett).
+
+    Exactness: scores ride the q509 doubled-midrank trick —
+    s2 = min(r2, 2(N+1) − r2) is exact int64 with ties at midranks —
+    and the null moments are the exact RANDOMIZATION moments of the
+    realized score multiset (E[A] = n1·ΣS/N,
+    Var = n1n2(NΣS² − (ΣS)²)/(N²(N−1))), which absorb ties without a
+    separate correction term.  A2/score sums publish as integers; z is
+    one closed-form double.
+
+    Scale: day-grain after the first aggregation (the q512 shape)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    pick = (
+        d.select("et")
+        .distinct()
+        .select("et", F.dense_rank().over(Window.orderBy("et")).alias("rk"))
+    )
+    s = d.join(pick, "et").where(F.col("rk") <= 2).select(
+        F.col("rk").alias("grp"), "yc"
+    )
+    r = s.select(
+        "grp",
+        (
+            2 * F.rank().over(Window.orderBy("yc"))
+            + F.count(F.lit(1)).over(Window.partitionBy("yc"))
+            - 1
+        ).alias("r2"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    sc = r.select(
+        "grp", "n", F.expr("LEAST(r2, 2 * (n + 1) - r2)").alias("s2")
+    )
+    m = sc.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("s2")).otherwise(0))
+        .cast("long")
+        .alias("a2"),
+        F.sum("s2").cast("long").alias("ss2"),
+        F.sum(F.expr("s2 * s2")).cast("long").alias("ss2q"),
+    )
+    names = pick.where(F.col("rk") <= 2).agg(
+        F.max(F.when(F.col("rk") == 1, F.col("et"))).alias("ta"),
+        F.max(F.when(F.col("rk") == 2, F.col("et"))).alias("tb"),
+    )
+    return m.crossJoin(F.broadcast(names)).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.col("a2").alias("ab_score2_a"),
+        F.col("ss2").alias("score2_sum"),
+        F.col("ss2q").alias("score2_sq_sum"),
+        F.expr("CAST(n1 AS DOUBLE) * ss2 / n").alias("e_a2"),
+        F.expr(
+            "CAST(n1 AS DOUBLE) * n2"
+            " * (CAST(n AS DOUBLE) * ss2q - CAST(ss2 AS DOUBLE) * ss2)"
+            " / (CAST(n AS DOUBLE) * n * (n - 1))"
+        ).alias("var_a2"),
+        F.expr(
+            "(a2 - CAST(n1 AS DOUBLE) * ss2 / n)"
+            " / SQRT(CAST(n1 AS DOUBLE) * n2"
+            " * (CAST(n AS DOUBLE) * ss2q - CAST(ss2 AS DOUBLE) * ss2)"
+            " / (CAST(n AS DOUBLE) * n * (n - 1)))"
+        ).alias("z"),
+    )
+
+
+@register(
+    "q530_theil_u2_drift_eval",
+    allow_non_equi=(
+        "1-row series-endpoint scalars (y_0, y_n) broadcast onto the "
+        "day-grain difference rows"
+    ),
+    oracle=_IDX_CTE
+    + """
+    , dif AS (
+      SELECT t, yc, n,
+             yc - LAG(yc) OVER (ORDER BY t) AS dy
+      FROM ix
+    ), ends AS (
+      SELECT CAST(MAX(CASE WHEN t = 0 THEN yc END) AS BIGINT) AS y0,
+             CAST(MAX(CASE WHEN t = n - 1 THEN yc END) AS BIGINT) AS yn
+      FROM dif
+    ), e AS (
+      SELECT d.n, d.dy, en.y0, en.yn,
+             d.dy * (d.n - 1) - (en.yn - en.y0) AS num
+      FROM dif d CROSS JOIN ends en
+      WHERE d.dy IS NOT NULL
+    ), agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(yn - y0) AS BIGINT) AS total_drift,
+             CAST(SUM(num * num) AS BIGINT) AS sse_drift_scaled,
+             CAST(SUM(dy * dy) AS BIGINT) AS sse_naive
+      FROM e
+    )
+    SELECT n, total_drift, sse_drift_scaled, sse_naive,
+           SQRT(CAST(sse_drift_scaled AS DOUBLE))
+             / ((n - 1) * SQRT(CAST(sse_naive AS DOUBLE))) AS theil_u2
+    FROM agg
+    """,
+)
+def q530_theil_u2_drift_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X458 — THEIL'S U2 forecast-quality ratio for the DRIFT forecast
+    (y_{t-1} + mean daily change) against the naive random walk on
+    daily revenue: U2 < 1 means modeling the trend beats carrying
+    yesterday forward; U2 ≥ 1 means the drift adds nothing.  The
+    missing scale-free companion to q434's MASE/sMAPE (which grade a
+    seasonal-naive) and q234's linear forecast (which publishes no
+    benchmark ratio).
+
+    Exactness: the drift forecast error is kept as the exact integer
+    numerator e·(n−1) = Δy·(n−1) − (y_n − y_0), so both SSEs are exact
+    int64 and U2 is one closed-form double (the (n−1) scaling divides
+    back out).  Int64 headroom: |Δy·(n−1)| ≤ ~6e9·|days| at sf1.
+
+    Scale: day-grain; one LAG window plus a 1-row fold."""
+    ix = _ix(spark, sf_dir)
+    w = Window.orderBy("t")
+    dif = ix.select(
+        "t", "yc", "n", (F.col("yc") - F.lag("yc").over(w)).alias("dy")
+    )
+    ends = dif.agg(
+        F.max(F.when(F.col("t") == 0, F.col("yc"))).cast("long").alias("y0"),
+        F.max(F.expr("CASE WHEN t = n - 1 THEN yc END"))
+        .cast("long")
+        .alias("yn"),
+    )
+    e = (
+        dif.where(F.col("dy").isNotNull())
+        .crossJoin(F.broadcast(ends))
+        .select(
+            "n",
+            "dy",
+            "y0",
+            "yn",
+            F.expr("dy * (n - 1) - (yn - y0)").alias("num"),
+        )
+    )
+    agg = e.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.expr("yn - y0")).cast("long").alias("total_drift"),
+        F.sum(F.expr("num * num")).cast("long").alias("sse_drift_scaled"),
+        F.sum(F.expr("dy * dy")).cast("long").alias("sse_naive"),
+    )
+    return agg.select(
+        "n",
+        "total_drift",
+        "sse_drift_scaled",
+        "sse_naive",
+        F.expr(
+            "SQRT(CAST(sse_drift_scaled AS DOUBLE))"
+            " / ((n - 1) * SQRT(CAST(sse_naive AS DOUBLE)))"
+        ).alias("theil_u2"),
+    )
+
+
+@register(
+    "q531_quade_test",
+    allow_non_equi=(
+        "1-row global-statistic scalars cross-joined onto the "
+        "<=|event types| per-treatment score rows"
+    ),
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS yc
+      FROM events GROUP BY et, day
+    ), kk AS (
+      SELECT CAST(COUNT(DISTINCT et) AS BIGINT) AS k FROM d
+    ), comp AS (
+      SELECT d.day FROM d CROSS JOIN kk
+      GROUP BY d.day, kk.k HAVING COUNT(*) = MAX(kk.k)
+    ), cd AS (
+      SELECT d.et, d.day, d.yc FROM d JOIN comp USING (day)
+    ), rng AS (
+      SELECT day, CAST(MAX(yc) - MIN(yc) AS BIGINT) AS rg
+      FROM cd GROUP BY day
+    ), q AS (
+      SELECT day,
+             2 * RANK() OVER (ORDER BY rg)
+               + COUNT(*) OVER (PARTITION BY rg) - 1 AS q2
+      FROM rng
+    ), r AS (
+      SELECT cd.et, cd.day,
+             2 * RANK() OVER (PARTITION BY cd.day ORDER BY cd.yc)
+               + COUNT(*) OVER (PARTITION BY cd.day, cd.yc) - 1 AS r2
+      FROM cd
+    ), s AS (
+      SELECT r.et, r.day, kq.q2,
+             CAST(kq.q2 * (r.r2 - kk.k - 1) AS BIGINT) AS s4
+      FROM r JOIN q kq USING (day) CROSS JOIN kk
+    ), pt AS (
+      SELECT et, CAST(SUM(s4) AS BIGINT) AS s4j,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM s GROUP BY et
+    ), aa AS (
+      SELECT CAST(SUM(s4 * s4) AS BIGINT) AS a16 FROM s
+    ), bb AS (
+      SELECT CAST(SUM(s4j * s4j) AS BIGINT) AS b16b,
+             CAST(MAX(n_days) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM pt
+    ), st AS (
+      SELECT aa.a16, bb.b16b, bb.b, bb.k,
+             (CAST(bb.b AS DOUBLE) - 1)
+               * (CAST(bb.b16b AS DOUBLE) / bb.b)
+               / (CAST(aa.a16 AS DOUBLE) - CAST(bb.b16b AS DOUBLE) / bb.b)
+               AS quade_f
+      FROM aa CROSS JOIN bb
+    )
+    SELECT p.et AS event_type, p.s4j, p.n_days,
+           s.a16, s.b16b, s.quade_f
+    FROM pt p CROSS JOIN st s
+    """,
+)
+def q531_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X459 — QUADE TEST: the block-weighted Friedman (q526) — days
+    with a LARGER spread across event types get a larger weight (the
+    rank of their within-day range), so the test emphasizes the blocks
+    that actually discriminate.  More powerful than Friedman for small
+    k (here k=5), and its per-type weighted score sums S_j are the
+    effect decomposition Friedman cannot give.
+
+    Exactness: both rank layers (within-day value ranks and across-day
+    range ranks) use the doubled-midrank trick; the Quade score is
+    kept at the exact 4x integer scaling S4 = Q2·(r2 − k − 1), so
+    A = ΣS², B = ΣS_j²/b, and F = (b−1)B/(A−B) are closed-form doubles
+    of exact int64s (the scaling cancels in the ratio).
+
+    Scale: (type, day) grain; every window rides per-day partitions of
+    k rows or the day-grain range table."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    kk = d.agg(F.countDistinct("et").cast("long").alias("k"))
+    comp = (
+        d.crossJoin(F.broadcast(kk))
+        .groupBy("day", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where("c = k")
+        .select("day")
+    )
+    cd = d.join(comp, "day")
+    rng = cd.groupBy("day").agg(
+        (F.max("yc") - F.min("yc")).cast("long").alias("rg")
+    )
+    q = rng.select(
+        "day",
+        (
+            2 * F.rank().over(Window.orderBy("rg"))
+            + F.count(F.lit(1)).over(Window.partitionBy("rg"))
+            - 1
+        ).alias("q2"),
+    )
+    r = cd.select(
+        "et",
+        "day",
+        (
+            2 * F.rank().over(Window.partitionBy("day").orderBy("yc"))
+            + F.count(F.lit(1)).over(Window.partitionBy("day", "yc"))
+            - 1
+        ).alias("r2"),
+    )
+    s = (
+        r.join(q, "day")
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "et",
+            "day",
+            "q2",
+            F.expr("CAST(q2 * (r2 - k - 1) AS BIGINT)").alias("s4"),
+        )
+    )
+    pt = s.groupBy("et").agg(
+        F.sum("s4").cast("long").alias("s4j"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    aa = s.agg(F.sum(F.expr("s4 * s4")).cast("long").alias("a16"))
+    bb = pt.agg(
+        F.sum(F.expr("s4j * s4j")).cast("long").alias("b16b"),
+        F.max("n_days").cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    st = aa.crossJoin(F.broadcast(bb)).select(
+        "a16",
+        "b16b",
+        "b",
+        "k",
+        F.expr(
+            "(CAST(b AS DOUBLE) - 1) * (CAST(b16b AS DOUBLE) / b)"
+            " / (CAST(a16 AS DOUBLE) - CAST(b16b AS DOUBLE) / b)"
+        ).alias("quade_f"),
+    )
+    return pt.crossJoin(F.broadcast(st)).select(
+        F.col("et").alias("event_type"),
+        "s4j",
+        "n_days",
+        "a16",
+        "b16b",
+        "quade_f",
+    )
+
+
+# One-sided standard normal CDF from the shelf's shared A&S 26.2.17
+# two-sided tail (needs az = |z| and tt = 1/(1 + 0.2316419*az) in scope).
+_PHI_EXPR = (
+    "CASE WHEN z >= 0 THEN 1.0 - (" + _P_TWO_SIDED_EXPR + ") / 2.0"
+    " ELSE (" + _P_TWO_SIDED_EXPR + ") / 2.0 END"
+)
+
+
+@register(
+    "q532_lilliefors_normality",
+    allow_non_equi=(
+        "1-row moment scalars (mu, sigma, n) broadcast onto the "
+        "day-grain series for per-row z/EDF terms"
+    ),
+    oracle=_IDX_CTE
+    + """
+    , mo AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(yc) AS BIGINT) AS s,
+             CAST(SUM(yc * yc) AS BIGINT) AS s2
+      FROM ix
+    ), zz AS (
+      SELECT ix.day, ix.yc, mo.n,
+             (ix.yc - CAST(mo.s AS DOUBLE) / mo.n)
+               / SQRT((CAST(mo.s2 AS DOUBLE) * mo.n - CAST(mo.s AS DOUBLE)
+                       * mo.s) / (CAST(mo.n AS DOUBLE) * mo.n)) AS z,
+             ROW_NUMBER() OVER (ORDER BY ix.yc, ix.day) AS i
+      FROM ix CROSS JOIN mo
+    ), ph AS (
+      SELECT day, yc, n, z, i,
+             ABS(z) AS az, 1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+      FROM zz
+    ), ed AS (
+      SELECT n,
+             CAST(i AS DOUBLE) / n - ("""
+    + _PHI_EXPR
+    + """) AS dp,
+             ("""
+    + _PHI_EXPR
+    + """) - (CAST(i AS DOUBLE) - 1.0) / n AS dm
+      FROM ph
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           MAX(dp) AS d_plus, MAX(dm) AS d_minus,
+           GREATEST(MAX(dp), MAX(dm)) AS d_stat,
+           GREATEST(MAX(dp), MAX(dm))
+             * (SQRT(CAST(MAX(n) AS DOUBLE)) - 0.01
+                + 0.85 / SQRT(CAST(MAX(n) AS DOUBLE))) AS dw_scaled
+    FROM ed
+    """,
+)
+def q532_lilliefors_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X460 — LILLIEFORS normality test of daily revenue: the KS
+    statistic against a normal with ESTIMATED mean/sd — the correct
+    null when parameters come from the data (plain KS critical values
+    are badly conservative then), published with the Dallal-Wilkinson
+    scaling √n − 0.01 + 0.85/√n whose fixed critical points (0.895 at
+    5%) make the decision table-free.  Completes the normality shelf:
+    q465 Jarque-Bera (moments), q507 Anderson-Darling (tail-weighted
+    EDF), q421 QQ — this is the plain-EDF member.
+
+    Exactness: μ and population σ are closed-form doubles from exact
+    int64 moments; per-row Φ uses the shelf's shared A&S 26.2.17
+    polynomial; D⁺/D⁻ surface via order-insensitive MAX, with order
+    statistics tie-broken deterministically by (value, day).
+
+    Scale: day-grain; one broadcast of the 1-row moments and one
+    ranking window."""
+    ix = _ix(spark, sf_dir)
+    mo = ix.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        F.sum(F.expr("yc * yc")).cast("long").alias("s2"),
+    )
+    zz = (
+        ix.drop("n")
+        .crossJoin(F.broadcast(mo.select("n", "s", "s2")))
+        .select(
+            "day",
+            "yc",
+            "n",
+            F.expr(
+                "(yc - CAST(s AS DOUBLE) / n)"
+                " / SQRT((CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * s)"
+                " / (CAST(n AS DOUBLE) * n))"
+            ).alias("z"),
+            F.row_number().over(Window.orderBy("yc", "day")).alias("i"),
+        )
+    )
+    ph = zz.select(
+        "day",
+        "yc",
+        "n",
+        "z",
+        "i",
+        F.expr("ABS(z)").alias("az"),
+        F.expr("1.0 / (1.0 + 0.2316419 * ABS(z))").alias("tt"),
+    )
+    ed = ph.select(
+        "n",
+        F.expr(f"CAST(i AS DOUBLE) / n - ({_PHI_EXPR})").alias("dp"),
+        F.expr(f"({_PHI_EXPR}) - (CAST(i AS DOUBLE) - 1.0) / n").alias("dm"),
+    )
+    return ed.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("dp").alias("d_plus"),
+        F.max("dm").alias("d_minus"),
+        F.greatest(F.max("dp"), F.max("dm")).alias("d_stat"),
+        (
+            F.greatest(F.max("dp"), F.max("dm"))
+            * F.expr(
+                "SQRT(CAST(MAX(n) AS DOUBLE)) - 0.01"
+                " + 0.85 / SQRT(CAST(MAX(n) AS DOUBLE))"
+            )
+        ).alias("dw_scaled"),
+    )
+
+
+@register(
+    "q533_wilcoxon_signed_rank",
+    oracle=_IDX_CTE
+    + """
+    , pr AS (
+      SELECT a.t AS ta, b.yc - a.yc AS d
+      FROM ix a JOIN ix b ON b.t = a.t + a.n // 2
+      WHERE a.t < a.n // 2
+    ), nz AS (
+      SELECT ta, d, ABS(d) AS ad FROM pr WHERE d <> 0
+    ), r AS (
+      SELECT d,
+             2 * RANK() OVER (ORDER BY ad)
+               + COUNT(*) OVER (PARTITION BY ad) - 1 AS r2
+      FROM nz
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+             AS w2_plus,
+           CAST(SUM(r2) AS BIGINT) AS r2_sum,
+           CAST(SUM(r2 * r2) AS BIGINT) AS r2_sq_sum,
+           (SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END)
+            - SUM(r2) / 2.0) / SQRT(SUM(r2 * r2) / 4.0) AS z
+    FROM r
+    """,
+)
+def q533_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X461 — WILCOXON SIGNED-RANK test, first half-month vs second
+    half-month daily revenue PAIRED by day offset: the nonparametric
+    paired-location test missing between q412 (unpaired MWU) and q439
+    (paired binary McNemar).  "Did revenue shift between the halves,
+    accounting for each day's own level?"
+
+    Exactness: differences are exact int64; |d| ranks use the doubled-
+    midrank trick (zeros dropped per the standard convention), and the
+    null moments are the exact randomization moments of the realized
+    rank multiset — E[W2⁺] = Σr2/2, Var[W2⁺] = Σr2²/4 (sign-flip
+    argument), which absorb ties with no separate correction.  W2⁺ and
+    both moments publish as integers; z is one closed form.
+
+    Scale: day-grain; the pairing join is an equi-join on the computed
+    day index."""
+    ix = _ix(spark, sf_dir)
+    a = ix.select(
+        F.col("t").alias("ta"), F.col("yc").alias("ya"), F.col("n").alias("na")
+    )
+    b = ix.select(F.col("t").alias("tb"), F.col("yc").alias("yb"))
+    pr = a.join(b, F.expr("tb = ta + na DIV 2")).where(
+        F.expr("ta < na DIV 2")
+    ).select((F.col("yb") - F.col("ya")).alias("d"))
+    nz = pr.where("d <> 0").select("d", F.expr("ABS(d)").alias("ad"))
+    r = nz.select(
+        "d",
+        (
+            2 * F.rank().over(Window.orderBy("ad"))
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+            - 1
+        ).alias("r2"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w2_plus"),
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.sum(F.expr("r2 * r2")).cast("long").alias("r2_sq_sum"),
+        F.expr(
+            "(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) - SUM(r2) / 2.0)"
+            " / SQRT(SUM(r2 * r2) / 4.0)"
+        ).alias("z"),
+    )
+
+
+@register(
+    "q534_pettitt_changepoint",
+    oracle=_IDX_CTE
+    + """
+    , v AS (
+      SELECT day, t, n,
+             2 * RANK() OVER (ORDER BY yc)
+               + COUNT(*) OVER (PARTITION BY yc) - n - 2 AS vt
+      FROM ix
+    ), u AS (
+      SELECT day, t, n,
+             CAST(SUM(vt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS ut
+      FROM v
+    ), k AS (
+      SELECT day, t, n, ut, ABS(ut) AS au,
+             CAST(MAX(ABS(ut)) OVER () AS BIGINT) AS k_max
+      FROM u WHERE t < n - 1
+    )
+    SELECT day, t, ut, au, k_max,
+           ROUND(2.0 * EXP(-6.0 * CAST(k_max AS DOUBLE) * k_max
+                     / (CAST(n AS DOUBLE) * n * n
+                        + CAST(n AS DOUBLE) * n)), 8) AS p_approx
+    FROM k
+    """,
+)
+def q534_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X462 — PETTITT change-point test on daily revenue: the rank-
+    based single-change-point test (a Mann-Whitney statistic at every
+    split, K = max|U_t|) — the DISTRIBUTION-FREE companion to q208's
+    CUSUM (parametric, mean-shift) and q440's localization (which
+    assumes a change exists); Pettitt also delivers the significance
+    p ≈ 2·exp(−6K²/(n³+n²)).
+
+    Exactness: uses the O(n) identity U_t = Σ_{i≤t} V_i with
+    V_i = 2·RANK + #ties − n − 2 (each V_i the exact signed comparison
+    count of day i against the whole series — pure integers via the
+    doubled-midrank decomposition), so no pairwise join is needed at
+    all; the cumulative U_t is an ordered integer fold and K surfaces
+    via order-insensitive MAX.
+
+    Scale: day-grain, one global ranking window + one fold — O(days)
+    even though the statistic is defined over O(n²) pairs."""
+    ix = _ix(spark, sf_dir)
+    v = ix.select(
+        "day",
+        "t",
+        "n",
+        (
+            2 * F.rank().over(Window.orderBy("yc"))
+            + F.count(F.lit(1)).over(Window.partitionBy("yc"))
+            - F.col("n")
+            - 2
+        ).alias("vt"),
+    )
+    u = v.select(
+        "day",
+        "t",
+        "n",
+        F.sum("vt")
+        .over(Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("ut"),
+    )
+    k = u.where("t < n - 1").select(
+        "day",
+        "t",
+        "n",
+        "ut",
+        F.expr("ABS(ut)").alias("au"),
+        F.max(F.expr("ABS(ut)"))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("k_max"),
+    )
+    return k.select(
+        "day",
+        "t",
+        "ut",
+        "au",
+        "k_max",
+        F.round(
+            F.expr(
+                "2.0 * EXP(-6.0 * CAST(k_max AS DOUBLE) * k_max"
+                " / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))"
+            ),
+            8,
+        ).alias("p_approx"),
+    )
+
+
+@register(
+    "q535_page_hinkley_drift",
+    oracle=_IDX_CTE
+    + """
+    , lam AS (
+      SELECT CAST(SUM(yc) AS BIGINT) AS s, CAST(MAX(n) AS BIGINT) AS n
+      FROM ix
+    ), rs AS (
+      SELECT day, t, yc,
+             SUM(yc) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run_s,
+             CAST(t + 1 AS BIGINT) AS cnt
+      FROM ix
+    ), term AS (
+      SELECT day, t, yc,
+             yc - CAST(run_s AS DOUBLE) / cnt AS dev
+      FROM rs
+    ), mt AS (
+      SELECT day, t, yc, dev,
+             SUM(dev) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS m_t
+      FROM term
+    ), phs AS (
+      SELECT day, t, yc, m_t,
+             MIN(m_t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS min_m
+      FROM mt
+    )
+    SELECT p.day, p.t, p.yc, p.m_t, p.min_m,
+           p.m_t - p.min_m AS ph_stat,
+           CASE WHEN p.m_t - p.min_m
+                     > 0.05 * CAST(l.s AS DOUBLE) / l.n
+                THEN 1 ELSE 0 END AS alarm,
+           0.05 * CAST(l.s AS DOUBLE) / l.n AS lambda_thr
+    FROM phs p CROSS JOIN lam l
+    """,
+    allow_non_equi=(
+        "1-row threshold scalar (0.05 x global mean) broadcast onto the "
+        "day-grain fold rows"
+    ),
+)
+def q535_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X463 — PAGE-HINKLEY upward-drift detector over daily revenue:
+    the sequential m_t = Σ(x_i − x̄_i) accumulation against its running
+    minimum, alarming when the gap exceeds λ = 5% of the global mean —
+    the standard streaming concept-drift monitor (the online sibling
+    of q208's retrospective CUSUM), published at day grain exactly as
+    a monitoring job would emit it.
+
+    Exactness: every layer is a deterministic ordered fold — running
+    sum (exact int), running mean (closed-form double of the exact
+    prefix), deviation cumsum, running MIN — so both engines walk the
+    identical sequential recursion; λ is one closed form of the global
+    int64 moments.
+
+    Scale: day-grain single-partition folds; at production grain the
+    same plan runs per-entity by adding the key to every window
+    PARTITION BY."""
+    ix = _ix(spark, sf_dir)
+    lam = ix.agg(
+        F.sum("yc").cast("long").alias("s"),
+        F.max("n").cast("long").alias("n"),
+    )
+    wf = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    rs = ix.select(
+        "day",
+        "t",
+        "yc",
+        F.sum("yc").over(wf).alias("run_s"),
+        (F.col("t") + 1).cast("long").alias("cnt"),
+    )
+    term = rs.select(
+        "day", "t", "yc",
+        F.expr("yc - CAST(run_s AS DOUBLE) / cnt").alias("dev"),
+    )
+    mt = term.select(
+        "day", "t", "yc", "dev", F.sum("dev").over(wf).alias("m_t")
+    )
+    phs = mt.select(
+        "day", "t", "yc", "m_t", F.min("m_t").over(wf).alias("min_m")
+    )
+    return phs.crossJoin(F.broadcast(lam)).select(
+        "day",
+        "t",
+        "yc",
+        "m_t",
+        "min_m",
+        F.expr("m_t - min_m").alias("ph_stat"),
+        F.expr(
+            "CASE WHEN m_t - min_m > 0.05 * CAST(s AS DOUBLE) / n"
+            " THEN 1 ELSE 0 END"
+        ).alias("alarm"),
+        F.expr("0.05 * CAST(s AS DOUBLE) / n").alias("lambda_thr"),
+    )

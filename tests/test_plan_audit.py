@@ -249,6 +249,10 @@ _NON_EQUI_OPERAND_BOUNDS = {
     # (24 hour x 10 value-band) contingency table — fixed-size at any
     # corpus scale
     "q520_somers_d_gamma": 256,
+    # Jonckheere band-pair enumeration: operands are the (6-hour band x
+    # daily-value) cell table — 4 bands x |days| rows, calendar-bounded
+    # (120 measured at sf0.001)
+    "q528_jonckheere_terpstra": 512,
 }
 
 
