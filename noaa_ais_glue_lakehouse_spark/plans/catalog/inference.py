@@ -2226,3 +2226,388 @@ def q535_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("alarm"),
         F.expr("0.05 * CAST(s AS DOUBLE) / n").alias("lambda_thr"),
     )
+
+
+@register(
+    "q536_block_bootstrap_ci",
+    allow_non_equi=(
+        "1-row series parameters (n, block count) broadcast to expand "
+        "the fixed 64-replicate x m-draw spine; draws join block sums "
+        "by equi key"
+    ),
+    oracle=_IDX_CTE
+    + """
+    , par AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(n) - 5 + 1 AS BIGINT) AS nb,
+             CAST((MAX(n) + 4) // 5 AS BIGINT) AS m,
+             CAST(SUM(yc) AS BIGINT) AS s
+      FROM ix
+    ), bs AS (
+      SELECT t AS bidx,
+             CAST(SUM(yc) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                AND 4 FOLLOWING) AS BIGINT) AS bsum,
+             n
+      FROM ix QUALIFY t <= n - 5
+    ), draws AS (
+      SELECT r.r, i.i,
+             CAST(concat('0x', substr(md5('bb|' || CAST(r.r AS VARCHAR)
+                  || ':' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+               % p.nb AS bidx
+      FROM par p,
+           (SELECT UNNEST(range(0, 64)) AS r) r,
+           LATERAL (SELECT UNNEST(range(0, p.m)) AS i) i
+    ), rep AS (
+      SELECT d.r, CAST(SUM(b.bsum) AS BIGINT) AS total
+      FROM draws d JOIN bs b ON b.bidx = d.bidx
+      GROUP BY d.r
+    ), ranked AS (
+      SELECT total, ROW_NUMBER() OVER (ORDER BY total, r) AS rk
+      FROM rep
+    ), qs AS (
+      SELECT CAST(MAX(CASE WHEN rk = 2 THEN total END) AS BIGINT) AS lo,
+             CAST(MAX(CASE WHEN rk = 63 THEN total END) AS BIGINT) AS hi,
+             CAST(SUM(total) AS BIGINT) AS reps_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_reps
+      FROM ranked
+    )
+    SELECT p.n, CAST(5 AS BIGINT) AS block_len, p.m, p.nb, q.n_reps,
+           CAST(p.s AS DOUBLE) / p.n AS obs_mean,
+           CAST(q.reps_sum AS DOUBLE) / (q.n_reps * p.m * 5) AS boot_mean,
+           q.lo AS lo_total, q.hi AS hi_total,
+           CAST(q.lo AS DOUBLE) / (p.m * 5) AS ci_lo_mean,
+           CAST(q.hi AS DOUBLE) / (p.m * 5) AS ci_hi_mean
+    FROM par p CROSS JOIN qs q
+    """,
+)
+def q536_block_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X464 — MOVING-BLOCK BOOTSTRAP confidence interval for mean daily
+    revenue (Künsch): 64 md5-seeded replicates, each resampling
+    m = ⌈n/5⌉ overlapping length-5 blocks, CI from the replicate order
+    statistics (#2 / #63 of 64).  The iid Poisson bootstrap (q402) is
+    WRONG for an autocorrelated series — q513's Ljung-Box measures the
+    very dependence that blocks preserve; this is the
+    resampling-under-dependence member of the uncertainty shelf.
+
+    Determinism: replicate draws are the portable md5 integer idiom
+    (identical hex→int in both engines), block sums are exact int64
+    window sums, replicate totals are exact integer sums over an
+    equi-join of draws to block sums, and the CI picks are
+    deterministic order statistics (ties broken by replicate id).
+    Replicate means use the m·5-day resample length as denominator
+    (the standard trimmed convention).
+
+    Scale: the series is day-grain; the spine is a FIXED 64 × m grid
+    joined to the O(days) block-sum table by key — constant work at
+    any corpus size."""
+    ix = _ix(spark, sf_dir)
+    par = ix.agg(
+        F.max("n").cast("long").alias("n"),
+        (F.max("n") - 4).cast("long").alias("nb"),
+        F.expr("CAST((MAX(n) + 4) DIV 5 AS BIGINT)").alias("m"),
+        F.sum("yc").cast("long").alias("s"),
+    )
+    wb = Window.orderBy("t").rowsBetween(0, 4)
+    bs = (
+        ix.select(
+            F.col("t").alias("bidx"),
+            F.sum("yc").over(wb).cast("long").alias("bsum"),
+            "n",
+        )
+        .where("bidx <= n - 5")
+        .drop("n")
+    )
+    draws = (
+        par.select("nb", "m")
+        .select("nb", F.explode(F.expr("sequence(0, 63)")).alias("r"), "m")
+        .select(
+            "nb",
+            "r",
+            F.explode(F.expr("sequence(0, m - 1)")).alias("i"),
+        )
+        .select(
+            "r",
+            F.expr(
+                "CAST(conv(substring(md5(concat('bb|', CAST(r AS STRING),"
+                " ':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                " % nb"
+            ).alias("bidx"),
+        )
+    )
+    rep = draws.join(bs, "bidx").groupBy("r").agg(
+        F.sum("bsum").cast("long").alias("total")
+    )
+    ranked = rep.select(
+        "total",
+        F.row_number().over(Window.orderBy("total", "r")).alias("rk"),
+    )
+    qs = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("total")))
+        .cast("long")
+        .alias("lo"),
+        F.max(F.when(F.col("rk") == 63, F.col("total")))
+        .cast("long")
+        .alias("hi"),
+        F.sum("total").cast("long").alias("reps_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+    )
+    return par.crossJoin(F.broadcast(qs)).select(
+        "n",
+        F.lit(5).cast("long").alias("block_len"),
+        "m",
+        "nb",
+        "n_reps",
+        F.expr("CAST(s AS DOUBLE) / n").alias("obs_mean"),
+        F.expr(
+            "CAST(reps_sum AS DOUBLE) / (n_reps * m * 5)"
+        ).alias("boot_mean"),
+        F.col("lo").alias("lo_total"),
+        F.col("hi").alias("hi_total"),
+        F.expr("CAST(lo AS DOUBLE) / (m * 5)").alias("ci_lo_mean"),
+        F.expr("CAST(hi AS DOUBLE) / (m * 5)").alias("ci_hi_mean"),
+    )
+
+
+@register(
+    "q537_freedman_diaconis_bins",
+    allow_non_equi=(
+        "1-row bin-geometry scalars (IQR-derived width, min) broadcast "
+        "onto the day-grain rows for bin assignment"
+    ),
+    oracle=_IDX_CTE
+    + """
+    , ranked AS (
+      SELECT yc, n, ROW_NUMBER() OVER (ORDER BY yc, day) AS i
+      FROM ix
+    ), st AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN i = CAST(CEIL(0.25 * n) AS BIGINT)
+                           THEN yc END) AS BIGINT) AS q1,
+             CAST(MAX(CASE WHEN i = CAST(CEIL(0.75 * n) AS BIGINT)
+                           THEN yc END) AS BIGINT) AS q3,
+             CAST(MIN(yc) AS BIGINT) AS lo,
+             CAST(MAX(yc) AS BIGINT) AS hi
+      FROM ranked
+    ), geo AS (
+      SELECT n, q1, q3, lo, hi,
+             2.0 * (q3 - q1) / POW(CAST(n AS DOUBLE), CAST(1 AS DOUBLE) / 3) AS h
+      FROM st
+    ), bins AS (
+      SELECT g.n, g.q1, g.q3, g.h,
+             CAST(LEAST(FLOOR((ix.yc - g.lo) / g.h),
+                        CEIL((g.hi - g.lo) / g.h) - 1) AS BIGINT) AS bin
+      FROM ix CROSS JOIN geo g
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(q1) AS q1_cents, MAX(q3) AS q3_cents,
+           MAX(h) AS bin_width
+    FROM bins GROUP BY bin
+    """,
+)
+def q537_freedman_diaconis_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X465 — FREEDMAN-DIACONIS histogram advisor + the histogram it
+    recommends, over daily revenue: bin width h = 2·IQR/n^⅓ — the
+    robust, theory-backed default that the fixed-width (q89),
+    equi-depth (q187/q379), and split-finder (q370) histogram surfaces
+    all leave to the caller.  Publishing the realized (bin, count)
+    table makes the advisor directly consumable by a plotting or
+    sketch-sizing layer.
+
+    Determinism: Q1/Q3 are explicit order-statistic picks (rank
+    ⌈0.25n⌉/⌈0.75n⌉, ties broken by day — no engine quantile
+    semantics); h is one closed-form double, and bin assignment is
+    FLOOR over identical doubles in both engines (the top edge folds
+    into the last bin via the standard LEAST guard).
+
+    Scale: day-grain ranking window plus a broadcast of the 1-row
+    geometry; at fact grain the same plan runs with the ranking
+    replaced by the q63 sketch quantiles."""
+    ix = _ix(spark, sf_dir)
+    ranked = ix.select(
+        "yc",
+        "n",
+        F.row_number().over(Window.orderBy("yc", "day")).alias("i"),
+    )
+    st = ranked.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.expr(
+                "CASE WHEN i = CAST(CEIL(0.25 * n) AS BIGINT) THEN yc END"
+            )
+        ).cast("long").alias("q1"),
+        F.max(
+            F.expr(
+                "CASE WHEN i = CAST(CEIL(0.75 * n) AS BIGINT) THEN yc END"
+            )
+        ).cast("long").alias("q3"),
+        F.min("yc").cast("long").alias("lo"),
+        F.max("yc").cast("long").alias("hi"),
+    )
+    geo = st.select(
+        "n",
+        "q1",
+        "q3",
+        "lo",
+        "hi",
+        F.expr(
+            "2.0 * (q3 - q1) / POW(CAST(n AS DOUBLE),"
+            " CAST(1 AS DOUBLE) / 3)"
+        ).alias("h"),
+    )
+    bins = ix.drop("n").crossJoin(F.broadcast(geo)).select(
+        "n",
+        "q1",
+        "q3",
+        "h",
+        F.expr(
+            "CAST(LEAST(FLOOR((yc - lo) / h),"
+            " CEIL((hi - lo) / h) - 1) AS BIGINT)"
+        ).alias("bin"),
+    )
+    return bins.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("n").cast("long").alias("n"),
+        F.max("q1").alias("q1_cents"),
+        F.max("q3").alias("q3_cents"),
+        F.max("h").alias("bin_width"),
+    )
+
+
+@register(
+    "q538_wasserstein_1d",
+    allow_non_equi=(
+        "one 1-row x 1-row cross join attaching the picked type names "
+        "and group sizes to the single-row distance fold"
+    ),
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS et, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS yc
+      FROM events GROUP BY et, day
+    ), pick AS (
+      SELECT et, DENSE_RANK() OVER (ORDER BY et) AS rk
+      FROM (SELECT DISTINCT et FROM d)
+    ), s AS (
+      SELECT p.rk AS grp, d.yc
+      FROM d JOIN pick p USING (et) WHERE p.rk <= 2
+    ), gm AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM s
+    ), sup AS (
+      SELECT yc,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+      FROM s GROUP BY yc
+    ), cum AS (
+      SELECT yc,
+             CAST(SUM(c1) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY yc ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum2,
+             LEAD(yc) OVER (ORDER BY yc) AS nxt
+      FROM sup
+    ), w AS (
+      SELECT CAST(SUM(ABS(cum1 * gm.n2 - cum2 * gm.n1) * (nxt - yc))
+                  AS BIGINT) AS w1_num,
+             CAST(MAX(gm.n1) AS BIGINT) AS n1,
+             CAST(MAX(gm.n2) AS BIGINT) AS n2
+      FROM cum CROSS JOIN gm WHERE nxt IS NOT NULL
+    ), names AS (
+      SELECT MAX(CASE WHEN rk = 1 THEN et END) AS ta,
+             MAX(CASE WHEN rk = 2 THEN et END) AS tb
+      FROM pick WHERE rk <= 2
+    )
+    SELECT ta AS type_a, tb AS type_b, n1, n2, w1_num,
+           CAST(w1_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+             AS w1_cents
+    FROM w CROSS JOIN names
+    """,
+)
+def q538_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X466 — EXACT 1-D WASSERSTEIN (earth mover's) distance between
+    the two lexicographically-first event types' daily revenue
+    distributions: ∫|F₁ − F₂| over the value axis, computed as the sum
+    over support gaps of the cross-multiplied integer CDF difference
+    |cum₁·n₂ − cum₂·n₁|·gap.  The METRIC member of the
+    distribution-distance shelf — KS (q202/q374) takes the max
+    deviation, JS (q178) needs binning; W1 integrates the full shape
+    difference in the units of the variable (cents), which is what a
+    drift SLO wants to threshold.
+
+    Exactness: the entire integral is one exact int64 sum (counts
+    cross-multiplied by group sizes avoid any rational CDF), divided
+    once at publish time.  No folds needed — integer summands are
+    order-insensitive.
+
+    Scale: support is day-grain (distinct daily values of two types);
+    one ranking-free pass: aggregate to support, two cumulative
+    windows, one fold."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("et"), F.to_date("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).cast("long").alias("yc"))
+    pick = (
+        d.select("et")
+        .distinct()
+        .select("et", F.dense_rank().over(Window.orderBy("et")).alias("rk"))
+    )
+    s = d.join(pick, "et").where(F.col("rk") <= 2).select(
+        F.col("rk").alias("grp"), "yc"
+    )
+    gm = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    sup = s.groupBy("yc").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    wv = Window.orderBy("yc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sup.select(
+        "yc",
+        F.sum("c1").over(wv).cast("long").alias("cum1"),
+        F.sum("c2").over(wv).cast("long").alias("cum2"),
+        F.lead("yc").over(Window.orderBy("yc")).alias("nxt"),
+    )
+    w = (
+        cum.where(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(gm))
+        .agg(
+            F.sum(
+                F.expr("ABS(cum1 * n2 - cum2 * n1) * (nxt - yc)")
+            ).cast("long").alias("w1_num"),
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+        )
+    )
+    names = pick.where(F.col("rk") <= 2).agg(
+        F.max(F.when(F.col("rk") == 1, F.col("et"))).alias("ta"),
+        F.max(F.when(F.col("rk") == 2, F.col("et"))).alias("tb"),
+    )
+    return w.crossJoin(F.broadcast(names)).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "n1",
+        "n2",
+        "w1_num",
+        F.expr(
+            "CAST(w1_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"
+        ).alias("w1_cents"),
+    )
