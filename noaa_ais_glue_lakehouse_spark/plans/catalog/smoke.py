@@ -28,7 +28,7 @@ from noaa_ais_glue_lakehouse_spark.plans.catalog._registry import (
     register,
 )
 
-__all__ = ["q505_round9_shelf_smoke"]
+__all__ = ["q505_round9_shelf_smoke", "q539_round10_shelf_smoke"]
 
 _O = oracle_sql()
 
@@ -181,5 +181,141 @@ def q505_round9_shelf_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(r501)
         .unionByName(r502)
         .unionByName(r503)
+        .orderBy("metric")
+    )
+
+
+@register(
+    "q539_round10_shelf_smoke",
+    allow_non_equi=(
+        "composite smoke over the round-10 shelf: inherits the members' "
+        "documented bounded cross joins (JT band-cell pairs, Wasserstein "
+        "name attach, NB 5-row class dimension), all group-cardinality"
+    ),
+    oracle=f"""
+    WITH s513 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS lags,
+             CAST(SUM(mk) AS BIGINT) AS mk_sum,
+             MAX(q_lb) AS q7
+      FROM ({_O["q513_ljung_box"]})
+    ), s517 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS candidates,
+             CAST(SUM(rows_to_remove) AS BIGINT) AS rm,
+             CAST(MAX(g3_ppm) AS BIGINT) AS max_ppm
+      FROM ({_O["q517_fd_violation_audit"]})
+    ), s521 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS phrases,
+             CAST(MAX(score_e6) AS BIGINT) AS top_score,
+             CAST(SUM(occurrences) AS BIGINT) AS occ
+      FROM ({_O["q521_rake_keywords"]})
+    ), s523 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cells,
+             CAST(SUM(n_docs) AS BIGINT) AS docs,
+             CAST(SUM(CASE WHEN true_lang = pred_lang THEN n_docs
+                           ELSE 0 END) AS BIGINT) AS correct
+      FROM ({_O["q523_naive_bayes_langid"]})
+    ), s528 AS (
+      SELECT * FROM ({_O["q528_jonckheere_terpstra"]})
+    ), s538 AS (
+      SELECT * FROM ({_O["q538_wasserstein_1d"]})
+    )
+    SELECT metric, value_long, value_double FROM (
+      SELECT 'q513_lags' AS metric, lags AS value_long,
+             CAST(NULL AS DOUBLE) AS value_double FROM s513
+      UNION ALL SELECT 'q513_mk_sum', mk_sum, NULL FROM s513
+      UNION ALL SELECT 'q513_q_lb7', NULL, q7 FROM s513
+      UNION ALL SELECT 'q517_candidates', candidates, NULL FROM s517
+      UNION ALL SELECT 'q517_rows_to_remove', rm, NULL FROM s517
+      UNION ALL SELECT 'q517_max_g3_ppm', max_ppm, NULL FROM s517
+      UNION ALL SELECT 'q521_phrases', phrases, NULL FROM s521
+      UNION ALL SELECT 'q521_top_score_e6', top_score, NULL FROM s521
+      UNION ALL SELECT 'q521_occurrences', occ, NULL FROM s521
+      UNION ALL SELECT 'q523_confusion_cells', cells, NULL FROM s523
+      UNION ALL SELECT 'q523_test_docs', docs, NULL FROM s523
+      UNION ALL SELECT 'q523_correct_docs', correct, NULL FROM s523
+      UNION ALL SELECT 'q528_j2', j2, NULL FROM s528
+      UNION ALL SELECT 'q528_z', NULL, z FROM s528
+      UNION ALL SELECT 'q538_w1_num', w1_num, NULL FROM s538
+      UNION ALL SELECT 'q538_w1_cents', NULL, w1_cents FROM s538
+    ) ORDER BY metric
+    """,
+)
+def q539_round10_shelf_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 shelf smoke (the q505 convention): 16 summary metrics
+    drawn from six members spanning every module this round added —
+    q513 Ljung-Box (inference), q517 FD audit (profiling), q521 RAKE
+    and q523 Naive Bayes (textml), q528 Jonckheere-Terpstra, and q538
+    Wasserstein — folded into one hash-checked row set so the driver's
+    fixed sample gets exposure to the whole shelf through a single
+    entry. Integer metrics aggregate exactly; the three headline
+    doubles (lag-7 Q_LB via monotone MAX, the JT z and W1 distance
+    from 1-row members) introduce no float summation order.
+
+    The oracle is composed mechanically from the members' REGISTERED
+    oracle texts, so editing a member's oracle edits this one."""
+    s513 = get_query("q513_ljung_box")(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("lags"),
+        F.sum("mk").cast("long").alias("mk_sum"),
+        F.max("q_lb").cast("double").alias("q7"),
+    )
+    r513 = _metric_rows(
+        s513,
+        ("q513_lags", "lags", None),
+        ("q513_mk_sum", "mk_sum", None),
+        ("q513_q_lb7", None, "q7"),
+    )
+    s517 = get_query("q517_fd_violation_audit")(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("candidates"),
+        F.sum("rows_to_remove").cast("long").alias("rm"),
+        F.max("g3_ppm").cast("long").alias("max_ppm"),
+    )
+    r517 = _metric_rows(
+        s517,
+        ("q517_candidates", "candidates", None),
+        ("q517_rows_to_remove", "rm", None),
+        ("q517_max_g3_ppm", "max_ppm", None),
+    )
+    s521 = get_query("q521_rake_keywords")(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("phrases"),
+        F.max("score_e6").cast("long").alias("top_score"),
+        F.sum("occurrences").cast("long").alias("occ"),
+    )
+    r521 = _metric_rows(
+        s521,
+        ("q521_phrases", "phrases", None),
+        ("q521_top_score_e6", "top_score", None),
+        ("q521_occurrences", "occ", None),
+    )
+    s523 = get_query("q523_naive_bayes_langid")(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("cells"),
+        F.sum("n_docs").cast("long").alias("docs"),
+        F.sum(
+            F.when(
+                F.col("true_lang") == F.col("pred_lang"), F.col("n_docs")
+            ).otherwise(0)
+        ).cast("long").alias("correct"),
+    )
+    r523 = _metric_rows(
+        s523,
+        ("q523_confusion_cells", "cells", None),
+        ("q523_test_docs", "docs", None),
+        ("q523_correct_docs", "correct", None),
+    )
+    r528 = _metric_rows(
+        get_query("q528_jonckheere_terpstra")(spark, sf_dir),
+        ("q528_j2", "j2", None),
+        ("q528_z", None, "z"),
+    )
+    r538 = _metric_rows(
+        get_query("q538_wasserstein_1d")(spark, sf_dir),
+        ("q538_w1_num", "w1_num", None),
+        ("q538_w1_cents", None, "w1_cents"),
+    )
+    return (
+        r513.unionByName(r517)
+        .unionByName(r521)
+        .unionByName(r523)
+        .unionByName(r528)
+        .unionByName(r538)
         .orderBy("metric")
     )

@@ -253,6 +253,8 @@ _NON_EQUI_OPERAND_BOUNDS = {
     # daily-value) cell table — 4 bands x |days| rows, calendar-bounded
     # (120 measured at sf0.001)
     "q528_jonckheere_terpstra": 512,
+    # round-10 composite smoke embeds q528's cell-pair plan verbatim
+    "q539_round10_shelf_smoke": 512,
 }
 
 
