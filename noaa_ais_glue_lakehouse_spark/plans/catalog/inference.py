@@ -2611,3 +2611,139 @@ def q538_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(w1_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"
         ).alias("w1_cents"),
     )
+
+
+@register(
+    "q541_hellinger_bhattacharyya",
+    allow_non_equi=(
+        "one 1-row x 1-row cross join attaching the picked type names "
+        "and group sizes to the <=10-row band fold"
+    ),
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS et,
+             LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 5000, 9)
+               AS band
+      FROM events
+    ), pick AS (
+      SELECT et, DENSE_RANK() OVER (ORDER BY et) AS rk
+      FROM (SELECT DISTINCT et FROM b)
+    ), s AS (
+      SELECT p.rk AS grp, b.band
+      FROM b JOIN pick p USING (et) WHERE p.rk <= 2
+    ), gm AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM s
+    ), cells AS (
+      SELECT band,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+      FROM s GROUP BY band
+    ), fold AS (
+      SELECT band, c1, c2,
+             SUM(SQRT(CAST(c1 AS DOUBLE) * c2))
+               OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS run
+      FROM cells
+    ), fin AS (
+      SELECT MAX(run) AS bc_num FROM fold
+    ), names AS (
+      SELECT MAX(CASE WHEN rk = 1 THEN et END) AS ta,
+             MAX(CASE WHEN rk = 2 THEN et END) AS tb
+      FROM pick WHERE rk <= 2
+    )
+    SELECT ta AS type_a, tb AS type_b, gm.n1, gm.n2,
+           f.bc_num / SQRT(CAST(gm.n1 AS DOUBLE) * gm.n2) AS bc_coeff,
+           SQRT(GREATEST(1.0 - f.bc_num
+                / SQRT(CAST(gm.n1 AS DOUBLE) * gm.n2), 0.0))
+             AS hellinger,
+           -LN(f.bc_num / SQRT(CAST(gm.n1 AS DOUBLE) * gm.n2))
+             AS bhattacharyya_dist
+    FROM fin f CROSS JOIN gm CROSS JOIN names
+    """,
+)
+def q541_hellinger_bhattacharyya(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X468 — HELLINGER distance and BHATTACHARYYA coefficient/distance
+    between the two lexicographically-first event types' value-band
+    distributions (the q520 10-band grid at event grain): the bounded
+    [0,1] metric (Hellinger) and the overlap integral (BC) that
+    complete the distribution-distance shelf — KS takes a max, JS
+    needs a log mixture, W1 (q538) is unbounded in value units;
+    Hellinger is THE thresholdable bounded metric for drift SLOs.
+
+    Exactness: band counts are exact int64; the ≤10-term Σ√(c1·c2)
+    rides a deterministic ordered fold surfaced by MAX of the monotone
+    running sum, and the three published statistics are closed forms
+    of that one fold value and the exact group sizes (BC computed as
+    Σ√(c1c2)/√(n1n2), so no per-band rational probabilities exist to
+    diverge).
+
+    Scale: one event-grain aggregation to ≤10 band cells — constant
+    state at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("et"),
+        F.expr(
+            "LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DIV 5000, 9)"
+        ).alias("band"),
+    )
+    pick = (
+        b.select("et")
+        .distinct()
+        .select("et", F.dense_rank().over(Window.orderBy("et")).alias("rk"))
+    )
+    s = b.join(F.broadcast(pick), "et").where(F.col("rk") <= 2).select(
+        F.col("rk").alias("grp"), "band"
+    )
+    gm = s.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    cells = s.groupBy("band").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    wf = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    fold = cells.select(
+        "band",
+        F.sum(F.expr("SQRT(CAST(c1 AS DOUBLE) * c2)")).over(wf).alias("run"),
+    )
+    fin = fold.agg(F.max("run").alias("bc_num"))
+    names = pick.where(F.col("rk") <= 2).agg(
+        F.max(F.when(F.col("rk") == 1, F.col("et"))).alias("ta"),
+        F.max(F.when(F.col("rk") == 2, F.col("et"))).alias("tb"),
+    )
+    return (
+        fin.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(names))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n1",
+            "n2",
+            F.expr(
+                "bc_num / SQRT(CAST(n1 AS DOUBLE) * n2)"
+            ).alias("bc_coeff"),
+            F.expr(
+                "SQRT(GREATEST(1.0 - bc_num"
+                " / SQRT(CAST(n1 AS DOUBLE) * n2), 0.0))"
+            ).alias("hellinger"),
+            F.expr(
+                "-LN(bc_num / SQRT(CAST(n1 AS DOUBLE) * n2))"
+            ).alias("bhattacharyya_dist"),
+        )
+    )

@@ -496,3 +496,101 @@ def q523_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@register(
+    "q540_chao1_ace_richness",
+    oracle=_TOKS_CTE
+    + """
+    , wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(SUM(CASE WHEN c <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_rare,
+             CAST(SUM(CASE WHEN c <= 10 THEN c ELSE 0 END) AS BIGINT)
+               AS n_rare,
+             CAST(SUM(CASE WHEN c <= 10 THEN c * (c - 1) ELSE 0 END)
+                  AS BIGINT) AS rare_ii
+      FROM wc
+    )
+    SELECT v, n, f1, f2, v_rare, n_rare,
+           v + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)) AS chao1,
+           CASE WHEN n_rare > 1 AND f1 < n_rare THEN
+             (v - v_rare)
+               + v_rare / (1.0 - CAST(f1 AS DOUBLE) / n_rare)
+               + (f1 / (1.0 - CAST(f1 AS DOUBLE) / n_rare))
+                 * GREATEST(
+                     CAST(v_rare AS DOUBLE)
+                       / (1.0 - CAST(f1 AS DOUBLE) / n_rare)
+                       * rare_ii
+                       / (CAST(n_rare AS DOUBLE) * (n_rare - 1)) - 1.0,
+                     0.0)
+           END AS ace
+    FROM m
+    """,
+)
+def q540_chao1_ace_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X467 — CHAO1 and ACE vocabulary-richness estimators: how many
+    distinct tokens does the corpus REALLY have, including the ones
+    not yet observed?  Chao1 extrapolates from singletons/doubletons
+    (bias-corrected form); ACE uses the full rare-token (count ≤ 10)
+    abundance structure with its coverage estimate and γ² dispersion.
+    The capture-recapture view of vocabulary that complements q377's
+    empirical growth curve and q427's Good-Turing unseen-mass estimate
+    — a data-buyer's question ("is this corpus's vocabulary saturated?")
+    answered from one frequency table.
+
+    Exactness: every input (V, N, f1, f2, rare-class moments including
+    Σc(c−1)) is an exact int64 aggregate of the (token, count) table;
+    both estimators are single closed-form doubles, with ACE's γ²
+    clamped at 0 per the standard definition.
+
+    Scale: one (token) hash aggregation — the q91 vocabulary shape —
+    then a 1-row fold."""
+    t = _toks(spark, sf_dir)
+    wc = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    m = wc.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+        F.sum(F.when(F.col("c") <= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("v_rare"),
+        F.sum(F.when(F.col("c") <= 10, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+        F.sum(F.when(F.col("c") <= 10, F.expr("c * (c - 1)")).otherwise(0))
+        .cast("long")
+        .alias("rare_ii"),
+    )
+    return m.select(
+        "v",
+        "n",
+        "f1",
+        "f2",
+        "v_rare",
+        "n_rare",
+        F.expr(
+            "v + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1))"
+        ).alias("chao1"),
+        F.expr(
+            "CASE WHEN n_rare > 1 AND f1 < n_rare THEN"
+            " (v - v_rare)"
+            " + v_rare / (1.0 - CAST(f1 AS DOUBLE) / n_rare)"
+            " + (f1 / (1.0 - CAST(f1 AS DOUBLE) / n_rare))"
+            " * GREATEST("
+            " CAST(v_rare AS DOUBLE) / (1.0 - CAST(f1 AS DOUBLE) / n_rare)"
+            " * rare_ii / (CAST(n_rare AS DOUBLE) * (n_rare - 1)) - 1.0,"
+            " 0.0)"
+            " END"
+        ).alias("ace"),
+    )
