@@ -336,6 +336,33 @@ def main() -> None:
                             }
                         except Exception:
                             parsed = {}
+                    if not parsed and f'"sf": {sf}' in tail:
+                        # driver keeps only the LAST 2000 chars of the
+                        # line — no '{"metric"' head, no '"query_runs"'
+                        # key survives (true of every r5-r9 file), so
+                        # recover whatever COMPLETE "qNNN": [runs]
+                        # fragments the tail holds: the tail end of the
+                        # line is query_runs' end, i.e. the late-suite
+                        # heavy queries whose drift tracking matters
+                        # most (q343/q372/q381/q383 were silently
+                        # untracked before this).
+                        runs2: dict[str, float] = {}
+                        for m2 in re.finditer(
+                            r'"(q[0-9]\w+)":\s*\[([0-9.\s,]+)\]', tail
+                        ):
+                            try:
+                                vals = [
+                                    float(x)
+                                    for x in m2.group(2).split(",")
+                                ]
+                            except ValueError:
+                                continue
+                            if vals:
+                                runs2[m2.group(1)] = sorted(vals)[
+                                    len(vals) // 2
+                                ]
+                        if runs2:
+                            parsed = {"queries": runs2}
                     if not parsed:
                         continue
             for name, v in (parsed.get("queries") or {}).items():
