@@ -361,7 +361,12 @@ def _pair_cosine_by_index_udf(df: DataFrame, id_col: str, vec_col: str):
         norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pandas.Series(dots / norms)
 
-    return pair_cosine_by_index
+    # asNondeterministic: callers filter on the UDF's output column, and
+    # Catalyst pushes that filter below the projection while ALSO keeping
+    # the projection — evaluating the UDF twice over every candidate
+    # (guide §4.4: two ArrowEvalPython nodes for one call). The function
+    # is pure; the marker only forbids the optimizer from duplicating it.
+    return pair_cosine_by_index.asNondeterministic()
 
 
 def _pair_cosine_udf():
@@ -380,7 +385,14 @@ def _pair_cosine_udf():
         norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pandas.Series(dots / norms)
 
-    return pair_cosine
+    # asNondeterministic: cosine_near_duplicates filters on the rounded
+    # UDF column; without the marker the pushed-down filter duplicates
+    # the ArrowEvalPython node and every candidate pays the Arrow
+    # round-trip (2·dim·4 bytes each way) plus the einsum TWICE —
+    # measured at sf0.1 (q47): 6.08 s -> 3.15 s median with one node.
+    # The function is pure; the marker only blocks optimizer duplication
+    # (guide §4.4).
+    return pair_cosine.asNondeterministic()
 
 
 def lsh_bucket_topk(
