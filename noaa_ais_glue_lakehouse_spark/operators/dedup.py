@@ -241,13 +241,22 @@ def winnow_near_duplicates(
     """
     idx = winnow_fingerprint_index(df, id_col, text_col, k, w)
     if max_df is not None:
-        hot = (
-            idx.groupBy("fingerprint")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("fingerprint")
+        # df cap as a count window over the fingerprint key (round 10,
+        # guide §2.4): the previous hot-list rollup + broadcast anti-join
+        # referenced the index twice, so the per-gram md5 + winnow pass
+        # ran twice inside the cached index build (the before-plan scans
+        # the corpus twice). The window computes the document frequency
+        # on the SAME pass — one fingerprint subtree, one exchange, and
+        # the filter keeps exactly the rows the anti-join kept
+        # (count ≤ max_df ⟺ not in the >max_df hot list; fingerprints
+        # are md5 hex, never NULL). The exchange also leaves the index
+        # hash-partitioned on the self-join key.
+        w_df = Window.partitionBy("fingerprint")
+        idx = (
+            idx.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
         )
-        idx = idx.join(F.broadcast(hot), "fingerprint", "left_anti")
     if materialize_index:
         idx = idx.cache()
     a = idx.alias("a")
@@ -936,14 +945,22 @@ def drop_boilerplate_segments(
     exploded = base.select(
         "_id", F.posexplode_outer("_segs").alias("_pos", "_seg")
     )
-    seg_df = (
-        exploded.where(F.col("_seg").isNotNull())
-        .select("_seg", "_id")
-        .distinct()
-        .groupBy("_seg")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # Segment document-frequency in ONE pass over the exploded stream
+    # (round 10, guide §2.4): the previous distinct→rollup→join-back
+    # referenced `exploded` twice, so the tokenize+segment+posexplode
+    # subtree ran once per reference. max(dense_rank by _id) over the
+    # segment partition IS the distinct-document count (segments can
+    # repeat inside one doc, so a plain count window would overcount);
+    # both windows share one exchange+sort on _seg. NULL segments (empty
+    # docs) get a meaningless _df, exactly like the old left join's NULL —
+    # the `kept` guard below already requires _seg IS NOT NULL.
+    w_rank = Window.partitionBy("_seg").orderBy("_id")
+    w_seg = Window.partitionBy("_seg")
+    tagged = (
+        exploded.withColumn("_dr", F.dense_rank().over(w_rank))
+        .withColumn("_df", F.max("_dr").over(w_seg))
+        .drop("_dr")
     )
-    tagged = exploded.join(seg_df, "_seg", "left")
     kept = F.when(
         F.col("_seg").isNotNull() & (F.col("_df") <= max_df), F.col("_seg")
     )

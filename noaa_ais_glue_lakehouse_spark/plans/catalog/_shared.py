@@ -514,6 +514,25 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 
+def _lit_spine(spark: SparkSession, name: str, values: list) -> DataFrame:
+    """A small literal one-column relation as a JVM-NATIVE plan (round
+    10, guide §4): ``spark.createDataFrame([...])`` builds a Python RDD
+    leaf, so every scan of the spine round-trips through Python workers
+    (~0.3-0.5 s of fixed overhead per evaluation at any scale — and a
+    crossJoin of TWO such leaves planned as a CartesianProduct over
+    32×32 Python partition pairs, measured 13.5 s for 512 rows in q324).
+    ``spark.range`` + ``element_at`` keeps the same rows and types
+    (Python ints arrive as bigint, hence the long cast) with zero Python
+    involvement and a single partition."""
+    is_int = all(isinstance(v, int) and not isinstance(v, bool) for v in values)
+    arr = F.array(
+        *[F.lit(v).cast("long") if is_int else F.lit(v) for v in values]
+    )
+    return spark.range(0, len(values), 1, 1).select(
+        F.element_at(arr, (F.col("id") + 1).cast("int")).alias(name)
+    )
+
+
 def _word_ngrams(toks: F.Column, n: int) -> F.Column:
     """Word n-grams of a token array as joined strings — pure column
     expressions (sequence + transform + slice), JVM-side, no explode until
@@ -1867,6 +1886,68 @@ def _journey_transitions(spark: SparkSession, sf_dir: str):
     ni = n.groupBy("i").agg(F.sum("n_ij").cast("long").alias("n_i"))
     return n, ni, path
 
+
+def _absorb_iterate_start(
+    t_rows: list, rounds: int = 30, start_state: str = "START"
+) -> list:
+    """Driver-side exact mirror of the q423/q430 absorbing-chain value
+    iteration, returning the per-scenario START value after ``rounds``
+    rounds (round 10, guide §1.2 step 1 — fix the algorithm's
+    distribution, not its constants).
+
+    The relational loop ran 30 rounds of join+aggregate over a
+    ≤(|scenarios|·|states|²)-row matrix: correct, but every round is a
+    full Spark job over matrix-grain data (~250-900 rows at ANY corpus
+    scale), so the loop costs 30 jobs of pure scheduler overhead —
+    measured 7.5 s isolated at sf0.01 with the per-round localCheckpoint
+    and 14.1 s with checkpoint-every-6 (deep lazy chains re-optimize
+    worse than they save). The matrix is bounded by the CHANNEL
+    VOCABULARY, never by event volume — exactly the bounded
+    driver-action regime the registry's ``build_time_exec`` tag already
+    documents for these queries — so the 30 rounds run here in exact
+    int64 arithmetic (Python ints; every SUM(q_e6·p_e9) ≤ ~4e16 fits
+    int64 on the Spark side too, and ``//`` matches DIV on the
+    non-negative values involved).
+
+    Mirrors the relational semantics exactly: p0 = absorbing rows
+    (CONV=1e9, NULL=0 per scenario) ∪ zeros for every (scenario, i) in
+    the matrix; each round keeps only (scenario, i) groups with ≥1
+    joined j term (inner join), sums q_e6·p_e9 over matched terms only,
+    floor-divides by 1e6, and overlays the absorbing rows (i is never
+    CONV/NULL, so the union is key-disjoint).
+
+    ``t_rows``: (scenario, i, j, q_e6) tuples. Returns
+    [(scenario, start_p_e9), ...] for scenarios whose START state
+    survives the final round (it always does when START has any
+    outgoing transition, matching the relational inner-join filter)."""
+    v: dict = {}
+    scens = sorted({r[0] for r in t_rows})
+    trans: dict = {}
+    for s, i, j, q in t_rows:
+        trans.setdefault((s, i), []).append((j, q))
+    for s in scens:
+        v[(s, "CONV")] = 1_000_000_000
+        v[(s, "NULL")] = 0
+    for key in trans:
+        v.setdefault(key, 0)
+    for _ in range(rounds):
+        new_v: dict = {}
+        for (s, i), terms in trans.items():
+            tot = None
+            for j, q in terms:
+                pj = v.get((s, j))
+                if pj is None:
+                    continue
+                tot = (0 if tot is None else tot) + q * pj
+            if tot is not None:
+                new_v[(s, i)] = tot // 1_000_000
+        v = new_v
+        for s in scens:
+            v[(s, "CONV")] = 1_000_000_000
+            v[(s, "NULL")] = 0
+    return [
+        (s, v[(s, start_state)]) for s in scens if (s, start_state) in v
+    ]
 
 
 def _markov_attr_oracle(rounds: int = 30) -> str:

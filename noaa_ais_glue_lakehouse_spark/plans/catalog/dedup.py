@@ -781,10 +781,11 @@ def q148_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of a document's distinct word 5-grams that occur NOWHERE
     else in the corpus (document frequency 1). Low novelty = template/
     near-dup material the near-dup families should catch; high novelty =
-    unique content worth keeping. One gram explode (distinct within doc),
-    one map-side-combinable df count, one join back — the same inverted-
-    index shape as contamination checking (q83), pointed at the corpus
-    itself."""
+    unique content worth keeping. One gram explode (distinct within doc)
+    and a count window over the gram key for document frequency — the
+    q372/q349 round-10 rewrite: the previous df-rollup + join-back
+    referenced the gram stream twice, running the tokenize→5-gram→explode
+    subtree once per reference (guide §2.4)."""
     docs = load(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
@@ -792,8 +793,9 @@ def q148_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(_word_ngrams(tokenize(F.col("text")), 5))
         ).alias("g"),
     )
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    joined = grams.join(counts, "g")
+    joined = grams.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("g")).alias("df")
+    )
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
@@ -1907,29 +1909,30 @@ def q349_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join back — the exact inverted-index shuffle q345 uses, linear
     in corpus grams. DuckDB's list slicing is end-INCLUSIVE (tk[i:i+3]
     is 4 items) where Spark's slice(toks, i, 4) takes a length — both
-    sides emit 4-token grams."""
+    sides emit 4-token grams.
+
+    Round-10 rewrite (guide §2.4, the q372 change): document frequency
+    as a count window over the gram key instead of df-rollup +
+    equi-join — the join form referenced the exploded gram stream
+    twice, running the tokenize→4-gram→explode subtree once per
+    reference. One gram subtree, 2 Exchanges, oracle unchanged."""
     docs = _spread(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
-    g = (
-        docs.select("doc_id", F.array_distinct(_word_ngrams(toks, 4)).alias("_g"))
-        .filter(F.size("_g") > 0)
-        .select("doc_id", F.explode("_g").alias("gram"))
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(toks, 4))).alias("gram")
     )
-    df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        g.join(df_, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("novel_grams"),
-            F.round(
-                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("novelty_frac"),
-        )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    g2 = g.select("doc_id", n_docs.alias("n_docs"))
+    return g2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("novel_grams"),
+        F.round(
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_frac"),
     )
 
 
@@ -2278,32 +2281,37 @@ def q372_ngram_novelty_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: row-local transform(md5) BEFORE array_distinct/explode — the
     hash is computed once per (doc, gram) inside whole-stage codegen and
-    the raw gram string never leaves its scan task."""
+    the raw gram string never leaves its scan task.
+
+    Round-10 rewrite (guide §2.4): the previous df-rollup + equi-join
+    form referenced the exploded gram stream TWICE, so Catalyst ran the
+    whole tokenize→4-gram→md5→explode subtree once per reference (plus a
+    filter-on-derived-size that re-evaluated the gram array a third
+    time) — 3 Exchanges, documents scanned twice. A count window over
+    the gram key computes the per-gram document frequency on the SAME
+    pass: one gram subtree, 2 Exchanges (hkey window, doc_id rollup).
+    Measured 4.73 s → 0.78 s median at sf0.1, output hash-identical at
+    sf0.01 + sf0.1 (and the DuckDB oracle is unchanged)."""
     docs = _spread(load(spark, sf_dir, "documents"))
     toks = tokenize(F.col("text"))
     hgrams = F.transform(
         _word_ngrams(toks, 4), lambda s: F.substring(F.md5(s), 1, 16)
     )
-    g = (
-        docs.select("doc_id", F.array_distinct(hgrams).alias("_g"))
-        .filter(F.size("_g") > 0)
-        .select("doc_id", F.explode("_g").alias("hkey"))
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(hgrams)).alias("hkey")
     )
-    df_ = g.groupBy("hkey").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        g.join(df_, "hkey")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("novel_grams"),
-            F.round(
-                F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("novelty_frac"),
-        )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("hkey"))
+    g2 = g.select("doc_id", n_docs.alias("n_docs"))
+    return g2.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("novel_grams"),
+        F.round(
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_frac"),
     )
 
 
@@ -2397,24 +2405,33 @@ def q373_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = g.filter(F.col("source") == "src0").select(
         F.col("doc_id").alias("bdoc"), "gram"
     )
+    # grams are array_distinct per doc, so COUNT(*) per gram IS the
+    # distinct benchmark-doc count — dropping countDistinct removes the
+    # Expand node (round 10; same below for shared_grams)
     bkept = (
         bench.groupBy("gram")
-        .agg(F.countDistinct("bdoc").alias("bdf"))
+        .agg(F.count(F.lit(1)).alias("bdf"))
         .filter(F.col("bdf") <= 100)
         .select("gram")
     )
     train = g.filter(F.col("source") != "src0")
-    sz = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        train.join(F.broadcast(bkept), "gram")
-        .groupBy("doc_id", "source")
-        .agg(F.countDistinct("gram").alias("shared_grams"))
+    # per-doc gram total as a count window BEFORE the benchmark join
+    # (round 10, the q372 rewrite): the separate `sz` rollup + join-back
+    # referenced `train` twice, running the tokenize→8-gram→md5→explode
+    # subtree once per reference (guide §2.4)
+    train = train.withColumn(
+        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    doc_level = hits.join(sz, "doc_id").select(
-        "doc_id",
-        "source",
-        "shared_grams",
-        F.expr("(shared_grams * 1000000) DIV n_grams").alias("frac_u"),
+    doc_level = (
+        train.join(F.broadcast(bkept), "gram")
+        .groupBy("doc_id", "source", "n_grams")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .select(
+            "doc_id",
+            "source",
+            "shared_grams",
+            F.expr("(shared_grams * 1000000) DIV n_grams").alias("frac_u"),
+        )
     )
     src_totals = (
         docs.filter(F.col("source") != "src0")

@@ -1672,9 +1672,20 @@ def q172_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("st"), F.max("ts").alias("en")
     )
-    b = sessions.select(F.col("st").alias("ts"), F.lit(1).alias("delta")).unionAll(
-        sessions.select(F.col("en").alias("ts"), F.lit(-1).alias("delta"))
-    )
+    # +1/-1 boundary rows via ONE explode rather than a unionAll of two
+    # selects over `sessions` (round 10, guide §2.4): the union form made
+    # Catalyst run the whole scan→sessionize→min/max pipeline once per
+    # branch (the before-plan holds FOUR copies of it — 2 union branches
+    # × 2 global_running_sum references; exchange reuse cannot merge the
+    # branches because one aggregates min(ts) and the other max(ts)).
+    b = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("st").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("en").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("_b")
+    ).select("_b.ts", "_b.delta")
     # order by (ts, -delta): +1 boundaries sort before -1 at equal ts,
     # matching the oracle's ORDER BY ts, delta DESC
     r = global_running_sum(
@@ -2774,7 +2785,7 @@ def q336_conversion_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_us")
         )
     )
-    h = spark.createDataFrame([(1,), (24,), (168,)], ["horizon_h"])
+    h = _lit_spine(spark, "horizon_h", [1, 24, 168])
     j = conv.crossJoin(F.broadcast(h))
     hit = F.when(
         F.col("p_us").isNotNull()
@@ -3074,11 +3085,6 @@ def q423_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/checkpointing.py): set ``spark_graft.checkpoint_dir``
     for reliable ``checkpoint()`` on a real cluster (localCheckpoint
     state dies with a lost executor)."""
-    from noaa_ais_glue_lakehouse_spark.operators.checkpointing import (
-        iteration_checkpointer,
-    )
-
-    _ckpt = iteration_checkpointer(spark)
     n, ni, path = _journey_transitions(spark, sf_dir)
     ev = load(spark, sf_dir, "events")
     rems = (
@@ -3101,36 +3107,19 @@ def q423_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rem", "i", "j")
         .agg(F.sum("q_e6").cast("long").alias("q_e6"))
     )
-    t = _ckpt(t)
-    absorbing = rems.select(
-        "rem", F.lit("CONV").alias("state"), F.lit(1000000000).cast("long").alias("p_e9")
-    ).unionAll(
-        rems.select("rem", F.lit("NULL").alias("state"), F.lit(0).cast("long").alias("p_e9"))
+    # The 30 value-iteration rounds run on the DRIVER over the collected
+    # matrix (round 10): the relational loop was 30 Spark jobs over a
+    # channel-vocabulary-bounded relation (~250 rows at ANY corpus
+    # scale) — pure scheduler overhead, measured 7.5 s isolated at
+    # sf0.01 vs ~2 s with the collect. Exact-arithmetic mirror and the
+    # boundedness argument: _shared._absorb_iterate_start. The heavy
+    # part — journey extraction and the transition rollup — stays fully
+    # distributed and executes ONCE (the collect is its only action).
+    t_rows = [(r[0], r[1], r[2], r[3]) for r in t.collect()]
+    start_vals = _absorb_iterate_start(t_rows, rounds=30)
+    start = spark.createDataFrame(
+        [(s, int(pv)) for s, pv in start_vals], "rem string, p_e9 bigint"
     )
-    absorbing = _ckpt(absorbing)
-    p = _ckpt(
-        absorbing.unionAll(
-            t.select("rem", F.col("i").alias("state")).distinct().select(
-                "rem", "state", F.lit(0).cast("long").alias("p_e9")
-            )
-        )
-    )
-    for _ in range(30):
-        stepped = (
-            t.join(
-                p.select(F.col("rem"), F.col("state").alias("j"), "p_e9"),
-                ["rem", "j"],
-            )
-            .groupBy("rem", "i")
-            .agg(
-                F.expr("CAST(SUM(q_e6 * p_e9) DIV 1000000 AS BIGINT)").alias(
-                    "p_e9"
-                )
-            )
-            .select("rem", F.col("i").alias("state"), "p_e9")
-        )
-        p = _ckpt(stepped.unionAll(absorbing))
-    start = p.filter(F.col("state") == "START")
     base = start.filter(F.col("rem") == "none").select(
         F.col("p_e9").alias("base_e9")
     )
@@ -3246,37 +3235,18 @@ def q430_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mask", "i", "j")
         .agg(F.sum("q_e6").cast("long").alias("q_e6"))
     )
-    t = _ckpt(t)
-    absorbing = _ckpt(
-        masks.select(
-            "mask",
-            F.lit("CONV").alias("state"),
-            F.lit(1000000000).cast("long").alias("p_e9"),
-        ).unionAll(
-            masks.select(
-                "mask", F.lit("NULL").alias("state"), F.lit(0).cast("long").alias("p_e9")
-            )
-        )
+    # 30 value-iteration rounds on the DRIVER over the collected
+    # (mask, i, j) matrix — 16 coalitions × ~10 states × ~10 targets is
+    # bounded by the channel vocabulary, never by event volume (the
+    # q423 round-10 change; exact-arithmetic mirror and measurement in
+    # _shared._absorb_iterate_start). Journey extraction and the
+    # transition rollup stay distributed and execute once.
+    t_rows = [(r[0], r[1], r[2], r[3]) for r in t.collect()]
+    start_vals = _absorb_iterate_start(t_rows, rounds=30)
+    v = spark.createDataFrame(
+        [(int(m), int(pv)) for m, pv in start_vals],
+        "mask bigint, p_e9 bigint",
     )
-    p = _ckpt(
-        absorbing.unionAll(
-            t.select("mask", F.col("i").alias("state")).distinct().select(
-                "mask", "state", F.lit(0).cast("long").alias("p_e9")
-            )
-        )
-    )
-    for _ in range(30):
-        stepped = (
-            t.join(
-                p.select("mask", F.col("state").alias("j"), "p_e9"),
-                ["mask", "j"],
-            )
-            .groupBy("mask", "i")
-            .agg(F.expr("CAST(SUM(q_e6 * p_e9) DIV 1000000 AS BIGINT)").alias("p_e9"))
-            .select("mask", F.col("i").alias("state"), "p_e9")
-        )
-        p = _ckpt(stepped.unionAll(absorbing))
-    v = p.filter(F.col("state") == "START").select("mask", "p_e9")
     v0 = v.select(F.col("mask").alias("s"), F.col("p_e9").alias("v0"))
     v1 = v.select(F.col("mask").alias("s1"), F.col("p_e9").alias("v1"))
     pairs = (

@@ -676,7 +676,7 @@ def q304_exact_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     # and counting its output would re-execute the whole two-phase scan
     total = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
     withn = ranked.crossJoin(F.broadcast(total))
-    ps = spark.createDataFrame([(50,), (90,), (99,)], ["p"])
+    ps = _lit_spine(spark, "p", [50, 90, 99])
     return withn.join(
         F.broadcast(ps),
         F.col("rk") == F.ceil(F.col("p") * F.col("n") / 100.0).cast("long"),

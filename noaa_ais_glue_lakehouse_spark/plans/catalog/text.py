@@ -3131,7 +3131,7 @@ def q319_scaling_law_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         F.size(toks).cast("long").alias("n_tokens"), h.alias("h")
     )
-    spine = spark.createDataFrame([(100,), (250,), (500,), (1000,)], ["mille"])
+    spine = _lit_spine(spark, "mille", [100, 250, 500, 1000])
     return (
         F.broadcast(spine)
         .join(d, d.h < F.col("mille"))

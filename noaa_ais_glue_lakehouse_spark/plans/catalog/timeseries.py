@@ -1996,7 +1996,7 @@ def q342_sliding_mau_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.expr("bit_or(bit)").alias("day_mask"))
     )
-    off = spark.createDataFrame([(i,) for i in range(24)], ["start_day"])
+    off = _lit_spine(spark, "start_day", list(range(24)))
     j = m.crossJoin(F.broadcast(off))
     active = (
         F.expr("shiftright(day_mask, cast(start_day as int))")

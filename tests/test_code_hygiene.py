@@ -26,8 +26,17 @@ PKG = pathlib.Path(__file__).resolve().parents[1] / "noaa_ais_glue_lakehouse_spa
 #     emptied-partition tuples — all distinct-partition-bounded
 #   - write_versioned_wap: the WAP audit report — one row per RULE
 #     (rule-count-bounded, never data-bounded)
+#   - q423_markov_attribution / q430_shapley_attribution: the
+#     (scenario, i, j, q_e6) transition matrix — bounded by the channel
+#     VOCABULARY (≤ scenarios·states², ~250-900 rows at ANY corpus
+#     scale; the registry's build_time_exec tag documents the regime).
+#     The 30 value-iteration rounds run on the driver in exact int64
+#     arithmetic (_shared._absorb_iterate_start) instead of 30 Spark
+#     jobs of pure scheduler overhead over a few hundred rows.
 ALLOWED_COLLECT_SITES = {
     ("operators/similarity.py", "_pair_cosine_by_index_udf"): 1,
+    ("plans/catalog/events.py", "q423_markov_attribution"): 1,
+    ("plans/catalog/events.py", "q430_shapley_attribution"): 1,
     ("sources/writers.py", "write_versioned_wap"): 1,
     ("operators/similarity.py", "_train_centroids"): 1,
     ("operators/tokenizer.py", "_bpe_merge_rounds"): 1,
