@@ -71,14 +71,30 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # per-side norms computed once per VECTOR, not per pair (round 10,
+    # guide §4.1) — dot/(nq·nc) multiplies the identical doubles in the
+    # identical order as cosine_similarity, so scores are bit-unchanged
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_nq"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_nc"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -431,39 +447,66 @@ def lsh_bucket_topk(
 
     signatures = _signature_udf(dim, n_planes, n_tables)
 
-    def keys(df, out_id, out_vec):
+    def keys(df, out_id, out_vec, out_sigs, out_norm):
         sig = F.explode(
             F.arrays_zip(
                 F.sequence(F.lit(0), F.lit(n_tables - 1)).alias("tbl"),
-                F.col("_sigs").alias("sig"),
+                F.col(out_sigs).alias("sig"),
             )
         )
         return (
             df.select(
                 F.col(id_col).alias(out_id),
                 F.col(vec_col).alias(out_vec),
-                signatures(F.col(vec_col)).alias("_sigs"),
+                # per-vector norm BEFORE the L× explode (round 10,
+                # guide §4.1): scoring then divides by nq·nc instead of
+                # re-folding both norms per candidate pair —
+                # bit-identical to cosine_similarity (same expression,
+                # same multiply order)
+                _norm(F.col(vec_col)).alias(out_norm),
+                signatures(F.col(vec_col)).alias(out_sigs),
             )
-            .select(out_id, out_vec, sig.alias("_z"))
+            .select(out_id, out_vec, out_norm, out_sigs, sig.alias("_z"))
             .select(
                 out_id,
                 out_vec,
+                out_norm,
+                out_sigs,
                 F.struct(
                     F.col("_z.tbl").alias("tbl"), F.col("_z.sig").alias("sig")
                 ).alias("_k"),
             )
         )
 
-    c = keys(corpus, "neighbor_id", "_cv")
-    q = keys(queries, "query_id", "_qv")
-    cands = (
-        c.join(F.broadcast(q), "_k")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
-        .distinct()
-    )
-    scored = cands.withColumn(
-        "score", F.round(cosine_similarity(F.col("_qv"), F.col("_cv")), 6)
+    c = keys(corpus, "neighbor_id", "_cv", "_sc", "_nc")
+    q = keys(queries, "query_id", "_qv", "_sq", "_nq")
+    # Cross-table dedup WITHOUT a shuffle (round 10, guide §2.3/§8): a
+    # pair agreeing in m tables appears m times in the raw bucket join;
+    # the old `.distinct()` deduped it by shuffling (query, neighbor,
+    # 2×dim-double VECTORS) — heavy payloads moved just to decide
+    # uniqueness. Emitting each pair only from its FIRST agreeing table
+    # (no earlier table's signatures match — both sides carry the full
+    # L-slot signature array, ~L ints/row) replaces that exchange with
+    # an (L−1)-term boolean filter evaluated inside the broadcast join;
+    # the only remaining shuffle is the top-k window over
+    # (query_id, neighbor_id, score) — keys and a double, no vectors.
+    cond = F.col("neighbor_id") != F.col("query_id")
+    for j in range(n_tables - 1):
+        cond = cond & (
+            (F.col("_k.tbl") <= F.lit(j))
+            | (
+                F.element_at(F.col("_sc"), j + 1)
+                != F.element_at(F.col("_sq"), j + 1)
+            )
+        )
+    cands = c.join(F.broadcast(q), "_k").filter(cond)
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("_qv"), F.col("_cv")) / (F.col("_nq") * F.col("_nc")),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -755,6 +798,29 @@ def portable_hyperplane_signs(
     ]
 
 
+def fold_dot_expr(vec, s_row) -> "F.Column":
+    """Σ_d x_d·s_d as an EXPLICIT left-associated expression chain —
+    bit-identical to the HOF form
+    ``F.aggregate(F.zip_with(vec, s_arr, λx,s: x.cast('double')·s),
+    0.0, λa,x: a+x)`` (same multiply, same left-fold addition order,
+    same NULL propagation).
+
+    MEASURED AND REJECTED as the portable-LSH dot kernel (round 10, do
+    not revisit): replacing the HOF fold with this chain pushed q474
+    5.6 s → 30 s and q384 30 s → 48 s at sf0.1 — the 48 × 64-term trees
+    exceed what codegen will compile, and per-NODE interpreted
+    evaluation (boxing + branch per Add/Multiply/ElementAt) is far
+    slower than the HOF's per-element loop over a primitive array.
+    Kept (unused by the LSH paths) because its equivalence argument
+    documents the float-determinism constraint any future kernel swap
+    must satisfy; the pytest pinning chain == HOF keeps the argument
+    honest."""
+    acc = F.lit(0.0)
+    for d, s in enumerate(s_row):
+        acc = acc + F.element_at(vec, d + 1).cast("double") * F.lit(float(s))
+    return acc
+
+
 def cosine_near_duplicates_portable(
     df: DataFrame,
     dim: int,
@@ -793,6 +859,11 @@ def cosine_near_duplicates_portable(
     def bucket_expr(t: int):
         acc = F.lit(0)
         for j in range(n_planes):
+            # HOF left fold, NOT an explicit 64-term expression chain:
+            # the chain form was measured 1.6× SLOWER here (round 10) —
+            # the giant tree falls out of codegen and evaluates
+            # interpreted per NODE, worse than the HOF's per-element
+            # loop. See fold_dot_expr's docstring for the measurement.
             s_arr = F.array(*[F.lit(float(s)) for s in signs[t][j]])
             dot = F.aggregate(
                 F.zip_with(vec, s_arr, lambda x, s: x.cast("double") * s),
@@ -802,11 +873,15 @@ def cosine_near_duplicates_portable(
             acc = acc + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         return acc
 
+    # id + bucket keys ONLY, materialized (round 10, guide §2.4): the
+    # banded self-join references this relation twice, so uncached the
+    # n_tables·n_planes fold-dots — the dominant per-row cost — ran
+    # once per side; the cached index is (id + n_tables ints)/row,
+    # MEMORY_AND_DISK / LRU like every LSH signature index here.
     keyed = df.select(
         F.col(id_col),
-        vec,
         *[bucket_expr(t).alias(f"_bk{t}") for t in range(n_tables)],
-    )
+    ).cache()
     # Candidate generation is ID-ONLY (id + table keys): carrying the
     # embedding through the exploded per-table self-join would push
     # candidates × dim × 8 bytes through the shuffle — the exact cost the
@@ -844,14 +919,28 @@ def cosine_near_duplicates_portable(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
     )
-    vecs = df.select(F.col(id_col), vec.alias("_v"))
+    # Per-VECTOR norms computed once here and re-attached with the
+    # vectors (round 10, guide §4.1): cosine_similarity recomputes both
+    # norms per PAIR, so |candidates| ≫ |corpus| meant two redundant
+    # interpreted 64-element folds per candidate. _norm(v) is the same
+    # expression on the same input, and dot/( na · nb ) multiplies the
+    # identical doubles in the identical order — bit-for-bit the old
+    # result (pinned by the q384 oracle). Measured 21.4 → 9.4 s at
+    # sf0.1.
+    vecs = df.select(
+        F.col(id_col), vec.alias("_v"), _norm(vec).alias("_nv")
+    )
     pairs = (
         cand.join(vecs.withColumnRenamed(id_col, "id_a"), "id_a")
         .withColumnRenamed("_v", "_va")
+        .withColumnRenamed("_nv", "_na")
         .join(vecs.withColumnRenamed(id_col, "id_b"), "id_b")
         .withColumnRenamed("_v", "_vb")
+        .withColumnRenamed("_nv", "_nb")
     )
-    cos = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 4)
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+    )
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

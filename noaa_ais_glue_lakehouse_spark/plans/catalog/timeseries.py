@@ -340,37 +340,61 @@ def q78_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver), left-join the per-hour rollup, and forward-fill empty
     hours from the last observed value.
 
-    Scale shape: the per-hour rollup, the span agg, the grid join and the
-    fill window all share the `user_id` hash partitioning, so the whole
-    resample is one shuffle of the input plus a skinny |entities|-sized
-    span table. Grid cardinality is bounded by time-range/step per entity,
-    independent of event count — safe at 100 TB where events/entity is the
-    thing that explodes, not the calendar."""
+    Scale shape (round-10 single-pass rewrite, guide §2.4): ONE scan of
+    events feeds the per-hour rollup; the span, the grid and the
+    forward fill all derive from the HOURLY relation instead of a
+    second events scan + grid left-join. Each observed hour row emits
+    itself plus every empty hour up to (but excluding) the entity's
+    next observed hour via sequence+explode — the union of those spans
+    is exactly [first observed hour, last observed hour], so the grid
+    is identical to the old spans+join form; the carried value is the
+    window forward-fill computed over HOURLY rows (|entities × active
+    hours|, far smaller than the exploded grid the old window sorted).
+    Before: 2 events scans, 4 Exchanges, SortMergeJoin, grid-sized
+    window sort. After: 1 scan, 2 Exchanges (hour rollup, user_id
+    window), no join. Grid cardinality is bounded by time-range/step
+    per entity, independent of event count — safe at 100 TB where
+    events/entity is the thing that explodes, not the calendar."""
     ev = load(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
     hourly = ev.groupBy("user_id", hour.alias("hour_ts")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.max_by("value", F.struct("ts", "event_id")).alias("last_value"),
     )
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    w_ord = Window.partitionBy("user_id").orderBy("hour_ts")
+    # forward fill over OBSERVED hours: generated (empty) grid hours
+    # inherit their predecessor's fill by construction, because every
+    # generated hour is emitted BY its most recent observed hour
+    filled = F.last("last_value", ignorenulls=True).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    grid = spans.select(
+    h2 = hourly.select(
         "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts"),
+        "hour_ts",
+        "n_events",
+        filled.alias("_filled"),
+        F.lead("hour_ts").over(w_ord).alias("_next"),
     )
-    joined = grid.join(hourly, ["user_id", "hour_ts"], "left")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span_end = F.coalesce(
+        F.col("_next") - F.expr("INTERVAL 1 HOUR"), F.col("hour_ts")
     )
-    return joined.select(
+    g = h2.select(
         "user_id",
-        F.date_format("hour_ts", "yyyy-MM-dd HH:mm").alias("hour"),
-        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
-        F.round(F.last("last_value", ignorenulls=True).over(w), 6).alias("filled_value"),
+        "hour_ts",
+        "n_events",
+        "_filled",
+        F.explode(
+            F.sequence(F.col("hour_ts"), span_end, F.expr("INTERVAL 1 HOUR"))
+        ).alias("_grid_ts"),
+    )
+    return g.select(
+        "user_id",
+        F.date_format("_grid_ts", "yyyy-MM-dd HH:mm").alias("hour"),
+        F.when(F.col("_grid_ts") == F.col("hour_ts"), F.col("n_events"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+        F.round("_filled", 6).alias("filled_value"),
     )
 
 

@@ -94,6 +94,29 @@ def test_ivf_recall_at_k(spark):
     assert exact == truth  # probing every list degenerates to brute force
 
 
+def test_lsh_first_table_dedup_unique_pairs(spark):
+    """Round-10 rewrite: cross-table candidate dedup moved from a
+    `.distinct()` shuffle of full vectors to the first-agreeing-table
+    filter inside the broadcast join. A pair colliding in m tables must
+    still surface exactly once — unique (query, neighbor) pairs and
+    dense 1..k ranks per query prove the m-fold join output was deduped
+    correctly."""
+    corpus, _ = _vectors(spark, n=150)
+    queries = corpus.limit(8)
+    rows = lsh_bucket_topk(
+        corpus, queries, dim=DIM, k=5, n_planes=4, n_tables=12
+    ).collect()
+    # n_planes=4 keeps buckets coarse, so cross-table collisions are
+    # plentiful — the regime where a broken dedup would duplicate pairs
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate candidate pair survived"
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
 def test_lsh_scores_match_exact_for_found_pairs(spark):
     corpus, _ = _vectors(spark, n=100)
     queries = corpus.limit(5)
