@@ -163,6 +163,37 @@ def main() -> None:
         # Multi-process consumers (selfcheck --workers) keep the session
         # factory's smaller default so N workers can't overcommit the host.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Whole-stage-codegen class cache sized to the CATALOG, not Spark's
+        # default 100 (round 10, guide §1/§7): one suite pass compiles
+        # ~1000+ codegen fragments across the 37 headline plans, so at 100
+        # entries the cache thrashes completely and EVERY pass re-generates
+        # and re-JITs every class — a fresh class restarts tiered
+        # compilation from the interpreter, and the q27 probe measured the
+        # un-JIT'd verify stage at 717-893 CPU-seconds vs 77-84 warm (10x).
+        # Scale-independent: any long-lived driver executing a large query
+        # catalog wants its generated classes stable across queries.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
+        # No class unloading for the bench JVM (round 10): G1's concurrent
+        # class unloading deoptimizes hot JIT-compiled framework methods
+        # that inlined through a dead trial's generated classes — one
+        # unload cycle mid-suite re-ran whole trials at interpreter tier
+        # (q47 19.5 s vs 2.2 s in the SAME bench run's other passes). The
+        # bench JVM is bounded-lifetime (~10 min) and the codegen cache
+        # above keeps live classes stable, so retaining dead generated
+        # classes costs tens of MB of metaspace. ReservedCodeCacheSize is
+        # raised from the 240 MB default so the retained dead nmethods
+        # cannot fill the code cache and stall late-suite compilation.
+        # Overridable via SPARK_GRAFT_DRIVER_JAVA_OPTS.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:-ClassUnloading -XX:ReservedCodeCacheSize=1g",
+            ),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -228,20 +259,28 @@ def main() -> None:
                 runs[name].append(dt)
             # UNTIMED housekeeping between trials (JMH-style): drop Python
             # DF refs so the ContextCleaner frees dead broadcast/checkpoint
-            # blocks, evict cached per-query indexes (the LSH queries
+            # blocks and evict cached per-query indexes (the LSH queries
             # cache() signature/fingerprint indexes that are dead once the
             # query returns; accumulated storage otherwise squeezes the
             # unified-memory execution pool and the big verify joins start
             # spilling — q27 measured 18 s late in the suite vs 6.8 s
-            # isolated), and force a JVM GC so the next query doesn't pay
-            # the previous query's collection debt (q47 measured 13.6 s
-            # right after q27's 2.95M-row run vs 5.8 s with the gap GC and
-            # ~2.5 s fully steady). The reported wall is the sum of
-            # per-query times, i.e. housekeeping is excluded by
-            # construction.
+            # isolated). The reported wall is the sum of per-query times,
+            # i.e. housekeeping is excluded by construction.
+            #
+            # Round 10: the forced JVM System.gc() that used to follow was
+            # MEASURED-AND-REMOVED (guide §1/§7.4 "correct at small scale,
+            # wrong under measurement"): every forced full GC unloads the
+            # previous trial's generated classes, and class unloading
+            # deoptimizes still-hot JIT-compiled code — the q27 verify
+            # stage re-ran at interpreter tier for whole trials afterwards
+            # (event-log CPU for the IDENTICAL stage: 89 s warm vs 430-1150
+            # s after a forced-GC deopt; isolated probe medians 16 s with
+            # the forced GC vs 4.4 s without, clearCache kept in both).
+            # The round-4 reason for the GC (storage debt bleeding into the
+            # next query) is handled by clearCache + the ContextCleaner;
+            # BENCH_r10 re-measured the whole suite both ways.
             gc.collect()
             spark.catalog.clearCache()
-            spark._jvm.System.gc()
     times = {name: sorted(rs)[len(rs) // 2] for name, rs in runs.items()}
     total = round(sum(times.values()), 3)
 
@@ -477,6 +516,10 @@ def main() -> None:
                 "spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
             )
+            .config(
+                "spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+            )
             .getOrCreate()
         )
         spark.sparkContext.setLogLevel("ERROR")
@@ -489,7 +532,6 @@ def main() -> None:
                     rr.append(round(time.time() - t0, 3))
                 gc.collect()
                 spark.catalog.clearCache()
-                spark._jvm.System.gc()
             entry["rerun_median"] = sorted(rr)[len(rr) // 2]
             # clear envelope matches the tier that flagged the entry:
             # drift = 1.25x best-ever, watch = 1.10x

@@ -86,6 +86,7 @@ def global_running_sum(
     value_col: str,
     out_col: str = "running",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Globally-ordered running sum WITHOUT a single-partition window —
     the classic two-phase parallel prefix scan.
@@ -105,6 +106,18 @@ def global_running_sum(
     frame-order-dependent (exactly as SQL's ROWS frame is); the value at
     the END of each tie group — and any MAX/MIN over the running column —
     is deterministic.
+
+    ``materialize`` (round 10, guide §2.4/§5): the locally-scanned stream
+    feeds TWO plan references — the main output and the per-partition
+    totals — and Catalyst does not share the subtree (exchange reuse
+    fails across the AQE-replanned range exchange), so WITHOUT
+    materialization the ENTIRE upstream pipeline ran twice (q172's
+    before-plan holds two full scan→sessionize→window copies). cache()
+    runs it once; it also pins ONE sampled range partitioning, so the
+    broadcast offsets provably describe the same _pid layout the main
+    stream carries (two separate evaluations only agreed because the
+    range sampler is seeded deterministically). Pass False to keep the
+    plan fully lazy.
     """
     cols = [F.col(c) for c in order_cols]
     part = (
@@ -119,6 +132,8 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
+    if materialize:
+        local = local.cache()
     # exclusive prefix over per-partition totals: |partitions| rows, so the
     # single-partition window here is over a driver-sized set by design
     totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))

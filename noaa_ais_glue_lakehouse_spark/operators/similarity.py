@@ -291,9 +291,17 @@ def cosine_near_duplicates(
     # outnumber the corpus by orders of magnitude when buckets are large);
     # id pairs are ~16 bytes. Vectors re-attach afterwards — |survivors|
     # join work, and the corpus side broadcasts when small.
-    keyed = df.select(
+    # The (id, signatures) index is ~(8 + 4·n_tables) bytes/row but feeds
+    # BOTH sides of the band self-join — uncached, the signature pandas
+    # UDF (an Arrow round-trip of every vector plus the numpy matmul)
+    # runs twice over the corpus (the before-plan holds two
+    # ArrowEvalPython corpus passes; guide §4.1/§2.4). cache() scores
+    # the corpus once, and the InMemoryRelation's accurate stats let AQE
+    # broadcast the smaller join sides (the q384/q474 treatment).
+    sigged = df.select(
         F.col(id_col), signatures(F.col(vec_col)).alias("_sigs")
-    ).select(
+    ).cache()
+    keyed = sigged.select(
         id_col,
         "_sigs",
         F.explode(

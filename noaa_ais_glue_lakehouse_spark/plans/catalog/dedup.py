@@ -916,10 +916,19 @@ def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently vanishing from the drift report.
     """
     docs = load(spark, sf_dir, "documents")
+    # The (source, tok, n) counts relation is |sources|x|vocab|-sized —
+    # tiny next to the document scan that produces it — but it feeds FOUR
+    # plan references (both sides of the shared-token self-join, plus both
+    # sides of the pair spine), so uncached the tokenize→explode→count
+    # subtree ran four times (the before-plan holds EIGHT documents scans;
+    # guide §2.4). cache() materializes the counts once; the accurate
+    # InMemoryRelation statistics also let AQE broadcast the self-join's
+    # smaller side.
     c = (
         docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
     )
     pcol = (F.col("n") / F.sum("n").over(Window.partitionBy("source"))).alias(
         "p"

@@ -793,29 +793,48 @@ def q185_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = (
-        ev.withColumn("_prev", F.lag("event_type").over(w))
-        .filter(
-            F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))
-        )
-        .select(
-            "user_id",
-            F.col("ts"),
-            "event_id",
+    # ONE events pass (round 10, guide §2.4): the union of the dim-change
+    # branch (needs the lag window) and the facts branch previously
+    # scanned events twice and exchanged twice (dim's window + the
+    # union's carry window). Instead, compute the lag once and let each
+    # row EMIT 0-2 tagged rows (its dim-change row, its fact row) via a
+    # 2-element filtered explode; explode preserves the user_id hash
+    # partitioning, so the carry window below reuses the SAME exchange —
+    # 2 scans -> 1, 2 exchanges -> 1. Row set and sort keys are identical
+    # to the union form.
+    is_dim = F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))
+    is_fact = F.col("event_id") % 10 == 7
+    emit = F.array(
+        F.struct(
             F.lit(0).alias("_src"),
             F.col("event_type").alias("_state"),
             F.lit(None).cast("double").alias("value"),
+            is_dim.alias("_keep"),
+        ),
+        F.struct(
+            F.lit(1).alias("_src"),
+            F.lit(None).cast("string").alias("_state"),
+            F.col("value").alias("value"),
+            is_fact.alias("_keep"),
+        ),
+    )
+    tagged = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.explode(F.filter(emit, lambda x: x["_keep"])).alias("_e"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("_e._src").alias("_src"),
+            F.col("_e._state").alias("_state"),
+            F.col("_e.value").alias("value"),
         )
     )
-    facts = ev.filter(F.col("event_id") % 10 == 7).select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(1).alias("_src"),
-        F.lit(None).cast("string").alias("_state"),
-        "value",
-    )
-    tagged = dim.unionByName(facts)
     # _src BEFORE event_id: ALL dim changes at time T must precede any
     # fact at T regardless of their event ids — the oracle's interval
     # predicate (valid_from <= ts) compares timestamps only, so a fact

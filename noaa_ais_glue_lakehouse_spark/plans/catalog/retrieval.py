@@ -771,6 +771,9 @@ def q222_maxsim_late_interaction(
 
 @register(
     "q227_reciprocal_rank_fusion",
+    # the 1-row cross join now sits INSIDE global_running_sum's cached
+    # stream (round 10); the plan audits descend into cached subtrees to
+    # keep validating its bound
     allow_non_equi="inherits the BM25 single-row stats cross join via _bm25_scored",
     oracle=_BM25_SQL_BASE
     + """

@@ -49,6 +49,16 @@ def get_spark(app_name: str = "noaa-ais-lakehouse-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # codegen class cache sized for a large query catalog (round 10):
+        # Spark's default 100 entries thrash when a session executes many
+        # distinct plans, re-generating (and re-JITing from the
+        # interpreter) every whole-stage-codegen class on each re-run —
+        # measured 10x CPU on the LSH verify stages. A few thousand
+        # entries keep generated classes (and their JIT state) stable.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

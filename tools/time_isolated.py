@@ -30,6 +30,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,7 +56,9 @@ def main() -> None:
                 runs.append(dt)
             gc.collect()
             spark.catalog.clearCache()
-            spark._jvm.System.gc()
+            # no forced System.gc: it unloads the previous trial's
+            # generated classes, deoptimizing still-hot JIT code (see
+            # bench.py housekeeping note, round 10)
         print(f"{name}: median {sorted(runs)[1]:.3f}  runs {runs}", flush=True)
 
 
