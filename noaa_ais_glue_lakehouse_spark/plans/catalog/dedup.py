@@ -916,19 +916,21 @@ def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently vanishing from the drift report.
     """
     docs = load(spark, sf_dir, "documents")
-    # The (source, tok, n) counts relation is |sources|x|vocab|-sized —
-    # tiny next to the document scan that produces it — but it feeds FOUR
-    # plan references (both sides of the shared-token self-join, plus both
-    # sides of the pair spine), so uncached the tokenize→explode→count
-    # subtree ran four times (the before-plan holds EIGHT documents scans;
-    # guide §2.4). cache() materializes the counts once; the accurate
-    # InMemoryRelation statistics also let AQE broadcast the self-join's
-    # smaller side.
+    # MEASURED AND REJECTED (round 10): caching this (source, tok, n)
+    # counts relation. It feeds FOUR plan references (both self-join
+    # sides + both spine sides), so the tokenize→explode→count subtree
+    # runs four times — but an alternating cached/uncached A/B at sf0.1
+    # measured the cache at parity-to-slower (medians 1.37 vs 1.17 s):
+    # the materialization barrier costs what the three saved subtree
+    # evaluations save at this corpus size, because the subtree is one
+    # map-side-combined aggregation over a single pruned column. At a
+    # corpus where the document scan dominates, revisit — together with
+    # a collect_list-per-token pair-stream rewrite that would cut the
+    # references to one (see OPTIMIZATION_r10.md "Not yet optimized").
     c = (
         docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
-        .cache()
     )
     pcol = (F.col("n") / F.sum("n").over(Window.partitionBy("source"))).alias(
         "p"

@@ -64,6 +64,37 @@ def test_global_running_sum_matches_single_window(spark):
         assert r["c"] == ref[(r["k"], r["rid"])]
 
 
+def test_global_running_sum_materializes_scanned_stream(spark):
+    """Round 10: the prefix scan's locally-scanned stream feeds TWO plan
+    references (main output + per-partition totals) and Catalyst does
+    not share the subtree, so materialize=True must cache it — the plan
+    reads InMemoryTableScan, and the upstream input appears ONCE inside
+    the InMemoryRelation. materialize=False keeps the plan fully lazy
+    (no cache node), preserving the opt-out."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "t").withColumn(
+        "v", (F.col("t") % 3 - 1).cast("int")
+    )
+    # lazy FIRST: once materialize=True has cached the stream, the
+    # CacheManager substitutes any logically-equal later plan with the
+    # InMemoryRelation, so the order of these two checks matters
+    lazy = global_running_sum(
+        df, ["t"], "v", num_partitions=4, materialize=False
+    )
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in lazy_plan, lazy_plan
+    got_l = {r["t"]: r["running"] for r in lazy.collect()}
+    cached = global_running_sum(df, ["t"], "v", num_partitions=4)
+    plan = cached._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    # both forms compute the same running sums
+    got_c = {r["t"]: r["running"] for r in cached.collect()}
+    assert got_c == got_l and len(got_c) == 100
+
+
 def test_global_running_sum_no_single_partition_window(spark):
     """The big-table window must be partitioned by _pid — only the
     |partitions|-sized offsets window may be global."""
