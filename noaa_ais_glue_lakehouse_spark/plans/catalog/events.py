@@ -766,7 +766,7 @@ def q86_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS type_cents
       FROM events GROUP BY 1, 2
     )
-    SELECT day, event_type, type_cents,
+    SELECT day, event_type, CAST(type_cents AS BIGINT) AS type_cents,
            ROUND(CAST(type_cents AS DOUBLE)
                  / SUM(type_cents) OVER (PARTITION BY day), 6) AS share
     FROM d

@@ -310,7 +310,8 @@ def q63_sketch_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT CAST(ts AS DATE) AS day, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )

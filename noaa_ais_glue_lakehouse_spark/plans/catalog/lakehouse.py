@@ -67,7 +67,8 @@ def q87_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS user_total_cents
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     )
-    SELECT e.event_id, e.user_id, d.user_total_cents
+    SELECT e.event_id, e.user_id,
+           CAST(d.user_total_cents AS BIGINT) AS user_total_cents
     FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
     """,
 )

@@ -67,7 +67,8 @@ def q55_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
       FROM events GROUP BY event_type, user_id
     )
-    SELECT event_type, user_id, total_cents,
+    SELECT event_type, user_id,
+           CAST(total_cents AS BIGINT) AS total_cents,
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
            ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
@@ -995,7 +996,7 @@ def q231_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE tok NOT IN ('spark', 'join', 'window')
       GROUP BY tok
     )
-    SELECT tok, n_docs, weight_micro,
+    SELECT tok, n_docs, CAST(weight_micro AS BIGINT) AS weight_micro,
            ROUND(weight_micro / 1000000.0, 6) AS weight
     FROM w ORDER BY weight_micro DESC, tok LIMIT 10
     """,

@@ -3939,7 +3939,7 @@ def q457_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (VALUES (1), (10), (100), (1000), (10000)) t(k)
     ), c AS (
       SELECT k,
-             k * 0.1 AS eps_basic,
+             CAST(k AS DOUBLE) * 0.1 AS eps_basic,
              0.1 * SQRT(2.0 * k * ln(1000000.0))
                + k * 0.1 * (EXP(0.1) - 1.0) AS eps_advanced,
              k * 0.1 * 0.1 / 2.0 AS rho
@@ -3977,7 +3977,7 @@ def q496_dp_budget_composition(
         ).alias("k")
     )
     c = (
-        spine.withColumn("eps_basic", F.expr("k * 0.1"))
+        spine.withColumn("eps_basic", F.expr("k * 0.1D"))
         .withColumn(
             "eps_advanced",
             F.expr(

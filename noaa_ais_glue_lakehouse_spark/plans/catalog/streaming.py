@@ -122,7 +122,8 @@ def q70_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
     FROM events
     GROUP BY 1, 2
     """,

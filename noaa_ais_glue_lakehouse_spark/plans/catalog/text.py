@@ -729,7 +729,8 @@ def q149_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AND 1 PRECEDING) AS prior_best
       FROM b
     )
-    SELECT u.user_id, u.n_events, u.spend_cents
+    SELECT u.user_id, u.n_events,
+           CAST(u.spend_cents AS BIGINT) AS spend_cents
     FROM u JOIN f ON u.n_events = f.n_events AND u.spend_cents = f.best
     WHERE f.prior_best IS NULL OR f.best > f.prior_best
     """,
@@ -1930,7 +1931,7 @@ def q246_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned AS (
       SELECT doc_id, n_tokens, (c - n_tokens) // 512 AS bin FROM cum
     )
-    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 512.0, 6) AS fill_rate
     FROM binned GROUP BY bin
@@ -2939,7 +2940,7 @@ def q302_doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  '\\s+'), x -> x <> '')) AS BIGINT)) AS unique_tokens
       FROM documents GROUP BY source
     )
-    SELECT source, unique_tokens,
+    SELECT source, CAST(unique_tokens AS BIGINT) AS unique_tokens,
            ROUND(50000.0 / unique_tokens, 6) AS epochs,
            CAST(ROUND(1000000.0 *
                 (1 - EXP(-(50000.0 / unique_tokens) / 2.5)) * 2.5

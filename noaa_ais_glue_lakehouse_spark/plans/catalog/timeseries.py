@@ -1628,7 +1628,7 @@ def q317_rolling_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(ss - CAST(s*s AS DOUBLE)/n) AS sse_within
       FROM per_dow GROUP BY event_type
     )
-    SELECT event_type, n AS n_days,
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
            ROUND(1.0 - sse_within / (ss - CAST(s*s AS DOUBLE)/n), 6)
              AS seasonality_strength
     FROM agg WHERE ss - CAST(s*s AS DOUBLE)/n > 0
@@ -1686,7 +1686,7 @@ def q325_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(v) OVER w AS pv, LEAD(v) OVER w AS nv
       FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
     )
-    SELECT event_type, day, v AS peak_cents,
+    SELECT event_type, day, CAST(v AS BIGINT) AS peak_cents,
            CAST(v - GREATEST(pv, nv) AS BIGINT) AS prominence_cents
     FROM n
     WHERE pv IS NOT NULL AND nv IS NOT NULL

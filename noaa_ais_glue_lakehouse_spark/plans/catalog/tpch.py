@@ -1297,7 +1297,7 @@ def q299_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q504_tpch_q6_revenue_delta",
     oracle=f"""
-    SELECT SUM({sql_disc_rev_cents()})
+    SELECT CAST(SUM({sql_disc_rev_cents()}) AS BIGINT)
              AS revenue_cents,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
