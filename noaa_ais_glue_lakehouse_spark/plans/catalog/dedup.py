@@ -859,7 +859,6 @@ def q171_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q178_source_js_divergence",
-    allow_non_equi="deliberate |sources|\u00b2 pair-spine theta self-join (tiny broadcast): disjoint-vocabulary pairs must appear with JSD = 1",
     oracle="""
     WITH t AS (
       SELECT source,
@@ -905,83 +904,102 @@ def q178_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     with very different frequencies) and the principled mixture-design /
     drift metric (symmetric, bounded [0,1] in bits).
 
-    The trick that keeps it one INNER equi-join on token: for tokens
-    present only in P, the JSD integrand collapses to p·ln2 — so each
-    side's exclusive mass contributes (1 − shared_mass)·ln2 in closed
-    form, and only shared tokens need the pairwise term. No full-outer
-    join, no union of vocabularies; the join is |vocab|x|sources|-sized,
-    never document-sized, and inherits q166's skew note on stopword keys.
-    A |sources|²-row pair spine left-joins the shared aggregate so pairs
-    with fully disjoint vocabularies still report (JSD = 1) instead of
-    silently vanishing from the drift report.
+    The shape that keeps it ONE documents scan and ZERO joins (round-11
+    rewrite; the round-10 plan referenced the counts subtree four times
+    — both self-join sides plus both spine sides — re-running the
+    tokenize→explode→count pipeline four times, 4× the scan cost at
+    100 TB): for tokens present only in P the JSD integrand collapses
+    to p·ln2, so each side's exclusive mass contributes
+    (1 − shared_mass)·ln2 in closed form and only shared tokens need
+    the pairwise term. Shared-token pairs come from ONE
+    collect_list(struct(source, p)) per token (list size ≤ |sources| —
+    bounded even on stopword keys) with i<j pairs expanded by a JVM
+    ``transform`` HOF. The |sources|² pair spine rides the SAME stream:
+    each source's first row (rank 1 inside the per-source window the
+    probability normalization already pays for) emits one extra
+    NULL-token marker row, so the NULL-token group collects EVERY
+    source and its pair expansion IS the spine — pairs with fully
+    disjoint vocabularies still appear (JSD = 1) with no second scan,
+    no distinct, no theta join.
     """
     docs = load(spark, sf_dir, "documents")
-    # MEASURED AND REJECTED (round 10): caching this (source, tok, n)
-    # counts relation. It feeds FOUR plan references (both self-join
-    # sides + both spine sides), so the tokenize→explode→count subtree
-    # runs four times — but an alternating cached/uncached A/B at sf0.1
-    # measured the cache at parity-to-slower (medians 1.37 vs 1.17 s):
-    # the materialization barrier costs what the three saved subtree
-    # evaluations save at this corpus size, because the subtree is one
-    # map-side-combined aggregation over a single pruned column. At a
-    # corpus where the document scan dominates, revisit — together with
-    # a collect_list-per-token pair-stream rewrite that would cut the
-    # references to one (see OPTIMIZATION_r10.md "Not yet optimized").
     c = (
         docs.select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    pcol = (F.col("n") / F.sum("n").over(Window.partitionBy("source"))).alias(
-        "p"
+    # one window spec for both the total and the rank → ONE Sort + Window
+    # operator (an unbounded frame makes the ordered sum a total sum)
+    wsrc = Window.partitionBy("source").orderBy("tok")
+    wtot = wsrc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    p = c.select("source", "tok", pcol)
-    a = p.select(
-        F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")
+    stream = c.select(
+        "source",
+        "tok",
+        (F.col("n") / F.sum("n").over(wtot)).alias("p"),
+        F.row_number().over(wsrc).alias("rn"),
     )
-    b = p.select(
-        F.col("source").alias("source_b"),
-        F.col("tok").alias("tok_b"),
-        F.col("p").alias("pb"),
+    # rank-1 rows additionally emit a NULL-token marker (real tokens are
+    # never NULL: tokenize() filters empties) — the 2-element-explode
+    # pattern from q172/q185, one subtree, no union.
+    tp = F.when(
+        F.col("rn") == 1,
+        F.array(
+            F.struct(F.col("tok").alias("tok"), F.col("p").alias("p")),
+            F.struct(
+                F.lit(None).cast("string").alias("tok"),
+                F.lit(0.0).alias("p"),
+            ),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col("tok").alias("tok"), F.col("p").alias("p")))
     )
+    exploded = stream.select("source", F.explode(tp).alias("tp")).select(
+        "source", F.col("tp.tok").alias("tok"), F.col("tp.p").alias("p")
+    )
+    grouped = exploded.groupBy("tok").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("source").alias("s"), "p"))
+        ).alias("xs")
+    )
+    pairs = grouped.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "flatten(transform(xs, (x, i) ->"
+                " transform(slice(xs, i + 2, size(xs) - i - 1),"
+                " y -> struct(x.s AS sa, y.s AS sb, x.p AS pa, y.p AS pb))))"
+            )
+        ).alias("pr"),
+    ).select("tok", "pr.sa", "pr.sb", "pr.pa", "pr.pb")
+    shared_tok = F.col("tok").isNotNull()
     ln2 = F.log(F.lit(2.0))
-    shared = (
-        a.join(
-            b,
-            (F.col("tok") == F.col("tok_b"))
-            & (F.col("source_a") < F.col("source_b")),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.sum(
+    agg = pairs.groupBy(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b")
+    ).agg(
+        F.sum(
+            F.when(
+                shared_tok,
                 F.col("pa")
-                * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
-            ).alias("s1"),
-            F.sum(
+                * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb"))),
+            )
+        ).alias("s1"),
+        F.sum(
+            F.when(
+                shared_tok,
                 F.col("pb")
-                * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
-            ).alias("s2"),
-            F.sum("pa").alias("ma"),
-            F.sum("pb").alias("mb"),
-        )
+                * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb"))),
+            )
+        ).alias("s2"),
+        F.sum(F.when(shared_tok, F.col("pa"))).alias("ma"),
+        F.sum(F.when(shared_tok, F.col("pb"))).alias("mb"),
     )
-    # pair spine over the |sources|-sized distinct list: pairs sharing
-    # no token at all must still appear (their JSD is exactly 1 bit) —
-    # a tiny broadcast theta self-join, |sources|² rows. Derived from
-    # the COUNTS table, not documents: a source whose texts all tokenize
-    # to nothing has no distribution to diverge from and is absent from
-    # the oracle's CTEs too.
-    srcs = c.select("source").distinct()
-    spine = srcs.select(F.col("source").alias("source_a")).join(
-        F.broadcast(srcs.select(F.col("source").alias("source_b"))),
-        F.col("source_a") < F.col("source_b"),
-    )
-    j = spine.join(shared, ["source_a", "source_b"], "left")
     s1 = F.coalesce("s1", F.lit(0.0))
     s2 = F.coalesce("s2", F.lit(0.0))
     ma = F.coalesce("ma", F.lit(0.0))
     mb = F.coalesce("mb", F.lit(0.0))
-    return j.select(
+    return agg.select(
         "source_a",
         "source_b",
         F.round(

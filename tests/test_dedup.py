@@ -676,3 +676,40 @@ def test_minhash_portable_identical_docs_certain(spark):
         df, "doc_id", "text", threshold=0.8
     ).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_js_divergence_single_scan_and_disjoint_spine(spark, tmp_path):
+    """q178 round-11 rewrite: the all-pairs spine rides the SAME single
+    documents scan (rank-1 marker rows → NULL-token group collects every
+    source), so (a) the physical plan must hold exactly ONE parquet scan
+    and no join, and (b) a source pair sharing ZERO tokens must still
+    appear, with JSD exactly 1 bit."""
+    import math
+
+    from noaa_ais_glue_lakehouse_spark.plans.catalog import queries
+
+    rows = [
+        (1, "aa bb cc", "en", "s1", 8),
+        (2, "aa bb dd", "en", "s2", 8),
+        (3, "xx yy zz", "en", "s3", 8),  # disjoint from s1 AND s2
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(f"{d}/documents.parquet")
+    q = queries()["q178_source_js_divergence"](spark, d)
+
+    plan = q._jdf.queryExecution().sparkPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+    out = {(r["source_a"], r["source_b"]): r["jsd_bits"] for r in q.collect()}
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    # fully disjoint vocabularies diverge maximally: exactly 1 bit
+    assert out[("s1", "s3")] == 1.0
+    assert out[("s2", "s3")] == 1.0
+    # shared-vocab pair: 2/3 mass shared identically, 1/3 exclusive each
+    # side -> JSD = (1/3)·1 bit exactly (each side's exclusive integrand
+    # collapses to p·ln2 and the shared terms cancel)
+    assert math.isclose(out[("s1", "s2")], round(1.0 / 3.0, 6), abs_tol=1e-9)
