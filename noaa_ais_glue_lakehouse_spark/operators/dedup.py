@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from noaa_ais_glue_lakehouse_spark.operators._cache import query_scoped_cache
+
 from noaa_ais_glue_lakehouse_spark.functions.hashing import (
     content_fingerprint,
     hamming64,
@@ -258,7 +260,7 @@ def winnow_near_duplicates(
             .drop("_df")
         )
     if materialize_index:
-        idx = idx.cache()
+        idx = query_scoped_cache(idx)
     a = idx.alias("a")
     b = idx.alias("b")
     return (
@@ -389,7 +391,7 @@ def jaccard_pairs_prefix_filter(
         # turn it on when shingling dominates (long docs / char
         # n-grams), the same regime where minhash's materialize_index
         # pays for itself.
-        sets = sets.cache()
+        sets = query_scoped_cache(sets)
     tok = sets.select("_id", "_n", F.explode("_sh").alias("_tok"))
     freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     # rarest-first rank within each doc; token text tiebreaks the rank so
@@ -658,7 +660,7 @@ def minhash_lsh_candidates(
         df, id_col, text_col, num_hashes, use_char_ngrams, ngram_n, with_sets=False
     )
     if materialize_index:
-        feats = feats.cache()
+        feats = query_scoped_cache(feats)
     return _band_pairs(feats, id_col, num_hashes, bands)
 
 
@@ -739,7 +741,7 @@ def minhash_near_duplicates(
         df, id_col, text_col, num_hashes, use_char_ngrams, ngram_n, with_sets=True
     )
     if materialize_index:
-        feats = feats.cache()
+        feats = query_scoped_cache(feats)
     cands = _band_pairs(feats, id_col, num_hashes, bands)
     sets = feats.select(F.col(id_col), "_sh", "_n")
     out = (
@@ -860,7 +862,7 @@ def simhash_near_duplicates(
     if materialize_index:
         # one 16-byte row per doc; the self-join's two sides would each
         # recompute the full tokenize+simhash pass otherwise
-        sigs = sigs.cache()
+        sigs = query_scoped_cache(sigs)
     block_bits = 64 // n_blocks
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
@@ -1064,7 +1066,7 @@ def winnow_incremental_pairs(
         w,
     ).join(df.select(F.col(id_col), F.col(is_new_col)), id_col)
     if materialize_index:
-        idx = idx.cache()
+        idx = query_scoped_cache(idx)
     new_idx = idx.filter(F.col(is_new_col))
     a = idx.alias("a")
     b = new_idx.alias("b")
@@ -1257,9 +1259,9 @@ def minhash_near_duplicates_portable(
         for i, (a, b) in enumerate(minhash_portable_slot_consts(num_hashes))
     ]
     aggs.append(F.collect_set(F.col("_h60")).alias("_sh"))
-    feats = exploded.groupBy(id_col).agg(*aggs).withColumn(
-        "_n", F.size("_sh")
-    ).cache()
+    feats = query_scoped_cache(
+        exploded.groupBy(id_col).agg(*aggs).withColumn("_n", F.size("_sh"))
+    )
     cands = _band_pairs(feats, id_col, num_hashes, bands)
     sets = feats.select(F.col(id_col), "_sh", "_n")
     out = (

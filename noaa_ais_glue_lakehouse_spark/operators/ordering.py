@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from noaa_ais_glue_lakehouse_spark.operators._cache import query_scoped_cache
+
 
 def spread_partitions(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster parallelism when the input has fewer
@@ -133,7 +135,7 @@ def global_running_sum(
     )
     local = part.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
     if materialize:
-        local = local.cache()
+        local = query_scoped_cache(local)
     # exclusive prefix over per-partition totals: |partitions| rows, so the
     # single-partition window here is over a driver-sized set by design
     totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))

@@ -27,6 +27,8 @@ except ImportError:  # pragma: no cover
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from noaa_ais_glue_lakehouse_spark.operators._cache import query_scoped_cache
+
 
 def _require_pandas() -> None:
     if pandas is None:  # pragma: no cover
@@ -298,9 +300,9 @@ def cosine_near_duplicates(
     # ArrowEvalPython corpus passes; guide §4.1/§2.4). cache() scores
     # the corpus once, and the InMemoryRelation's accurate stats let AQE
     # broadcast the smaller join sides (the q384/q474 treatment).
-    sigged = df.select(
-        F.col(id_col), signatures(F.col(vec_col)).alias("_sigs")
-    ).cache()
+    sigged = query_scoped_cache(
+        df.select(F.col(id_col), signatures(F.col(vec_col)).alias("_sigs"))
+    )
     keyed = sigged.select(
         id_col,
         "_sigs",
@@ -886,10 +888,12 @@ def cosine_near_duplicates_portable(
     # n_tables·n_planes fold-dots — the dominant per-row cost — ran
     # once per side; the cached index is (id + n_tables ints)/row,
     # MEMORY_AND_DISK / LRU like every LSH signature index here.
-    keyed = df.select(
-        F.col(id_col),
-        *[bucket_expr(t).alias(f"_bk{t}") for t in range(n_tables)],
-    ).cache()
+    keyed = query_scoped_cache(
+        df.select(
+            F.col(id_col),
+            *[bucket_expr(t).alias(f"_bk{t}") for t in range(n_tables)],
+        )
+    )
     # Candidate generation is ID-ONLY (id + table keys): carrying the
     # embedding through the exploded per-table self-join would push
     # candidates × dim × 8 bytes through the shuffle — the exact cost the

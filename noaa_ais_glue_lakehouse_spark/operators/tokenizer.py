@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from noaa_ais_glue_lakehouse_spark.operators._cache import query_scoped_cache
+
 
 def bpe_merges(
     spark: SparkSession,
@@ -64,7 +66,7 @@ def bpe_learn(
     # result is a list of collected merge literals (no lineage back to
     # word_freq), it is safe to unpersist before returning rather than
     # leak executor storage for the session.
-    word_freq = word_freq.cache()
+    word_freq = query_scoped_cache(word_freq)
     try:
         return _bpe_merge_rounds(spark, word_freq, rounds, replace_passes, word_col, count_col, sym)
     finally:

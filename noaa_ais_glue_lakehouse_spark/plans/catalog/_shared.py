@@ -50,6 +50,9 @@ from noaa_ais_glue_lakehouse_spark.functions.text import (
 )
 
 from noaa_ais_glue_lakehouse_spark.operators import cleaning
+from noaa_ais_glue_lakehouse_spark.operators._cache import (
+    query_scoped_cache,
+)
 
 from noaa_ais_glue_lakehouse_spark.operators.dedup import (
     dedup_exact,

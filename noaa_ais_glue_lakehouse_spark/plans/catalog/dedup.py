@@ -3521,11 +3521,10 @@ def q497_minhash_estimation_error(
         for i, (a, b) in enumerate(minhash_portable_slot_consts(num_hashes))
     ]
     aggs.append(F.collect_set(F.col("_h60")).alias("_sh"))
-    feats = (
+    feats = query_scoped_cache(
         exploded.groupBy("doc_id")
         .agg(*aggs)
         .withColumn("_n", F.size("_sh"))
-        .cache()
     )
     cands = _band_pairs(feats, "doc_id", num_hashes, bands)
     sig_a = feats.select(

@@ -1586,7 +1586,7 @@ def q318_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND each centroid update re-joins it); cache() so the corpus is
     # scanned+exploded once, not six times (the minhash materialize_index
     # precedent — MEMORY_AND_DISK, LRU-evictable)
-    dims = dims.cache()
+    dims = query_scoped_cache(dims)
     cent = dims.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("c"), "i", F.col("x").alias("ci")
     )
@@ -3609,7 +3609,8 @@ def q474_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("_b"),
-    ).select("vec_id", "_b.tbl", "_b.bkt").cache()
+    ).select("vec_id", "_b.tbl", "_b.bkt")
+    stacked = query_scoped_cache(stacked)
     # ^ materialized id+key index (round 10, guide §2.4): `stacked`
     # feeds both the corpus side and the query-side filter, so uncached
     # the 48 HOF fold-dots per row ran TWICE; measured 5.6 → 4.1 s at
