@@ -2334,10 +2334,16 @@ def q381_knn_adaptive_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lat") / 10.0 - 90.0).alias("lat"),
         (F.col("lon") / 10.0 - 180.0).alias("lon"),
     )
-    refs = pts.filter(F.col("event_id") % 97 == 0).select(
-        F.col("event_id").alias("ref_id"),
-        F.col("lat").alias("rlat"),
-        F.col("lon").alias("rlon"),
+    # refs feeds TWO plan references (the stats aggregate and the ×9 cell
+    # explode), each of which re-ran the events scan + md5 projection;
+    # the cached sample is ~1% of events at 24 B/row (round 11 — the
+    # q172 single-subtree treatment, via the bounded cache registry)
+    refs = query_scoped_cache(
+        pts.filter(F.col("event_id") % 97 == 0).select(
+            F.col("event_id").alias("ref_id"),
+            F.col("lat").alias("rlat"),
+            F.col("lon").alias("rlon"),
+        )
     )
     st = refs.agg(
         F.count(F.lit(1)).alias("n_refs"),
@@ -2350,11 +2356,15 @@ def q381_knn_adaptive_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all refs sharing a lat/lon) would give r=0 and divide the cell keys
     # by zero (NaN cells -> silently empty result); the epsilon floor keeps
     # the query well-defined and is mirrored in the oracle.
-    rr = st.select(
-        F.expr(
-            "GREATEST(LEAST(sqrt((24.0 * (maxlat - minlat) * (maxlon - minlon))"
-            " / (3.141592653589793 * n_refs)), 90.0), 0.000001)"
-        ).alias("r")
+    # the 1-row radius relation broadcasts to BOTH the point and ref
+    # sides; cached so the count+extent aggregate runs once, not twice
+    rr = query_scoped_cache(
+        st.select(
+            F.expr(
+                "GREATEST(LEAST(sqrt((24.0 * (maxlat - minlat) * (maxlon - minlon))"
+                " / (3.141592653589793 * n_refs)), 90.0), 0.000001)"
+            ).alias("r")
+        )
     )
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
     rc = (
