@@ -540,8 +540,7 @@ def main() -> None:
                 entry["rerun_median"] <= env * entry["best_ever"]
             )
 
-    print(
-        json.dumps(
+    line = json.dumps(
             {
                 "metric": "headline_suite_wall",
                 "value": total,
@@ -570,8 +569,24 @@ def main() -> None:
                 "fact1_like_rows_per_sec": round(n_events / fact1_s),
                 "clean_rows_per_sec": round(n_events / clean_s),
             }
-        )
     )
+    print(line)
+    # Also persist the COMPLETE line to an append-only sidecar: the
+    # driver's BENCH_rNN.json keeps only the last 2000 chars of stdout
+    # (r09's file survived only as a tail — this round had no official
+    # per-query geomean because of it; round-10 verdict ask #8). The
+    # sidecar is the lossless history the recovery parser above falls
+    # back to; committed per round as plans/rNN/bench_official.log.
+    try:
+        side = os.environ.get(
+            "SPARK_GRAFT_BENCH_LOG",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_official.log"),
+        )
+        with open(side, "a") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout already carried the line
 
 
 if __name__ == "__main__":

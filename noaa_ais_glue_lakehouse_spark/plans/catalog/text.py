@@ -538,9 +538,15 @@ def q116_training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame
         & F.col("_mean").between(3.0, 10.0)
         & (F.col("_alpha") >= 0.8)
     )
-    deduped = dedup_exact(quality, ["text"], "doc_id").select(
-        "doc_id", "lang", "n_tokens"
-    )
+    # project the filter-only stats away BEFORE the dedup shuffle:
+    # Catalyst cannot prune fields inside dedup_exact's min_by struct,
+    # so _mean/_alpha (16 B/row) would otherwise ride the text-keyed
+    # exchange (guide §2.3 — visible in plans/r11 before-dump op (8))
+    deduped = dedup_exact(
+        quality.select("doc_id", "lang", "text", "n_tokens"),
+        ["text"],
+        "doc_id",
+    ).select("doc_id", "lang", "n_tokens")
     kept = mixture_sample_to_budget(
         deduped, "doc_id", "lang", "n_tokens", {"en": 12000}, default_budget=5000
     ).drop("tokens_before")
