@@ -138,3 +138,39 @@ def test_spread_partitions_plan_conditions(spark, tmp_path):
     assert spread_partitions(wide) is wide
     wide2 = spark.range(0, 1000).repartition(p + 3)
     assert spread_partitions(wide2) is wide2
+
+
+def test_grs_auto_materialize_policy(spark, monkeypatch):
+    """materialize="auto" (round 11): cache when the optimizer's size
+    estimate fits the storage budget, bypass when it does not — and the
+    result is identical either way (the cache is an economy, never a
+    correctness dependency)."""
+    from noaa_ais_glue_lakehouse_spark.operators.ordering import (
+        global_running_sum,
+    )
+
+    df = spark.range(0, 10_000).selectExpr("id AS k", "id % 13 AS v")
+    expected = sum(i % 13 for i in range(10_000))
+
+    # generous budget -> cached (an InMemoryRelation in the plan)
+    monkeypatch.setenv("SPARK_GRAFT_GRS_CACHE_MAX_BYTES", str(1 << 40))
+    out = global_running_sum(df, ["k"], "v", num_partitions=8)
+    assert "InMemoryRelation" in out._jdf.queryExecution().optimizedPlan().toString()
+    assert out.agg({"running": "max"}).collect()[0][0] == expected
+
+    # drop the first call's cache: the CacheManager would otherwise
+    # substitute it into the second plan regardless of the policy
+    from noaa_ais_glue_lakehouse_spark.operators._cache import (
+        release_query_caches,
+    )
+
+    release_query_caches()
+
+    # 1-byte budget -> bypassed, fully lazy, same answer
+    monkeypatch.setenv("SPARK_GRAFT_GRS_CACHE_MAX_BYTES", "1")
+    out2 = global_running_sum(df, ["k"], "v", num_partitions=8)
+    assert (
+        "InMemoryRelation"
+        not in out2._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert out2.agg({"running": "max"}).collect()[0][0] == expected
