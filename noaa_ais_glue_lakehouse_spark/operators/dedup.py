@@ -382,18 +382,22 @@ def jaccard_pairs_prefix_filter(
         .filter(F.col("_n") > 0)
     )
     if materialize_sets:
-        # sets feeds THREE consumers (prefix-token stream, verify side
-        # a, verify side b) whose exchanges hash different keys, so
-        # ReuseExchange can't dedup them and the corpus is re-shingled
-        # once per consumer. Opt-in, not default: on short-document
-        # corpora the re-shingle is cheaper than materializing the
-        # cache (measured 23 s -> 35 s cold at sf0.1, ~23 tokens/doc);
-        # turn it on when shingling dominates (long docs / char
-        # n-grams), the same regime where minhash's materialize_index
-        # pays for itself.
+        # sets still feeds THREE consumers (the prefix-token stream —
+        # itself cached below — and the two verify sides) whose
+        # exchanges hash different keys, so ReuseExchange can't dedup
+        # them. Opt-in, not default: with the prefix relation cached the
+        # round-11 A/B measured the sets cache at parity (10.2 vs
+        # 10.6 s at sf0.1, ~23 tokens/doc); turn it on when shingling
+        # dominates (long docs / char n-grams), the same regime where
+        # minhash's materialize_index pays for itself.
         sets = query_scoped_cache(sets)
     tok = sets.select("_id", "_n", F.explode("_sh").alias("_tok"))
-    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # Token document-frequency as a count window on the SAME exploded
+    # stream (round 11 — the q372 treatment): the former
+    # groupBy+join-back referenced the tok subtree twice, so the corpus
+    # was re-shingled for the frequency table and again for the join
+    # probe side (the executed plan held SIX shingle passes in total).
+    wdf = Window.partitionBy("_tok")
     # rarest-first rank within each doc; token text tiebreaks the rank so
     # the global order is total and both sides of a pair agree on it
     rank_w = Window.partitionBy("_id").orderBy("_df", "_tok")
@@ -406,8 +410,12 @@ def jaccard_pairs_prefix_filter(
         - F.ceil(F.col("_n") * F.lit(threshold) - F.lit(1e-9)).cast("int")
         + 1
     )
-    prefix = (
-        tok.join(freq, "_tok")
+    # The prefix relation feeds BOTH self-join sides; cached (bounded
+    # registry) so the shingle→window pipeline executes once, not twice.
+    # Round-11 A/B at sf0.1 (outputs verified identical, 2,968,398
+    # rows): 19.7 s → 10.2 s median for window-df + cached prefix alone.
+    prefix = query_scoped_cache(
+        tok.withColumn("_df", F.count(F.lit(1)).over(wdf))
         .withColumn("_rank", F.row_number().over(rank_w))
         .filter(F.col("_rank") <= prefix_len)
     )
@@ -456,23 +464,53 @@ def jaccard_pairs_prefix_filter(
         .distinct()
         .repartition(parallelism, "id_a", "id_b")
     )
-    sa = sets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = sets.select(
+    # 128-bit occupancy masks of each set, for the exactness-preserving
+    # verify prefilter (see _mask_bound_filter): the shingles here are
+    # STRINGS (the exactness contract forbids intersecting hashes), so
+    # the mask hashes each shingle once per DOC — the per-PAIR intersect
+    # still compares the strings themselves.
+    masked = sets.withColumn(
+        "_mlo",
+        F.expr(
+            "aggregate(_sh, 0L, (m, x) ->"
+            " CASE WHEN pmod(xxhash64(x), 128) < 64"
+            " THEN m | shiftleft(1L, CAST(pmod(xxhash64(x), 128) AS INT))"
+            " ELSE m END)"
+        ),
+    ).withColumn(
+        "_mhi",
+        F.expr(
+            "aggregate(_sh, 0L, (m, x) ->"
+            " CASE WHEN pmod(xxhash64(x), 128) >= 64"
+            " THEN m | shiftleft(1L, CAST(pmod(xxhash64(x), 128) - 64 AS INT))"
+            " ELSE m END)"
+        ),
+    )
+    sa = masked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("_sha"),
+        F.col("_n").alias("_na"),
+        F.col("_mlo").alias("_mloa"),
+        F.col("_mhi").alias("_mhia"),
+    )
+    sb = masked.select(
         F.col("_id").alias("id_b"),
         F.col("_sh").alias("_shb"),
         F.col("_n").alias("_nb"),
+        F.col("_mlo").alias("_mlob"),
+        F.col("_mhi").alias("_mhib"),
+    )
+    verify = _mask_bound_filter(
+        cands.join(sa, "id_a").join(sb, "id_b"), threshold
     )
     inter = F.size(F.array_intersect("_sha", "_shb"))
-    union = F.size("_sha") + F.col("_nb") - inter
+    union = F.col("_na") + F.col("_nb") - inter
     jacc = F.when(
         union > 0, inter.cast("double") / union.cast("double")
     ).otherwise(F.lit(0.0))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return verify.select(
+        "id_a", "id_b", F.round(jacc, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def band_geometry(threshold: float) -> tuple[int, int]:
