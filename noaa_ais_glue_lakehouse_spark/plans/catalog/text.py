@@ -1488,35 +1488,40 @@ def q216_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
     grams = repeated_span_grams(docs, "doc_id", "text", n=_SPAN_N)
-    shared = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("nd"))
+    # Cross-document gram frequency as a count window on the SAME gram
+    # stream (round 11, the q372 treatment): the former groupBy + semi-
+    # join-back referenced the gram-generation subtree twice, and the
+    # joined `hit` relation was then consumed by TWO separate distinct
+    # rollups — the executed plan re-ran gram generation four times
+    # (7 parquet scans). Mostly-unique gram keys make map-side partial
+    # aggregation moot, so the window shuffles the same bytes the
+    # aggregate did — minus the join-back and the re-evaluations.
+    hit = (
+        grams.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .join(src, "doc_id")
     )
-    # attach source AFTER the shared-gram semi-join: hit is the reduced
-    # set, and the doc_id equi-join needs no broadcast assumption at scale
-    hit = grams.join(shared, "g").join(src, "doc_id")
-    f = hit.select("doc_id", "source").distinct().groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_with_shared_span")
-    )
-    sg = hit.select("source", "g").distinct().groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shared_grams")
+    # both per-source measures in ONE aggregation pass: distinct docs
+    # with >= 1 shared span == COUNT(DISTINCT doc_id) (doc -> source is
+    # unique), alongside COUNT(DISTINCT g)
+    f = hit.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias(
+            "n_docs_with_shared_span"
+        ),
+        F.countDistinct("g").cast("long").alias("n_shared_grams"),
     )
     base = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
-    return (
-        base.join(f, "source", "left")
-        .join(sg, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce("n_docs_with_shared_span", F.lit(0)).alias(
-                "n_docs_with_shared_span"
-            ),
-            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
-        )
+    return base.join(f, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_docs_with_shared_span", F.lit(0)).alias(
+            "n_docs_with_shared_span"
+        ),
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
     )
 
 
