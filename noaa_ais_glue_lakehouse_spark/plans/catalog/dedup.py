@@ -1361,10 +1361,17 @@ def q247_benchmark_contamination(
         "doc_id", "source", (F.col("doc_id") % 97 == 0).alias("is_bench")
     )
     grams = repeated_span_grams(docs, "doc_id", "text", n=8).join(meta, "doc_id")
-    bench_grams = grams.filter(F.col("is_bench")).select("g").distinct()
+    # "shares a span with any benchmark doc" as a max(is_bench) window
+    # over the SAME gram stream (round 11, the q372 treatment): the
+    # former distinct-bench-grams + semi-join referenced the span
+    # subtree twice, re-running gram generation per side; the window
+    # rides the one gram-keyed exchange the join needed anyway.
+    has_bench = F.max(F.col("is_bench").cast("int")).over(
+        Window.partitionBy("g")
+    )
     contaminated = (
-        grams.filter(~F.col("is_bench"))
-        .join(bench_grams, "g")
+        grams.withColumn("_hb", has_bench)
+        .filter((~F.col("is_bench")) & (F.col("_hb") == 1))
         .select("doc_id", "source")
         .distinct()
         .groupBy("source")
