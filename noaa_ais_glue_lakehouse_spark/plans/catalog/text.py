@@ -4391,14 +4391,20 @@ def q413_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.pow(F.col("n").cast("double"), 0.75) * 1000.0).cast("long"),
     )
     wt = Window.orderBy("tok")
-    cdf = vocab.select(
-        "tok",
-        "n",
-        "w_int",
-        F.sum("w_int").over(wt).alias("hi"),
-        (F.sum("w_int").over(wt) - F.col("w_int")).alias("lo"),
+    # the CDF (vocab-sized) feeds the total, the slot table AND — via
+    # the total — the draw stream; uncached, each reference re-ran the
+    # tokenize→vocab→window pipeline (9 executed scans; round 11,
+    # bounded cache registry)
+    cdf = query_scoped_cache(
+        vocab.select(
+            "tok",
+            "n",
+            "w_int",
+            F.sum("w_int").over(wt).alias("hi"),
+            (F.sum("w_int").over(wt) - F.col("w_int")).alias("lo"),
+        )
     )
-    tot = cdf.agg(F.max("hi").alias("t"))
+    tot = query_scoped_cache(cdf.agg(F.max("hi").alias("t")))
     slot_map = (
         cdf.crossJoin(F.broadcast(tot))
         .select(
