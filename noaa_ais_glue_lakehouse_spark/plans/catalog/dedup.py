@@ -673,11 +673,19 @@ def q138_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    pairs = winnow_near_duplicates(
-        docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+    # pairs feeds the split assignment AND the violation audit; assigned
+    # feeds both violation sides and the split rollup — uncached, the
+    # winnow pipeline re-ran per reference (7 executed scans; round 11,
+    # bounded cache registry — both relations are pair/doc-id-sized)
+    pairs = query_scoped_cache(
+        winnow_near_duplicates(
+            docs, "doc_id", "text", 8, 4, min_shared=10, max_df=64
+        )
     )
-    assigned = leakage_safe_split(
-        docs.select("doc_id"), "doc_id", pairs.select("id_a", "id_b")
+    assigned = query_scoped_cache(
+        leakage_safe_split(
+            docs.select("doc_id"), "doc_id", pairs.select("id_a", "id_b")
+        )
     )
     a = assigned.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
     b = assigned.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
