@@ -1454,8 +1454,12 @@ def minhash_contamination_portable(
     ]
     aggs.append(F.collect_set(F.col("_h60")).alias("_sh"))
     aggs.extend(_shingle_mask_aggs("_h60"))
-    feats = exploded.groupBy(id_col).agg(*aggs).withColumn(
-        "_n", F.size("_sh")
+    # the index feeds FOUR references (bench band, corpus band, both
+    # verify sides) — uncached, the md5-shingle aggregation re-ran per
+    # reference (round 11; same treatment as minhash_near_duplicates'
+    # materialize_index, via the bounded registry)
+    feats = query_scoped_cache(
+        exploded.groupBy(id_col).agg(*aggs).withColumn("_n", F.size("_sh"))
     )
     bench = feats.filter(bench_pred)
     corpus = feats.filter(~bench_pred)
