@@ -971,7 +971,11 @@ def q100_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     quality = docs.where(F.length("text") >= 200)
-    exact = dedup_exact(quality, ["text"], "doc_id")
+    # the exact-dedup survivors feed THREE references (stage-3 count,
+    # the winnow graph, the component dedup) — uncached, the text-keyed
+    # min_by shuffle re-ran per reference (round 11, bounded registry:
+    # one dedup pass + an evictable survivor cache beats three passes)
+    exact = query_scoped_cache(dedup_exact(quality, ["text"], "doc_id"))
     pairs = winnow_near_duplicates(
         exact, "doc_id", "text", 8, 4, min_shared=10, max_df=64
     )
